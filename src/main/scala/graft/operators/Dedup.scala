@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for document corpora, designed for the 100 TB
+ * path: everything is expressed as shuffle-on-key DataFrame plans (hash
+ * partitioned by content key / shingle / band bucket), no driver-side
+ * pairwise loops.
+ *
+ * - exact: hash-groupBy on content (one shuffle on the hash)
+ * - near:  n-gram shingle Jaccard, either exact (shingle-join) or
+ *          MinHash+LSH banding (the scale path: candidate generation cost
+ *          proportional to true near-duplicates, not to n²)
+ * - SimHash: 64-bit per-doc signature for Hamming-distance near-dup
+ */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * Equivalent of a `GROUP BY md5(text)` — single shuffle on the digest. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of `textCol` as an array column.
+    * Documents shorter than n tokens get an empty set.
+    *
+    * Built by zipping the token array with its own shifted slices —
+    * strictly linear per row. (The tempting
+    * `transform(sequence(...), i -> element_at(split(text), i))`
+    * formulation re-evaluates `split` for every element — O(len²) per
+    * document, which at corpus scale turns a seconds-long scan into
+    * hours.) `zip_with` null-pads the shorter side and `concat`
+    * propagates nulls, so the incomplete tail grams drop out in the
+    * final filter with no length bookkeeping. */
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesOfTokens(split(textCol, " "), n)
+
+  /** Same, over an already-tokenized array<string> column. */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    var acc = toks
+    for (o <- 1 until n)
+      acc = zip_with(acc, slice(toks, lit(o + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    array_distinct(filter(acc, x => x.isNotNull))
+  }
+
+  /** Exploded (id, shingle) pairs — the join key for exact Jaccard. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("s"))
+
+  /**
+   * Exact n-gram Jaccard pairs with similarity ≥ threshold, via
+   * prefix-filtered set-similarity join (PPJoin-style candidate
+   * generation):
+   *
+   *  1. order every doc's shingles by global rarity (doc-frequency asc,
+   *     shingle asc — one consistent total order);
+   *  2. keep only each doc's *prefix* — the first
+   *     `|d| - ⌈t·|d|⌉ + 1` shingles. Any pair with J ≥ t must share a
+   *     prefix shingle (its first common shingle in the global order
+   *     falls inside both prefixes), so joining prefixes loses nothing;
+   *  3. equi-join prefixes → distinct candidate pairs;
+   *  4. verify candidates exactly with `array_intersect` on the full
+   *     shingle sets.
+   *
+   * The naive shingle self-join costs Σ_s df(s)² and melts down on hot
+   * shingles (skewed corpora); rarity-ordered prefixes exclude exactly
+   * those, so candidate generation is driven by rare shingles. At 100 TB
+   * this is the difference between a bounded shuffle and a cross join.
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix length: |d| - ceil(t*|d|) + 1; the 1e-9 guard keeps double
+    // rounding (e.g. 0.3*50 → 15.000000000000002) from shortening the
+    // prefix below the provably-safe length
+    val wPos = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("set_size", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <=
+        col("set_size") - ceil(col("set_size") * threshold - 1e-9) + 1)
+      .select("doc_id", "s")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long")
+          .as("n_common"),
+        (size(col("set_a")) + size(col("set_b"))).as("size_sum"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") / (col("size_sum") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Survivors after near-dedup: drop the higher-id member of every pair
+    * at or above `threshold` (anti-join — left side streams, pair set is
+    * comparatively tiny and broadcastable). */
+  def nearDedupKeep(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double): DataFrame = {
+    val drop = jaccardPairs(docs, idCol, textCol, n, threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
+  // ───────────────────────── MinHash + LSH ─────────────────────────
+
+  /** Universal-hash parameters (a·x + b mod p) for `k` permutations,
+    * deterministic from `seed`. p = 2^61 - 1 (Mersenne prime). */
+  private val P: Long = (1L << 61) - 1
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+                 math.abs(rnd.nextLong()) % P))
+  }
+
+  /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of
+    * [[minHashOfHashes]] below the 2^63 overflow budget. */
+  def shingleHashes(textCol: Column, n: Int): Column =
+    transform(shingles(textCol, n), s =>
+      pmod(xxhash64(s), lit(Int.MaxValue.toLong)))
+
+  /**
+   * MinHash signature (k mins over universal hashes of the pre-hashed
+   * shingle array) as an `array<bigint>` column. Pure per-row expression
+   * work — embarrassingly parallel, no shuffle. Callers should materialize
+   * the base-hash array in its own projection first ([[shingleHashes]]):
+   * the k min-columns each reference it, and a materialized alias is
+   * evaluated once per row instead of k times.
+   */
+  def minHashOfHashes(base: Column, k: Int, seed: Long = 42L): Column = {
+    val params = hashParams(k, seed)
+    val mins = params.map { case (a, b) =>
+      when(size(base) === 0, lit(null))
+        .otherwise(array_min(transform(base,
+          x => pmod(x * lit(a % Int.MaxValue) + lit(b), lit(P)))))
+    }
+    array(mins: _*)
+  }
+
+  /** Convenience one-shot form (fine for single-use columns). */
+  def minHashSignature(textCol: Column, n: Int, k: Int,
+                       seed: Long = 42L): Column =
+    minHashOfHashes(shingleHashes(textCol, n), k, seed)
+
+  /**
+   * LSH banding: split the k-wide signature into `bands` bands of
+   * k/bands rows; docs sharing any band hash become candidate pairs.
+   * Shuffle key = (band index, band hash) — candidate generation is a
+   * plain groupBy-join, no n² comparison. The returned pairs still carry
+   * the estimated Jaccard (signature agreement rate) for post-filtering.
+   */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("base"))
+      .select(col("doc_id"), minHashOfHashes(col("base"), k, seed).as("sig"))
+      .filter(!array_contains(transform(col("sig"), x => x.isNull), true))
+    // bare (doc, band, hash) rows only — signatures rejoin *after* the
+    // distinct, so the shuffle carries ids, not 8-byte×k arrays
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
+          a === b), x => x)).cast("double") / k).as("est_jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over token xxhash64s: per bit, majority vote of token
+   * hash bits. Near-duplicates land within small Hamming distance. Pure
+   * expression work (transform over a 0..63 sequence + aggregate).
+   */
+  def simHash64(textCol: Column): Column =
+    simHash64OfHashes(transform(TextAnalysis.tokens(textCol),
+      t => xxhash64(t)))
+
+  /** SimHash over a pre-hashed token array — materialize the hash array in
+    * its own projection first; the 64 per-bit votes each reference it. */
+  def simHash64OfHashes(hashes: Column): Column = {
+    // one majority vote per bit; masks are compile-time constants so the
+    // whole signature stays a single codegen'd expression tree
+    val bits = (0 until 64).map { i =>
+      val mask = lit(1L << i)
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor operators over an embedding column
+ * (`array<float>` / `array<double>`).
+ *
+ * - [[cosineTopK]] — brute-force baseline: broadcast the (small) query set
+ *   against the corpus; exact, one pass, no shuffle of the corpus side.
+ * - [[lshTopK]] — random-hyperplane LSH: bucket both sides by sign
+ *   signature, search only same-bucket candidates. The scale path: corpus
+ *   is hash-partitioned by bucket, query fan-out is bucket-local.
+ *
+ * All arithmetic is double (embeddings are cast up) and expressed with
+ * `zip_with`/`aggregate`, which fold left-to-right — deterministic across
+ * engines and partitionings.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each row of `queries` within `corpus`
+   * (self-matches by id excluded). Output: query_id, rank (1..k),
+   * neighbor_id, cosine.
+   *
+   * Plan: `corpus ⨯ broadcast(queries)` — the corpus side streams through
+   * executors untouched; per-query top-k via window on (query_id).
+   */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in [-1, 1),
+    * derived from a fixed seed so plans are reproducible. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-signature bucket id (0 .. 2^nPlanes-1) of a vector column. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, array(p.map(lit): _*))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * LSH-bucketed approximate top-k: only candidates sharing the query's
+   * hyperplane-sign bucket are scored. Trades recall for a corpus-side
+   * scan reduction of ~2^nPlanes; recall is measured against
+   * [[cosineTopK]] in the test suite.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

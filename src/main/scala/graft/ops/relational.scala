@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Reusable relational operator shapes — the engine's equivalents of the
+ * reference's hand-rolled join/lookup loops, re-expressed as declarative
+ * DataFrame compositions that Catalyst can push down, reorder and broadcast.
+ * See SURVEY.md §2.3/§2.4/§2.5 for the operator inventory (J4–J9, A1–A3).
+ */
+object relational {
+
+  /**
+   * J4/J6 — keep-first-match left join. The reference probes a build-side
+   * array with `.find(...)` (first match wins, `Pembelian/run.js:191-195`) or
+   * issues a per-row query keeping `result[0]` (`ProductionOrderStatus/
+   * run.js:101-125`). Here: deterministically rank the right side per key
+   * and keep rank 1, then ordinary left join — one shuffle on the join key,
+   * broadcastable when `right` is a dim.
+   *
+   * @param tiebreak ordering that defines "first" (the reference is
+   *                 nondeterministic; we require an explicit order).
+   */
+  def keepFirstMatch(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    val firstOnly = right
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    left.join(firstOnly, keys, "left")
+  }
+
+  /**
+   * A1/A2 — argmax per group: the whole row holding the max of `ordCol`
+   * within each group (`$group {$first: "$$ROOT"}` after `$sort`,
+   * `MigrationLogFunc/index.js:32-42`; `top(1) ... order by finish desc`,
+   * `Pembelian/run.js:44-46`). Single shuffle on the group keys.
+   *
+   * @param tiebreak extra ordering columns to make the pick deterministic.
+   */
+  def argmaxPerGroup(df: DataFrame, groupKeys: Seq[String], ordCol: Column,
+                     tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*)
+      .orderBy((ordCol.desc +: tiebreak): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * J8 — as-of (point-in-time) join: for each left row, the single right row
+   * with the greatest `rightTs <= leftTs` within the same key (latest
+   * currency rate at-or-before the document date,
+   * `GarmentTotalHutang/run.js:121-133`). Left-preserving: unmatched left
+   * rows survive with nulls.
+   *
+   * Plan shape: equi-join on `keys` (shuffle or broadcast) + range predicate,
+   * then a window keeping the latest right match per left row. At scale the
+   * equi-key carries the shuffle; the range filter prunes within partitions.
+   *
+   * @param leftId   unique left row id (tie scope for the window)
+   * @param tiebreak deterministic pick among equal `rightTs` values
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, on: Column,
+               leftTs: Column, rightTs: Column, leftId: Column,
+               tiebreak: Seq[Column] = Nil): DataFrame = {
+    val joined = left.join(right, on && rightTs <= leftTs, "left")
+    val w = Window.partitionBy(leftId)
+      .orderBy((rightTs.desc_nulls_last +: tiebreak): _*)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * J5/U3 — explode an array-of-struct child while preserving parents with
+   * empty/null children (the reference's nest-then-flatten round trip,
+   * `ShipmentDocument/run.js:144-152`, and the `[].concat.apply` flatten,
+   * `Pembelian/run.js:282`).
+   */
+  def explodePreservingParent(df: DataFrame, arrayCol: String,
+                              as: String): DataFrame =
+    df.withColumn(as, explode_outer(col(arrayCol))).drop(arrayCol)
+
+  /** P4 — NOT-IN (anti) filter on a literal list
+    * (`createdby not in ('dev','unit-test')`, `Pembelian/run.js:166-167`).
+    * Reference semantics: NULLs are *kept* (SQL NOT IN would drop them —
+    * the reference's JS `.indexOf` check keeps them; encode deliberately). */
+  def notInKeepNulls(df: DataFrame, c: Column, values: Seq[String]): DataFrame =
+    df.filter(c.isNull || !c.isin(values: _*))
+
+  /** S2/P2 — incremental watermark scan: rows strictly newer than the last
+    * successful run (`lastmodifiedutc > :watermark`,
+    * `Pembelian/run.js:120-170`). The predicate is a plain Catalyst filter
+    * so it pushes down to parquet/JDBC scans. */
+  def incrementalScan(df: DataFrame, tsCol: Column, watermark: Column,
+                      inclusive: Boolean = false): DataFrame =
+    df.filter(if (inclusive) tsCol >= watermark else tsCol > watermark)
+}

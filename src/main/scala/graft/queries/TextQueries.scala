@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/**
+ * Training-data-pipeline query set over the `documents` corpus:
+ * deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), text
+ * statistics, language ID and fingerprints. SQL-expressible variants
+ * carry DuckDB oracles; the sketch-based ones (MinHash/SimHash) are
+ * checked against exact Jaccard in ScalaTest instead and get the
+ * driver's rows-only check.
+ */
+object TextQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q30_dedup_exact",
+      (s, dir) => Dedup.exactGroups(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1"""),
+      "exact dedup via content-hash groupBy"),
+
+    QuerySpec("q31_text_stats",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len")),
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS len_chars,
+          CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS n_tokens,
+          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
+          CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) = 0 THEN NULL
+               ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / len(list_filter(string_split(text, ' '), t -> t <> ''))
+          END AS avg_token_len
+        FROM documents"""),
+      "per-document quality stats (length/tokens/punctuation)"),
+
+    QuerySpec("q32_lang_id",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langHits(col("text"), "en").as("en_hits"),
+        TextAnalysis.langId(col("text")).as("predicted_lang")),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','and','is','of','to','in','that'))) AS INTEGER) AS en,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','que','y','los'))) AS INTEGER) AS es,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','nicht'))) AS INTEGER) AS de,
+            CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','du','une'))) AS INTEGER) AS fr
+          FROM documents)
+        SELECT doc_id, en AS en_hits,
+          CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+               WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+               WHEN de >= fr AND de > 0 THEN 'de'
+               WHEN fr > 0 THEN 'fr'
+               ELSE 'und' END AS predicted_lang
+        FROM h"""),
+      "marker-based language ID (n-gram-profile shape)"),
+
+    QuerySpec("q33_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint")),
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents"""),
+      "normalized content fingerprint"),
+
+    QuerySpec("q34_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3,
+        threshold = 0.3),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                  for i in generate_series(1, len(tokens)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= CAST(0.3 AS DOUBLE)"""),
+      "exact 3-gram Jaccard near-dup pairs (shingle join)"),
+
+    QuerySpec("q35_near_dedup",
+      (s, dir) => Dedup.nearDedupKeep(
+          Tables.load(s, dir, "documents"), "doc_id", "text", n = 3,
+          threshold = 0.9)
+        .select(col("doc_id"), col("source")),
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                  for i in generate_series(1, len(tokens)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        drops AS (
+          SELECT DISTINCT doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= CAST(0.9 AS DOUBLE))
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM drops)"""),
+      "near-dedup survivors: drop higher-id member of each ≥0.9 pair"),
+
+    // sketch-based — no SQL oracle; validated against exact Jaccard in tests
+    QuerySpec("q36_minhash_candidates",
+      (s, dir) => Dedup.minHashCandidates(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 8)
+        .filter(col("est_jaccard") >= 0.5),
+      None,
+      "MinHash(64)+LSH(8 bands of 8) candidates — the 100 TB near-dup path. " +
+        "8-row bands keep hot-bucket collisions at J^8, which survives " +
+        "skewed corpora where 4-row bands explode."),
+
+    QuerySpec("q37_simhash",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(TextAnalysis.tokens(col("text")), t => xxhash64(t))
+            .as("th"))
+        .select(col("doc_id"), Dedup.simHash64OfHashes(col("th")).as("simhash")),
+      None,
+      "64-bit SimHash signatures for Hamming-distance near-dup"),
+
+    QuerySpec("q38_rolling_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash")),
+      None,
+      "order-sensitive rolling token hash")
+  )
+}

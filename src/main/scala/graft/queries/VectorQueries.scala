@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/**
+ * Similarity-search query set over `embeddings` (array<float>[64]).
+ * The brute-force query carries a DuckDB oracle (ranks only — integers,
+ * immune to last-bit float noise); the LSH variant is checked for recall
+ * against brute force in ScalaTest and gets the rows-only check.
+ */
+object VectorQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q40_knn_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.cosineTopK(e, e.filter(col("vec_id") < 20),
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_inner_product(qv, cv) /
+                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cosine
+          FROM q, c WHERE neighbor_id <> query_id),
+        r AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id
+        FROM r WHERE rn <= 5"""),
+      "exact top-5 cosine neighbors, broadcast query set"),
+
+    QuerySpec("q41_knn_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nPlanes = 4)
+      },
+      None,
+      "hyperplane-LSH bucketed ANN (recall vs brute force in tests)"),
+
+    QuerySpec("q42_embedding_stats",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        e.select(col("label"),
+            Similarity.l2Norm(col("embedding").cast("array<double>")).as("nrm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("nrm").cast("decimal(18,6)")).cast("double").as("sum_norm"))
+      },
+      Some("""
+        SELECT label, count(*) AS n,
+          CAST(sum(CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+        FROM embeddings GROUP BY label"""),
+      "per-cluster embedding norms (vector column arithmetic)")
+  )
+}

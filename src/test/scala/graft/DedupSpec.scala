@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (0L, base),
+      (1L, base),                                     // exact dup of 0
+      (2L, base.replace("lazy", "sleepy")),           // near dup of 0
+      (3L, "completely different words entirely here now then when how why what"),
+      (4L, "spark engines shuffle partitions across executors with broadcast joins")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups groups identical texts, keeps min id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    assert(g.count() === 4)
+    val dup = g.filter(col("n_copies") === 2).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("keep_doc_id") === 0L)
+  }
+
+  test("shingles: distinct word n-grams; short docs → empty set") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0)).toSeq
+    assert(got.head === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("jaccardPairs finds exact and near duplicates with correct similarity") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((0L, 1L)) === 1.0)            // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size === 3)                   // no cross-topic pairs
+  }
+
+  test("nearDedupKeep drops the higher-id member of dup pairs") {
+    val kept = Dedup.nearDedupKeep(corpus, "doc_id", "text", 3, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 3L, 4L))       // 1 dropped (exact dup of 0)
+  }
+
+  test("minHashCandidates recalls the true near-dup pairs (est ≈ exact)") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+        n = 3, k = 32, bands = 8)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand),
+      s"missed true pairs: ${exact -- cand}")
+  }
+
+  test("minHash signature estimate approximates exact jaccard") {
+    val est = Dedup.minHashCandidates(corpus, "doc_id", "text", 3, 128, 16)
+      .filter(col("doc_a") === 0 && col("doc_b") === 2)
+      .select("est_jaccard").collect()
+    if (est.nonEmpty) {
+      val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.0)
+        .filter(col("doc_a") === 0 && col("doc_b") === 2)
+        .select("jaccard").collect().head.getDouble(0)
+      assert(math.abs(est.head.getDouble(0) - exact) < 0.25)
+    }
+  }
+
+  test("simHash64: identical docs agree; near dups within small Hamming distance") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simHash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)),
+      "near dup should be closer than unrelated doc")
+  }
+
+  test("rollingHash is order-sensitive, fingerprint is not whitespace-sensitive") {
+    import spark.implicits._
+    val df = Seq("a b c", "c b a", "a  b   c").toDF("text").select(
+      TextAnalysis.rollingHash(col("text")).as("rh"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) !== rows(1).getLong(0)) // order matters
+    assert(rows(0).getString(1) === rows(2).getString(1)) // whitespace collapsed
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.relational
+
+class RelationalOpsSpec extends SparkSpec {
+
+  test("keepFirstMatch keeps exactly one deterministic right row per key (J4/J6)") {
+    import spark.implicits._
+    val left = Seq(1, 2, 3).toDF("k")
+    val right = Seq((1, "b", 20), (1, "a", 10), (2, "c", 30)).toDF("k", "v", "ord")
+    val got = relational.keepFirstMatch(left, right, Seq("k"),
+        Seq(col("ord").asc))
+      .orderBy("k").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+    assert(got === Seq((1, Some("a")), (2, Some("c")), (3, None)))
+  }
+
+  test("argmaxPerGroup returns the whole max row per group (A2)") {
+    import spark.implicits._
+    val df = Seq(("p1", 1, "old"), ("p1", 5, "new"), ("p2", 2, "only"))
+      .toDF("g", "ts", "payload")
+    val got = relational.argmaxPerGroup(df, Seq("g"), col("ts"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got === Seq(("p1", "new"), ("p2", "only")))
+  }
+
+  test("asOfJoin picks latest right ≤ left ts, preserves unmatched lefts (J8)") {
+    import spark.implicits._
+    val docs = Seq((1, 100), (2, 5), (3, 250)).toDF("doc_id", "doc_ts")
+    val rates = Seq((10, 50, 1.1), (11, 90, 1.2), (12, 200, 1.3))
+      .toDF("rate_id", "rate_ts", "rate")
+    val got = relational.asOfJoin(docs, rates, lit(true),
+        col("doc_ts"), col("rate_ts"), col("doc_id"),
+        Seq(col("rate_id").desc))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getInt(0), Option(r.get(2)).map(_ => r.getDouble(4))))
+      .toSeq
+    assert(got === Seq((1, Some(1.2)), (2, None), (3, Some(1.3))))
+  }
+
+  test("asOfJoin default-rate composition matches GarmentTotalHutang:213 (M5)") {
+    import spark.implicits._
+    val docs = Seq((1, 10)).toDF("doc_id", "doc_ts")
+    val rates = Seq((1, 99, 2.0)).toDF("rate_id", "rate_ts", "rate")
+    val got = relational.asOfJoin(docs, rates, lit(true), col("doc_ts"),
+        col("rate_ts"), col("doc_id"))
+      .select(graft.functions.business.defaultRate(col("rate")))
+      .collect().head.getDouble(0)
+    assert(got === 1.0)
+  }
+
+  test("notInKeepNulls keeps NULL rows (P4 JS semantics vs SQL NOT IN)") {
+    import spark.implicits._
+    val df = Seq(Some("dev"), Some("alice"), None).toDF("createdBy")
+    val got = relational.notInKeepNulls(df, col("createdBy"),
+      Seq("dev", "unit-test")).collect().map(r => Option(r.getString(0))).toSeq
+    assert(got.toSet === Set(Some("alice"), None))
+  }
+
+  test("incrementalScan is strict-greater by default, inclusive on demand (S2)") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("ts")
+    assert(relational.incrementalScan(df, col("ts"), lit(2)).count() === 1)
+    assert(relational.incrementalScan(df, col("ts"), lit(2),
+      inclusive = true).count() === 2)
+  }
+
+  test("explodePreservingParent keeps parents with null/empty children (J5/U3)") {
+    import spark.implicits._
+    val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String]))
+      .toDF("id", "items")
+    val got = relational.explodePreservingParent(df, "items", "item")
+      .orderBy("id", "item")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq((1, Some("a")), (1, Some("b")), (2, None)))
+  }
+}

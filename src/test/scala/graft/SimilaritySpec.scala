@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    // three tight clusters around orthogonal axes
+    Seq(
+      (0L, Seq(1.0, 0.01, 0.0)), (1L, Seq(0.99, 0.0, 0.02)),
+      (2L, Seq(0.98, 0.03, 0.01)),
+      (10L, Seq(0.0, 1.0, 0.01)), (11L, Seq(0.02, 0.97, 0.0)),
+      (20L, Seq(0.01, 0.0, 1.0)), (21L, Seq(0.0, 0.02, 0.99))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosineTopK returns nearest cluster-mates first, self excluded") {
+    val knn = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2).collect()
+    assert(knn.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L, 2L))
+    assert(knn.forall(_.getAs[Long]("query_id") == 0L))
+    assert(knn.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(0.5, 0.5), Seq(0.5, 0.5))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("lshTopK recall vs brute force on clustered data") {
+    val queries = vecs.filter(col("vec_id").isin(0L, 10L, 20L))
+    val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
+        k = 1, nPlanes = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-cluster vectors share hyperplane signs ⇒ top-1 recall holds
+    assert(exact.subsetOf(approx.union(exact)) && approx.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low: exact=$exact approx=$approx")
+  }
+}
