@@ -1,0 +1,63 @@
+package graft.control
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental-run bookkeeping — the engine's version of the reference's
+ * `[migration-log]` control table (S1/S10):
+ *
+ *  - watermark read: `select top(1) start from [migration-log] where
+ *    description = ? and status = 'Successful' order by finish desc`
+ *    (`/root/reference/Pembelian/run.js:41-50`);
+ *  - run log append: one row per run with status/duration either way
+ *    (`/root/reference/Pembelian/run.js:14-37`, `52-63`).
+ *
+ * Stored as a small parquet directory (one control table for all
+ * pipelines). At production scale this is a Delta table for atomic
+ * appends; the API is storage-agnostic. The control table is tiny
+ * (rows = runs), so driver-side `.first()` here is not a data-path
+ * collect.
+ */
+class WatermarkManager(spark: SparkSession, path: String) {
+
+  /** Epoch fallback used on first run (`Pembelian/run.js:121-122`). */
+  val epoch: Timestamp = Timestamp.valueOf("1970-01-01 00:00:00")
+
+  def log: DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Exception => emptyLog }
+
+  private def emptyLog: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "description STRING, start TIMESTAMP, finish TIMESTAMP, " +
+          "executionTime STRING, status STRING"))
+
+  /** Low watermark for `pipeline`: `start` of the latest successful run
+    * (by `finish`), falling back to the epoch. Failed runs never advance
+    * the watermark (status ≠ Successful is not picked). */
+  def lastWatermark(pipeline: String): Timestamp = {
+    val row = log
+      .filter(col("description") === pipeline && col("status") === "Successful")
+      .orderBy(col("finish").desc)
+      .select(col("start"))
+      .limit(1)
+      .collect()
+    if (row.isEmpty) epoch else row.head.getTimestamp(0)
+  }
+
+  /** Append one run-outcome row (success or stringified failure — the
+    * reference logs both, `Pembelian/run.js:14-37`). */
+  def logRun(pipeline: String, start: Timestamp, finish: Timestamp,
+             status: String): Unit = {
+    import spark.implicits._
+    val minutes = (finish.getTime - start.getTime) / 60000.0
+    Seq((pipeline, start, finish, f"$minutes%.2f minutes", status))
+      .toDF("description", "start", "finish", "executionTime", "status")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}

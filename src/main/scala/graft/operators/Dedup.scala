@@ -76,9 +76,13 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the shingle sets feed three subtrees (explode, and both sides of
+    // the verification join); persist so shingling runs once, not 5×.
+    // MEMORY_AND_DISK: spills instead of OOMing at large corpus sizes.
     val sets = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length: |d| - ceil(t*|d|) + 1; the 1e-9 guard keeps double
@@ -132,33 +136,35 @@ object Dedup {
   }
 
   /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of
-    * [[minHashOfHashes]] below the 2^63 overflow budget. */
+    * the signature aggregates below the 2^63 overflow budget. */
   def shingleHashes(textCol: Column, n: Int): Column =
     transform(shingles(textCol, n), s =>
       pmod(xxhash64(s), lit(Int.MaxValue.toLong)))
 
   /**
-   * MinHash signature (k mins over universal hashes of the pre-hashed
-   * shingle array) as an `array<bigint>` column. Pure per-row expression
-   * work — embarrassingly parallel, no shuffle. Callers should materialize
-   * the base-hash array in its own projection first ([[shingleHashes]]):
-   * the k min-columns each reference it, and a materialized alias is
-   * evaluated once per row instead of k times.
+   * MinHash signatures as a DataFrame: (doc_id, sig array<bigint>[k]).
+   *
+   * Formulated as explode → groupBy(doc) with k codegen'd `min`
+   * aggregates rather than k array-`transform`s per row: Spark's
+   * higher-order array functions are interpreted (no whole-stage
+   * codegen), so the per-row-array version pays ~μs per element-op and
+   * dominates the whole LSH pipeline; hash-aggregated mins are compiled
+   * and combine map-side, leaving one tiny shuffle keyed on doc id.
+   * Docs with no shingles (shorter than n tokens) are dropped.
    */
-  def minHashOfHashes(base: Column, k: Int, seed: Long = 42L): Column = {
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, seed: Long = 42L): DataFrame = {
     val params = hashParams(k, seed)
-    val mins = params.map { case (a, b) =>
-      when(size(base) === 0, lit(null))
-        .otherwise(array_min(transform(base,
-          x => pmod(x * lit(a % Int.MaxValue) + lit(b), lit(P)))))
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), n)).as("x"))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * lit(a % Int.MaxValue) + lit(b), lit(P))).as(s"m$i")
     }
-    array(mins: _*)
+    ex.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
-
-  /** Convenience one-shot form (fine for single-use columns). */
-  def minHashSignature(textCol: Column, n: Int, k: Int,
-                       seed: Long = 42L): Column =
-    minHashOfHashes(shingleHashes(textCol, n), k, seed)
 
   /**
    * LSH banding: split the k-wide signature into `bands` bands of
@@ -172,11 +178,7 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    val sig = docs
-      .select(col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), n).as("base"))
-      .select(col("doc_id"), minHashOfHashes(col("base"), k, seed).as("sig"))
-      .filter(!array_contains(transform(col("sig"), x => x.isNull), true))
+    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
     // bare (doc, band, hash) rows only — signatures rejoin *after* the
     // distinct, so the shuffle carries ids, not 8-byte×k arrays
     val banded = sig.select(col("doc_id"),

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the event stream. The reference
+ * approximates streaming with nightly cron micro-batches plus a
+ * `[migration-log]` low-watermark (SURVEY §2.9) — here the same
+ * computations are expressed as genuine streaming transforms that work
+ * identically under `readStream` (with `Trigger.AvailableNow()` for the
+ * reference's batch cadence) and plain batch DataFrames.
+ *
+ * Every transform takes and returns DataFrames so it can be unit-tested
+ * with `MemoryStream` and deployed with any source/sink pair.
+ */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation with a late-data watermark —
+    * the streaming twin of query q24_hourly_events. */
+  def hourlyCounts(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ── stateful sessionization (flatMapGroupsWithState) ──
+
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /**
+   * Gap-based sessionization with per-user state: a session closes after
+   * `gapMs` of inactivity (processing-time timeout carries the state
+   * machine; the batch twin is query q23_sessionize). Custom state via
+   * `flatMapGroupsWithState` — the Spark-native replacement for anything
+   * the reference would have done row-at-a-time in JS.
+   */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed ::= SessionOut(user, new Timestamp(s.sessionStart),
+                  new Timestamp(s.lastSeen), s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          if (state.hasTimedOut) {
+            val s = state.get
+            closed ::= SessionOut(user, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastSeen), s.nEvents)
+            state.remove()
+          }
+          closed.reverseIterator
+      }
+  }
+
+  /** Deduplicating upsert stream: latest record per key within the
+    * watermark — `dropDuplicates` on the natural key, the streaming
+    * analog of the reference's staging + MERGE idempotence (S8). */
+  def dedupedByKey(events: DataFrame, keyCol: String,
+                   lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts over a MemoryStream matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and counts events (batch mode)") {
+    import spark.implicits._
+    // batch Dataset drives the same flatMapGroupsWithState logic
+    val events = Seq(
+      Event(1L, 1L, ts("2024-01-01 10:00:00")),
+      Event(1L, 2L, ts("2024-01-01 10:10:00")),
+      Event(1L, 3L, ts("2024-01-01 12:00:00")), // > 30min gap → new session
+      Event(2L, 4L, ts("2024-01-01 09:00:00"))
+    ).toDS()
+    val out = EventStreams.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect()
+    // in batch mode only *closed* sessions are emitted (no timeout fires
+    // for the trailing open session) — user 1's first session closes when
+    // the 12:00 event arrives
+    assert(out.toSeq === Seq(
+      SessionOut(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+  }
+
+  test("dedupedByKey drops later duplicates of the same key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_no", "payload")
+    val q = EventStreams.dedupedByKey(df, "doc_no")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "first"),
+        (ts("2024-01-01 10:01:00"), 1L, "retry"),
+        (ts("2024-01-01 10:02:00"), 2L, "other"))
+      q.processAllAvailable()
+      val got = spark.table("deduped").collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(got === Map(1L -> "first", 2L -> "other"))
+    } finally q.stop()
+  }
+}
