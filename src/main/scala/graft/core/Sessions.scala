@@ -11,6 +11,7 @@ object Sessions {
     val b = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column support: image/audio/video as opaque `binary`
+ * columns with typed metadata, plus decode / feature-extract /
+ * frame-sample operators.
+ *
+ * The Spark-side plumbing is real — schema, partition-local batch
+ * processing via `mapPartitions` (the JVM analog of `mapInPandas`
+ * batching: one buffer per partition, streaming iterator, no
+ * per-row setup cost), deterministic output shapes. The actual codec
+ * work is STUBBED (`fakeDecode`) because no image/audio libraries exist
+ * in this environment: the stub derives deterministic pseudo-features
+ * from the content bytes, so every pipeline stage around the decode is
+ * testable and the stub swaps for a real codec without touching plans.
+ */
+object Multimodal {
+
+  /** Canonical media-table schema: content stays an opaque binary blob;
+    * everything queryable lives in typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("mime", StringType, nullable = true))), nullable = true)))
+
+  val featureDim = 16
+
+  /** STUB decode — deterministic pseudo-features from the content bytes.
+    * A real deployment replaces this with an image/audio codec; the
+    * signature (bytes → fixed-dim float features) is the contract. */
+  private[operators] def fakeDecode(content: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var h = 1125899906842597L // deterministic seed
+    var i = 0
+    while (i < content.length) { h = 31 * h + content(i); i += 1 }
+    var d = 0
+    while (d < featureDim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(d) = ((h >>> 40).toInt % 1000) / 1000.0f
+      d += 1
+    }
+    out
+  }
+
+  private val featuresSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /**
+   * Batch feature extraction: one decode per media item, executed
+   * partition-locally. Returns (media_id, kind, features float[16]).
+   * Rows with null content are dropped (a real pipeline would route them
+   * to a dead-letter sink).
+   */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featuresSchema)
+    media.select("media_id", "kind", "content")
+      .mapPartitions { rows =>
+        rows.filter(!_.isNullAt(2)).map { r =>
+          Row(r.getLong(0), r.getString(1),
+            fakeDecode(r.getAs[Array[Byte]]("content")).toSeq)
+        }
+      }(enc)
+  }
+
+  /**
+   * Frame sampling for video rows: emit one row per sampled frame at
+   * `fps` frames/sec of `meta.duration_ms`, each with frame-level
+   * features (stub: content hash + frame index). Output:
+   * (media_id, frame_idx, frame_features). Non-video rows produce no
+   * frames. The per-frame fan-out happens executor-side — the driver
+   * never sees frame counts.
+   */
+  def sampleFrames(media: DataFrame, fps: Double = 1.0): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("media_id"), col("kind"), col("content"),
+        col("meta.duration_ms").as("duration_ms"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.getString(1) != "video" || r.isNullAt(2) || r.isNullAt(3)) {
+            Iterator.empty
+          } else {
+            val content = r.getAs[Array[Byte]]("content")
+            val nFrames = math.max(1,
+              (r.getLong(3) / 1000.0 * fps).toInt)
+            val base = fakeDecode(content)
+            (0 until nFrames).iterator.map { f =>
+              val feats = base.clone()
+              feats(0) = feats(0) + f // deterministic per-frame variation
+              Row(r.getLong(0), f, feats.toSeq)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Declarative metadata ops need no decode at all — e.g. resize
+    * bookkeeping is pure column arithmetic on `meta`, executed codegen'd
+    * with the blob column never read (column pruning drops `content`). */
+  def resizedMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h))
+    media.select(col("media_id"), col("kind"),
+      (w * scale).cast("int").as("new_width"),
+      (h * scale).cast("int").as("new_height"))
+  }
+
+  /** Synthesize a deterministic media table from any (id, text) corpus —
+    * test fixture generator for environments without real media files. */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      kind.as("kind"),
+      col("text").cast("binary").as("content"),
+      struct(
+        (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(30)) * 1000 + 1000).as("duration_ms"),
+        lit("application/octet-stream").as("mime")).as("meta"))
+  }
+}

@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<double> columns, via the
+    * codegen'd [[graft.plans.DotProduct]] expression (bit-identical to the
+    * interpreted `aggregate(zip_with(...))` formulation, ~an order of
+    * magnitude faster per element). */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_dot", a, b)
+  }
+
+  /** The interpreted HOF formulation — kept as the reference semantics
+    * [[dot]] is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Engine extension point: registers graft's native Catalyst expressions
+ * so they resolve by name in any DataFrame/SQL context.
+ *
+ * Install at session build time —
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` — or on a
+ * live session via [[GraftExtensions.ensureRegistered]] (idempotent);
+ * library operators call the latter defensively so they work on sessions
+ * the caller built without extensions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"), DotProduct.info,
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
+}
+
+object GraftExtensions {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), DotProduct.info,
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+  }
+}

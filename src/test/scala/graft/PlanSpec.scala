@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/**
+ * Plan-shape regression tests: the physical plans that make these queries
+ * scale (pushdown, pruning, broadcast, partial aggregation) are asserted
+ * so a refactor can't silently degrade them into full scans or shuffles.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q03: watermark predicate reaches the parquet scan (pushdown)") {
+    val p = formatted("q03_incremental_scan")
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("q03: scan is column-pruned to the projected columns") {
+    val p = formatted("q03_incremental_scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // exactly the 4 referenced columns of lineitem's 11
+    assert(readSchema.contains("struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_shipdate:timestamp_ntz>"), readSchema)
+  }
+
+  test("q05/q06: dimension joins broadcast (no shuffle join for small dims)") {
+    assert(formatted("q06_broadcast_dim").contains("BroadcastHashJoin"))
+    assert(formatted("q05_join_chain").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val p = formatted("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("no query plans a CartesianProduct (cross joins must be broadcast)") {
+    for (name <- SparkEntry.queries.keys) {
+      val p = formatted(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("scans stay whole-stage-codegen'd (filter/project fused)") {
+    val p = formatted("q03_incremental_scan")
+    assert(p.contains("codegen id"), p)
+  }
+}
