@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/**
+ * Second ETL-parity batch: the SQL surface the warehouse layer behind the
+ * reference's stored procs needs (SURVEY §2.4 note: "the engine must
+ * expose standard groupBy().agg(...) to cover them") — pivots, cube,
+ * paged scans, subquery shapes, outer joins, set ops, ranking windows,
+ * and single-pass moment statistics. Same float-determinism policy as
+ * EtlQueries (exact DECIMAL sums, CAST-to-DOUBLE literals).
+ */
+object MoreEtlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ── pivot (conditional aggregation into columns) ──
+    QuerySpec("q26_pivot_status",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P")),
+      Some("""
+        SELECT strftime(o_orderdate, '%Y') AS order_year,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+          count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders GROUP BY 1"""),
+      "pivot to columns (warehouse-report shape)"),
+
+    // ── cube with subtotal rows ──
+    QuerySpec("q27_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+      "cube subtotals (SURVEY §2.4 'engine must expose')"),
+
+    // ── S4: paged scan (offset/fetch) ──
+    QuerySpec("q28_paged_scan",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_orderkey"))
+        .offset(900).limit(50)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Some("""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        ORDER BY o_orderkey OFFSET 900 LIMIT 50"""),
+      "ORDER BY id OFFSET 900 FETCH NEXT 50 (FabricQC/run.js:75-77); " +
+        "idiomatically replaced by partitioned reads, kept for parity"),
+
+    // ── exact single-pass moment statistics ──
+    QuerySpec("q29_moment_stats",
+      (s, dir) => {
+        // variance from exact decimal power sums: deterministic across
+        // engines and partitionings, still one partial-aggregatable pass
+        val n = count(lit(1))
+        val s1 = sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+        val s2 = sum((col("l_quantity") * col("l_quantity"))
+          .cast("decimal(28,8)")).cast("double")
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(n.as("n"), s1.as("sum_qty"),
+            ((s2 - s1 * s1 / n) / (n - lit(1))).as("var_qty"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS s2
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, s1 AS sum_qty,
+               (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+        FROM m"""),
+      "variance via exact power sums (deterministic moment aggregates)"),
+
+    // ── scalar subquery ──
+    QuerySpec("q43_scalar_subquery",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val avgPrice = o.agg((sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double") / count(lit(1))).as("avg_price"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_above_avg"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) FROM orders)
+        GROUP BY o_orderstatus"""),
+      "scalar subquery as broadcast cross join (exact-decimal average)"),
+
+    // ── correlated EXISTS ──
+    QuerySpec("q44_exists_subquery",
+      (s, dir) => {
+        val bigOrders = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1998 &&
+            col("o_totalprice") > 100000)
+        t(s, dir, "customer")
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND year(o.o_orderdate) = 1998
+                        AND o.o_totalprice > 100000)"""),
+      "correlated EXISTS decorrelated to a semi join"),
+
+    // ── full outer join ──
+    QuerySpec("q45_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        c.join(sup, col("nk") === col("nk2"), "full_outer")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+                   FROM customer GROUP BY 1),
+        s AS (SELECT s_nationkey AS nk2, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1)
+        SELECT coalesce(nk, nk2) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s ON nk = nk2"""),
+      "full outer join with coalesced keys"),
+
+    // ── set operations ──
+    QuerySpec("q46_intersect",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        buyers(1995).intersect(buyers(1996))
+      },
+      Some("""
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996"""),
+      "INTERSECT (customers active in both years)"),
+
+    QuerySpec("q47_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        buyers(1995).except(buyers(1996))
+      },
+      Some("""
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996"""),
+      "EXCEPT (churned customers)"),
+
+    // ── ranking window functions ──
+    QuerySpec("q48_rank_windows",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+        val c = t(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"))
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("spend").desc, col("c_custkey"))
+        c.select(col("c_nationkey"), col("c_custkey"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("c_custkey"), 1).over(w).as("prev_custkey"))
+          .filter(col("rnk") <= 5)
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT c_nationkey, c_custkey,
+            CAST(rank() OVER w AS INTEGER) AS rnk,
+            CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+            lag(c_custkey, 1) OVER w AS prev_custkey
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY spend DESC, c_custkey))
+        SELECT * FROM r WHERE rnk <= 5"""),
+      "rank/dense_rank/ntile/lag over deterministic total order"),
+
+    // ── median via explicit window selection (exact, engine-agnostic) ──
+    QuerySpec("q49_exact_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        val wn = Window.partitionBy(col("l_returnflag"))
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+          .filter(col("rn") === floor((col("n") + 1) / 2))
+          .select(col("l_returnflag"), col("l_quantity").as("lower_median"))
+      },
+      Some("""
+        SELECT l_returnflag, l_quantity AS lower_median
+        FROM (SELECT l_returnflag, l_quantity,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem)
+        WHERE rn = (n + 1) // 2"""),
+      "exact lower median via row_number (no interpolation ambiguity)")
+  )
+}

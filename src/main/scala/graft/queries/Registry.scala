@@ -4,8 +4,8 @@ package graft.queries
   * `queries`/`oracleSql` maps from here. */
 object Registry {
   val all: Seq[QuerySpec] =
-    EtlQueries.specs ++ TextQueries.specs ++ VectorQueries.specs ++
-      MediaQueries.specs
+    EtlQueries.specs ++ MoreEtlQueries.specs ++ TextQueries.specs ++
+      VectorQueries.specs ++ MediaQueries.specs
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")
