@@ -76,11 +76,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the shingle sets feed three subtrees (explode, and both sides of
-    // the verification join); persist so shingling runs once, not 5×.
-    // MEMORY_AND_DISK: spills instead of OOMing at large corpus sizes.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    // Work on xxhash64'd shingles throughout: long join keys shuffle
+    // ~10× lighter than n-gram strings, and verification becomes a
+    // codegen'd sorted-merge count (graft_intersect_count) instead of
+    // interpreted array_intersect over strings — which dominated the
+    // whole query. Hash collisions would perturb a count by 1 with
+    // p≈|set|²/2⁶⁴ — immaterial.
+    // Persisted because the sets feed three subtrees (explode + both
+    // sides of the verification join); MEMORY_AND_DISK spills instead of
+    // OOMing at large corpus sizes.
     val sets = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh_set"))
+        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s)))
+          .as("sh_set"))
       .filter(size(col("sh_set")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
@@ -105,8 +114,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long")
-          .as("n_common"),
+        call_function("graft_intersect_count", col("set_a"), col("set_b"))
+          .cast("long").as("n_common"),
         (size(col("set_a")) + size(col("set_b"))).as("size_sum"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") / (col("size_sum") - col("n_common")))

@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), DotProduct.info,
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_intersect_count"),
+      SortedIntersectCount.info,
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children.head, children(1))))
   }
 }
 
@@ -26,5 +30,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), DotProduct.info,
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_intersect_count"), SortedIntersectCount.info,
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children.head, children(1)))
   }
 }

@@ -11,11 +11,11 @@ object Scratch {
     val spark = Sessions.local(32, "scratch")
     val dir = "/root/testdata/sf0.1"
     val docs = Tables.load(spark, dir, "documents")
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64)
-    time("sig")(println(sig.count()))
-    val q36 = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 64, 8)
-      .filter(col("est_jaccard") >= 0.5)
-    time("q36 full")(println(q36.count()))
+    docs.count() // warmup
+    time("q34 jaccard 0.3")(println(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3).count()))
+    time("q35 jaccard 0.9 dedup")(println(
+      Dedup.nearDedupKeep(docs, "doc_id", "text", 3, 0.9).count()))
     spark.stop()
   }
 }
