@@ -48,6 +48,26 @@ object VectorQueries {
       None,
       "hyperplane-LSH bucketed ANN (recall vs brute force in tests)"),
 
+    QuerySpec("q43b_knn_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      },
+      None,
+      "IVF cell-probed ANN — per-query work drops ~nCentroids/nProbe"),
+
+    QuerySpec("q44b_approx_sketches",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_hll"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_price_approx"),
+          count(lit(1)).as("n")),
+      None,
+      "HLL++ distinct + approximate percentile — the sketch aggregates " +
+        "that replace exact distincts at 100 TB (mergeable, one pass)"),
+
     QuerySpec("q42_embedding_stats",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")

@@ -84,4 +84,32 @@ object EventStreams {
                    lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /**
+   * Micro-batch incremental ingestion — the Spark-native replacement for
+   * the reference's entire cron + `[migration-log]` watermark machinery
+   * (SURVEY §2.9): a file-source stream with `Trigger.AvailableNow`
+   * processes exactly the data that arrived since the last run (the
+   * checkpoint IS the watermark, transactionally maintained), applies
+   * `transform`, and MERGEs each batch into the fact via `foreachBatch`.
+   * Run it on any schedule; reruns with the same checkpoint are no-ops
+   * on already-seen files.
+   */
+  def microBatchUpsert(spark: org.apache.spark.sql.SparkSession,
+                       sourceDir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       transform: DataFrame => DataFrame,
+                       targetPath: String, keys: Seq[String],
+                       checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.UpsertWriter.upsert(spark, transform(batch.toDF()),
+          targetPath, keys)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("ivfTopK recall vs brute force on the embeddings fixture") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("lshTopK recall vs brute force on clustered data") {
     val queries = vecs.filter(col("vec_id").isin(0L, 10L, 20L))
     val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 1)

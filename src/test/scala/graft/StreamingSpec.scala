@@ -54,6 +54,38 @@ class StreamingSpec extends SparkSpec {
       SessionOut(1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
   }
 
+  test("microBatchUpsert: checkpoint is the watermark; reruns only ingest new files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val src = s"$dir/src"; val tgt = s"$dir/fact"; val ckp = s"$dir/ckp"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, v STRING")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("v", upper(col("v")))
+
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchUpsert(
+      spark, src, schema, transform, tgt, Seq("k"), ckp)
+    assert(spark.read.parquet(tgt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "A", 2L -> "B"))
+
+    // second run: only the new file is processed; key 2 is updated
+    Seq((2L, "bb"), (3L, "c")).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchUpsert(
+      spark, src, schema, transform, tgt, Seq("k"), ckp)
+    assert(spark.read.parquet(tgt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "A", 2L -> "BB", 3L -> "C"))
+
+    // third run with no new data: a no-op
+    graft.streaming.EventStreams.microBatchUpsert(
+      spark, src, schema, transform, tgt, Seq("k"), ckp)
+    assert(spark.read.parquet(tgt).count() === 3)
+  }
+
   test("dedupedByKey drops later duplicates of the same key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
