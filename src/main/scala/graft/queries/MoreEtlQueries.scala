@@ -229,6 +229,76 @@ object MoreEtlQueries {
                 count(*) OVER (PARTITION BY l_returnflag) AS n
               FROM lineitem)
         WHERE rn = (n + 1) // 2"""),
-      "exact lower median via row_number (no interpolation ambiguity)")
+      "exact lower median via row_number (no interpolation ambiguity)"),
+
+    // ── T-class string rules (T1/T2/T3-adjacent, T4) ──
+    QuerySpec("q53_string_rules",
+      (s, dir) => {
+        val quoted = concat(lit("it's "), col("p_brand"))
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          graft.functions.business.quoteSwap(quoted).as("swapped"),
+          graft.functions.business.truncateTo(col("p_name"), 12)
+            .as("name_trunc"),
+          lower(col("p_type")).as("type_lower"),
+          length(col("p_name")).as("name_len"))
+      },
+      Some("""
+        SELECT p_partkey,
+               regexp_replace('it''s ' || p_brand, '''', '"', 'g') AS swapped,
+               substring(p_name, 1, 12) AS name_trunc,
+               lower(p_type) AS type_lower,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part"""),
+      "quote swap (T1), truncate-to-width (T2), lower-compare prep (T4)"),
+
+    // ── D3/D8/D9: event-time scalar functions ──
+    QuerySpec("q54_event_time_rules",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        ev.select(
+          col("event_id"),
+          unix_millis(col("ts")).as("epoch_ms"),
+          date_format(timestamp_millis(unix_millis(col("ts"))), "HH:mm:ss")
+            .as("time_of_day"),
+          to_timestamp(concat(date_format(col("ts"), "yyyy-MM-dd"), lit("T"),
+            date_format(col("ts"), "HH:mm:ss"))).as("recombined"),
+          expr("unix_millis(ts) div 60000").as("minutes_since_epoch"))
+      },
+      Some("""
+        SELECT event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS epoch_ms,
+          strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000) * 1000),
+                   '%H:%M:%S') AS time_of_day,
+          make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) * 1000000)
+            AS recombined,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 60000 AS minutes_since_epoch
+        FROM events"""),
+      "epoch-millis (D8), time-of-day format, date+time recombination (D9), " +
+        "minute arithmetic (D3)"),
+
+    // ── C3/C4: category business rules over a derived code ──
+    QuerySpec("q55_category_rules",
+      (s, dir) => {
+        val code = lower(substring(col("p_type"), 1, 3))
+        t(s, dir, "part").select(
+            graft.functions.business.categoryTypeGarment(code)
+              .as("garment_category"),
+            graft.functions.business.categoryTypeTextile(upper(col("p_brand")))
+              .as("textile_category"))
+          .groupBy(col("garment_category"), col("textile_category"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT
+          CASE WHEN lower(substring(p_type, 1, 3)) = 'fab' THEN 'Bahan Baku'
+               WHEN lower(substring(p_type, 1, 3)) IN
+                    ('emb','wsh','pls','prn','tes','qlt') THEN 'Jasa'
+               ELSE 'Accessories' END AS garment_category,
+          CASE WHEN upper(p_brand) = 'BAHAN BAKU' THEN 'BAHAN BAKU'
+               ELSE 'NON BAHAN BAKU' END AS textile_category,
+          count(*) AS n
+        FROM part GROUP BY 1, 2"""),
+      "garment/textile category typing (C3/C4) over derived codes")
   )
 }
