@@ -133,6 +133,47 @@ object Dedup {
     docs.join(broadcast(drop), Seq(idCol), "left_anti")
   }
 
+  /**
+   * Duplicate clusters from a pair list: connected components via
+   * iterative min-label propagation (each node adopts the smallest label
+   * among itself and its neighbors until fixpoint). Returns
+   * (doc_id, cluster_id) where cluster_id = min doc id of the component.
+   *
+   * The loop is driver-coordinated but every step is a distributed
+   * join+groupBy — the standard Spark shape for iterative graph
+   * algorithms; iterations ≤ the component diameter (near-dup clusters
+   * are shallow). `localCheckpoint` truncates the growing lineage each
+   * round so plans don't deepen with iteration count.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it is referenced twice per
+    // iteration, and recomputing an upstream similarity join per
+    // iteration would multiply the whole pipeline by the iteration count
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("doc_b") === labels("node"))
+        .groupBy(edges("doc_a").as("pnode"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("node") === col("pnode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ───────────────────────── MinHash + LSH ─────────────────────────
 
   /** Universal-hash parameters (a·x + b mod p) for `k` permutations,

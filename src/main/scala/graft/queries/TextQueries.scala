@@ -132,6 +132,15 @@ object TextQueries {
         "8-row bands keep hot-bucket collisions at J^8, which survives " +
         "skewed corpora where 4-row bands explode."),
 
+    QuerySpec("q39_dup_clusters",
+      (s, dir) => Dedup.duplicateClusters(
+        Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.8)
+          .select(col("doc_a"), col("doc_b"))),
+      None,
+      "connected-component duplicate clusters from near-dup pairs " +
+        "(iterative min-label propagation)"),
+
     QuerySpec("q37_simhash",
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"),

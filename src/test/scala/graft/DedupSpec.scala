@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
       "near dup should be closer than unrelated doc")
   }
 
+  test("duplicateClusters finds connected components with min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3} via chain, {10,11}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters composes with jaccardPairs on the corpus") {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3)
+        .select("doc_a", "doc_b"))
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0,1,2 are one near-dup cluster rooted at 0
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("rollingHash is order-sensitive, fingerprint is not whitespace-sensitive") {
     import spark.implicits._
     val df = Seq("a b c", "c b a", "a  b   c").toDF("text").select(
