@@ -299,6 +299,28 @@ object MoreEtlQueries {
                ELSE 'NON BAHAN BAKU' END AS textile_category,
           count(*) AS n
         FROM part GROUP BY 1, 2"""),
-      "garment/textile category typing (C3/C4) over derived codes")
+      "garment/textile category typing (C3/C4) over derived codes"),
+
+    // ── semi-structured extraction from the JSON props column ──
+    QuerySpec("q56_json_props",
+      (s, dir) => {
+        // regexp-based extraction keeps the oracle portable (DuckDB's
+        // JSON functions live in an extension; regex is core on both).
+        // Spark-side production path would be from_json with a schema.
+        val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+        Tables.events(s, dir)
+          .select(col("event_type"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k").cast("long")).as("sum_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+               max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type"""),
+      "semi-structured payload extraction (the re-nest/flatten data model " +
+        "of SURVEY §1 applied to a JSON column)")
   )
 }
