@@ -53,6 +53,15 @@ object business {
     * Ref: `Pembelian/run.js:230`. */
   def quoteSwap(c: Column): Column = regexp_replace(c, "'", "\"")
 
+  /** D7 — typo-year repair on formatted date strings: the malformed year
+    * tokens observed in the reference's production data (`/0017`, `/12017`,
+    * `/0200`, `/0201`, `/42017`, `/0217`) all collapse to `/2017`, applied
+    * as a literal-replace chain in the reference's exact order.
+    * Ref: `Pembelian/run.js:311` (`.replace("/0017","/2017")…` chains). */
+  def typoYearRepair(c: Column): Column =
+    Seq("/0017", "/12017", "/0200", "/0201", "/42017", "/0217")
+      .foldLeft(c)((acc, t) => replace(acc, lit(t), lit("/2017")))
+
   /** T2 — truncate to VARCHAR column width. Ref: `DailyOperation/run.js:160-201`. */
   def truncateTo(c: Column, n: Int): Column = substring(c, 1, n)
 

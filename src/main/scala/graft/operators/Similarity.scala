@@ -85,32 +85,43 @@ object Similarity {
    * the first vectors by id — at scale, replace with a k-means||
    * sample); each query probes only its `nProbe` nearest cells.
    *
-   * The scale shape: cell assignment is one broadcast-centroids pass
-   * over the corpus (done once, storable as a partition column —
-   * queries then prune cells at the scan), and per-query work drops by
-   * ~nCentroids/nProbe. Recall vs [[cosineTopK]] is measured in tests.
+   * The scale shape: the centroids are a tiny model artifact
+   * (`nCentroids` rows — k-means output in a real deployment), collected
+   * once at plan build and re-embedded as literal arrays, so corpus cell
+   * assignment is a **per-row argmax expression**: zero shuffle, zero
+   * extra corpus pass, fully codegen'd (`greatest` over
+   * (csim, -centroid_id) structs; ties resolve to the smaller centroid
+   * id). Per-query work drops by ~nCentroids/nProbe. Recall vs
+   * [[cosineTopK]] is measured in tests.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("centroid_id"),
-        col(vecCol).cast("array<double>").as("centv"))
+    require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
+    // deterministic stand-in for k-means||: first nCentroids vectors by
+    // id. This is the one driver action here, and it is inherent to IVF
+    // (centroids are model parameters, same class as a control-table
+    // read) — NOT a per-row collect.
+    val cents: Array[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .crossJoin(broadcast(cents))
-      .select(col("neighbor_id"), col("cv"), col("centroid_id"),
-        cosine(col("cv"), col("centv")).as("csim"))
-    val w = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    val assigned = c.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+      col(vecCol).cast("array<double>").as("cv"))
+    val bestCell = greatest(cents.map { case (cid, v) =>
+      struct(cosine(col("cv"), typedLit(v)).as("csim"),
+        lit(-cid).as("neg_id"))
+    }: _*)
+    val assigned = c.withColumn("centroid_id", -bestCell.getField("neg_id"))
+    // query side: tiny (broadcast) set — explode the literal centroid
+    // array, keep each query's nProbe best cells
+    val centArr = typedLit(cents)
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        cosine(col("qv"), col("centv")).as("csim"))
+      .select(col("query_id"), col("qv"), explode(centArr).as("cent"))
+      .select(col("query_id"), col("qv"),
+        col("cent._1").as("centroid_id"),
+        cosine(col("qv"), col("cent._2")).as("csim"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
     val probes = q.withColumn("rn", row_number().over(wq))
@@ -132,11 +143,15 @@ object Similarity {
    * hyperplane-sign bucket are scored. Trades recall for a corpus-side
    * scan reduction of ~2^nPlanes; recall is measured against
    * [[cosineTopK]] in the test suite.
+   *
+   * `dim` is the embedding dimensionality — a schema-level fact the
+   * caller declares, so plan construction stays action-free (no
+   * `first()` probe of the corpus at build time).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 4,
+              vecCol: String, dim: Int, k: Int, nPlanes: Int = 4,
               seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim > 0, s"dim must be positive, got $dim")
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))

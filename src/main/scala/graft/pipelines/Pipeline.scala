@@ -65,8 +65,10 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
         relational.incrementalScan(tables(driving), col(p.watermarkColumn),
           lit(wm)))
       val fact = p.transform(incremental)
-      UpsertWriter.upsert(spark, fact, s"$warehouseDir/${p.name}", p.factKeys)
-      val n = spark.read.parquet(s"$warehouseDir/${p.name}").count()
+      // the fact row count comes back from the merge's own write job
+      // (Dataset.observe) — no post-hoc re-scan of the fact
+      val n = UpsertWriter.upsert(spark, fact,
+        s"$warehouseDir/${p.name}", p.factKeys)
       control.logRun(p.name, start,
         new Timestamp(System.currentTimeMillis()), "Successful")
       n

@@ -9,8 +9,12 @@ import graft.operators.Multimodal
  * Multimodal query set: binary media columns with typed metadata,
  * synthesized deterministically from the documents corpus (no media
  * fixtures exist in this environment; the decode step is a documented
- * stub — see [[Multimodal]]). Rows-only driver checks; shapes and
- * determinism are covered by MultimodalSpec.
+ * stub — see [[Multimodal]]).
+ *
+ * Registered outputs are scalar-only (hash + size of the feature
+ * arrays) so the driver's row-sorting compare can hash them; the raw
+ * `array<float>` outputs stay covered by MultimodalSpec. q52 is pure
+ * metadata arithmetic and carries a full DuckDB oracle.
  */
 object MediaQueries {
 
@@ -18,22 +22,43 @@ object MediaQueries {
 
     QuerySpec("q50_media_features",
       (s, dir) => Multimodal.extractFeatures(
-        Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents"))),
+          Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")))
+        .select(col("media_id"), col("kind"),
+          size(col("features")).as("feat_dim"),
+          xxhash64(col("features")).as("feat_hash")),
       None,
-      "partition-local batch feature extraction over binary media"),
+      "partition-local batch feature extraction over binary media " +
+        "(scalar digest of the feature vector; arrays checked in specs)"),
 
     QuerySpec("q51_frame_sample",
       (s, dir) => Multimodal.sampleFrames(
-        Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")),
-        fps = 1.0),
+          Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")),
+          fps = 1.0)
+        .select(col("media_id"), col("frame_idx"),
+          size(col("frame_features")).as("feat_dim"),
+          xxhash64(col("frame_features")).as("feat_hash")),
       None,
-      "video frame sampling fan-out (executor-side, driver never sees frames)"),
+      "video frame sampling fan-out (executor-side, driver never sees " +
+        "frames; scalar digest per frame)"),
 
     QuerySpec("q52_media_resize_meta",
       (s, dir) => Multimodal.resizedMeta(
         Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")),
         maxSide = 512),
-      None,
+      Some("""
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS kind,
+               CAST(TRUNC((doc_id % 1920 + 1) *
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       512 / GREATEST(doc_id % 1920 + 1, doc_id % 1080 + 1)))
+                 AS INTEGER) AS new_width,
+               CAST(TRUNC((doc_id % 1080 + 1) *
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       512 / GREATEST(doc_id % 1920 + 1, doc_id % 1080 + 1)))
+                 AS INTEGER) AS new_height
+        FROM documents"""),
       "metadata-only resize bookkeeping — blob column pruned at scan")
   )
 }

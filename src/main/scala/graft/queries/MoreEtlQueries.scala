@@ -321,6 +321,39 @@ object MoreEtlQueries {
                max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
         FROM events GROUP BY event_type"""),
       "semi-structured payload extraction (the re-nest/flatten data model " +
-        "of SURVEY §1 applied to a JSON column)")
+        "of SURVEY §1 applied to a JSON column)"),
+
+    // ── D7: typo-year repair chain (Pembelian/run.js:311) ──
+    QuerySpec("q57_typo_year",
+      (s, dir) => {
+        // corrupt a formatted date with the six malformed year tokens the
+        // reference repairs, then apply the repair chain — every row must
+        // come back "/2017" (the else-branch injects an already-clean one)
+        val typo = element_at(array(
+          lit("/0017"), lit("/12017"), lit("/0200"), lit("/0201"),
+          lit("/42017"), lit("/0217"), lit("/2017")),
+          (pmod(col("o_orderkey"), lit(7)) + 1).cast("int"))
+        val raw = concat(date_format(col("o_orderdate"), "dd/MM"), typo)
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), raw.as("raw_date"),
+            graft.functions.business.typoYearRepair(raw).as("fixed_date"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT o_orderkey,
+                 strftime(o_orderdate, '%d/%m') ||
+                 CASE CAST(o_orderkey % 7 AS INTEGER)
+                   WHEN 0 THEN '/0017' WHEN 1 THEN '/12017'
+                   WHEN 2 THEN '/0200' WHEN 3 THEN '/0201'
+                   WHEN 4 THEN '/42017' WHEN 5 THEN '/0217'
+                   ELSE '/2017' END AS raw_date
+          FROM orders)
+        SELECT o_orderkey, raw_date,
+               replace(replace(replace(replace(replace(replace(raw_date,
+                 '/0017','/2017'), '/12017','/2017'), '/0200','/2017'),
+                 '/0201','/2017'), '/42017','/2017'), '/0217','/2017')
+                 AS fixed_date
+        FROM raw"""),
+      "D7 typo-year repair chain applied in the reference's exact order")
   )
 }

@@ -43,7 +43,7 @@ object VectorQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, nPlanes = 4)
+          "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
       },
       None,
       "hyperplane-LSH bucketed ANN (recall vs brute force in tests)"),

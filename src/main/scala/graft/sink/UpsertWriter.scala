@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
  */
 object UpsertWriter {
 
+  /** @return total rows in the fact after the merge, observed during the
+    *         write job itself (`Dataset.observe` — no extra scan). */
   def upsert(spark: SparkSession, batch: DataFrame, targetPath: String,
-             keys: Seq[String]): Unit = {
+             keys: Seq[String]): Long = {
     require(keys.nonEmpty, "upsert requires at least one key column")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -38,7 +40,9 @@ object UpsertWriter {
           .unionByName(batch)
       } else batch
 
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val obs = org.apache.spark.sql.Observation()
+    merged.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // promote: staging → live (rename is atomic per path on HDFS-like FS)
     if (fs.exists(target)) {
       fs.delete(backup, true)
@@ -46,5 +50,6 @@ object UpsertWriter {
     }
     fs.rename(staging, target)
     fs.delete(backup, true)
+    obs.get("rows").asInstanceOf[Long]
   }
 }

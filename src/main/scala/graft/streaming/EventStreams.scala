@@ -107,7 +107,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sink.UpsertWriter.upsert(spark, transform(batch.toDF()),
-          targetPath, keys)
+          targetPath, keys): Unit
       }
       .start()
     q.awaitTermination()

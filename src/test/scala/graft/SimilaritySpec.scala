@@ -53,7 +53,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
-        k = 1, nPlanes = 2)
+        dim = 3, k = 1, nPlanes = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // same-cluster vectors share hyperplane signs ⇒ top-1 recall holds
