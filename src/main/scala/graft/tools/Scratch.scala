@@ -1,17 +1,38 @@
 package graft.tools
-import graft.core.{Sessions, Tables}
-import graft.operators.Dedup
-import org.apache.spark.sql.functions._
+import graft.core.Sessions
+import graft.queries.Registry
+import scala.jdk.CollectionConverters._
 object Scratch {
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  private def dumpStacks(tag: String): Unit = {
+    System.err.println(s"==== STACK DUMP $tag ====")
+    Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+      System.err.println(s"-- ${t.getName} ${t.getState}")
+      st.take(12).foreach(f => System.err.println(s"   $f"))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(32, "scratch")
-    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
-    docs.count()
-    val t0 = System.nanoTime()
-    val n = Dedup.duplicateClusters(
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
-        .select(col("doc_a"), col("doc_b"))).count()
-    println(f"[scratch] q39 rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q55_category_rules")
+    for (round <- 1 to 4; name <- names) {
+      val q = Registry.all.find(_.name == name).get
+      val g0 = gcMillis
+      val t0 = System.nanoTime()
+      @volatile var done = false
+      val watchdog = new Thread(() => {
+        Thread.sleep(20000)
+        if (!done) dumpStacks(s"$name r$round stuck >20s")
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val n = q.build(spark, dir).count()
+      done = true
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] r$round $name rows=$n time=$sec%.2f s gc=${(gcMillis - g0) / 1000.0}%.2f s")
+    }
     spark.stop()
   }
 }
