@@ -354,6 +354,67 @@ object MoreEtlQueries {
                  '/0201','/2017'), '/42017','/2017'), '/0217','/2017')
                  AS fixed_date
         FROM raw"""),
-      "D7 typo-year repair chain applied in the reference's exact order")
+      "D7 typo-year repair chain applied in the reference's exact order"),
+
+    // ── D9 across midnight (MonitoringEvent/run.js:224-232): rebuild
+    // instants from date+time STRING parts, extend past the date
+    // boundary, and verify the formatted end date/time and duration
+    // agree with an independent engine ──
+    QuerySpec("q58_midnight_duration",
+      (s, dir) => {
+        val startRe = to_timestamp(concat(
+          date_format(col("ts"), "yyyy-MM-dd"), lit("T"),
+          date_format(col("ts"), "HH:mm:ss")))
+        val k = (pmod(col("event_id"), lit(720)) + 1).cast("long")
+        val endRe = timestamp_seconds(unix_timestamp(startRe) + k * 60)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          date_format(endRe, "yyyy-MM-dd").as("end_date"),
+          date_format(endRe, "HH:mm:ss").as("end_time"),
+          (to_date(endRe) > to_date(startRe)).as("crossed_midnight"),
+          k.as("duration_min"),
+          (k.cast("double") / 60.0).as("event_range"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id,
+                 strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') || 'T' ||
+                          strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S'),
+                          '%Y-%m-%dT%H:%M:%S') AS start_re,
+                 CAST(event_id % 720 + 1 AS BIGINT) AS k
+          FROM events),
+        ext AS (SELECT event_id, start_re, k,
+                       start_re + INTERVAL 1 MINUTE * k AS end_re FROM base)
+        SELECT event_id,
+               strftime(end_re, '%Y-%m-%d') AS end_date,
+               strftime(end_re, '%H:%M:%S') AS end_time,
+               CAST(end_re AS DATE) > CAST(start_re AS DATE)
+                 AS crossed_midnight,
+               k AS duration_min,
+               CAST(k AS DOUBLE) / 60 AS event_range
+        FROM ext"""),
+      "D9 date+time recombination stretched across the midnight boundary " +
+        "(MonitoringEvent duration semantics), D10 range"),
+
+    // ── A5: the running insert counter emitted as the first staging
+    // column (TotalHutang/run.js:205-217) — a contiguous surrogate key
+    // over an explicit total order ──
+    QuerySpec("q59_row_counter",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .select(
+            row_number().over(Window.orderBy(col("l_orderkey"),
+              col("l_linenumber"))).cast("long").as("row_id"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      },
+      Some("""
+        SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                 AS BIGINT) AS row_id,
+               l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey <= 2000"""),
+      "A5 counter-as-column: contiguous surrogate key over an explicit " +
+        "total order (single-reducer by construction — nightly-delta scale)")
   )
 }

@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,20 +19,24 @@ import org.apache.spark.sql.functions._
  * which also removes the rewrite of untouched files; the parquet
  * implementation keeps the same contract for this environment, staging
  * the merged result and promoting it atomically via rename.
+ *
+ * [[upsertAll]] is the S12 dual-sink protocol (`DailyOperation/run.js:
+ * 249-295` — two staging tables, ONE transaction): every batch is
+ * computed and staged BEFORE any live table is touched, so a failure
+ * anywhere in the expensive phase (the Spark jobs) leaves every target
+ * untouched. Promotion is then a sequence of per-table metadata renames.
  */
 object UpsertWriter {
 
-  /** @return total rows in the fact after the merge, observed during the
-    *         write job itself (`Dataset.observe` — no extra scan). */
-  def upsert(spark: SparkSession, batch: DataFrame, targetPath: String,
-             keys: Seq[String]): Long = {
-    require(keys.nonEmpty, "upsert requires at least one key column")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetPath)
-    val staging = new org.apache.hadoop.fs.Path(targetPath + "__staging")
-    val backup = new org.apache.hadoop.fs.Path(targetPath + "__old")
+  private final case class Staged(target: Path, staging: Path,
+                                  backup: Path, rows: Long)
 
+  private def stage(spark: SparkSession, fs: FileSystem, batch: DataFrame,
+                    targetPath: String, keys: Seq[String]): Staged = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val target = new Path(targetPath)
+    val staging = new Path(targetPath + "__staging")
+    val backup = new Path(targetPath + "__old")
     val merged =
       if (fs.exists(target)) {
         val current = spark.read.parquet(targetPath)
@@ -39,17 +44,51 @@ object UpsertWriter {
             keys, "left_anti")
           .unionByName(batch)
       } else batch
-
     val obs = org.apache.spark.sql.Observation()
     merged.observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // promote: staging → live (rename is atomic per path on HDFS-like FS)
-    if (fs.exists(target)) {
-      fs.delete(backup, true)
-      fs.rename(target, backup)
+    Staged(target, staging, backup, obs.get("rows").asInstanceOf[Long])
+  }
+
+  private def promote(fs: FileSystem, s: Staged): Unit = {
+    // staging → live (rename is atomic per path on HDFS-like FS)
+    if (fs.exists(s.target)) {
+      fs.delete(s.backup, true)
+      fs.rename(s.target, s.backup)
     }
-    fs.rename(staging, target)
-    fs.delete(backup, true)
-    obs.get("rows").asInstanceOf[Long]
+    fs.rename(s.staging, s.target)
+    fs.delete(s.backup, true)
+  }
+
+  /** @return total rows in the fact after the merge, observed during the
+    *         write job itself (`Dataset.observe` — no extra scan). */
+  def upsert(spark: SparkSession, batch: DataFrame, targetPath: String,
+             keys: Seq[String]): Long =
+    upsertAll(spark, Seq((batch, targetPath, keys))).head
+
+  /**
+   * S12 — atomic multi-table upsert: stage every batch first (all the
+   * Spark compute), promote only after every staging write succeeded.
+   * A failure during any staging write leaves ALL live tables unchanged;
+   * the crash window shrinks to the per-table metadata renames.
+   *
+   * @param batches (batch, targetPath, mergeKeys) per table
+   * @return post-merge row count per table, in input order
+   */
+  def upsertAll(spark: SparkSession,
+                batches: Seq[(DataFrame, String, Seq[String])]): Seq[Long] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staged =
+      try batches.map { case (b, p, k) => stage(spark, fs, b, p, k) }
+      catch {
+        case e: Throwable =>
+          // roll back any staging leftovers; live tables were never touched
+          batches.foreach { case (_, p, _) =>
+            fs.delete(new Path(p + "__staging"), true)
+          }
+          throw e
+      }
+    staged.foreach(promote(fs, _))
+    staged.map(_.rows)
   }
 }
