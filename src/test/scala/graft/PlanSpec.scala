@@ -49,4 +49,15 @@ class PlanSpec extends SparkSpec {
     val p = formatted("q03_incremental_scan")
     assert(p.contains("codegen id"), p)
   }
+
+  test("q43b IVF: corpus cell assignment is a per-row argmax, not a shuffle") {
+    // the old shape crossJoined corpus × centroids then ran a window
+    // partitioned by neighbor_id (a corpus-wide shuffle × nCentroids);
+    // the fix computes greatest() over literal centroid structs — the
+    // only windows left partition by query_id (probe + final rank)
+    val p = formatted("q43b_knn_ivf")
+    assert(!p.toLowerCase.contains("windowspecdefinition(neighbor_id"),
+      "corpus-side window (assignment shuffle) reappeared:\n" + p)
+    assert(!p.contains("partitionBy [neighbor_id"), p)
+  }
 }
