@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.control.WatermarkManager
 import graft.ops.relational
-import graft.sink.UpsertWriter
+import graft.sink.{DimTime, UpsertWriter}
 
 /**
  * One incremental fact pipeline — the canonical dataflow every reference
@@ -35,6 +35,11 @@ trait Pipeline {
 
   /** Natural key of the produced fact (MERGE key). */
   def factKeys: Seq[String]
+
+  /** Fact date columns that feed the shared dim-time dimension (S9,
+    * `exec DL_INSERT_DIMTIME` — `Pembelian/run.js:331-333`). Empty =
+    * this pipeline does not maintain dim-time. */
+  def dateColumns: Seq[String] = Seq.empty
 
   /** The declarative transform: driving source (already watermark-
     * filtered) + full side sources → fact rows. */
@@ -67,8 +72,23 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
       val fact = p.transform(incremental)
       // the fact row count comes back from the merge's own write job
       // (Dataset.observe) — no post-hoc re-scan of the fact
-      val n = UpsertWriter.upsert(spark, fact,
-        s"$warehouseDir/${p.name}", p.factKeys)
+      val n =
+        if (p.dateColumns.isEmpty)
+          UpsertWriter.upsert(spark, fact,
+            s"$warehouseDir/${p.name}", p.factKeys)
+        else {
+          // S9: fact merge + dim-time maintenance in ONE atomic envelope,
+          // like the reference's single DWH transaction around
+          // DL_UPSERT_FACT_* + DL_INSERT_DIMTIME (Pembelian/run.js:328-337).
+          // The batch feeds two sinks, so persist it across the two
+          // staging jobs instead of recomputing the transform.
+          fact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try UpsertWriter.upsertAll(spark, Seq(
+            (fact, s"$warehouseDir/${p.name}", p.factKeys),
+            (DimTime.derive(fact, p.dateColumns), s"$warehouseDir/dim-time",
+              Seq("cal_date")))).head
+          finally fact.unpersist()
+        }
       control.logRun(p.name, start,
         new Timestamp(System.currentTimeMillis()), "Successful")
       n

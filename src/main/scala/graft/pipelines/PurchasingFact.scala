@@ -27,6 +27,8 @@ object PurchasingFact extends Pipeline {
   val name = "purchasing-fact"
   val sources = Seq("purchaserequests", "internalpurchaseorders", "currencies")
   val factKeys = Seq("pr_no")
+  // S9: Pembelian maintains DIMTIME from the fact's dates (run.js:331-333)
+  override val dateColumns = Seq("pr_date")
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val pr = t("purchaserequests")
