@@ -34,6 +34,8 @@ object DailyOperationFact extends Pipeline {
   val sources = Seq("dailyOperations", "badOutputReasons", "kanbans",
     "kanbanInstructions", "machines")
   val factKeys = Seq("code", "type")
+  // reference extracts >= the watermark (DailyOperation/run.js:106,129)
+  override val watermarkInclusive = true
 
   override val watermarkColumn = "lastmodifiedutc"
 

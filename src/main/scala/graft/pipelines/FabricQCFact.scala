@@ -31,6 +31,8 @@ object FabricQCFact extends Pipeline {
   val name = "fabric-qc-fact"
   val sources = Seq("fabricQCs", "fabricGradeTests", "criteria")
   val factKeys = Seq("qc_code", "pcs_no", "criteria_code")
+  // reference extracts >= the watermark (FabricQC/run.js:74)
+  override val watermarkInclusive = true
 
   /** `x >= 0 && x !== '' && x != null` — zero SURVIVES (run.js:143). */
   private def gateNumKeepZero(c: Column): Column =

@@ -24,6 +24,8 @@ object GarmentPurchasingFact extends Pipeline {
   val name = "garment-purchasing-fact"
   val sources = Seq("garmentPOItems", "fulfillments", "garmentCurrencies")
   val factKeys = Seq("po_item_id")
+  // reference extracts >= the watermark (GarmentPembelian/run.js:91)
+  override val watermarkInclusive = true
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val items = t("garmentPOItems")

@@ -33,6 +33,8 @@ object GarmentTotalHutangFact extends Pipeline {
   val sources = Seq("internNotes", "garmentCurrencies", "purchaseRequests",
     "garmentCategories", "units")
   val factKeys = Seq("intern_note_no", "ro_no")
+  // reference extracts >= the watermark (GarmentTotalHutang/run.js:60)
+  override val watermarkInclusive = true
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val notes = t("internNotes").withColumn("__row",

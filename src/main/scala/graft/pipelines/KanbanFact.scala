@@ -22,6 +22,8 @@ object KanbanFact extends Pipeline {
   val sources = Seq("kanbans", "kanbanInstructions", "kanbanSteps",
     "machines")
   val factKeys = Seq("kanban_id", "step_id")
+  // reference extracts >= the watermark (Kanban/run.js:73)
+  override val watermarkInclusive = true
 
   private def g(c: Column): Column = business.nullIfFalsyStr(c)
 

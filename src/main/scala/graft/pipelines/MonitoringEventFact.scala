@@ -34,6 +34,8 @@ object MonitoringEventFact extends Pipeline {
   val sources = Seq("monitoringEvents", "machines", "divisions",
     "productionOrders", "buyers", "machineEvents")
   val factKeys = Seq("event_code")
+  // reference extracts >= the watermark (MonitoringEvent/run.js:91)
+  override val watermarkInclusive = true
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val ev = relational.notInKeepNulls(t("monitoringEvents"),

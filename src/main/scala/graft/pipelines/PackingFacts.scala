@@ -16,6 +16,8 @@ object PackingFact extends Pipeline {
   val name = "packing-fact"
   val sources = Seq("packings", "packingDetails")
   val factKeys = Seq("code", "lot", "grade")
+  // reference extracts >= the watermark (Packing/run.js:108)
+  override val watermarkInclusive = true
 
   private def sw(c: Column): Column =
     when(business.nullIfFalsyStr(c).isNotNull, business.quoteSwap(c))

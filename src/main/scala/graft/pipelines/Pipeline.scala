@@ -33,6 +33,14 @@ trait Pipeline {
     * on the *driving* source (first element of [[sources]]). */
   def watermarkColumn: String = "lastmodifiedutc"
 
+  /** Watermark boundary semantics. The reference is deliberately
+    * inconsistent: 13 pipelines extract strictly newer rows
+    * (`lastmodifiedutc > ?`, e.g. `Pembelian/run.js:166`) while 9 re-read
+    * the boundary instant (`lastmodifiedutc >= ?`, e.g.
+    * `DailyOperation/run.js:106`, `MonitoringEvent/run.js:91`). Each
+    * pipeline declares its reference's operator; default is strict. */
+  def watermarkInclusive: Boolean = false
+
   /** Natural key of the produced fact (MERGE key). */
   def factKeys: Seq[String]
 
@@ -68,7 +76,7 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
       val driving = p.sources.head
       val incremental = tables.updated(driving,
         relational.incrementalScan(tables(driving), col(p.watermarkColumn),
-          lit(wm)))
+          lit(wm), inclusive = p.watermarkInclusive))
       val fact = p.transform(incremental)
       // the fact row count comes back from the merge's own write job
       // (Dataset.observe) — no post-hoc re-scan of the fact

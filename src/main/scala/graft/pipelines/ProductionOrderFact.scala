@@ -21,6 +21,8 @@ object ProductionOrderFact extends Pipeline {
   val name = "production-order-fact"
   val sources = Seq("productionOrders")
   val factKeys = Seq("production_order_no")
+  // reference extracts >= the watermark (ProductionOrder/run.js:89)
+  override val watermarkInclusive = true
 
   private def sw(c: Column): Column =
     when(business.nullIfFalsyStr(c).isNotNull, business.quoteSwap(c))

@@ -32,6 +32,8 @@ object ProductionOrderStatusFact extends Pipeline {
   val sources = Seq("fpSalesContracts", "productionOrders", "kanbans",
     "dailyOperations", "fabricQCs", "fabricGradeTests")
   val factKeys = Seq("sales_contract_no", "test_index")
+  // reference extracts >= the watermark (ProductionOrderStatus/run.js:78)
+  override val watermarkInclusive = true
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val sc = t("fpSalesContracts").withColumn("__sc_row",
