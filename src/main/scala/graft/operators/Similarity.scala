@@ -46,24 +46,54 @@ object Similarity {
    * neighbor_id, cosine.
    *
    * Plan: `corpus ⨯ broadcast(queries)` — the corpus side streams through
-   * executors untouched; per-query top-k via window on (query_id).
+   * executors untouched — then the mergeable `graft_topk` aggregate
+   * ([[graft.plans.TopKByScore]]): each map task forwards at most k pairs
+   * per query into the exchange, so shuffle volume is k·|queries|·
+   * nPartitions instead of the full |corpus|·|queries| scored set a
+   * window formulation would move. Ids are surfaced as bigint.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    topK(scoredPairs(corpus, queries, idCol, vecCol), k)
+  }
+
+  /** The window formulation of the same top-k — the reference semantics
+    * [[cosineTopK]] is asserted bit-identical to in tests. Shuffles every
+    * scored row; do not use on a large query set. */
+  def cosineTopKWindow(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val scored = scoredPairs(corpus, queries, idCol, vecCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+  }
+
+  /** Collapse scored (query_id, neighbor_id, cosine) rows to per-query
+    * top-k via the partial-merge aggregate; output matches the window
+    * formulation exactly (rank 1..k, ties to the smaller id). */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"),
+        lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
 
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in [-1, 1),
     * derived from a fixed seed so plans are reproducible. */
@@ -106,7 +136,7 @@ object Similarity {
       corpus.orderBy(col(idCol)).limit(nCentroids)
         .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val bestCell = greatest(cents.map { case (cid, v) =>
       struct(cosine(col("cv"), typedLit(v)).as("csim"),
@@ -116,7 +146,7 @@ object Similarity {
     // query side: tiny (broadcast) set — explode the literal centroid
     // array, keep each query's nProbe best cells
     val centArr = typedLit(cents)
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"), explode(centArr).as("cent"))
       .select(col("query_id"), col("qv"),
@@ -131,11 +161,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topK(scored, k)
   }
 
   /**
@@ -153,20 +179,16 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val planes = hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topK(scored, k)
   }
 }

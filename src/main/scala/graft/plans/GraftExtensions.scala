@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectCount.info,
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_topk"), TopKByScore.info,
+      (children: Seq[Expression]) =>
+        TopKByScore(children.head, children(1), children(2))))
   }
 }
 
@@ -34,5 +37,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_intersect_count"), SortedIntersectCount.info,
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk"), TopKByScore.info,
+      (children: Seq[Expression]) =>
+        TopKByScore(children.head, children(1), children(2)))
   }
 }

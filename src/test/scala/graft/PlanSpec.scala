@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("codegen id"), p)
   }
 
+  test("q40 kNN: top-k is a partial-merge aggregate, not a window") {
+    // the window formulation shuffles every scored (query, neighbor) row;
+    // graft_topk forwards at most k pairs per query per map task
+    val p = formatted("q40_knn_bruteforce")
+    assert(p.contains("graft_topk"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q43b IVF: corpus cell assignment is a per-row argmax, not a shuffle") {
     // the old shape crossJoined corpus × centroids then ran a window
     // partitioned by neighbor_id (a corpus-wide shuffle × nCentroids);

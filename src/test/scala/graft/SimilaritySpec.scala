@@ -25,6 +25,18 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2))
   }
 
+  test("aggregate top-k is bit-identical to the window formulation") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val agg = key(Similarity.cosineTopK(e, queries, "vec_id", "embedding", 5))
+    val win = key(Similarity.cosineTopKWindow(e, queries, "vec_id", "embedding", 5))
+    assert(agg === win)
+    assert(agg.size === 50)
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val df = Seq((Seq(0.5, 0.5), Seq(0.5, 0.5))).toDF("a", "b")
