@@ -95,6 +95,70 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
 
+  /**
+   * Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
+   * pair whose cosine ≥ `threshold`. Norms are computed once per row
+   * (not per pair), so a pair costs one codegen'd dot product.
+   *
+   * Plan: `corpus ⨯ broadcast(corpus)` — the BASELINE the LSH variant's
+   * recall is measured against; all-pairs is O(n²) and only viable when
+   * one side fits in a broadcast. At scale use [[cosineNearDupLsh]].
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val base = normed(df, idCol, vecCol)
+    val a = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-bucketed — the 100 TB
+   * shape: `nTables` independent hyperplane signatures are computed in
+   * ONE corpus pass (posexplode of an L-element bucket array), candidate
+   * pairs come from same-(table, bucket) self-joins — a shuffle on the
+   * bucket key, never all-pairs — and survivors are verified with the
+   * exact cosine. Collision probability per table is
+   * (1 − θ/π)^nPlanes, so recall ≈ 1 − (1 − p)^nTables; measured vs
+   * [[cosineNearDupPairs]] in tests.
+   */
+  def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double, nTables: Int = 8,
+                       nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // vectors + norms feed the bucket pass AND both verify rejoins —
+    // lazy localCheckpoint caches without recompute (Dedup's pattern)
+    val base = normed(df, idCol, vecCol).localCheckpoint(false)
+    val buckets = (0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
+    val exploded = base
+      .select(col("id"), posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    val candidates = exploded.as("x")
+      .join(exploded.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  private def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in [-1, 1),
     * derived from a fixed seed so plans are reproducible. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -68,6 +68,38 @@ object VectorQueries {
       "HLL++ distinct + approximate percentile — the sketch aggregates " +
         "that replace exact distincts at 100 TB (mergeable, one pass)"),
 
+    QuerySpec("q60_cosine_neardup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+          .select(col("id_a"), col("id_b"),
+            col("cosine").cast("decimal(18,6)").cast("double").as("cosine"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+                   FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(CAST(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+        FROM e a, e b
+        WHERE a.id < b.id
+          AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                >= CAST(0.4 AS DOUBLE)"""),
+      "embedding-cosine near-dup pairs, exact all-pairs baseline"),
+
+    QuerySpec("q61_cosine_neardup_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.cosineNearDupLsh(e, "vec_id", "embedding", dim = 64,
+            threshold = 0.4, nTables = 8, nPlanes = 6)
+          .select(col("id_a"), col("id_b"))
+      },
+      None,
+      "embedding-cosine near-dup via multi-table hyperplane LSH — " +
+        "bucket-join candidates, exact verify (recall vs q60 in tests)"),
+
     QuerySpec("q42_embedding_stats",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")

@@ -59,6 +59,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("cosineNearDupLsh: verified subset of exact pairs, recall holds") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4))
+    val lsh = pairs(Similarity.cosineNearDupLsh(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, nTables = 12, nPlanes = 4))
+    assert(exact.nonEmpty)
+    // exact verification ⇒ zero false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("lshTopK recall vs brute force on clustered data") {
     val queries = vecs.filter(col("vec_id").isin(0L, 10L, 20L))
     val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 1)
