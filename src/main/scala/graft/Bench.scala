@@ -1,6 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: times every registered query at the SF directory in
+ * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+ *
+ * Timing hygiene (the recorded artifact is the deliverable, so protect
+ * it from the documented interference modes — a co-resident JVM
+ * starting/stopping inflates wall times up to ~3×):
+ *  - wait for the machine to go idle before the timed section;
+ *  - warm up one representative query per family (JIT + codegen paths)
+ *    on the tiny sf0.001 set, untimed;
+ *  - run every query twice and report the min — a single descheduling
+ *    event then cannot land in the artifact;
+ *  - clear the Spark cache between runs so operator-internal persists
+ *    never let run 2 serve run 1's blocks, and entries don't accumulate
+ *    across 60+ queries.
+ */
 object Bench {
+
+  /** Whole-machine CPU load in [0,1], or NaN when unavailable. */
+  private def cpuLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getCpuLoad
+      case _ => Double.NaN
+    }
+
+  /** Block until two consecutive 1 s samples show the machine idle, or
+    * the deadline passes. A transient spike (another JVM shutting down)
+    * delays the bench instead of corrupting it. */
+  private def waitForIdle(maxWaitMs: Long = 90000L,
+                          threshold: Double = 0.30): Unit = {
+    cpuLoad() // first sample of this bean is often 0/NaN; prime it
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var idleStreak = 0
+    while (idleStreak < 2 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(1000)
+      val l = cpuLoad()
+      if (l.isNaN) return // cannot measure on this platform; proceed
+      if (l < threshold) idleStreak += 1
+      else {
+        idleStreak = 0
+        System.err.println(f"[bench] waiting for idle machine (cpu=$l%.2f)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,14 +59,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup on the tiny sf so per-query timings reflect the
-    // plans, not first-query JVM startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+
+    // one warmup per query family — joins, set-similarity, LSH banding,
+    // iterative CC, vector top-k, media — on the tiny SF, untimed
+    val warmups = Seq("q05_join_chain", "q34_ngram_jaccard",
+      "q36_minhash_candidates", "q39_dup_clusters", "q40_knn_bruteforce",
+      "q52_media_resize_meta")
+    val qmap = SparkEntry.queries
+    warmups.foreach { w =>
+      try qmap(w)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+
+    waitForIdle()
+    val results = qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = runs.min
+      System.err.println(
+        f"[bench] $name%-24s ${runs.map(r => f"$r%.2f").mkString("/")}%-16s → $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

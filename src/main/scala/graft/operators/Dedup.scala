@@ -84,17 +84,14 @@ object Dedup {
     // interpreted array_intersect over strings — which dominated the
     // whole query. Hash collisions would perturb a count by 1 with
     // p≈|set|²/2⁶⁴ — immaterial.
-    // Materialized once because the sets feed three subtrees (explode +
-    // both sides of the verification join). Lazy localCheckpoint instead
-    // of persist(): same MEMORY_AND_DISK caching + lineage truncation,
-    // but the blocks are owned by the RDD itself — freed by the
-    // ContextCleaner as soon as the consumer drops the plan, with no
-    // CacheManager entry accumulating across a long session.
-    val sets = docs.select(col(idCol).as("doc_id"),
-        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s)))
-          .as("sh_set"))
-      .filter(size(col("sh_set")) > 0)
-      .localCheckpoint(false)
+    // Eagerly materialized because the sets feed three subtrees (explode
+    // + both sides of the verification join) — see [[graft.ops.materialize]]
+    // for why a pinned persist beats a lazy localCheckpoint here.
+    val sets = graft.ops.materialize(
+      docs.select(col(idCol).as("doc_id"),
+          array_sort(transform(shingles(col(textCol), n), s => xxhash64(s)))
+            .as("sh_set"))
+        .filter(size(col("sh_set")) > 0))
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length: |d| - ceil(t*|d|) + 1; the 1e-9 guard keeps double
@@ -145,35 +142,49 @@ object Dedup {
    * The loop is driver-coordinated but every step is a distributed
    * join+groupBy — the standard Spark shape for iterative graph
    * algorithms; iterations ≤ the component diameter (near-dup clusters
-   * are shallow). `localCheckpoint` truncates the growing lineage each
-   * round so plans don't deepen with iteration count.
+   * are shallow). Cost profile: exactly ONE Spark action per iteration —
+   * the job that pins the new label table also carries the convergence
+   * metric (`Dataset.observe` counting changed labels), so there is no
+   * second pass. The edge list is pinned up front; recomputing an
+   * upstream similarity join per iteration would multiply the whole
+   * pipeline by the iteration count.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge list once — it is referenced twice per
-    // iteration, and recomputing an upstream similarity join per
-    // iteration would multiply the whole pipeline by the iteration count
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    import org.apache.spark.storage.StorageLevel
+    val edges = graft.ops.materialize(
+      pairs.select(col("doc_a"), col("doc_b"))
+        .union(pairs.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b"))))
+    var labels = graft.ops.materialize(
+      edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("doc_b") === labels("node"))
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, labels("node") === col("pnode"), "left")
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.withColumnRenamed("label", "old")
+        .join(prop, col("node") === col("pnode"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"),
+          col("old"))
+        .observe(obs, count(when(col("label") =!= col("old"), lit(1)))
+          .as("changed"))
+        .select("node", "label")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // the one action: pins `next` AND fires the metric
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels.unpersist()
       labels = next
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters: no fixpoint after $maxIter iterations; " +
+          "emitting the partially-propagated labels (components wider " +
+          s"than $maxIter hops may carry several labels)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -233,12 +244,11 @@ object Dedup {
     val rows = k / bands
     // The signature aggregation (explode + k min-aggregates — the
     // expensive stage) feeds three subtrees: the banding and both sides
-    // of the post-candidate rejoin. Lazy localCheckpoint computes it
-    // once and serves the other two references from cached blocks;
-    // without it the dominant stage runs 3× (measured 12.9 s vs 2.9 s
-    // at sf0.1).
-    val sig = minHashSignatures(docs, idCol, textCol, n, k, seed)
-      .localCheckpoint(false)
+    // of the post-candidate rejoin. Without pinning, the dominant stage
+    // runs 3× (measured 12.9 s vs 2.9 s at sf0.1); an eager persist
+    // guarantees exactly one run (see [[graft.ops.materialize]]).
+    val sig = graft.ops.materialize(
+      minHashSignatures(docs, idCol, textCol, n, k, seed))
     // bare (doc, band, hash) rows only — signatures rejoin *after* the
     // distinct, so the shuffle carries ids, not 8-byte×k arrays
     val banded = sig.select(col("doc_id"),

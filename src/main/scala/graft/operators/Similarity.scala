@@ -133,8 +133,9 @@ object Similarity {
                        nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     // vectors + norms feed the bucket pass AND both verify rejoins —
-    // lazy localCheckpoint caches without recompute (Dedup's pattern)
-    val base = normed(df, idCol, vecCol).localCheckpoint(false)
+    // eagerly pinned so the normalization pass runs exactly once
+    // (see [[graft.ops.materialize]])
+    val base = graft.ops.materialize(normed(df, idCol, vecCol))
     val buckets = (0 until nTables).map(t =>
       lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
     val exploded = base
