@@ -74,15 +74,21 @@ object Bench {
 
     waitForIdle()
     val results = qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      var runs = Seq(once(), once())
+      // expensive queries re-pay codegen/JIT warmup when 60 other plans
+      // have rolled the code cache since their sf0.001 warmup — give
+      // them one extra run so the recorded number is the plan, not the
+      // compiler
+      if (runs.min > 5.0) runs = runs :+ once()
       val sec = runs.min
       System.err.println(
-        f"[bench] $name%-24s ${runs.map(r => f"$r%.2f").mkString("/")}%-16s → $sec%8.2f s")
+        f"[bench] $name%-24s ${runs.map(r => f"$r%.2f").mkString("/")}%-22s → $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -145,16 +145,17 @@ object Dedup {
    * are shallow). Cost profile: exactly ONE Spark action per iteration —
    * the job that pins the new label table also carries the convergence
    * metric (`Dataset.observe` counting changed labels), so there is no
-   * second pass. The edge list is pinned up front; recomputing an
+   * second pass. The pair list is pinned up front; recomputing an
    * upstream similarity join per iteration would multiply the whole
    * pipeline by the iteration count.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = graft.ops.materialize(
-      pairs.select(col("doc_a"), col("doc_b"))
-        .union(pairs.select(col("doc_b").as("doc_a"),
-          col("doc_a").as("doc_b"))))
+    // pin the DIRECTED pair list — the expensive upstream (a similarity
+    // join, typically); the symmetric edge view is two cheap cache scans,
+    // so union-ing it lazily avoids running that upstream twice
+    val p = graft.ops.materialize(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
     var labels = graft.ops.materialize(
       edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node")))

@@ -175,10 +175,81 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /**
+   * Coarse-quantizer fit for IVF: spherical k-means (Lloyd) on a
+   * deterministic corpus sample. The sample is the `sampleSize` rows
+   * with the smallest `xxhash64(id)` — an order-free pseudo-random
+   * reservoir computed as a distributed top-N (per-partition heaps, no
+   * full sort, one narrow scan of (id, vec)); the Lloyd iterations then
+   * run driver-side on the tiny sample, exactly the shape of a
+   * k-means|| model fit, and the result is a model artifact of
+   * `nCentroids` unit vectors. Fully deterministic: hash-ordered
+   * sample, first-k init, fixed iteration count; empty cells keep
+   * their previous centroid.
+   */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, iters: Int = 8,
+                   sampleSize: Int = 2048): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(sampleSize)
+      .select("v").collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.nonEmpty, "cannot fit centroids on an empty corpus")
+    // farthest-point (k-center) init: deterministic and spread across
+    // the sample regardless of its order — a naive first-k init
+    // degenerates exactly when it matters (leading corpus rows sharing
+    // a cluster, the common crawl-batch correlation)
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.length < math.min(nCentroids, sample.length)) {
+      var best: Array[Double] = null
+      var bestMaxSim = Double.MaxValue
+      sample.foreach { v =>
+        var maxSim = -2.0
+        init.foreach(c => maxSim = math.max(maxSim, dotArr(v, c)))
+        if (maxSim < bestMaxSim - 1e-12) { bestMaxSim = maxSim; best = v }
+      }
+      if (best == null) init += init.head else init += best
+    }
+    var cents = init.toArray
+    for (_ <- 0 until iters) {
+      val dim = sample.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = -2.0
+        var c = 0
+        while (c < cents.length) {
+          val s = dotArr(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old else normalize(sums(i))
+      }
+    }
+    cents
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: the corpus is assigned to
-   * `nCentroids` Voronoi cells (centroids picked deterministically as
-   * the first vectors by id — at scale, replace with a k-means||
-   * sample); each query probes only its `nProbe` nearest cells.
+   * `nCentroids` Voronoi cells (centroids fit by [[fitCentroids]] —
+   * sampled spherical k-means; `centroidIters = 0` falls back to the
+   * first-vectors-by-id stand-in, kept as the recall comparison
+   * baseline); each query probes only its `nProbe` nearest cells.
    *
    * The scale shape: the centroids are a tiny model artifact
    * (`nCentroids` rows — k-means output in a real deployment), collected
@@ -191,16 +262,19 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, centroidIters: Int = 8): DataFrame = {
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
-    // deterministic stand-in for k-means||: first nCentroids vectors by
-    // id. This is the one driver action here, and it is inherent to IVF
-    // (centroids are model parameters, same class as a control-table
-    // read) — NOT a per-row collect.
+    // the one driver action here, inherent to IVF (centroids are model
+    // parameters, same class as a control-table read) — NOT a per-row
+    // collect
     val cents: Array[(Long, Seq[Double])] =
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      if (centroidIters <= 0)
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      else
+        fitCentroids(corpus, idCol, vecCol, nCentroids, centroidIters)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val bestCell = greatest(cents.map { case (cid, v) =>

@@ -137,7 +137,31 @@ object TextQueries {
         Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 3, threshold = 0.8)
           .select(col("doc_a"), col("doc_b"))),
-      None,
+      // oracle: same pair list (q34 formulation at t=0.8), then connected
+      // components as a recursive transitive closure — min reachable id
+      // per node ≡ the engine's min-label fixpoint
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                  for i in generate_series(1, len(tokens)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= CAST(0.8 AS DOUBLE)),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, reach) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+        SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node"""),
       "connected-component duplicate clusters from near-dup pairs " +
         "(iterative min-label propagation)"),
 

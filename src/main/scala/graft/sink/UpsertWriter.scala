@@ -31,6 +31,17 @@ object UpsertWriter {
   private final case class Staged(target: Path, staging: Path,
                                   backup: Path, rows: Long)
 
+  /** `target ANTI JOIN batch-keys` ∪ `batch` — deliberately hint-free:
+    * AQE broadcasts the key set when the batch is small (the nightly
+    * delta case) and falls back to a shuffled join when it is not. A
+    * forced `broadcast()` here was a backfill-killer: on first run the
+    * watermark is epoch, the batch IS the full history, and the driver
+    * would have to hold every key of the largest fact. */
+  private[graft] def mergedPlan(current: DataFrame, batch: DataFrame,
+                               keys: Seq[String]): DataFrame =
+    current.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(batch)
+
   private def stage(spark: SparkSession, fs: FileSystem, batch: DataFrame,
                     targetPath: String, keys: Seq[String]): Staged = {
     require(keys.nonEmpty, "upsert requires at least one key column")
@@ -38,12 +49,8 @@ object UpsertWriter {
     val staging = new Path(targetPath + "__staging")
     val backup = new Path(targetPath + "__old")
     val merged =
-      if (fs.exists(target)) {
-        val current = spark.read.parquet(targetPath)
-        current.join(broadcast(batch.select(keys.map(col): _*).distinct()),
-            keys, "left_anti")
-          .unionByName(batch)
-      } else batch
+      if (fs.exists(target)) mergedPlan(spark.read.parquet(targetPath), batch, keys)
+      else batch
     val obs = org.apache.spark.sql.Observation()
     merged.observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)

@@ -74,6 +74,24 @@ final case class JdbcConnector(url: String,
   }
 }
 
+/**
+ * Document-store connector — S5, the reference's one MongoDB source
+ * (`MigrationLogFunc/index.js:16-48` reads the `migration-log`
+ * collection via Mongoose). Backed by JSON-lines files, one per
+ * collection: schema-on-read with timestamp inference — the
+ * document-database shape (nested objects, sparse fields, no declared
+ * schema) without a database driver this environment lacks. Swapping in
+ * the real MongoDB Spark connector is a one-line rebinding in the
+ * registry, which is the point of the abstraction: pipelines address
+ * sources by name, never by storage technology.
+ */
+final case class JsonLinesConnector(dir: String) extends Connector {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.option("inferTimestamp", "true").json(s"$dir/$table.jsonl")
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).json(s"$dir/$table.jsonl")
+}
+
 /** Name → connector bindings, one per logical source DB (the
   * reference's Core/Purchasing/Sales/FinishingPrinting/Inventory/Deal/
   * DWH set). */

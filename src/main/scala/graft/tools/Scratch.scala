@@ -30,6 +30,7 @@ object Scratch {
       watchdog.start()
       val n = q.build(spark, dir).count()
       done = true
+      spark.catalog.clearCache() // match Bench: no cross-round cache reuse
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scratch] r$round $name rows=$n time=$sec%.2f s gc=${(gcMillis - g0) / 1000.0}%.2f s")
     }

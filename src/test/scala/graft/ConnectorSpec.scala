@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ConnectorRegistry, JdbcConnector, ParquetConnector}
+import graft.sources.{ConnectorRegistry, JdbcConnector, JsonLinesConnector, ParquetConnector}
 
 /** Exercises the real JDBC code path against embedded Derby (the same
   * engine Spark ships for its metastore) — write, plain read,
@@ -46,6 +46,38 @@ class ConnectorSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
       plan)
     assert(df.count() === 10)
+  }
+
+  test("doc-store (JSON-lines) connector: MigrationLogSync end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstore").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq(
+      ("fact-pembelian", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful"),
+      ("fact-pembelian", ts("2024-01-02 00:00:00"), ts("2024-01-02 00:04:00"),
+        "4.00 minutes", "success"),
+      ("fact-pembelian", ts("2024-01-03 00:00:00"), ts("2024-01-03 00:03:00"),
+        "3.00 minutes", "Failed: boom"),
+      ("fact-packing", ts("2024-02-01 00:00:00"), ts("2024-02-01 00:09:00"),
+        "9.00 minutes", "Successful")
+    ).toDF("description", "start", "finish", "executionTime", "status")
+    val conn = JsonLinesConnector(dir)
+    conn.write(docs, "externalLog", SaveMode.Overwrite)
+    val reg = ConnectorRegistry(Map("docstore" -> conn))
+    val got = reg.read(spark, "docstore", "externalLog")
+    // timestamps survive the document round-trip (schema-on-read)
+    assert(got.schema("finish").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // the reference's $match/$sort/$group-$first shape: latest SUCCESSFUL
+    // run per description — failures never win
+    val out = graft.pipelines.MigrationLogSync.transform(
+        Map("externalLog" -> got))
+      .collect().map(r => r.getString(0) -> r.getAs[java.sql.Timestamp]("finish"))
+      .toMap
+    assert(out === Map(
+      "fact-pembelian" -> ts("2024-01-02 00:04:00"),
+      "fact-packing" -> ts("2024-02-01 00:09:00")))
   }
 
   test("registry binds logical source names; parquet and jdbc coexist") {

@@ -40,6 +40,27 @@ class DualSinkSpec extends SparkSpec {
     assert(a === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("backfill-sized batch merges without a forced broadcast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-backfill").toString
+    // tiny existing fact, then a batch 1000× its size (the first-run /
+    // backfill shape: watermark = epoch, batch = full history)
+    UpsertWriter.upsert(spark,
+      Seq((1L, -1.0), (2L, -2.0)).toDF("k", "x"), s"$dir/fact", Seq("k"))
+    val backfill = spark.range(10000)
+      .select(col("id").as("k"), col("id").cast("double").as("x"))
+    // the merge plan must not force the batch key set onto the driver
+    val plan = UpsertWriter.mergedPlan(
+      spark.read.parquet(s"$dir/fact"), backfill, Seq("k"))
+    assert(!plan.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "merge plan carries a forced broadcast hint")
+    val n = UpsertWriter.upsert(spark, backfill, s"$dir/fact", Seq("k"))
+    assert(n === 10000L) // keys 0..9999; old 1,2 replaced, nothing else kept
+    val kept = spark.read.parquet(s"$dir/fact")
+      .filter(col("x") < 0).count()
+    assert(kept === 0L)
+  }
+
   test("failure staging the SECOND table leaves the first untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dual2").toString

@@ -59,6 +59,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("k-means centroid fit beats the first-N stand-in at equal nProbe") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // queries DISJOINT from the first-N centroid ids: a query that IS a
+    // centroid probes its own Voronoi cell, which contains its nearest
+    // neighbors by construction — that coincidence flattered the
+    // stand-in and is not the production shape
+    val queries = e.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+    def hits(centroidIters: Int) =
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+          nCentroids = 8, nProbe = 2, centroidIters = centroidIters)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rKmeans = exact.intersect(hits(8)).size.toDouble / exact.size
+    val rFirstN = exact.intersect(hits(0)).size.toDouble / exact.size
+    info(f"IVF recall at nProbe=2: kmeans=$rKmeans%.3f firstN=$rFirstN%.3f")
+    assert(rKmeans >= rFirstN,
+      f"k-means fit regressed recall: $rKmeans%.3f < $rFirstN%.3f")
+    assert(rKmeans >= 0.4, f"k-means IVF recall $rKmeans%.3f too low")
+  }
+
   test("cosineNearDupLsh: verified subset of exact pairs, recall holds") {
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
