@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipelines.{ProductionOrderFact, TotalHutangFact}
+
+/**
+ * Pipeline transforms under the independent DuckDB oracle.
+ *
+ * The 22 reference pipelines are locked by ScalaTest goldens, but goldens
+ * are self-graded: the expected values were produced by reading the
+ * reference's JS. These two queries route the engine's hardest scalar
+ * semantics — C6 truthiness gating, T1 quote-swap, T3 null-propagating
+ * construction strings, M2 UOM conversion, D1 WIB shifting
+ * (`ProductionOrder/run.js:96-152`) and the A5 row counter + J4
+ * keep-first + T4/C3 category typing chain (`TotalHutang/run.js:94-217`)
+ * — through the driver's DuckDB gate instead: the *real* pipeline
+ * `transform` runs over sources reshaped deterministically from the
+ * fixture tables, and the oracle SQL replicates reshaping + transform
+ * from the reference semantics alone.
+ */
+object PipelineQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec("q62_pipeline_production_order",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val src = p.select(
+          concat(lit("SC'"), col("p_brand")).as("salesContractNo"),
+          concat(lit("PO-"), col("p_partkey")).as("orderNo"),
+          when(col("p_partkey") % 4 === 0, lit(""))
+            .otherwise(col("p_type")).as("orderTypeName"),
+          when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(lit("printing")).as("processTypeName"),
+          when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("p_name")).as("materialName"),
+          col("p_brand").as("materialConstructionName"),
+          when(col("p_partkey") % 3 === 0, lit(""))
+            .otherwise(col("p_type")).as("yarnMaterialName"),
+          col("p_size").cast("string").as("materialWidth"),
+          when(col("p_partkey") % 6 === 0, lit(0.0).cast("double"))
+            .otherwise(col("p_retailprice")).as("orderQuantity"),
+          when(col("p_partkey") % 2 === 0, lit("YARD"))
+            .otherwise(lit("MTR")).as("uomUnit"),
+          col("p_name").as("buyerName"),
+          lit("export").as("buyerType"),
+          expr("timestampadd(HOUR, CAST(p_partkey % 40 AS INT), " +
+            "timestamp'2017-01-01 00:00:00')").as("deliveryDate"),
+          expr("timestampadd(HOUR, CAST(p_partkey % 19 AS INT), " +
+            "timestamp'2016-06-30 12:00:00')").as("createdUtc"),
+          (col("p_partkey") % 11 === 0).as("isDeleted"),
+          lit("etl").as("accountUserName"),
+          (col("p_partkey") % 2 === 1).as("isClosed"),
+          concat(lit("B"), col("p_partkey") % 100).as("buyerCode"))
+        ProductionOrderFact.transform(Map("productionOrders" -> src))
+      },
+      Some("""
+        WITH src AS (
+          SELECT
+            'SC''' || p_brand AS salesContractNo,
+            'PO-' || p_partkey AS orderNo,
+            CASE WHEN p_partkey % 4 = 0 THEN '' ELSE p_type END AS orderTypeName,
+            CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE 'printing' END AS processTypeName,
+            CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_name END AS materialName,
+            p_brand AS materialConstructionName,
+            CASE WHEN p_partkey % 3 = 0 THEN '' ELSE p_type END AS yarnMaterialName,
+            CAST(p_size AS VARCHAR) AS materialWidth,
+            CASE WHEN p_partkey % 6 = 0 THEN CAST(0.0 AS DOUBLE) ELSE p_retailprice END AS orderQuantity,
+            CASE WHEN p_partkey % 2 = 0 THEN 'YARD' ELSE 'MTR' END AS uomUnit,
+            p_name AS buyerName,
+            'export' AS buyerType,
+            TIMESTAMP '2017-01-01 00:00:00' + (p_partkey % 40) * INTERVAL 1 HOUR AS deliveryDate,
+            TIMESTAMP '2016-06-30 12:00:00' + (p_partkey % 19) * INTERVAL 1 HOUR AS createdUtc,
+            p_partkey % 11 = 0 AS isDeleted,
+            'etl' AS accountUserName,
+            p_partkey % 2 = 1 AS isClosed,
+            'B' || (p_partkey % 100) AS buyerCode
+          FROM part)
+        SELECT
+          CASE WHEN salesContractNo IS NOT NULL AND salesContractNo <> ''
+               THEN replace(salesContractNo, '''', '"') END AS sales_contract_no,
+          CASE WHEN orderNo IS NOT NULL AND orderNo <> ''
+               THEN replace(orderNo, '''', '"') END AS production_order_no,
+          CASE WHEN orderTypeName IS NOT NULL AND orderTypeName <> ''
+               THEN replace(orderTypeName, '''', '"') END AS order_type,
+          CASE WHEN processTypeName IS NOT NULL AND processTypeName <> ''
+               THEN replace(processTypeName, '''', '"') END AS process_type,
+          CASE WHEN materialName IS NOT NULL AND materialName <> ''
+               THEN replace(materialName, '''', '"') END AS material,
+          CASE WHEN materialConstructionName IS NOT NULL AND materialConstructionName <> ''
+               THEN replace(materialConstructionName, '''', '"') END AS material_construction,
+          CASE WHEN yarnMaterialName IS NOT NULL AND yarnMaterialName <> ''
+               THEN replace(yarnMaterialName, '''', '"') END AS yarn_material_no,
+          CASE WHEN materialWidth IS NOT NULL AND materialWidth <> ''
+               THEN replace(materialWidth, '''', '"') END AS material_width,
+          CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0
+               THEN orderQuantity END AS order_quantity,
+          CASE WHEN uomUnit IS NOT NULL AND uomUnit <> ''
+               THEN replace(uomUnit, '''', '"') END AS order_uom,
+          CASE WHEN buyerName IS NOT NULL AND buyerName <> ''
+               THEN replace(buyerName, '''', '"') END AS buyer,
+          CASE WHEN buyerType IS NOT NULL AND buyerType <> ''
+               THEN replace(buyerType, '''', '"') END AS buyer_type,
+          CASE WHEN deliveryDate IS NOT NULL
+               THEN strftime(deliveryDate + INTERVAL 7 HOUR, '%Y-%m-%d') END AS delivery_date,
+          CASE WHEN createdUtc IS NOT NULL
+               THEN strftime(createdUtc + INTERVAL 7 HOUR, '%Y-%m-%d') END AS created_date,
+          CASE WHEN orderQuantity IS NOT NULL AND orderQuantity <> 0
+               THEN CASE WHEN lower(uomUnit) IN ('yard', 'yds')
+                         THEN orderQuantity * CAST(0.9144 AS DOUBLE)
+                         ELSE orderQuantity END
+          END AS total_order_conversion,
+          replace(materialName, '''', '"') || ' ' ||
+            replace(materialConstructionName, '''', '"') || ' ' ||
+            replace(yarnMaterialName, '''', '"') || ' ' ||
+            replace(materialWidth, '''', '"') AS construction,
+          CASE WHEN buyerCode IS NOT NULL AND buyerCode <> ''
+               THEN replace(buyerCode, '''', '"') END AS buyer_code,
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CASE WHEN accountUserName IS NOT NULL AND accountUserName <> ''
+               THEN replace(accountUserName, '''', '"') END AS username,
+          CAST(isClosed AS VARCHAR) AS is_closed
+        FROM src"""),
+      "ProductionOrderFact.transform over fixture-shaped sources: " +
+        "T1 quote-swap, C6 truthiness gates, D1 WIB dates, M2 UOM " +
+        "conversion, T3 null-propagating construction string"),
+
+    QuerySpec("q63_pipeline_total_hutang",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val urns = o.select(
+          col("o_orderkey").as("id"),
+          concat(lit("URN"), col("o_orderkey")).as("urnNo"),
+          col("o_orderpriority").as("unitName"),
+          (col("o_orderkey") % 10 === 0).as("isDeleted"),
+          when(col("o_orderkey") % 13 === 0, lit("dev"))
+            .when(col("o_orderkey") % 17 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("user"), col("o_custkey") % 7))
+            .as("createdBy"))
+        val items = li.select(
+          col("l_orderkey").as("urnId"),
+          col("l_extendedprice").as("pricePerDealUnit"),
+          col("l_quantity").as("deliveredQuantity"),
+          (lit(1) + col("l_linenumber") % 3).cast("double").as("currencyRate"),
+          concat(col("l_returnflag"), lit("'"), col("l_linestatus"))
+            .as("productName"),
+          concat(col("l_partkey"), lit("-"), col("l_linenumber"))
+            .as("productCode"))
+        // two UPO candidates per URN (A and B) — keep-first must pick A;
+        // URNs with o_orderkey % 4 = 0 have none (gates every hasUpo CASE)
+        val upoBase = o.filter(col("o_orderkey") % 4 =!= 0)
+        def upoVariant(tag: String) = upoBase.select(
+          col("o_orderkey").as("urnId"),
+          concat(lit(s"UPO$tag-"), col("o_orderkey")).as("upoNo"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 24 AS INT), o_orderdate)")
+            .as("date"),
+          expr("timestampadd(DAY, 30, o_orderdate)").as("dueDate"),
+          concat(lit(s"S$tag'"), col("o_custkey")).as("supplierName"),
+          when(col("o_orderkey") % 3 === 0, lit("Bahan Baku"))
+            .when(col("o_orderkey") % 3 === 1, lit("BAHAN BAKU"))
+            .otherwise(lit("accessories")).as("categoryName"),
+          col("o_orderpriority").as("divisionName"))
+        val upo = upoVariant("A").unionByName(upoVariant("B"))
+        TotalHutangFact.transform(Map(
+          "unitReceiptNotes" -> urns, "urnItems" -> items,
+          "unitPaymentOrders" -> upo))
+      },
+      Some("""
+        WITH urns AS (
+          SELECT o_orderkey AS urn_id, 'URN' || o_orderkey AS urn_no,
+                 o_orderpriority AS urn_unit_name
+          FROM orders
+          WHERE NOT (o_orderkey % 10 = 0)   -- soft-deleted
+            AND NOT (o_orderkey % 13 = 0)   -- 'dev' creator excluded
+            AND NOT (o_orderkey % 17 = 0)   -- NULL creator dropped by SQL NOT IN
+        ),
+        items AS (
+          SELECT l_orderkey AS urn_id,
+                 l_extendedprice AS i_price,
+                 l_quantity AS i_qty,
+                 CAST(1 + l_linenumber % 3 AS DOUBLE) AS i_rate,
+                 l_returnflag || '''' || l_linestatus AS i_product_name,
+                 l_partkey || '-' || l_linenumber AS i_product_code
+          FROM lineitem),
+        upo_all AS (
+          SELECT o_orderkey AS urn_id, tag,
+                 'UPO' || tag || '-' || o_orderkey AS upo_no,
+                 o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR AS upo_date,
+                 o_orderdate + INTERVAL 30 DAY AS upo_due_date,
+                 'S' || tag || '''' || o_custkey AS upo_supplier,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'Bahan Baku'
+                      WHEN o_orderkey % 3 = 1 THEN 'BAHAN BAKU'
+                      ELSE 'accessories' END AS upo_category,
+                 o_orderpriority AS upo_division
+          FROM orders, (SELECT unnest(['A','B']) AS tag)
+          WHERE o_orderkey % 4 <> 0),
+        upo AS (
+          SELECT * FROM (
+            SELECT u.*, row_number() OVER (PARTITION BY urn_id ORDER BY upo_no) AS rn
+            FROM upo_all u) WHERE rn = 1),
+        joined AS (
+          SELECT urns.*, items.i_price, items.i_qty, items.i_rate,
+                 items.i_product_name, items.i_product_code,
+                 upo.upo_no, upo.upo_date, upo.upo_due_date,
+                 upo.upo_supplier, upo.upo_category, upo.upo_division
+          FROM urns
+          JOIN items USING (urn_id)
+          LEFT JOIN upo USING (urn_id))
+        SELECT
+          row_number() OVER (ORDER BY urn_no, i_product_code, i_price) AS row_id,
+          upo_no,
+          CASE WHEN upo_no IS NOT NULL
+               THEN strftime(upo_date + INTERVAL 7 HOUR, '%Y-%m-%d') END AS upo_date,
+          CASE WHEN upo_no IS NOT NULL
+               THEN strftime(upo_due_date + INTERVAL 7 HOUR, '%Y-%m-%d') END AS upo_due_date,
+          CASE WHEN upo_no IS NOT NULL
+               THEN replace(upo_supplier, '''', '"') END AS supplier_name,
+          CASE WHEN upo_no IS NOT NULL THEN upo_category END AS category_name,
+          CASE WHEN upo_no IS NOT NULL
+               THEN CASE WHEN lower(upo_category) = 'bahan baku'
+                         THEN 'BAHAN BAKU' ELSE 'NON BAHAN BAKU' END
+          END AS category_type,
+          CASE WHEN upo_no IS NOT NULL THEN upo_division END AS division_name,
+          urn_unit_name AS unit_name,
+          i_price AS invoice_price,
+          i_qty AS urn_quantity,
+          i_rate AS currency_rate,
+          i_qty * i_price * i_rate AS total,
+          urn_no,
+          replace(i_product_name, '''', '"') AS product_name,
+          i_product_code AS product_code
+        FROM joined"""),
+      "TotalHutangFact.transform over fixture-shaped sources: A5 row " +
+        "counter, J4 keep-first UPO lookup, T4/C3 category typing, M1 " +
+        "total, SQL-side NOT IN creator filter")
+  )
+}

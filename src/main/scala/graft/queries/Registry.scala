@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   val all: Seq[QuerySpec] =
     EtlQueries.specs ++ MoreEtlQueries.specs ++ TextQueries.specs ++
-      VectorQueries.specs ++ MediaQueries.specs
+      VectorQueries.specs ++ MediaQueries.specs ++ PipelineQueries.specs
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in registry")
