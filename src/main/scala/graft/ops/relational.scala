@@ -122,4 +122,43 @@ object relational {
   def incrementalScan(df: DataFrame, tsCol: Column, watermark: Column,
                       inclusive: Boolean = false): DataFrame =
     df.filter(if (inclusive) tsCol >= watermark else tsCol > watermark)
+
+  /**
+   * A5 at scale — contiguous global row counter WITHOUT the
+   * single-reducer sort (`TotalHutang/run.js:205-217` emits a running
+   * insert counter; `row_number().over(Window.orderBy(...))` reproduces
+   * it but moves every row to one reducer — fine for a nightly delta,
+   * fatal for a backfill).
+   *
+   * Shape: range-repartition on the ordering key (each partition then
+   * holds a contiguous, sorted key range), number rows inside each
+   * partition, and add per-partition offsets — prefix sums over the
+   * partition-size list, a model-parameter-sized driver step of the same
+   * class as a watermark read, re-embedded as a literal map lookup.
+   * Bit-identical to the global window when `order` is a unique total
+   * order (required; range boundaries may split ties otherwise).
+   *
+   * The ranged intermediate is pinned: it feeds both the size count and
+   * the final projection, and must not be recomputed (a re-sampled range
+   * shuffle could place boundaries differently).
+   */
+  def contiguousRowNumber(df: DataFrame, order: Seq[Column], as: String,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    val parted = numPartitions
+      .map(n => df.repartitionByRange(n, order: _*))
+      .getOrElse(df.repartitionByRange(order: _*))
+    val local = graft.ops.materialize(
+      parted.withColumn("__pid", spark_partition_id())
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*))))
+    val sizes = local.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes
+      .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), (p, n)) => (p, cum, cum + n) }
+      .drop(1).map { case (p, off, _) => p -> off }.toMap
+    local
+      .withColumn(as, (col("__rn") + element_at(typedLit(offsets), col("__pid")))
+        .cast("long"))
+      .drop("__pid", "__rn")
+  }
 }

@@ -63,9 +63,10 @@ object TotalHutangFact extends Pipeline {
     val hasUpo = col("upo_no").isNotNull
     // A contiguous global counter is inherently a single-reducer sort —
     // fine for a nightly delta (the reference's actual workload), and the
-    // only faithful reading of `SELECT ${count}, ...`. If the surrogate
-    // only needs uniqueness (the DWH key use), the scale path is
-    // monotonically_increasing_id(), which is shuffle-free.
+    // only faithful reading of `SELECT ${count}, ...`. For a backfill,
+    // swap in `relational.contiguousRowNumber` (range-partitioned, bit-
+    // identical result, no single reducer); if the surrogate only needs
+    // uniqueness, `monotonically_increasing_id()` is shuffle-free.
     val rowOrder = Window.orderBy(col("urn_no"), col("i_product_code"),
       col("i_price"))
 

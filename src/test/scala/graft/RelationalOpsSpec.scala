@@ -66,6 +66,26 @@ class RelationalOpsSpec extends SparkSpec {
       inclusive = true).count() === 2)
   }
 
+  test("contiguousRowNumber matches the single-reducer window bit-for-bit (A5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // keys arrive shuffled; ordering is unique (the operator's contract)
+    val df = (1 to 1000).map(i => (i * 7919 % 1000, s"k$i"))
+      .toDF("sort_key", "payload").repartition(13)
+    val scalable = relational.contiguousRowNumber(df,
+        Seq(col("sort_key"), col("payload")), "row_id",
+        numPartitions = Some(7))
+    // the data never collapses onto one reducer
+    assert(scalable.rdd.getNumPartitions > 1)
+    val window = df.withColumn("row_id",
+      row_number().over(Window.orderBy(col("sort_key"), col("payload")))
+        .cast("long"))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Int]("sort_key"),
+        r.getAs[String]("payload"))).toSet
+    assert(key(scalable) === key(window))
+  }
+
   test("explodePreservingParent keeps parents with null/empty children (J5/U3)") {
     import spark.implicits._
     val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String]))
