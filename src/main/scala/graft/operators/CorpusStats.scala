@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-level statistics for training-data pipelines — the operators
+ * that need a shuffle (unlike [[TextAnalysis]]'s per-row signals):
+ * vocabulary building and per-document repetition scores.
+ *
+ * Both are single-shuffle shapes that hold at 100 TB: explode to
+ * (key, …) rows, hash-aggregate with map-side partials, nothing ever
+ * collects to the driver.
+ */
+object CorpusStats {
+
+  /**
+   * Corpus vocabulary: one row per token with document frequency and
+   * total term frequency. THE classic map-side-combine aggregation —
+   * `df` is a two-phase distinct-count on (token, doc) and `tf` a plain
+   * count, both merged in one shuffle keyed on the token. `minDf`
+   * prunes the hapax tail early (at web scale the vocabulary is
+   * Zipf-distributed; df≥2 drops ~half the rows).
+   */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Int = 1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"))
+      .filter(col("df") >= minDf)
+
+  /**
+   * Gopher-style repetition score: the fraction of each document's
+   * tokens covered by its single most frequent word n-gram
+   * (Rae et al. 2021 §A1.1 — "fraction of characters in the most
+   * common n-gram"; token-denominated here). Documents shorter than
+   * `n` tokens surface with null score. Shuffles on (doc, gram), then
+   * (doc) — both partial-aggregated map-side; gram strings never leave
+   * the document's partition group.
+   */
+  def topNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      TextAnalysis.ngrams(TextAnalysis.tokens(col(textCol)), n).as("grams"))
+    val top = base
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_gram_count"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_gram_count"),
+        (col("top_gram_count") * n).cast("double")./(col("n_tokens"))
+          .as("top_ngram_fraction"))
+  }
+
+  /** The repetition filter a pipeline composes from the score: keep
+    * documents whose top n-gram covers at most `maxFraction` of the
+    * text (Gopher uses 0.20 for 2-grams). */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxFraction: Double): DataFrame =
+    docs.join(
+      topNgramFraction(docs, idCol, textCol, n)
+        .filter(col("top_ngram_fraction") > maxFraction)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

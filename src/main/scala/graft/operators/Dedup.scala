@@ -37,15 +37,10 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     shinglesOfTokens(split(textCol, " "), n)
 
-  /** Same, over an already-tokenized array<string> column. */
-  def shinglesOfTokens(toks: Column, n: Int): Column = {
-    require(n >= 1, s"shingle width must be >= 1, got $n")
-    var acc = toks
-    for (o <- 1 until n)
-      acc = zip_with(acc, slice(toks, lit(o + 1), size(toks)),
-        (a, b) => concat(a, lit(" "), b))
-    array_distinct(filter(acc, x => x.isNotNull))
-  }
+  /** Same, over an already-tokenized array<string> column: the distinct
+    * SET of [[TextAnalysis.ngrams]] (which keeps frequencies). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngrams(toks, n))
 
   /** Exploded (id, shingle) pairs — the join key for exact Jaccard. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,

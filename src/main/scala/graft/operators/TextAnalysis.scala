@@ -54,6 +54,60 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Contiguous word n-grams, order-preserving and NON-distinct — the
+    * frequency-carrying variant of [[Dedup.shinglesOfTokens]] (which
+    * distincts these for set-similarity). Same linear zip_with
+    * construction; the null-padded tail grams drop in the filter. */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    var acc = toks
+    for (o <- 1 until n)
+      acc = zip_with(acc, slice(toks, lit(o + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    filter(acc, x => x.isNotNull)
+  }
+
+  // ─────────────── quality signals (Gopher/C4-style filters) ───────────────
+  // Public-rule shapes: Rae et al. 2021 (Gopher) §A1.1 and Raffel et al.
+  // 2020 (C4) filter documents on stopword density, lexical diversity and
+  // symbol load. All pure expressions — a quality gate is a per-row filter,
+  // never a shuffle.
+
+  /** Fraction of tokens that are (English) stopword markers; null for
+    * empty docs. Low values flag non-prose (tables, code, keyword spam). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, langHits(text, "en").cast("double") / n)
+  }
+
+  /** Type-token ratio: distinct / total tokens; null for empty docs.
+    * Low values flag repetitive machine-generated text. */
+  def typeTokenRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, size(array_distinct(tokens(text))).cast("double") / n)
+  }
+
+  /** Fraction of characters that are neither alphanumeric nor space;
+    * null for empty strings. High values flag markup/encoding junk. */
+  def symbolRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+        length(text))
+
+  // ───────────────────────── PII scrubbing ─────────────────────────
+
+  /** Mask URLs, then emails, then phone-like digit runs (that order —
+    * URLs and emails contain digit runs a later phone pass would
+    * shred). Regexes stay in the RE2-safe subset (char classes,
+    * bounded repeats, no backreferences/lookaround) so the same
+    * pattern runs on any engine in the lake. */
+  def maskPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
   /** Canonical document fingerprint: md5 over lower-cased,
     * whitespace-collapsed text. Equal fingerprints ⇔ same normalized
     * content — the exact-dedup key at any scale. */

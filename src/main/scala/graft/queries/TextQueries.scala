@@ -178,6 +178,87 @@ object TextQueries {
       (s, dir) => Tables.load(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash")),
       None,
-      "order-sensitive rolling token hash")
+      "order-sensitive rolling token hash"),
+
+    QuerySpec("q64_quality_signals",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.typeTokenRatio(col("text")).as("type_token_ratio"),
+        TextAnalysis.symbolRatio(col("text")).as("symbol_ratio")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that'))) AS DOUBLE) / len(toks)
+          END AS stopword_ratio,
+          CASE WHEN len(toks) > 0 THEN
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          END AS type_token_ratio,
+          CASE WHEN length(text) > 0 THEN
+            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+          END AS symbol_ratio
+        FROM t"""),
+      "Gopher/C4-style per-document quality gates: stopword density, " +
+        "lexical diversity, symbol load — pure per-row expressions"),
+
+    QuerySpec("q65_pii_scrub",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.maskPii(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +62 21 5550"), col("doc_id"),
+          lit(" at https://ex.example.org/d/"), col("doc_id")))
+          .as("clean_text")),
+      Some("""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                text || ' contact user' || doc_id || '@mail.example.com or +62 21 5550'
+                     || doc_id || ' at https://ex.example.org/d/' || doc_id,
+                'https?://[^ ]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+        FROM documents"""),
+      "PII scrubbing (URL → email → phone masking, RE2-safe regex " +
+        "subset) over synthetically injected contact strings"),
+
+    QuerySpec("q66_vocabulary",
+      (s, dir) => graft.operators.CorpusStats.vocabulary(
+        Tables.load(s, dir, "documents"), "doc_id", "text", minDf = 2),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents)
+        SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        FROM toks GROUP BY token HAVING count(DISTINCT doc_id) >= 2"""),
+      "corpus vocabulary with document + term frequency (single shuffle " +
+        "on the token, map-side partials, df>=2 hapax pruning)"),
+
+    QuerySpec("q67_top_ngram",
+      (s, dir) => graft.operators.CorpusStats.topNgramFraction(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 2),
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        counts AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens FROM base),
+        grams AS (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS gram
+          FROM base),
+        gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(cnt) AS top_gram_count FROM gc GROUP BY 1)
+        SELECT c.doc_id, c.n_tokens, t.top_gram_count,
+               CAST(t.top_gram_count * 2 AS DOUBLE) / c.n_tokens AS top_ngram_fraction
+        FROM counts c LEFT JOIN top t USING (doc_id)"""),
+      "Gopher repetition score: fraction of tokens covered by the most " +
+        "frequent 2-gram (explode + two partial-merged aggregations)")
   )
 }

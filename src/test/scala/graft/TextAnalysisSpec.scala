@@ -58,4 +58,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hs(0) !== hs(1))
     assert(hs(0) === hs(2))
   }
+
+  test("quality signals: stopword density, lexical diversity, symbol load") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog",      // 2 stopwords ('and','the'×2) of 5
+      "spam spam spam spam",      // TTR 1/4, no stopwords
+      "{{%%}}",                   // pure symbols
+      ""                          // empty → all null
+    ).toDF("text").select(
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+      TextAnalysis.symbolRatio(col("text")).as("sym"))
+    val r = df.collect()
+    assert(r(0).getDouble(0) === 3.0 / 5)           // the, and, the
+    assert(r(0).getDouble(1) === 4.0 / 5)           // {the,cat,and,dog}
+    assert(r(0).getDouble(2) === 0.0)
+    assert(r(1).getDouble(0) === 0.0)
+    assert(r(1).getDouble(1) === 1.0 / 4)
+    assert(r(2).getDouble(2) === 1.0)
+    assert(r(3).isNullAt(0) && r(3).isNullAt(1) && r(3).isNullAt(2))
+  }
+
+  test("maskPii masks URLs, emails and phones — in that order") {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.b+c@x-corp.co.id or call +62 (21) 555-0199 via https://x.co/p?q=1 now"
+    ).toDF("text").select(TextAnalysis.maskPii(col("text")))
+    assert(df.collect().head.getString(0) ===
+      "mail <EMAIL> or call <PHONE> via <URL> now")
+  }
+
+  test("ngrams keeps frequencies; shingles is its distinct set") {
+    import spark.implicits._
+    val df = Seq("a b a b a").toDF("text").select(
+      TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 2).as("g"),
+      graft.operators.Dedup.shingles(col("text"), 2).as("s"))
+    val r = df.collect().head
+    assert(r.getSeq[String](0) === Seq("a b", "b a", "a b", "b a"))
+    assert(r.getSeq[String](1).sorted === Seq("a b", "b a"))
+  }
+
+  test("topNgramFraction and repetitionFilter flag repetitive docs") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"),   // 'spam ham' 3× of 5 grams → 6/6 tokens
+      (2L, "one two three four five six"),  // all grams unique → 2/6
+      (3L, "solo")                          // no 2-grams → null score
+    ).toDF("doc_id", "text")
+    val scores = CorpusStats.topNgramFraction(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(scores(1L) === Some(1.0))        // 3 hits × 2 tokens / 6 tokens
+    assert(scores(2L) === Some(2.0 / 6))
+    assert(scores(3L) === None)
+    val kept = CorpusStats.repetitionFilter(docs, "doc_id", "text", 2, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))            // doc 1 repetitive; null passes
+  }
+
+  test("vocabulary aggregates df and tf with hapax pruning") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "beta")
+    ).toDF("doc_id", "text")
+    val v = CorpusStats.vocabulary(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v === Map("beta" -> (3L, 3L)))   // alpha df=1 and gamma df=1 pruned
+  }
 }
