@@ -77,6 +77,35 @@ object EventStreams {
       }
   }
 
+  /**
+   * Watermarked stream-stream interval join: each event is enriched
+   * with lookup-stream rows for the same key whose event time falls in
+   * `[eventTs - within, eventTs]` — the streaming twin of the as-of
+   * document-chain lookups (J6/J8). Both sides carry watermarks and the
+   * join condition bounds the event-time distance, so Spark can evict
+   * buffered state past `watermark + within` on either side — the state
+   * store stays bounded no matter how long the streams run, which is
+   * the whole game at production cadence. Append-mode safe.
+   *
+   * Column contract: the key column shares its name on both sides
+   * (joined and emitted once); the two event-time columns must be
+   * distinctly named.
+   */
+  def enrichWithinInterval(events: DataFrame, lookups: DataFrame,
+                           key: String, eventTs: String, lookupTs: String,
+                           lateness: String = "1 hour",
+                           within: String = "15 minutes"): DataFrame = {
+    require(eventTs != lookupTs,
+      "event-time columns must be distinctly named on the two streams")
+    val l = events.withWatermark(eventTs, lateness).alias("l")
+    val r = lookups.withWatermark(lookupTs, lateness).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(lookupTs) <= col(eventTs) &&
+          col(lookupTs) >= col(eventTs) - expr(s"INTERVAL $within"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Deduplicating upsert stream: latest record per key within the
     * watermark — `dropDuplicates` on the natural key, the streaming
     * analog of the reference's staging + MERGE idempotence (S8). */

@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() === 3)
   }
 
+  test("enrichWithinInterval joins two streams inside the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Timestamp, Long, String)]
+    val lk = MemoryStream[(Timestamp, Long, String)]
+    val events = ev.toDF().toDF("ts", "user_id", "action")
+    val lookups = lk.toDF().toDF("rts", "user_id", "segment")
+    val q = EventStreams.enrichWithinInterval(events, lookups,
+        key = "user_id", eventTs = "ts", lookupTs = "rts",
+        within = "15 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      lk.addData(
+        (ts("2024-01-01 09:50:00"), 1L, "gold"),    // 10 min before → joins
+        (ts("2024-01-01 09:00:00"), 1L, "stale"),   // 60 min before → outside
+        (ts("2024-01-01 10:05:00"), 1L, "future"),  // after the event → outside
+        (ts("2024-01-01 09:55:00"), 2L, "silver"))  // other key
+      ev.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "checkout"),
+        (ts("2024-01-01 10:00:00"), 3L, "browse"))  // no lookup → dropped (inner)
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "action", "segment").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((1L, "checkout", "gold")))
+    } finally q.stop()
+  }
+
   test("dedupedByKey drops later duplicates of the same key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
