@@ -56,6 +56,36 @@ object CorpusStats {
           .as("top_ngram_fraction"))
   }
 
+  /**
+   * Deterministic hash split — stable train/validation carving at any
+   * scale: a row lands in the split iff `md5(key ∥ salt)` falls below
+   * the fraction's threshold in hex space. Pure per-row predicate (a
+   * parquet-pushable filter, no shuffle, no RNG state) and stable
+   * across runs/engines/partitionings. With one salt, a fraction and
+   * its complement partition the corpus exactly (train = below the
+   * threshold, holdout = not below); different salts draw independent
+   * splits. Fixed-width lowercase hex compares lexicographically
+   * exactly as the 128-bit integer it spells, so the threshold is just
+   * the fraction scaled to 16^8 and hex-formatted over the first 8
+   * nibbles.
+   */
+  def hashSplitPredicate(key: Column, fraction: Double,
+                         salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    if (fraction >= 1.0) lit(true)
+    else {
+      // first 8 nibbles span 16^8 = 2^32; the tail of f's admits every
+      // hash strictly under the scaled prefix
+      val prefix = f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1)}%08x"
+      md5(concat(key.cast("string"), lit(salt)).cast("binary")) <
+        lit(prefix + "f" * 24)
+    }
+  }
+
+  def hashSplit(df: DataFrame, keyCol: String, fraction: Double,
+                salt: String = ""): DataFrame =
+    df.filter(hashSplitPredicate(col(keyCol), fraction, salt))
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

@@ -94,6 +94,17 @@ object TextAnalysis {
       length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
         length(text))
 
+  /** LLM token-count estimate: matches of a GPT-2-style pre-tokenizer
+    * pattern (word / number / punctuation runs, each with its leading
+    * space). Deliberately restricted to the RE2-safe subset (no
+    * lookarounds, no unicode classes) so the same pattern runs on every
+    * engine in the lake; on English web text this tracks BPE token
+    * counts within ~15% — good enough for the "tokens per document"
+    * budgeting a training pipeline does before real tokenization. */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"),
+      lit(0)))
+
   // ───────────────────────── PII scrubbing ─────────────────────────
 
   /** Mask URLs, then emails, then phone-like digit runs (that order —

@@ -259,6 +259,28 @@ object TextQueries {
                CAST(t.top_gram_count * 2 AS DOUBLE) / c.n_tokens AS top_ngram_fraction
         FROM counts c LEFT JOIN top t USING (doc_id)"""),
       "Gopher repetition score: fraction of tokens covered by the most " +
-        "frequent 2-gram (explode + two partial-merged aggregations)")
+        "frequent 2-gram (explode + two partial-merged aggregations)"),
+
+    QuerySpec("q68_token_estimate",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenEstimate(col("text")).as("est_tokens")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INTEGER) AS est_tokens
+        FROM documents"""),
+      "LLM token-count estimate via a GPT-2-style pre-tokenizer regex " +
+        "(RE2-safe subset) — the per-document token budgeting pass"),
+
+    QuerySpec("q69_hash_split",
+      (s, dir) => graft.operators.CorpusStats.hashSplit(
+          Tables.load(s, dir, "documents"), "doc_id", 0.25, salt = "train")
+        .select(col("doc_id"), col("source")),
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR) || 'train')
+              < '40000000ffffffffffffffffffffffff'"""),
+      "deterministic hash-based train split (25%): per-row md5 " +
+        "threshold predicate — pushable filter, no shuffle, no RNG state")
   )
 }

@@ -118,6 +118,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))            // doc 1 repetitive; null passes
   }
 
+  test("tokenEstimate counts word/number/punct runs with leading spaces") {
+    import spark.implicits._
+    val df = Seq(
+      "Hello world",        // 2
+      "it's 2024!",         // it + 's + space-2024 + ! → 4... see below
+      ""                    // 0
+    ).toDF("text").select(TextAnalysis.tokenEstimate(col("text")))
+    val got = df.collect().map(_.getInt(0)).toSeq
+    // "it's 2024!": [it][')s'→ "'" + s...] — pattern splits at the
+    // apostrophe: "it", "'", "s", " 2024", "!"
+    assert(got === Seq(2, 5, 0))
+  }
+
+  test("hashSplit: deterministic, fraction-accurate, complement partitions exactly") {
+    import graft.operators.CorpusStats
+    val df = spark.range(20000).toDF("id")
+    val train = CorpusStats.hashSplit(df, "id", 0.25, "s1")
+    val n = train.count()
+    assert(math.abs(n / 20000.0 - 0.25) < 0.02, s"got $n of 20000")
+    // rerun is identical (no RNG state)
+    assert(CorpusStats.hashSplit(df, "id", 0.25, "s1").count() === n)
+    // complement with the same salt partitions exactly
+    val holdout = df.filter(
+      !CorpusStats.hashSplitPredicate(org.apache.spark.sql.functions.col("id"),
+        0.25, "s1"))
+    assert(holdout.count() === 20000 - n)
+    // fraction 1.0 keeps everything
+    assert(CorpusStats.hashSplit(df, "id", 1.0).count() === 20000)
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
