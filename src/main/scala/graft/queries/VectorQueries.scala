@@ -114,6 +114,40 @@ object VectorQueries {
           CAST(sum(CAST(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                                 CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
         FROM embeddings GROUP BY label"""),
-      "per-cluster embedding norms (vector column arithmetic)")
+      "per-cluster embedding norms (vector column arithmetic)"),
+
+    QuerySpec("q70_quantize_int8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          Similarity.quantizeInt8(col("embedding")).as("q"))
+        q.select(col("vec_id"),
+          col("q.scale").as("scale"),
+          array_max(col("q.codes")).as("max_code"),
+          array_max(zip_with(col("v"), col("q.codes"),
+            (x, c) => abs(x - c.cast("double") * col("q.scale") / 127.0)))
+            .as("max_abs_err"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+            CASE WHEN list_max(list_transform(e, x -> abs(x))) IS NULL
+                   OR list_max(list_transform(e, x -> abs(x))) = 0
+                 THEN CAST(1.0 AS DOUBLE)
+                 ELSE list_max(list_transform(e, x -> abs(x))) END AS scale
+          FROM v),
+        q AS (
+          SELECT vec_id, e, scale,
+            list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER)) AS codes
+          FROM s)
+        SELECT vec_id, scale,
+          list_max(codes) AS max_code,
+          list_max([abs(e[i] - codes[i] * scale / 127.0)
+                    for i in generate_series(1, len(e))]) AS max_abs_err
+        FROM q"""),
+      "symmetric int8 embedding quantization (4x storage/shuffle cut): " +
+        "per-vector scale + codes, reconstruction error surfaced per row")
   )
 }

@@ -97,6 +97,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("quantizeInt8 bounds reconstruction error; zero vectors are safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)),          // zero vector → scale 1, codes 0
+      (3L, Seq(1e-8, -1e-8, 5e-9))       // tiny values still representable
+    ).toDF("id", "v")
+    val got = df.select(col("id"),
+        Similarity.quantizeInt8(col("v")).as("q"),
+        col("v"))
+      .select(col("id"), col("q.scale").as("scale"),
+        array_max(zip_with(col("v"),
+          Similarity.dequantizeInt8(col("q")),
+          (x, y) => abs(x - y))).as("err"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // per-component error ≤ scale/254 (half a code step)
+    got.foreach { case (id, (scale, err)) =>
+      assert(err <= scale / 254.0 + 1e-15, s"id=$id err=$err scale=$scale")
+    }
+    assert(got(2L)._1 === 1.0)
+    assert(got(1L)._1 === 1.0)           // max |x| = 1.0
+  }
+
   test("lshTopK recall vs brute force on clustered data") {
     val queries = vecs.filter(col("vec_id").isin(0L, 10L, 20L))
     val exact = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", 1)
