@@ -86,6 +86,51 @@ object CorpusStats {
                 salt: String = ""): DataFrame =
     df.filter(hashSplitPredicate(col(keyCol), fraction, salt))
 
+  /**
+   * Benchmark-contamination scan (the GPT-3-appendix / Lee et al. 2022
+   * n-gram overlap check): flag corpus documents sharing any length-`n`
+   * word n-gram with a probe set (benchmark/eval data). Grams are
+   * distinct per side; the join keys on the gram, and the probe side —
+   * benchmarks are tiny next to a training corpus — broadcasts under
+   * AQE without a forced hint. Returns one row per contaminated
+   * document with its distinct shared-gram count; compose with an
+   * anti-join to quarantine.
+   */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeTextCol: String,
+                    n: Int): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), n))
+        .as("g"))
+    val probeGrams = probes.select(
+        explode(Dedup.shinglesOfTokens(
+          TextAnalysis.tokens(col(probeTextCol)), n)).as("g"))
+      .distinct()
+    docGrams.join(probeGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /**
+   * Smoothed TF-IDF per (document, term):
+   * `tf · (ln((N+1)/(df+1)) + 1)` — the sklearn-style smooth idf, safe
+   * for terms present in every document. Two shuffles (doc-term tf,
+   * then term df) plus a 1-row corpus-size subplan joined in declara-
+   * tively — no driver action, so the whole thing stays one lazy plan.
+   */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(df_, "token")
+      .crossJoin(nDocs)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+          .as("tfidf"))
+  }
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

@@ -281,6 +281,61 @@ object TextQueries {
         WHERE md5(CAST(doc_id AS VARCHAR) || 'train')
               < '40000000ffffffffffffffffffffffff'"""),
       "deterministic hash-based train split (25%): per-row md5 " +
-        "threshold predicate — pushable filter, no shuffle, no RNG state")
+        "threshold predicate — pushable filter, no shuffle, no RNG state"),
+
+    QuerySpec("q71_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.CorpusStats.contamination(
+          docs, "doc_id", "text",
+          probes = docs.filter(col("doc_id") % 50 === 0), "text", n = 8)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        dg AS (
+          SELECT doc_id,
+            unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+                                  for i in generate_series(1, len(t)-7)])) AS g
+          FROM toks),
+        pg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0)
+        SELECT d.doc_id, count(*) AS n_shared_grams
+        FROM dg d JOIN pg USING (g)
+        GROUP BY d.doc_id"""),
+      "benchmark-contamination scan: corpus docs sharing any 8-gram " +
+        "with the probe set (gram-keyed join, probe side broadcasts)"),
+
+    QuerySpec("q72_tfidf_top",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.operators.CorpusStats.tfIdf(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("token").as("top_term"),
+            col("tf"), col("df"), col("tfidf").as("top_tfidf"))
+      },
+      Some("""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                FROM documents)
+          GROUP BY doc_id, token),
+        dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        s AS (
+          SELECT doc_id, token, tf, df,
+                 tf * (ln((n_docs + 1) / (df + 1)) + 1) AS tfidf
+          FROM tf JOIN dfx USING (token) CROSS JOIN n)
+        SELECT doc_id, token AS top_term, tf, df, tfidf AS top_tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS rn FROM s)
+        WHERE rn = 1"""),
+      "smoothed TF-IDF (sklearn idf) with the corpus size joined in " +
+        "declaratively; top-scoring term per document")
   )
 }

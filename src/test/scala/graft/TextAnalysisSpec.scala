@@ -148,6 +148,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(CorpusStats.hashSplit(df, "id", 1.0).count() === 20000)
   }
 
+  test("contamination flags only docs sharing a probe n-gram") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a quick brown fox sleeps"),   // shares 'quick brown fox'
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val probes = Seq("the quick brown fox runs").toDF("text")
+    val got = CorpusStats.contamination(docs, "doc_id", "text",
+        probes, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares 'the quick brown' + 'quick brown fox'; doc 2 one gram
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("tfIdf: rare terms outscore ubiquitous ones; smooth idf is safe") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common"), (3L, "common")
+    ).toDF("doc_id", "text")
+    val s = CorpusStats.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    // rare: df=1 → idf = ln(4/2)+1; common: df=3 → idf = ln(4/4)+1 = 1
+    assert(math.abs(s((1L, "rare")) - (math.log(2.0) + 1)) < 1e-12)
+    assert(s((1L, "common")) === 1.0)     // ubiquitous term: smooth idf floor
+    assert(s((1L, "rare")) > s((1L, "common")))
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
