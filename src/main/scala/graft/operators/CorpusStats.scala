@@ -131,6 +131,30 @@ object CorpusStats {
           .as("tfidf"))
   }
 
+  /**
+   * Sequence packing, concat-and-chunk layout: within each shard,
+   * documents are laid out in a deterministic order and the token
+   * stream is cut into fixed-`budget` chunks — exactly how LLM
+   * training sequences are materialized from a document corpus. Emits
+   * each document's start/end chunk (a document straddling a boundary
+   * spans `start_chunk..end_chunk`) from a running token sum. The
+   * window partitions by shard, so packing parallelizes across shards
+   * and no shard's token stream ever sits on one reducer unless the
+   * caller puts the whole corpus in one shard.
+   */
+  def sequencePacking(docs: DataFrame, idCol: String, tokensCol: String,
+                      shardCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        col(tokensCol).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("start_chunk"),
+        expr(s"(cum_tok - 1) div $budget").as("end_chunk"))
+  }
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

@@ -336,6 +336,27 @@ object TextQueries {
                 ORDER BY tfidf DESC, token) AS rn FROM s)
         WHERE rn = 1"""),
       "smoothed TF-IDF (sklearn idf) with the corpus size joined in " +
-        "declaratively; top-scoring term per document")
+        "declaratively; top-scoring term per document"),
+
+    QuerySpec("q73_sequence_packing",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.operators.CorpusStats.sequencePacking(
+          docs, "doc_id", "n_tok", "source", budget = 512)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT doc_id, source AS shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok,
+          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 512 AS start_chunk,
+          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 512 AS end_chunk
+        FROM d"""),
+      "LLM sequence packing (concat-and-chunk): per-shard running token " +
+        "sum cut into 512-token chunks; windows parallelize across shards")
   )
 }

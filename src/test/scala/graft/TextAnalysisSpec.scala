@@ -179,6 +179,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s((1L, "rare")) > s((1L, "common")))
   }
 
+  test("sequencePacking chunks the per-shard token stream at the budget") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "a", 60L), (2L, "a", 30L), (3L, "a", 50L), // cum 60,90,140
+      (4L, "b", 250L)                                  // own shard, 3 chunks
+    ).toDF("doc_id", "shard", "n_tok")
+    val got = CorpusStats.sequencePacking(docs, "doc_id", "n_tok", "shard",
+        budget = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) === (0L, 0L))   // tokens 0..59
+    assert(got(2L) === (0L, 0L))   // tokens 60..89
+    assert(got(3L) === (0L, 1L))   // tokens 90..139 — straddles chunk 0→1
+    assert(got(4L) === (0L, 2L))   // tokens 0..249 of shard b spans 3 chunks
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
