@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
  */
 object UpsertWriter {
 
+  /**
+   * One merge target with its physical layout. `partitionBy` writes
+   * hive-style partition directories (merged batches are repartitioned
+   * on those columns first, so each partition directory gets one file
+   * per task instead of tasks × partitions small files); `sortBy` sorts
+   * rows within each file so parquet row-group min/max statistics prune
+   * point/range reads on those columns. Both are free at read time:
+   * partition pruning eliminates directories, stats skip row groups.
+   */
+  final case class Target(batch: DataFrame, path: String, keys: Seq[String],
+                          partitionBy: Seq[String] = Nil,
+                          sortBy: Seq[String] = Nil)
+
   private final case class Staged(target: Path, staging: Path,
                                   backup: Path, rows: Long)
 
@@ -42,18 +55,27 @@ object UpsertWriter {
     current.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(batch)
 
-  private def stage(spark: SparkSession, fs: FileSystem, batch: DataFrame,
-                    targetPath: String, keys: Seq[String]): Staged = {
-    require(keys.nonEmpty, "upsert requires at least one key column")
-    val target = new Path(targetPath)
-    val staging = new Path(targetPath + "__staging")
-    val backup = new Path(targetPath + "__old")
+  private def stage(spark: SparkSession, fs: FileSystem, t: Target): Staged = {
+    require(t.keys.nonEmpty, "upsert requires at least one key column")
+    val target = new Path(t.path)
+    val staging = new Path(t.path + "__staging")
+    val backup = new Path(t.path + "__old")
     val merged =
-      if (fs.exists(target)) mergedPlan(spark.read.parquet(targetPath), batch, keys)
-      else batch
+      if (fs.exists(target)) mergedPlan(spark.read.parquet(t.path), t.batch, t.keys)
+      else t.batch
+    val laidOut = {
+      val parted =
+        if (t.partitionBy.nonEmpty) merged.repartition(t.partitionBy.map(col): _*)
+        else merged
+      if (t.sortBy.nonEmpty)
+        parted.sortWithinPartitions((t.partitionBy ++ t.sortBy).map(col): _*)
+      else parted
+    }
     val obs = org.apache.spark.sql.Observation()
-    merged.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val writer = laidOut.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
+    (if (t.partitionBy.nonEmpty) writer.partitionBy(t.partitionBy: _*)
+     else writer).parquet(staging.toString)
     Staged(target, staging, backup, obs.get("rows").asInstanceOf[Long])
   }
 
@@ -71,7 +93,7 @@ object UpsertWriter {
     *         write job itself (`Dataset.observe` — no extra scan). */
   def upsert(spark: SparkSession, batch: DataFrame, targetPath: String,
              keys: Seq[String]): Long =
-    upsertAll(spark, Seq((batch, targetPath, keys))).head
+    upsertTargets(spark, Seq(Target(batch, targetPath, keys))).head
 
   /**
    * S12 — atomic multi-table upsert: stage every batch first (all the
@@ -83,16 +105,19 @@ object UpsertWriter {
    * @return post-merge row count per table, in input order
    */
   def upsertAll(spark: SparkSession,
-                batches: Seq[(DataFrame, String, Seq[String])]): Seq[Long] = {
+                batches: Seq[(DataFrame, String, Seq[String])]): Seq[Long] =
+    upsertTargets(spark, batches.map { case (b, p, k) => Target(b, p, k) })
+
+  /** [[upsertAll]] with explicit physical layout per target
+    * (partitioning + in-file sort — see [[Target]]). */
+  def upsertTargets(spark: SparkSession, targets: Seq[Target]): Seq[Long] = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staged =
-      try batches.map { case (b, p, k) => stage(spark, fs, b, p, k) }
+      try targets.map(stage(spark, fs, _))
       catch {
         case e: Throwable =>
           // roll back any staging leftovers; live tables were never touched
-          batches.foreach { case (_, p, _) =>
-            fs.delete(new Path(p + "__staging"), true)
-          }
+          targets.foreach(t => fs.delete(new Path(t.path + "__staging"), true))
           throw e
       }
     staged.foreach(promote(fs, _))

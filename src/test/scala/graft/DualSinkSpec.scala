@@ -61,6 +61,38 @@ class DualSinkSpec extends SparkSpec {
     assert(kept === 0L)
   }
 
+  test("partitioned + sorted layout: hive dirs, pruning, merge preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-layout").toString
+    val seed = spark.range(1000).select(
+      col("id").as("k"),
+      (col("id") % 4).cast("string").as("dt"),
+      (col("id") * 7).as("v"))
+    val target = UpsertWriter.Target(seed, s"$dir/fact", Seq("k"),
+      partitionBy = Seq("dt"), sortBy = Seq("k"))
+    assert(UpsertWriter.upsertTargets(spark, Seq(target)) === Seq(1000L))
+    // hive-style partition directories on disk
+    assert(new java.io.File(s"$dir/fact/dt=2").exists())
+
+    // keyed merge keeps the layout: update keys 0..99
+    val upd = spark.range(100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("dt"), lit(-1L).as("v"))
+    assert(UpsertWriter.upsertTargets(spark, Seq(
+      target.copy(batch = upd))) === Seq(1000L))
+    val fact = spark.read.parquet(s"$dir/fact")
+    assert(fact.count() === 1000)
+    assert(fact.filter(col("v") === -1L).count() === 100)
+
+    // partition pruning reaches the scan: dt filter becomes a
+    // PartitionFilter, not a data filter
+    val plan = fact.filter(col("dt") === "1").queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(dt"),
+      plan)
+    assert(fact.filter(col("dt") === "1").count() === 250)
+  }
+
   test("failure staging the SECOND table leaves the first untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dual2").toString
