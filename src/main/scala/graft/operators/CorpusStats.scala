@@ -69,22 +69,46 @@ object CorpusStats {
    * the fraction scaled to 16^8 and hex-formatted over the first 8
    * nibbles.
    */
-  def hashSplitPredicate(key: Column, fraction: Double,
-                         salt: String = ""): Column = {
+  /** Hex threshold for a keep-fraction: first 8 nibbles span 16^8 = 2^32,
+    * the tail of f's admits every hash strictly under the scaled prefix.
+    * Fraction 1.0 maps to "g", which is lexicographically above every
+    * hex digest — keep-everything without a special case downstream. */
+  private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    if (fraction >= 1.0) lit(true)
-    else {
-      // first 8 nibbles span 16^8 = 2^32; the tail of f's admits every
-      // hash strictly under the scaled prefix
-      val prefix = f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1)}%08x"
-      md5(concat(key.cast("string"), lit(salt)).cast("binary")) <
-        lit(prefix + "f" * 24)
-    }
+    if (fraction >= 1.0) "g"
+    else f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1)}%08x" + "f" * 24
   }
+
+  private def saltedHash(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(salt)).cast("binary"))
+
+  def hashSplitPredicate(key: Column, fraction: Double,
+                         salt: String = ""): Column =
+    saltedHash(key, salt) < lit(hexThreshold(fraction))
 
   def hashSplit(df: DataFrame, keyCol: String, fraction: Double,
                 salt: String = ""): DataFrame =
     df.filter(hashSplitPredicate(col(keyCol), fraction, salt))
+
+  /**
+   * Deterministic domain mixing: per-shard keep fractions (the data-mix
+   * reweighting every corpus assembly does — downsample the over-
+   * represented crawl, keep all of the curated source). Same md5
+   * threshold machinery as [[hashSplit]], with the threshold chosen per
+   * row by shard — still a pure pushable predicate, still exactly
+   * reproducible, no RNG state, no shuffle.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, shardCol: String,
+                     weights: Map[String, Double],
+                     defaultFraction: Double = 1.0,
+                     salt: String = ""): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultFraction))) {
+        case (acc, (shard, f)) =>
+          when(col(shardCol) === shard, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(saltedHash(col(keyCol), salt) < threshold)
+  }
 
   /**
    * Benchmark-contamination scan (the GPT-3-appendix / Lee et al. 2022

@@ -357,6 +357,64 @@ object TextQueries {
           (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 512 AS end_chunk
         FROM d"""),
       "LLM sequence packing (concat-and-chunk): per-shard running token " +
-        "sum cut into 512-token chunks; windows parallelize across shards")
+        "sum cut into 512-token chunks; windows parallelize across shards"),
+
+    QuerySpec("q74_weighted_sample",
+      (s, dir) => graft.operators.CorpusStats.weightedSample(
+          Tables.load(s, dir, "documents"), "doc_id", "source",
+          weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1, salt = "mix")
+        .select(col("doc_id"), col("source")),
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR) || 'mix') <
+          CASE source
+            WHEN 'src0' THEN 'g'
+            WHEN 'src1' THEN '80000000ffffffffffffffffffffffff'
+            WHEN 'src2' THEN '40000000ffffffffffffffffffffffff'
+            ELSE '1999999affffffffffffffffffffffff' END"""),
+      "deterministic domain mixing: per-source keep fractions via md5 " +
+        "thresholds — pure pushable predicate, exactly reproducible"),
+
+    QuerySpec("q75_curation_pipeline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // the full assembly flow: quality gate → exact dedup → split
+        val quality = Tables.load(s, dir, "documents")
+          .filter(TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+            TextAnalysis.typeTokenRatio(col("text")) >= 0.3)
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = quality
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        graft.operators.CorpusStats.hashSplit(deduped, "doc_id", 0.5, "train")
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT doc_id, source, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM q
+          WHERE (CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that'))) AS DOUBLE) / len(toks)
+                 END) >= CAST(0.05 AS DOUBLE)
+            AND (CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 END) >= CAST(0.3 AS DOUBLE)),
+        d AS (
+          SELECT doc_id, source FROM (
+            SELECT g.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM g) WHERE rn = 1)
+        SELECT doc_id, source FROM d
+        WHERE md5(CAST(doc_id AS VARCHAR) || 'train')
+              < '80000000ffffffffffffffffffffffff'"""),
+      "end-to-end corpus curation: quality gate → exact dedup " +
+        "(fingerprint keep-first) → 50% hash split, composed from the " +
+        "engine's own operators")
   )
 }

@@ -195,6 +195,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === (0L, 2L))   // tokens 0..249 of shard b spans 3 chunks
   }
 
+  test("weightedSample keeps per-shard fractions deterministically") {
+    import graft.operators.CorpusStats
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val df = spark.range(30000).select(col("id"),
+      concat_ws("", lit("s"), col("id") % 3).as("shard"))
+    val kept = CorpusStats.weightedSample(df, "id", "shard",
+        weights = Map("s0" -> 1.0, "s1" -> 0.5), defaultFraction = 0.1)
+      .groupBy("shard").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s0") === 10000L)                       // keep-all exact
+    assert(math.abs(kept("s1") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(kept("s2") / 10000.0 - 0.1) < 0.03)
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
