@@ -110,6 +110,29 @@ object Multimodal {
       }(enc)
   }
 
+  /**
+   * Audio segmentation bookkeeping: one row per fixed-`windowMs` window
+   * at `hopMs` hop over `meta.duration_ms`, for audio rows — the
+   * schedule a feature extractor (or a real codec) consumes. Pure
+   * column expressions: `sequence` + `posexplode` fan out executor-side
+   * with the blob column pruned away entirely; the last window
+   * truncates at the clip end. Compose with [[extractFeatures]] when
+   * the segment bytes themselves need decoding.
+   */
+  def audioSegments(media: DataFrame, windowMs: Long = 1500,
+                    hopMs: Long = 1000): DataFrame = {
+    require(windowMs > 0 && hopMs > 0, "window and hop must be positive")
+    val dur = col("meta.duration_ms")
+    media.filter(col("kind") === "audio" && dur.isNotNull && dur > 0)
+      .select(col("media_id"), dur.as("dur"),
+        posexplode(sequence(lit(0L),
+          ceil(dur.cast("double") / hopMs).cast("long") - 1)))
+      .select(col("media_id"),
+        col("pos").as("segment_idx"),
+        (col("col") * hopMs).as("start_ms"),
+        least(col("col") * hopMs + windowMs, col("dur")).as("end_ms"))
+  }
+
   /** Declarative metadata ops need no decode at all — e.g. resize
     * bookkeeping is pure column arithmetic on `meta`, executed codegen'd
     * with the blob column never read (column pruning drops `content`). */

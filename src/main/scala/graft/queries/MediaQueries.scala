@@ -59,6 +59,27 @@ object MediaQueries {
                        512 / GREATEST(doc_id % 1920 + 1, doc_id % 1080 + 1)))
                  AS INTEGER) AS new_height
         FROM documents"""),
-      "metadata-only resize bookkeeping — blob column pruned at scan")
+      "metadata-only resize bookkeeping — blob column pruned at scan"),
+
+    QuerySpec("q76_audio_segments",
+      (s, dir) => Multimodal.audioSegments(
+        Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")),
+        windowMs = 1500, hopMs = 1000),
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id, (doc_id % 30) * 1000 + 1000 AS dur
+          FROM documents WHERE doc_id % 3 = 1),
+        s AS (
+          SELECT media_id, dur,
+            unnest(generate_series(0,
+              CAST(ceil(CAST(dur AS DOUBLE) / 1000) AS BIGINT) - 1)) AS seg
+          FROM m)
+        SELECT media_id,
+               CAST(seg AS INTEGER) AS segment_idx,
+               seg * 1000 AS start_ms,
+               least(seg * 1000 + 1500, dur) AS end_ms
+        FROM s"""),
+      "audio windowing schedule (1.5s windows, 1s hop): sequence + " +
+        "posexplode fan-out, blob column pruned, last window truncated")
   )
 }

@@ -49,6 +49,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("new_width") === 960)
   }
 
+  test("audioSegments: audio-only fan-out, hop schedule, truncated tail") {
+    import spark.implicits._
+    // doc_id 1 → audio, duration (1 % 30)*1000+1000 = 2000 ms
+    val m = Multimodal.syntheticMedia(spark,
+      Seq((1L, "audio doc"), (2L, "video doc"), (3L, "image doc"))
+        .toDF("doc_id", "text"))
+    val segs = Multimodal.audioSegments(m, windowMs = 1500, hopMs = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // only the audio row fans out; 2000ms at 1s hop → 2 segments,
+    // second truncated at the clip end
+    assert(segs.toSeq === Seq((1L, 0, 0L, 1500L), (1L, 1, 1000L, 2000L)))
+  }
+
   test("metadata-only ops never read the content blob (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(s"$dir/media")
