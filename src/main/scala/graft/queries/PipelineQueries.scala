@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.pipelines.{ProductionOrderFact, TotalHutangFact}
+import graft.pipelines.{GarmentTotalHutangFact, ProductionOrderFact, TotalHutangFact}
 
 /**
  * Pipeline transforms under the independent DuckDB oracle.
@@ -235,6 +235,138 @@ object PipelineQueries {
         FROM joined"""),
       "TotalHutangFact.transform over fixture-shaped sources: A5 row " +
         "counter, J4 keep-first UPO lookup, T4/C3 category typing, M1 " +
-        "total, SQL-side NOT IN creator filter")
+        "total, SQL-side NOT IN creator filter"),
+
+    QuerySpec("q77_pipeline_garment_hutang",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val notes = o.select(
+          concat(lit("IN"), col("o_orderkey")).as("inNo"),
+          concat(lit("RO"), col("o_orderkey")).as("roNo"),
+          when(col("o_orderkey") % 3 === 0, "USD")
+            .when(col("o_orderkey") % 3 === 1, "EUR")
+            .otherwise("IDR").as("currencyCode"),
+          col("o_orderdate").as("doDate"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 11 AS INT), o_orderdate)")
+            .as("inDate"),
+          concat(lit("S'"), col("o_custkey")).as("supplierName"),
+          when(col("o_orderkey") % 7 === 0, lit(0.0).cast("double"))
+            .otherwise(col("o_totalprice") * 0.01).as("pricePerDealUnit"),
+          when(col("o_orderkey") % 5 === 0, lit(0.0).cast("double"))
+            .otherwise((col("o_orderkey") % 50 + 1).cast("double"))
+            .as("quantity"),
+          (col("o_orderkey") % 13 === 0).as("isDeleted"))
+        val cur = Tables.load(s, dir, "nation").select(
+          when(col("n_nationkey") % 3 === 0, "USD")
+            .when(col("n_nationkey") % 3 === 1, "EUR")
+            .otherwise("IDR").as("code"),
+          expr("timestampadd(DAY, CAST(n_nationkey * 90 AS INT), " +
+            "timestamp'1990-01-01 00:00:00')").as("date"),
+          ((col("n_nationkey") + 1) * 100.0).as("rate"),
+          (col("n_nationkey") % 5 === 0).as("_IsDeleted"))
+        val pr = o.filter(col("o_orderkey") % 2 === 0).select(
+          concat(lit("RO"), col("o_orderkey")).as("rono"),
+          (col("o_orderkey") % 6).as("categoryId"),
+          when(col("o_orderkey") % 3 === 0, lit(""))
+            .otherwise(concat(lit("Cat"), col("o_orderkey") % 6))
+            .as("categoryName"),
+          (col("o_orderkey") % 4).as("unitId"),
+          concat(lit("U"), col("o_orderkey") % 4).as("unitName"),
+          (col("o_orderkey") % 9 === 0).as("isDeleted"))
+        val r = Tables.load(s, dir, "region")
+        val cat = r.select(col("r_regionkey").as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN"), lit("WSH"),
+            lit("ZIP")), (col("r_regionkey") + 1).cast("int")).as("code"))
+        val unit = r.select(col("r_regionkey").as("id"),
+          when(col("r_regionkey") === 0, lit(""))
+            .otherwise(concat(lit("Div"), col("r_regionkey")))
+            .as("divisionName"))
+        GarmentTotalHutangFact.transform(Map(
+          "internNotes" -> notes, "garmentCurrencies" -> cur,
+          "purchaseRequests" -> pr, "garmentCategories" -> cat,
+          "units" -> unit))
+      },
+      Some("""
+        WITH notes AS (
+          SELECT 'IN' || o_orderkey AS in_no, 'RO' || o_orderkey AS ro_no,
+                 CASE CAST(o_orderkey % 3 AS INTEGER)
+                   WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'IDR' END AS code,
+                 o_orderdate AS do_date,
+                 o_orderdate + (o_orderkey % 11) * INTERVAL 1 HOUR AS in_date,
+                 'S''' || o_custkey AS supplier,
+                 CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE o_totalprice * CAST(0.01 AS DOUBLE) END AS price,
+                 CASE WHEN o_orderkey % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(o_orderkey % 50 + 1 AS DOUBLE) END AS qty,
+                 o_orderkey % 13 = 0 AS is_deleted
+          FROM orders),
+        cur AS (
+          SELECT CASE CAST(n_nationkey % 3 AS INTEGER)
+                   WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'IDR' END AS code,
+                 TIMESTAMP '1990-01-01' + n_nationkey * 90 * INTERVAL 1 DAY AS cur_date,
+                 CAST((n_nationkey + 1) * 100 AS DOUBLE) AS cur_rate
+          FROM nation WHERE NOT (n_nationkey % 5 = 0)),
+        ao AS (
+          SELECT * FROM (
+            SELECT n.*, c.cur_rate,
+                   row_number() OVER (PARTITION BY n.in_no
+                     ORDER BY c.cur_date DESC, c.cur_rate) AS rn
+            FROM notes n
+            LEFT JOIN cur c ON c.code = n.code AND c.cur_date <= n.do_date)
+          WHERE rn = 1),
+        pr AS (
+          SELECT 'RO' || o_orderkey AS ro_no,
+                 o_orderkey % 6 AS category_id,
+                 CASE WHEN o_orderkey % 3 = 0 THEN ''
+                      ELSE 'Cat' || (o_orderkey % 6) END AS category_name,
+                 o_orderkey % 4 AS unit_id,
+                 'U' || (o_orderkey % 4) AS unit_name
+          FROM orders WHERE o_orderkey % 2 = 0 AND NOT (o_orderkey % 9 = 0)),
+        cats AS (
+          SELECT r_regionkey AS category_id,
+                 ['FAB','EMB','BTN','WSH','ZIP'][CAST(r_regionkey AS INTEGER) + 1] AS cat_code
+          FROM region),
+        un AS (
+          SELECT r_regionkey AS unit_id,
+                 CASE WHEN r_regionkey = 0 THEN ''
+                      ELSE 'Div' || r_regionkey END AS division
+          FROM region),
+        j AS (
+          SELECT a.*, pr.category_name, cats.cat_code, pr.unit_name, un.division
+          FROM ao a
+          LEFT JOIN pr USING (ro_no)
+          LEFT JOIN cats USING (category_id)
+          LEFT JOIN un USING (unit_id))
+        SELECT
+          CAST(is_deleted AS VARCHAR) AS deleted,
+          CASE WHEN in_no <> '' THEN in_no END AS intern_note_no,
+          strftime(in_date + INTERVAL 7 HOUR, '%Y-%m-%d') AS date,
+          CASE WHEN supplier IS NOT NULL AND supplier <> ''
+               THEN replace(supplier, '''', '"') END AS supplier_name,
+          CASE WHEN category_name IS NOT NULL AND category_name <> '' THEN
+            CASE WHEN lower(cat_code) = 'fab' THEN 'Bahan Baku'
+                 WHEN lower(cat_code) IN ('emb','wsh','pls','prn','tes','qlt') THEN 'Jasa'
+                 ELSE 'Accessories' END
+          END AS category_type,
+          CASE WHEN price <> 0 THEN price END AS invoice_price,
+          CASE WHEN qty <> 0 THEN qty END AS delivered_quantity,
+          CASE WHEN cur_rate IS NOT NULL AND cur_rate <> 0
+               THEN cur_rate ELSE CAST(1.0 AS DOUBLE) END AS deal_rate,
+          CASE WHEN qty <> 0 AND price <> 0 THEN
+            (CASE WHEN cur_rate IS NOT NULL AND cur_rate <> 0
+                  THEN cur_rate ELSE CAST(1.0 AS DOUBLE) END) * qty * price
+          END AS total_price,
+          CAST(NULL AS DOUBLE) AS total_payment,
+          CASE WHEN category_name IS NOT NULL AND category_name <> ''
+               THEN category_name END AS category_name,
+          CASE WHEN division IS NOT NULL AND division <> ''
+               THEN division END AS division_name,
+          CASE WHEN unit_name IS NOT NULL AND unit_name <> ''
+               THEN unit_name END AS unit_name,
+          ro_no
+        FROM j"""),
+      "GarmentTotalHutangFact.transform over fixture-shaped sources: J8 " +
+        "as-of currency lookup, M5 truthy default rate, C4 gate/argument " +
+        "mismatch (reference-faithful), keep-first PR/category/unit trio")
   )
 }
