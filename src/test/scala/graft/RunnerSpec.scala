@@ -67,6 +67,29 @@ class RunnerSpec extends SparkSpec {
     assert(control.lastWatermark("purchasing-fact").after(control.epoch))
   }
 
+  test("runner: migration-log through the jsonl doc-store URI") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-runner-ds").toString
+    graft.sources.JsonLinesConnector(s"$dir/mongo").write(Seq(
+      ("fact-pembelian", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful"),
+      ("fact-pembelian", ts("2024-01-02 00:00:00"), ts("2024-01-02 00:04:00"),
+        "4.00 minutes", "success"),
+      ("fact-kanban", ts("2024-02-01 00:00:00"), ts("2024-02-01 00:09:00"),
+        "9.00 minutes", "Failed: x")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", SaveMode.Overwrite)
+
+    Main.main(Array("migration-log",
+      "--sources", s"jsonl:$dir/mongo",
+      "--warehouse", s"$dir/dwh", "--control", s"$dir/dwh/control"))
+    val fact = spark.read.parquet(s"$dir/dwh/migration-log-sync")
+      .collect().map(r => r.getAs[String]("description") ->
+        r.getAs[java.sql.Timestamp]("finish")).toMap
+    // latest successful run per pipeline; failures never surface
+    assert(fact === Map("fact-pembelian" -> ts("2024-01-02 00:04:00")))
+  }
+
   test("pipeline registry: every engine pipeline addressable, aliases resolve") {
     assert(Pipelines.all.map(_.name).distinct.size === Pipelines.all.size)
     assert(Pipelines.byName("pembelian").name === "purchasing-fact")
