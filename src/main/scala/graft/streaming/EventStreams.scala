@@ -30,6 +30,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` — the
+    * preferred composition when the output is aggregate-shaped
+    * (start/end/count): Spark manages the session state store, merges
+    * adjacent windows, and evicts on the watermark with zero custom
+    * state code. [[sessionize]] keeps the custom state machine for
+    * outputs a window aggregate cannot express (per-event session
+    * tagging, mid-session emission). Note the built-in's `end` is
+    * `last event + gap` (the window extent), not the last event time. */
+  def sessionizeWindows(events: DataFrame, gap: String,
+                        lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   // ── stateful sessionization (flatMapGroupsWithState) ──
 
   case class Event(user_id: Long, event_id: Long, ts: Timestamp)

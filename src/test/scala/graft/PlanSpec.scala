@@ -69,4 +69,34 @@ class PlanSpec extends SparkSpec {
       "corpus-side window (assignment shuffle) reappeared:\n" + p)
     assert(!p.contains("partitionBy [neighbor_id"), p)
   }
+
+  test("q69/q74 sampling: a single pruned, codegen'd filter — no shuffle") {
+    for (name <- Seq("q69_hash_split", "q74_weighted_sample")) {
+      val p = formatted(name)
+      assert(!p.contains("Exchange"), s"$name shuffles for a row predicate:\n$p")
+      assert(p.contains("codegen id"), p)
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      assert(!readSchema.contains("text"),
+        s"$name reads the text column it never uses: $readSchema")
+    }
+  }
+
+  test("q75 curation: dedup window partitions by fingerprint, never global") {
+    val p = formatted("q75_curation_pipeline")
+    assert(p.contains("windowspecdefinition(fp#"), p)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      "an unpartitioned (single-reducer) window appeared:\n" + p)
+  }
+
+  test("q73 packing: shard-partitioned window, not a global sort") {
+    val p = formatted("q73_sequence_packing")
+    assert(p.contains("windowspecdefinition(shard#"), p)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"), p)
+  }
+
+  test("q66 vocabulary: both aggregations combine map-side") {
+    val p = formatted("q66_vocabulary")
+    // distinct-count rewrites to two exchanges, each fed by partials
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+  }
 }

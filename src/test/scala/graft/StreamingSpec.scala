@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() === 3)
   }
 
+  test("sessionizeWindows: built-in session_window splits on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionizeWindows(df, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L),   // same session
+        (ts("2024-01-01 12:00:00"), 1L),   // > 30 min gap → new session
+        (ts("2024-01-01 09:00:00"), 2L))
+      q.processAllAvailable()
+      // append mode finalizes sessions only once the watermark passes
+      // them — push it with a later batch (the streaming clock is data)
+      mem.addData((ts("2024-01-02 00:00:00"), 99L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter("user_id != 99")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got === Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L),
+        (1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L),
+        (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("enrichWithinInterval joins two streams inside the time bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
