@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+/**
+ * A custom Catalyst expression ships TWO implementations: `eval()`
+ * (interpreted) and `doGenCode()` (codegen). Every other spec exercises
+ * only the codegen path — Spark silently falls back to `eval` under
+ * codegen failures, nested-expression depth limits, or
+ * `factoryMode=NO_CODEGEN`, so a divergence would surface as wrong
+ * results only in production corner cases. This spec runs the same
+ * plans in both modes and requires bit-identical output.
+ */
+class InterpretedParitySpec extends SparkSpec {
+
+  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def interpreted[T](f: => T): T =
+    withConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(f)
+
+  test("graft_dot and graft_intersect_count: codegen ≡ interpreted, bit-exact") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(8))(rnd.nextDouble() * 2 - 1),
+      Seq.fill(rnd.nextInt(8))(rnd.nextDouble() * 2 - 1),
+      rnd.shuffle((0L to 40L).toList).take(rnd.nextInt(12)).sorted,
+      rnd.shuffle((0L to 40L).toList).take(rnd.nextInt(12)).sorted))
+    def run() = rows.toDF("va", "vb", "sa", "sb").select(
+        call_function("graft_dot", col("va"), col("vb")).as("dot"),
+        call_function("graft_intersect_count", col("sa"), col("sb")).as("ic"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    assert(run() === interpreted(run()))
+  }
+
+  test("graft_topk aggregate: codegen ≡ interpreted plans, same ranking") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = Similarity.cosineTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(run() === interpreted(run()))
+  }
+
+  test("quality signals and simhash: codegen ≡ interpreted on the corpus") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run() = docs.select(col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("sw"),
+        Dedup.simHash64(col("text")).as("sh"),
+        TextAnalysis.rollingHash(col("text")).as("rh"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(run() === interpreted(run()))
+  }
+}
