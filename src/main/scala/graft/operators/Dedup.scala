@@ -42,6 +42,18 @@ object Dedup {
   def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(TextAnalysis.ngrams(toks, n))
 
+  /** Sorted distinct xxhash64 shingle set via the fused
+    * [[graft.plans.SortedShingleHashes]] kernel — bit-identical to
+    * `array_sort(transform(shinglesOfTokens(toks, n), xxhash64))` (the
+    * reference semantics it is tested against) at a fraction of the
+    * interpreted-HOF cost. The entry point of every set-similarity
+    * plan. */
+  def sortedShingleHashes(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_shingle_hashes", toks, lit(n))
+  }
+
   /** Exploded (id, shingle) pairs — the join key for exact Jaccard. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
@@ -84,8 +96,7 @@ object Dedup {
     // for why a pinned persist beats a lazy localCheckpoint here.
     val sets = graft.ops.materialize(
       docs.select(col(idCol).as("doc_id"),
-          array_sort(transform(shingles(col(textCol), n), s => xxhash64(s)))
-            .as("sh_set"))
+          sortedShingleHashes(split(col(textCol), " "), n).as("sh_set"))
         .filter(size(col("sh_set")) > 0))
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -196,10 +207,15 @@ object Dedup {
   }
 
   /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of
-    * the signature aggregates below the 2^63 overflow budget. */
-  def shingleHashes(textCol: Column, n: Int): Column =
-    transform(shingles(textCol, n), s =>
-      pmod(xxhash64(s), lit(Int.MaxValue.toLong)))
+    * the signature aggregates below the 2^63 overflow budget. The pmod
+    * runs AFTER the explode (codegen'd, per row) rather than inside an
+    * interpreted array transform. */
+  private def explodedShingleHashes(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(sortedShingleHashes(split(col(textCol), " "), n)).as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(Int.MaxValue.toLong)).as("x"))
 
   /**
    * MinHash signatures as a DataFrame: (doc_id, sig array<bigint>[k]).
@@ -215,8 +231,7 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, seed: Long = 42L): DataFrame = {
     val params = hashParams(k, seed)
-    val ex = docs.select(col(idCol).as("doc_id"),
-      explode(shingleHashes(col(textCol), n)).as("x"))
+    val ex = explodedShingleHashes(docs, idCol, textCol, n)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a % Int.MaxValue) + lit(b), lit(P))).as(s"m$i")
     }

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"), TopKByScore.info,
       (children: Seq[Expression]) =>
         TopKByScore(children.head, children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      SortedShingleHashes.info,
+      (children: Seq[Expression]) =>
+        SortedShingleHashes(children.head, children(1))))
   }
 }
 
@@ -41,5 +45,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_topk"), TopKByScore.info,
       (children: Seq[Expression]) =>
         TopKByScore(children.head, children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingle_hashes"), SortedShingleHashes.info,
+      (children: Seq[Expression]) =>
+        SortedShingleHashes(children.head, children(1)))
   }
 }

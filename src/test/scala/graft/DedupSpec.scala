@@ -34,6 +34,26 @@ class DedupSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("sortedShingleHashes ≡ the declarative HOF chain, bit-exact") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    for (n <- Seq(1, 3, 8)) {
+      val diffs = docs.select(
+          Dedup.sortedShingleHashes(split(col("text"), " "), n).as("fast"),
+          array_sort(transform(
+            Dedup.shinglesOfTokens(split(col("text"), " "), n),
+            s => xxhash64(s))).as("hof"))
+        .filter(col("fast") =!= col("hof")).count()
+      assert(diffs === 0, s"n=$n: fused kernel diverged from HOF chain")
+    }
+    // short docs → empty set, same as the null-padded zip_with filter
+    import spark.implicits._
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.sortedShingleHashes(split(col("text"), " "), 3))
+      .collect().head.getSeq[Long](0)
+    assert(short === Seq.empty)
+  }
+
   test("jaccardPairs finds exact and near duplicates with correct similarity") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
