@@ -313,10 +313,14 @@ object TextQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text")
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("token"))
+        // the REPORTED score is rounded to 9 decimals: ln() differs by
+        // 1 ULP between JVM Math.log and DuckDB's libm, which is noise
+        // for ranking (full precision still drives the window order)
+        // but breaks an exact cross-engine hash compare
         scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("token").as("top_term"),
-            col("tf"), col("df"), col("tfidf").as("top_tfidf"))
+            col("tf"), col("df"), round(col("tfidf"), 9).as("top_tfidf"))
       },
       Some("""
         WITH tf AS (
@@ -331,7 +335,7 @@ object TextQueries {
           SELECT doc_id, token, tf, df,
                  tf * (ln((n_docs + 1) / (df + 1)) + 1) AS tfidf
           FROM tf JOIN dfx USING (token) CROSS JOIN n)
-        SELECT doc_id, token AS top_term, tf, df, tfidf AS top_tfidf
+        SELECT doc_id, token AS top_term, tf, df, round(tfidf, 9) AS top_tfidf
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, token) AS rn FROM s)
         WHERE rn = 1"""),
