@@ -130,13 +130,18 @@ object Dedup {
   }
 
   /** Survivors after near-dedup: drop the higher-id member of every pair
-    * at or above `threshold` (anti-join — left side streams, pair set is
-    * comparatively tiny and broadcastable). */
+    * at or above `threshold`. The anti-join is deliberately hint-free:
+    * the drop set is proportional to the DUPLICATE count, which on a
+    * lightly-duplicated corpus broadcasts (AQE picks that at runtime)
+    * but on a heavily-duplicated crawl — 30-50% dup rates are normal —
+    * is a sizable fraction of the corpus and must shuffle. A forced
+    * broadcast here is the same backfill-killer pattern as forcing the
+    * merge key set in the upsert sink. */
   def nearDedupKeep(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double): DataFrame = {
     val drop = jaccardPairs(docs, idCol, textCol, n, threshold)
       .select(col("doc_b").as(idCol)).distinct()
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /**

@@ -129,11 +129,13 @@ object EtlQueries {
         GROUP BY n_name"""),
       "multi-table join chain (Pembelian/run.js:165); dims broadcast"),
 
-    // ── J4/S3: broadcast dimension join ──
+    // ── J4/S3: broadcast dimension join — deliberately hint-free: the
+    // dim fits the auto-broadcast threshold, so AQE picks the broadcast
+    // (asserted in PlanSpec), and the same plan degrades gracefully to a
+    // shuffle join if the dim ever outgrows executor memory ──
     QuerySpec("q06_broadcast_dim",
       (s, dir) => t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"),
@@ -453,7 +455,7 @@ object EtlQueries {
     // ── distinct aggregate ──
     QuerySpec("q22_count_distinct",
       (s, dir) => t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
           count(lit(1)).as("n_lines")),
