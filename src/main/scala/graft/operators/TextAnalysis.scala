@@ -119,6 +119,16 @@ object TextAnalysis {
     regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
   }
 
+  /** Unicode NFC normalization via the [[graft.plans.NfcNormalize]]
+    * expression (ASCII fast path, codegen'd): run before
+    * [[fingerprint]]/shingling so visually-identical strings with
+    * different codepoint sequences dedup together. */
+  def normalizeNfc(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_nfc", text)
+  }
+
   /** Canonical document fingerprint: md5 over lower-cased,
     * whitespace-collapsed text. Equal fingerprints ⇔ same normalized
     * content — the exact-dedup key at any scale. */

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedShingleHashes.info,
       (children: Seq[Expression]) =>
         SortedShingleHashes(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }
 
@@ -49,5 +51,8 @@ object GraftExtensions {
       FunctionIdentifier("graft_shingle_hashes"), SortedShingleHashes.info,
       (children: Seq[Expression]) =>
         SortedShingleHashes(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_nfc"), NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }

@@ -419,6 +419,31 @@ object TextQueries {
               < '80000000ffffffffffffffffffffffff'"""),
       "end-to-end corpus curation: quality gate → exact dedup " +
         "(fingerprint keep-first) → 50% hash split, composed from the " +
-        "engine's own operators")
+        "engine's own operators"),
+
+    QuerySpec("q78_nfc_normalize",
+      (s, dir) => {
+        // inject decomposed (NFD) sequences so normalization visibly
+        // recomposes: "cafe" + U+0301 → "café", "nai" + U+0308 + "ve"
+        // → "naïve"
+        val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.normalizeNfc(raw).as("clean_text"),
+          length(raw).cast("int").as("n_chars_raw"),
+          length(TextAnalysis.normalizeNfc(raw)).cast("int")
+            .as("n_chars_nfc"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw
+          FROM documents)
+        SELECT doc_id, nfc_normalize(raw) AS clean_text,
+               CAST(length(raw) AS INTEGER) AS n_chars_raw,
+               CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_nfc
+        FROM r"""),
+      "Unicode NFC normalization (custom codegen'd expression, ASCII " +
+        "fast path) — combining sequences recompose before dedup keys")
   )
 }

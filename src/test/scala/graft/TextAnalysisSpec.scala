@@ -209,6 +209,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(kept("s2") / 10000.0 - 0.1) < 0.03)
   }
 
+  test("normalizeNfc recomposes combining sequences; ASCII passes through") {
+    import spark.implicits._
+    val df = Seq(
+      "cafe\u0301",          // e + combining acute → é
+      "café",           // already NFC
+      "plain ascii stays"
+    ).toDF("text").select(
+      TextAnalysis.normalizeNfc(col("text")).as("nfc"),
+      length(TextAnalysis.normalizeNfc(col("text"))).as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows(0) === ("café", 4))   // recomposed, one char shorter
+    assert(rows(1) === ("café", 4))
+    assert(rows(2) === ("plain ascii stays", 17))
+    // the whole point: both spellings now share one dedup fingerprint
+    val fps = Seq("cafe\u0301", "caf\u00e9").toDF("text")
+      .select(TextAnalysis.fingerprint(
+        TextAnalysis.normalizeNfc(col("text"))))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size === 1)
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
