@@ -82,7 +82,13 @@ object Main {
     case dir => ParquetConnector(dir)
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (run(args) > 0) sys.exit(1)
+
+  /** CLI body; returns the number of failed pipelines (the exit code
+    * decision stays in [[main]] so embedded callers — tests, notebooks —
+    * can invoke the runner without risking a JVM exit). */
+  def run(args: Array[String]): Int = {
     var names = Vector.empty[String]
     var sources = "."
     var warehouse = "warehouse"
@@ -128,6 +134,6 @@ object Main {
       }
     }
     if (active.isEmpty) spark.stop()
-    if (failures > 0) sys.exit(1)
+    failures
   }
 }

@@ -90,6 +90,19 @@ class RunnerSpec extends SparkSpec {
     assert(fact === Map("fact-pembelian" -> ts("2024-01-02 00:04:00")))
   }
 
+  test("runner failure path: missing source logs a Failed row, nonzero count") {
+    val dir = Files.createTempDirectory("graft-runner-fail").toString
+    // empty lake: the pipeline's source table does not exist
+    val failures = Main.run(Array("pembelian",
+      "--sources", s"$dir/empty-lake",
+      "--warehouse", s"$dir/dwh", "--control", s"$dir/dwh/control"))
+    assert(failures === 1)
+    val control = new WatermarkManager(spark, s"$dir/dwh/control")
+    assert(control.log.filter("status like 'Failed%'").count() === 1)
+    // the watermark never advanced — the next run still sees everything
+    assert(control.lastWatermark("purchasing-fact") === control.epoch)
+  }
+
   test("pipeline registry: every engine pipeline addressable, aliases resolve") {
     assert(Pipelines.all.map(_.name).distinct.size === Pipelines.all.size)
     assert(Pipelines.byName("pembelian").name === "purchasing-fact")
