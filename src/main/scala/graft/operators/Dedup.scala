@@ -297,7 +297,11 @@ object Dedup {
       t => xxhash64(t)))
 
   /** SimHash over a pre-hashed token array — materialize the hash array in
-    * its own projection first; the 64 per-bit votes each reference it. */
+    * its own projection first; the 64 per-bit votes each reference it.
+    * Null input propagates null (without the guard, the per-bit
+    * `otherwise(0)` would hand null documents the all-zero signature —
+    * a legitimate-looking value that near-matches genuinely negative-
+    * voting docs). */
   def simHash64OfHashes(hashes: Column): Column = {
     // one majority vote per bit; masks are compile-time constants so the
     // whole signature stays a single codegen'd expression tree
@@ -307,6 +311,6 @@ object Dedup {
         (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
       when(vote > 0, mask).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    when(hashes.isNotNull, bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 }

@@ -230,6 +230,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.size === 1)
   }
 
+  test("null text propagates null through every per-row signal (no crash)") {
+    import spark.implicits._
+    val df = Seq(Option("real text here"), None).toDF("text")
+    val out = df.select(
+      TextAnalysis.tokenCount(col("text")).as("c1"),
+      TextAnalysis.stopwordRatio(col("text")).as("c2"),
+      TextAnalysis.tokenEstimate(col("text")).as("c3"),
+      TextAnalysis.maskPii(col("text")).as("c4"),
+      TextAnalysis.normalizeNfc(col("text")).as("c5"),
+      TextAnalysis.fingerprint(col("text")).as("c6"),
+      graft.operators.Dedup.sortedShingleHashes(split(col("text"), " "), 2)
+        .as("c7"),
+      graft.operators.Dedup.simHash64(col("text")).as("c8")).collect()
+    assert(out(0).toSeq.forall(_ != null))
+    assert((0 until out(1).length).forall(out(1).isNullAt))
+  }
+
   test("vocabulary aggregates df and tf with hapax pruning") {
     import spark.implicits._
     import graft.operators.CorpusStats
