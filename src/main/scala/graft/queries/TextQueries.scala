@@ -444,6 +444,64 @@ object TextQueries {
                CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_nfc
         FROM r"""),
       "Unicode NFC normalization (custom codegen'd expression, ASCII " +
-        "fast path) — combining sequences recompose before dedup keys")
+        "fast path) — combining sequences recompose before dedup keys"),
+
+    QuerySpec("q79_training_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // the full assembly line: quality gate → exact dedup → domain
+        // mix → token budgeting → sequence packing, every stage one of
+        // the engine's own operators
+        val quality = Tables.load(s, dir, "documents")
+          .filter(TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+            TextAnalysis.typeTokenRatio(col("text")) >= 0.3)
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = quality
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val mixed = graft.operators.CorpusStats.weightedSample(
+          deduped, "doc_id", "source",
+          weights = Map("src0" -> 1.0, "src1" -> 0.5),
+          defaultFraction = 0.25, salt = "mix2")
+        graft.operators.CorpusStats.sequencePacking(
+          mixed.select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+          "doc_id", "n_tok", "source", budget = 256)
+      },
+      Some("""
+        WITH q AS (
+          SELECT doc_id, source, text,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, source, toks,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM q
+          WHERE (CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','is','of','to','in','that'))) AS DOUBLE) / len(toks)
+                 END) >= CAST(0.05 AS DOUBLE)
+            AND (CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 END) >= CAST(0.3 AS DOUBLE)),
+        d AS (
+          SELECT doc_id, source, toks FROM (
+            SELECT g.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM g) WHERE rn = 1),
+        m AS (
+          SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok
+          FROM d
+          WHERE md5(CAST(doc_id AS VARCHAR) || 'mix2') <
+            CASE source
+              WHEN 'src0' THEN 'g'
+              WHEN 'src1' THEN '80000000ffffffffffffffffffffffff'
+              ELSE '40000000ffffffffffffffffffffffff' END)
+        SELECT doc_id, source AS shard, n_tok,
+          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok,
+          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 256 AS start_chunk,
+          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 256 AS end_chunk
+        FROM m"""),
+      "the complete training-mix assembly: quality gate → exact dedup → " +
+        "per-source mixing → token budgeting → 256-token sequence packing")
   )
 }

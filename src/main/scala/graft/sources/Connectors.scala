@@ -74,6 +74,21 @@ final case class JdbcConnector(url: String,
   }
 }
 
+/** CSV connector — the other raw-corpus interchange format next to
+  * JSON-lines. Header-driven schema with type inference by default;
+  * pass an explicit DDL `schema` in production so a malformed file
+  * fails loudly instead of silently inferring strings. */
+final case class CsvConnector(dir: String,
+                              schema: Option[String] = None) extends Connector {
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s))
+      .csv(s"$dir/$table.csv")
+  }
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).option("header", "true").csv(s"$dir/$table.csv")
+}
+
 /**
  * Document-store connector — S5, the reference's one MongoDB source
  * (`MigrationLogFunc/index.js:16-48` reads the `migration-log`

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ConnectorRegistry, JdbcConnector, JsonLinesConnector, ParquetConnector}
+import graft.sources.{ConnectorRegistry, CsvConnector, JdbcConnector, JsonLinesConnector, ParquetConnector}
 
 /** Exercises the real JDBC code path against embedded Derby (the same
   * engine Spark ships for its metastore) — write, plain read,
@@ -78,6 +78,27 @@ class ConnectorSpec extends SparkSpec {
     assert(out === Map(
       "fact-pembelian" -> ts("2024-01-02 00:04:00"),
       "fact-packing" -> ts("2024-02-01 00:09:00")))
+  }
+
+  test("CSV connector: roundtrip with declared schema beats inference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val conn = CsvConnector(dir)
+    conn.write(Seq((1L, "alpha", 1.5), (2L, "beta", 2.5))
+      .toDF("id", "name", "score"), "corpus", SaveMode.Overwrite)
+    // inferred read parses numerics back — but narrows small ints to
+    // INT, which is exactly why production reads declare the schema
+    val inferred = conn.read(spark, "corpus")
+    assert(inferred.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(inferred.count() === 2)
+    // declared schema pins types without an inference pass over the data
+    val declared = CsvConnector(dir,
+      Some("id BIGINT, name STRING, score DOUBLE")).read(spark, "corpus")
+    assert(declared.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(declared.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("alpha", "beta"))
   }
 
   test("registry binds logical source names; parquet and jdbc coexist") {
