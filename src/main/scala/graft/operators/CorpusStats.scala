@@ -111,6 +111,26 @@ object CorpusStats {
   }
 
   /**
+   * Stratified exact-N sample: the `n` rows per stratum with the
+   * smallest salted key hash — "give me 1000 eval documents per
+   * language/source" with deterministic, engine-independent membership
+   * (unlike [[hashSplit]]'s fractional carve, the per-stratum count is
+   * exact). One window shuffle keyed on the stratum; no global sort, no
+   * RNG state, and different salts draw independent samples. The key
+   * must be unique within a stratum (it breaks hash-collision ties).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       nPerStratum: Int, salt: String = ""): DataFrame = {
+    require(nPerStratum > 0, s"nPerStratum must be positive, got $nPerStratum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(saltedHash(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
+  /**
    * Benchmark-contamination scan (the GPT-3-appendix / Lee et al. 2022
    * n-gram overlap check): flag corpus documents sharing any length-`n`
    * word n-gram with a probe set (benchmark/eval data). Grams are

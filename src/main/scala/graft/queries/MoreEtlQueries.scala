@@ -415,6 +415,88 @@ object MoreEtlQueries {
                l_orderkey, l_linenumber, l_quantity
         FROM lineitem WHERE l_orderkey <= 2000"""),
       "A5 counter-as-column: contiguous surrogate key over an explicit " +
-        "total order (single-reducer by construction — nightly-delta scale)")
+        "total order (single-reducer by construction — nightly-delta scale)"),
+
+    // ── SCD2: type-2 dimension history from a change log — the
+    // warehouse-grade extension of the reference's type-1 dimension
+    // upserts (Pembelian/run.js overwrites attributes in place) ──
+    QuerySpec("q80_scd2_history",
+      (s, dir) => graft.operators.Scd.scd2(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        tiebreak = Seq("event_id"), attrCols = Seq("event_type")),
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+          FROM events),
+        chg AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM ev),
+        compressed AS (
+          SELECT user_id, ts, event_id, event_type FROM chg
+          WHERE prev_type IS NULL OR prev_type <> event_type),
+        scd AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS valid_to
+          FROM compressed)
+        SELECT user_id, event_type, valid_from, valid_to,
+               CAST(valid_to IS NULL AS INTEGER) AS is_current
+        FROM scd"""),
+      "SCD2 history builder: change-compression (lag) + validity " +
+        "intervals (lead) in ONE window shuffle, no previous-version " +
+        "self-join"),
+
+    // ── stratified exact-N sampling: n rows per stratum by salted-hash
+    // order — deterministic eval-set carving (vs q69's fractional split) ──
+    QuerySpec("q81_stratified_sample",
+      (s, dir) => graft.operators.CorpusStats.stratifiedSample(
+          t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+          nPerStratum = 20, salt = "strat")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR) || 'strat'),
+                            o_orderkey) AS rn
+          FROM orders) WHERE rn <= 20"""),
+      "stratified exact-N sample (20 per priority class) via salted-md5 " +
+        "window order — one stratum-keyed shuffle, no global sort, no RNG"),
+
+    // ── Z-order clustering key: bit-interleaved (custkey, order-day) —
+    // the multi-dimensional data-skipping layout; graft.ops.layout
+    // .clusterBy range-partitions on this key at write time ──
+    QuerySpec("q82_zorder_cluster",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.ops.layout.zorder2(
+            pmod(col("o_custkey"), lit(65536)),
+            pmod(datediff(col("o_orderdate"), lit("1970-01-01")),
+              lit(65536))).as("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey"))
+        .limit(100),
+      Some("""
+        WITH b AS (
+          SELECT o_orderkey,
+                 o_custkey % 65536 AS x,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) % 65536 AS y
+          FROM orders)
+        SELECT o_orderkey,
+               CAST(list_sum([ ((x // (1 << i)) % 2) * (1 << (2*i))
+                             + ((y // (1 << i)) % 2) * (1 << (2*i + 1))
+                               for i in generate_series(0, 15) ]) AS BIGINT)
+                 AS zkey
+        FROM b
+        ORDER BY zkey, o_orderkey LIMIT 100"""),
+      "2-D Morton (Z-order) clustering key from codegen'd integer " +
+        "built-ins — contiguous Z-ranges are (custkey, day) rectangles, " +
+        "so range-partitioned files min/max-prune on BOTH dimensions")
   )
 }
