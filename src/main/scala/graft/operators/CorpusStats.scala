@@ -199,6 +199,44 @@ object CorpusStats {
         expr(s"(cum_tok - 1) div $budget").as("end_chunk"))
   }
 
+  /**
+   * CCNet-style language-model quality score, unigram form: each
+   * document's mean negative log-likelihood under the corpus's own
+   * unigram distribution (Wenzek et al. 2020 score documents with an
+   * LM trained on clean text; the unigram estimate is the same shape
+   * with the "model" being one aggregation over the corpus). Low =
+   * stereotypical prose, high = rare-token soup (spam, tables,
+   * encoding junk).
+   *
+   * Determinism across engines/partitionings: each per-token
+   * `ln(N) − ln(cnt)` is quantized to integer micro-nats via
+   * `floor(x·1e6 + 0.5)` — pure IEEE double ops, so every engine
+   * computes them bit-identically (unlike `round(x, n)`, whose
+   * half-way tie handling is implementation-defined and WILL diverge
+   * on the boundaries a mean of quantized values constantly lands on).
+   * The micro-nats sum exactly as BIGINT — order-independent — and the
+   * mean is plain double division with no further rounding. Two
+   * token-keyed shuffles plus a 1-row total joined declaratively;
+   * nothing collects.
+   */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("n_total"))
+    tok.join(tf, "token")
+      .crossJoin(total)
+      .select(col("doc_id"),
+        floor((log(col("n_total").cast("double")) -
+            log(col("cnt").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("nll_micros"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_scored"),
+        (sum(col("nll_micros")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6)).as("avg_nll"))
+  }
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

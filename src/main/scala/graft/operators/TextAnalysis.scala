@@ -129,6 +129,35 @@ object TextAnalysis {
     call_function("graft_nfc", text)
   }
 
+  // ───────────── C4 line-level boilerplate filtering ─────────────
+  // Raffel et al. 2020 §2.2: C4 cleans Common Crawl LINE by line —
+  // keep only lines that look like prose (enough words, terminal
+  // punctuation, no "javascript" boilerplate), and flag documents
+  // carrying "lorem ipsum" or code braces. Pure per-row array
+  // expressions: the line pass never shuffles.
+
+  /** Document lines (newline split; no trailing-empty trimming, so
+    * counts agree with any engine's plain split). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** The C4 line gate: ≥ `minWords` words, ends in terminal
+    * punctuation, and no "javascript" boilerplate marker. */
+  def c4KeptLines(text: Column, minWords: Int = 3): Column =
+    filter(lines(text), l =>
+      size(filter(split(l, " "), w => w =!= lit(""))) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript"))
+
+  /** Cleaned text: the kept lines rejoined. */
+  def c4CleanText(text: Column, minWords: Int = 3): Column =
+    array_join(c4KeptLines(text, minWords), "\n")
+
+  /** Document-level C4 flags: "lorem ipsum" placeholder text and curly
+    * braces (code leakage) each disqualify the whole document. */
+  def hasLoremIpsum(text: Column): Column =
+    lower(text).contains("lorem ipsum")
+  def hasCodeBrace(text: Column): Column = text.contains("{")
+
   /** Canonical document fingerprint: md5 over lower-cased,
     * whitespace-collapsed text. Equal fingerprints ⇔ same normalized
     * content — the exact-dedup key at any scale. */

@@ -502,6 +502,84 @@ object TextQueries {
           (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 256 AS end_chunk
         FROM m"""),
       "the complete training-mix assembly: quality gate → exact dedup → " +
-        "per-source mixing → token budgeting → 256-token sequence packing")
+        "per-source mixing → token budgeting → 256-token sequence packing"),
+
+    QuerySpec("q83_unigram_nll",
+      (s, dir) => graft.operators.CorpusStats.unigramCrossEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents),
+        tf AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM tf),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor((ln(CAST(n_total AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT) AS nll_micros
+          FROM tok JOIN tf USING (token) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens_scored,
+               CAST(sum(nll_micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                 AS avg_nll
+        FROM scored GROUP BY doc_id"""),
+      "CCNet-shape LM quality score: per-document mean negative " +
+        "log-likelihood under the corpus unigram distribution (per-token " +
+        "nll quantized to integer micro-nats via floor(x*1e6+0.5), " +
+        "BIGINT-summed — order- and engine-independent)"),
+
+    QuerySpec("q84_c4_line_filter",
+      (s, dir) => {
+        // the corpus text is punctuation-free word soup, so synthesize a
+        // 4-line document with known shapes: a prose line (lorem-ipsum
+        // flavored on every 5th doc), a too-short line, an unterminated
+        // line, and a boilerplate/code line on every 3rd doc — the gate
+        // and both document flags visibly fire
+        val t = graft.operators.TextAnalysis
+        val raw = concat_ws("\n",
+          when(col("doc_id") % 5 === 0, lit("Lorem ipsum dolor sit amet."))
+            .otherwise(concat(substring(col("text"), 1, 40), lit("."))),
+          lit("Too short."),
+          substring(col("text"), 41, 30),
+          when(col("doc_id") % 3 === 0, lit("javascript required {"))
+            .otherwise(concat(substring(col("text"), 71, 25), lit("!"))))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          size(t.lines(raw)).cast("int").as("n_lines"),
+          size(t.c4KeptLines(raw)).cast("int").as("n_kept_lines"),
+          t.c4CleanText(raw).as("clean_text"),
+          t.hasLoremIpsum(raw).as("has_lorem"),
+          t.hasCodeBrace(raw).as("has_brace"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN 'Lorem ipsum dolor sit amet.'
+                      ELSE substring(text, 1, 40) || '.' END || chr(10) ||
+                 'Too short.' || chr(10) ||
+                 substring(text, 41, 30) || chr(10) ||
+                 CASE WHEN doc_id % 3 = 0 THEN 'javascript required {'
+                      ELSE substring(text, 71, 25) || '!' END AS raw
+          FROM documents),
+        l AS (
+          SELECT doc_id, raw, string_split(raw, chr(10)) AS ls FROM r),
+        k AS (
+          SELECT doc_id, raw, ls,
+                 list_filter(ls, x ->
+                   len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+                   AND regexp_matches(x, '[.!?"]$')
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM l)
+        SELECT doc_id,
+               CAST(len(ls) AS INTEGER) AS n_lines,
+               CAST(len(kept) AS INTEGER) AS n_kept_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+               contains(lower(raw), 'lorem ipsum') AS has_lorem,
+               contains(raw, '{') AS has_brace
+        FROM k"""),
+      "C4 line-level cleaning (Raffel et al. 2020 §2.2): keep prose " +
+        "lines (≥3 words, terminal punctuation, no boilerplate marker), " +
+        "flag lorem-ipsum/code-brace documents — pure per-row arrays, " +
+        "no shuffle")
   )
 }

@@ -257,4 +257,47 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(v === Map("beta" -> (3L, 3L)))   // alpha df=1 and gamma df=1 pruned
   }
+
+  test("c4 line gate keeps prose, drops short/unterminated/boilerplate") {
+    import spark.implicits._
+    val text = Seq(
+      "This is a proper sentence.",     // kept
+      "Too short.",                     // dropped: 2 words
+      "no terminal punctuation here",   // dropped: no [.!?"] ending
+      "Enable javascript to continue.", // dropped: boilerplate marker
+      "Is this still prose? Yes!"       // kept
+    ).mkString("\n")
+    val df = Seq((1L, text)).toDF("doc_id", "text").select(
+      size(TextAnalysis.lines(col("text"))).as("n"),
+      size(TextAnalysis.c4KeptLines(col("text"))).as("k"),
+      TextAnalysis.c4CleanText(col("text")).as("clean"),
+      TextAnalysis.hasLoremIpsum(col("text")).as("lorem"),
+      TextAnalysis.hasCodeBrace(col("text")).as("brace"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) === 5 && r.getInt(1) === 2)
+    assert(r.getString(2) ===
+      "This is a proper sentence.\nIs this still prose? Yes!")
+    assert(!r.getBoolean(3) && !r.getBoolean(4))
+    assert(Seq((2L, "Lorem Ipsum dolor { }")).toDF("doc_id", "text")
+      .select(TextAnalysis.hasLoremIpsum(col("text")),
+        TextAnalysis.hasCodeBrace(col("text")))
+      .collect()(0).toSeq === Seq(true, true))
+  }
+
+  test("unigram cross-entropy scores rare-token docs above common-token docs") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // "the" dominates the corpus; doc 3 is all rare tokens
+    val docs = Seq(
+      (1L, "the the the the"), (2L, "the the cat"), (3L, "qzx wvu")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 4L && out(2L)._1 === 3L && out(3L)._1 === 2L)
+    // N=9: nll(the)=ln(9/6), nll(cat|qzx|wvu)=ln(9/1); micro-nat
+    // quantization bounds the error at 0.5e-6 per token
+    assert(math.abs(out(1L)._2 - math.log(9.0 / 6)) < 1e-5)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    assert(math.abs(out(3L)._2 - math.log(9.0)) < 1e-5)
+  }
 }
