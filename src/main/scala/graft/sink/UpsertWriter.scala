@@ -108,6 +108,109 @@ object UpsertWriter {
                 batches: Seq[(DataFrame, String, Seq[String])]): Seq[Long] =
     upsertTargets(spark, batches.map { case (b, p, k) => Target(b, p, k) })
 
+  /**
+   * Partition-pruned MERGE — the 100 TB shape of [[upsert]]: rewrite
+   * ONLY the hive partitions the incoming batch touches, instead of
+   * staging the whole fact. A nightly delta touching 3 of 3650 day
+   * partitions reads and writes 3 partitions; the other 3647 are not
+   * opened, not rewritten, not renamed (asserted byte-for-byte in
+   * PartitionPrunedMergeSpec). This is `MERGE` with Delta/Iceberg-style
+   * `replaceWhere` semantics, expressed over plain parquet.
+   *
+   * How: the batch's distinct partition tuples (a model-parameter-sized
+   * driver read, bounded by the partition count — same class as a
+   * watermark read) become a partition-column predicate, so the
+   * current-state scan partition-prunes to the touched directories;
+   * the merged result is staged partitioned, then each staged
+   * partition directory is swapped in by rename.
+   *
+   * Requires `partitionBy ⊆ keys`: the partition columns must be part
+   * of the merge key, otherwise a row whose partition value "moved"
+   * between runs would leave its stale copy in an untouched partition.
+   * (With the partition columns in the key, the moved row is a new key
+   * and the old row legitimately remains — standard upsert semantics.)
+   *
+   * Atomicity is per PARTITION (a crash between renames leaves touched
+   * partitions mixed-version, like Hive dynamic-partition overwrite);
+   * when whole-table atomicity matters more than rewrite cost, use
+   * [[upsertTargets]].
+   *
+   * @return rows written into the touched partitions
+   */
+  def upsertPartitionPruned(spark: SparkSession, batch: DataFrame,
+                            targetPath: String, keys: Seq[String],
+                            partitionBy: Seq[String],
+                            sortBy: Seq[String] = Nil): Long = {
+    require(partitionBy.nonEmpty, "partition-pruned merge needs partitions")
+    require(partitionBy.forall(keys.contains),
+      s"partition columns $partitionBy must be part of the merge keys " +
+        s"$keys — otherwise a row moving across partitions strands its " +
+        "stale copy in an untouched directory")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(targetPath)
+    if (!fs.exists(target)) {
+      val s = stage(spark, fs, Target(batch, targetPath, keys, partitionBy, sortBy))
+      promote(fs, s)
+      return s.rows
+    }
+    val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return 0L
+    val prune = touched.map { r =>
+      partitionBy.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // equality on partition columns ⇒ directory-level pruning: the scan
+    // lists only the touched partitions
+    val current = spark.read.parquet(targetPath).filter(prune)
+    val merged = mergedPlan(current, batch, keys)
+      .repartition(partitionBy.map(col): _*)
+    val laidOut =
+      if (sortBy.nonEmpty)
+        merged.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+      else merged
+    val staging = new Path(targetPath + "__staging")
+    fs.delete(staging, true)
+    val obs = org.apache.spark.sql.Observation()
+    try {
+      laidOut.observe(obs, count(lit(1)).as("rows"))
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+        .parquet(staging.toString)
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
+    // swap in each staged partition directory (only touched ones exist
+    // in staging, by construction)
+    stagedPartitionRels(fs, staging, partitionBy.size).foreach { rel =>
+      val src = new Path(staging, rel)
+      val dst = new Path(target, rel)
+      val bak = new Path(target, rel + "__old")
+      if (fs.exists(dst)) { fs.delete(bak, true); fs.rename(dst, bak) }
+      fs.mkdirs(dst.getParent)
+      fs.rename(src, dst)
+      fs.delete(bak, true)
+    }
+    fs.delete(staging, true)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Relative leaf partition paths (`c=v[/c2=v2…]`) under a staging
+    * root. Built from directory NAMES during the walk — `listStatus`
+    * returns scheme-qualified paths (`file:/…`), so prefix-stripping
+    * the root's string form is not reliable. */
+  private def stagedPartitionRels(fs: FileSystem, root: Path,
+                                  depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int, prefix: String): Seq[String] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          val rel = if (prefix.isEmpty) s.getPath.getName
+            else prefix + "/" + s.getPath.getName
+          if (d == 1) Seq(rel) else walk(s.getPath, d - 1, rel)
+        }
+    walk(root, depth, "")
+  }
+
   /** [[upsertAll]] with explicit physical layout per target
     * (partitioning + in-file sort — see [[Target]]). */
   def upsertTargets(spark: SparkSession, targets: Seq[Target]): Seq[Long] = {

@@ -89,6 +89,17 @@ final case class CsvConnector(dir: String,
     df.write.mode(mode).option("header", "true").csv(s"$dir/$table.csv")
 }
 
+/** ORC connector — the other columnar lake format (Hive-heritage
+  * lakes). Same predicate-pushdown/column-pruning/vectorized-read
+  * properties as parquet under Spark's native ORC reader, so pipelines
+  * can point at either format by rebinding the source name. */
+final case class OrcConnector(dir: String) extends Connector {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.mode(mode).orc(s"$dir/$table.orc")
+}
+
 /**
  * Document-store connector — S5, the reference's one MongoDB source
  * (`MigrationLogFunc/index.js:16-48` reads the `migration-log`

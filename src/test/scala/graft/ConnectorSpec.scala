@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ConnectorRegistry, CsvConnector, JdbcConnector, JsonLinesConnector, ParquetConnector}
+import graft.sources.{ConnectorRegistry, CsvConnector, JdbcConnector, JsonLinesConnector, OrcConnector, ParquetConnector}
 
 /** Exercises the real JDBC code path against embedded Derby (the same
   * engine Spark ships for its metastore) — write, plain read,
@@ -99,6 +99,22 @@ class ConnectorSpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType)
     assert(declared.orderBy("id").collect().map(_.getString(1)).toSeq ===
       Seq("alpha", "beta"))
+  }
+
+  test("ORC connector: typed roundtrip and filter pushdown to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val conn = OrcConnector(dir)
+    conn.write((1 to 100).map(i => (i.toLong, s"name$i", i * 1.5))
+      .toDF("id", "name", "score"), "corpus", SaveMode.Overwrite)
+    val back = conn.read(spark, "corpus")
+    assert(back.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType) // columnar formats keep types
+    assert(back.count() === 100)
+    val plan = back.filter(col("id") > 90)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"ORC scan should receive the pushed filter, got:\n$plan")
   }
 
   test("registry binds logical source names; parquet and jdbc coexist") {

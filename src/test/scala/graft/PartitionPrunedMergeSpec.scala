@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.sink.UpsertWriter
+
+class PartitionPrunedMergeSpec extends SparkSpec {
+
+  private def fileSnapshot(dir: String): Seq[(String, Long, Long)] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  test("partition-pruned merge rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm").toString +
+      "/fact"
+    val init = Seq(
+      (1L, 10, "a"), (2L, 10, "b"),
+      (3L, 20, "c"), (4L, 20, "d"),
+      (5L, 30, "e")
+    ).toDF("k", "day", "v")
+    val n0 = UpsertWriter.upsertPartitionPruned(spark, init, dir,
+      keys = Seq("k", "day"), partitionBy = Seq("day"))
+    assert(n0 === 5)
+
+    val day10Before = fileSnapshot(s"$dir/day=10")
+    val day30Before = fileSnapshot(s"$dir/day=30")
+    assert(day10Before.nonEmpty)
+
+    // batch: update (3, 20), insert (6, 20), open new partition day=40
+    val batch = Seq((3L, 20, "C!"), (6L, 20, "f"), (7L, 40, "g"))
+      .toDF("k", "day", "v")
+    val n1 = UpsertWriter.upsertPartitionPruned(spark, batch, dir,
+      keys = Seq("k", "day"), partitionBy = Seq("day"))
+    assert(n1 === 4, "touched partitions hold 4 rows after the merge")
+
+    // contents: day=20 merged by key, day=40 created, others intact
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(1))).toSet
+    assert(got === Set(
+      (1L, 10, "a"), (2L, 10, "b"),
+      (3L, 20, "C!"), (4L, 20, "d"), (6L, 20, "f"),
+      (5L, 30, "e"), (7L, 40, "g")))
+
+    // the untouched partitions were not rewritten: identical file
+    // names, lengths, and modification times
+    assert(fileSnapshot(s"$dir/day=10") === day10Before)
+    assert(fileSnapshot(s"$dir/day=30") === day30Before)
+  }
+
+  test("empty batch is a no-op; partition column must be in the keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm2")
+      .toString + "/fact"
+    val init = Seq((1L, 10, "a")).toDF("k", "day", "v")
+    UpsertWriter.upsertPartitionPruned(spark, init, dir,
+      Seq("k", "day"), Seq("day"))
+    val before = fileSnapshot(s"$dir/day=10")
+    assert(UpsertWriter.upsertPartitionPruned(spark,
+      init.filter("k < 0"), dir, Seq("k", "day"), Seq("day")) === 0L)
+    assert(fileSnapshot(s"$dir/day=10") === before)
+    intercept[IllegalArgumentException] {
+      UpsertWriter.upsertPartitionPruned(spark, init, dir,
+        keys = Seq("k"), partitionBy = Seq("day"))
+    }
+  }
+
+  test("current-state scan partition-prunes to the touched directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm3")
+      .toString + "/fact"
+    (1 to 100).map(i => (i.toLong, i % 10, s"v$i")).toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    // the predicate the merge builds: equality on the partition column
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day") <=> 3)
+    val exec = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    assert(exec.toString.contains("PartitionFilters:"), exec.toString)
+    assert(pruned.collect().length === 10)
+    // pruned scan opened exactly the files of the one touched directory
+    val day3Files = new java.io.File(s"$dir/day=3").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(day3Files > 0)
+    assert(exec.metrics("numFiles").value === day3Files,
+      "scan must list only the touched partition's files")
+  }
+}
