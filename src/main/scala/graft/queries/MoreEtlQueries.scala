@@ -497,6 +497,35 @@ object MoreEtlQueries {
         ORDER BY zkey, o_orderkey LIMIT 100"""),
       "2-D Morton (Z-order) clustering key from codegen'd integer " +
         "built-ins — contiguous Z-ranges are (custkey, day) rectangles, " +
-        "so range-partitioned files min/max-prune on BOTH dimensions")
+        "so range-partitioned files min/max-prune on BOTH dimensions"),
+
+    // ── incremental aggregate maintenance: summarize the delta, merge
+    // states — never recompute the rollup over the full fact. The split
+    // lands MID-month so shared groups must genuinely combine; the
+    // oracle is the full recompute the incremental path must equal ──
+    QuerySpec("q85_incremental_rollup",
+      (s, dir) => {
+        val m = graft.operators.AggMaintain
+        val base = t(s, dir, "orders").select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_totalprice").cast("decimal(18,4)").as("price"),
+          col("o_orderdate"))
+        def state(f: DataFrame) =
+          m.summarize(f.drop("o_orderdate"), Seq("month"), Seq("price"))
+        val stored = state(base.filter(col("o_orderdate") < lit("1995-06-15")))
+        val delta = state(base.filter(col("o_orderdate") >= lit("1995-06-15")))
+        m.merge(stored, delta, Seq("month"), Seq("price"))
+          .select(col("month"), col("n_rows"),
+            col("sum_price").cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_price
+        FROM orders GROUP BY 1"""),
+      "incremental rollup maintenance: mergeable per-group state " +
+        "(count + DECIMAL sums) summarized per delta and merged — " +
+        "equals the full recompute exactly, state shuffle only")
   )
 }

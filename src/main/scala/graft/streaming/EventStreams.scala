@@ -146,14 +146,21 @@ object EventStreams {
                        schema: org.apache.spark.sql.types.StructType,
                        transform: DataFrame => DataFrame,
                        targetPath: String, keys: Seq[String],
-                       checkpoint: String): Unit = {
+                       checkpoint: String,
+                       partitionBy: Seq[String] = Nil): Unit = {
     val q = spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sink.UpsertWriter.upsert(spark, transform(batch.toDF()),
-          targetPath, keys): Unit
+        val b = transform(batch.toDF())
+        // with a partitioned fact, each micro-batch rewrites only the
+        // partitions it touches (see UpsertWriter.upsertPartitionPruned)
+        if (partitionBy.nonEmpty)
+          graft.sink.UpsertWriter.upsertPartitionPruned(spark, b,
+            targetPath, keys, partitionBy): Unit
+        else
+          graft.sink.UpsertWriter.upsert(spark, b, targetPath, keys): Unit
       }
       .start()
     q.awaitTermination()

@@ -99,4 +99,31 @@ class PlanSpec extends SparkSpec {
     // distinct-count rewrites to two exchanges, each fed by partials
     assert("partial_count".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q81 stratified sample: window keys on the stratum, never global") {
+    val p = formatted("q81_stratified_sample")
+    assert(p.contains("windowspecdefinition(o_orderpriority#"), p)
+  }
+
+  test("q82 z-order: top-k by z-key is TakeOrdered, not a global sort") {
+    // orderBy+limit must fuse — each map task forwards its local top
+    // 100, never a full-sort exchange of the fact
+    val p = formatted("q82_zorder_cluster")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q83 unigram NLL: every aggregation combines map-side") {
+    val p = formatted("q83_unigram_nll")
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q85 rollup maintenance: merge shuffles state rows, fact scans " +
+    "aggregate partially") {
+    val p = formatted("q85_incremental_rollup")
+    // each summarize side: partial aggregate before its exchange; the
+    // final merge aggregates the union of state rows the same way
+    assert("partial_count".r.findAllIn(p).size +
+      "partial_sum".r.findAllIn(p).size >= 4, p)
+  }
 }
