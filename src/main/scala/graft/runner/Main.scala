@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.control.WatermarkManager
 import graft.pipelines._
-import graft.sources.{Connector, CsvConnector, JdbcConnector, JsonLinesConnector, ParquetConnector}
+import graft.sources.{Connector, CsvConnector, JdbcConnector, JsonLinesConnector, OrcConnector, ParquetConnector}
 
 /**
  * Name → engine-pipeline registry: every reference Azure-Function entry
@@ -79,6 +79,7 @@ object Main {
   private def connectorFor(uri: String): Connector = uri match {
     case u if u.startsWith("jsonl:") => JsonLinesConnector(u.stripPrefix("jsonl:"))
     case u if u.startsWith("csv:") => CsvConnector(u.stripPrefix("csv:"))
+    case u if u.startsWith("orc:") => OrcConnector(u.stripPrefix("orc:"))
     case u if u.startsWith("jdbc:") => JdbcConnector(u)
     case dir => ParquetConnector(dir)
   }
