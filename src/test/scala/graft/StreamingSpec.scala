@@ -86,6 +86,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() === 3)
   }
 
+  test("microBatchUpsert with a partitioned fact leaves untouched " +
+    "partitions' files alone across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbp").toString
+    val src = s"$dir/src"; val tgt = s"$dir/fact"; val ckp = s"$dir/ckp"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, day INT, v STRING")
+    def run(): Unit = graft.streaming.EventStreams.microBatchUpsert(
+      spark, src, schema, identity, tgt, Seq("k", "day"), ckp,
+      partitionBy = Seq("day"))
+
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "day", "v")
+      .write.mode("append").parquet(src)
+    run()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val day10Before = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$tgt/day=10")).toSeq
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime))
+
+    // the second micro-batch touches only day=20
+    Seq((2L, 20, "B!"), (3L, 20, "c")).toDF("k", "day", "v")
+      .write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(tgt).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a", 2L -> "B!", 3L -> "c"))
+    val day10After = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$tgt/day=10")).toSeq
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime))
+    assert(day10After === day10Before,
+      "day=10 files must be byte-identical after a day=20-only batch")
+  }
+
   test("sessionizeWindows: built-in session_window splits on the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
