@@ -119,6 +119,33 @@ object TextAnalysis {
     regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
   }
 
+  // ─────────────── URL canonicalization (per-domain curation) ───────────────
+  // Web-corpus pipelines dedup and quota BY URL/HOST before anything
+  // content-based runs (C4 dedups at the URL level; per-domain caps need
+  // the registered host). All RE2-safe regex — no lookaround — so the
+  // same canonical form computes on any engine in the lake.
+
+  /** Scheme-less, fragment-less, query-less URL with a lowercased,
+    * `www.`-stripped host and a trailing-slash-free path. Path CASE IS
+    * KEPT (paths are case-sensitive per RFC 3986; hosts are not). */
+  def normalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noJunk = regexp_replace(regexp_replace(noScheme, "#.*$", ""),
+      "\\?.*$", "")
+    val host = regexp_replace(lower(regexp_extract(noJunk, "^[^/]*", 0)),
+      "^www\\.", "")
+    val path = regexp_replace(regexp_replace(noJunk, "^[^/]*", ""), "/$", "")
+    concat(host, path)
+  }
+
+  /** The registered host of a URL — the per-domain quota/cap key. */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(
+        regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        "^[^/?#]*", 0)),
+      "^www\\.", "")
+
   /** Unicode NFC normalization via the [[graft.plans.NfcNormalize]]
     * expression (ASCII fast path, codegen'd): run before
     * [[fingerprint]]/shingling so visually-identical strings with

@@ -580,6 +580,54 @@ object TextQueries {
       "C4 line-level cleaning (Raffel et al. 2020 §2.2): keep prose " +
         "lines (≥3 words, terminal punctuation, no boilerplate marker), " +
         "flag lorem-ipsum/code-brace documents — pure per-row arrays, " +
-        "no shuffle")
+        "no shuffle"),
+
+    QuerySpec("q86_url_canonical",
+      (s, dir) => {
+        val t = graft.operators.TextAnalysis
+        // synthetic URLs exercising every rule: scheme variants, www,
+        // mixed-case host vs case-kept path, query, fragment, trailing /
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("https://www."))
+            .otherwise(lit("http://")),
+          lit("Site"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.COM/Docs/Page"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#section-2"))
+            .otherwise(lit("")))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          t.normalizeUrl(url).as("canonical_url"),
+          t.hostOf(url).as("host"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://www.' ELSE 'http://' END)
+            || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+            || '.Example.COM/Docs/Page' || CAST(doc_id AS VARCHAR)
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(
+              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              '#.*$', ''), '\?.*$', '') AS nj,
+            regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS ns
+          FROM u)
+        SELECT doc_id,
+          regexp_replace(lower(regexp_extract(nj, '^[^/]*')), '^www\.', '')
+            || regexp_replace(regexp_replace(nj, '^[^/]*', ''), '/$', '')
+            AS canonical_url,
+          regexp_replace(lower(regexp_extract(ns, '^[^/?#]*')), '^www\.', '')
+            AS host
+        FROM s"""),
+      "URL canonicalization for per-domain curation: scheme/query/" +
+        "fragment stripped, host lowercased + de-www'd, path case kept, " +
+        "trailing slash dropped — RE2-safe per-row regex, no shuffle")
   )
 }

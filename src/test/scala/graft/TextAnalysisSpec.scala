@@ -284,6 +284,21 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).toSeq === Seq(true, true))
   }
 
+  test("normalizeUrl canonicalizes; hostOf extracts the quota key") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://www.Example.COM/A/b?q=1#f" -> ("example.com/A/b", "example.com"),
+      "http://example.com/" -> ("example.com", "example.com"),
+      "ftp://Www.Sub.Site.org/Files/X/" -> ("sub.site.org/Files/X", "sub.site.org"),
+      "example.com/path" -> ("example.com/path", "example.com"),
+      "https://example.com?only=query" -> ("example.com", "example.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.normalizeUrl(col("url")),
+        TextAnalysis.hostOf(col("url")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("unigram cross-entropy scores rare-token docs above common-token docs") {
     import spark.implicits._
     import graft.operators.CorpusStats
