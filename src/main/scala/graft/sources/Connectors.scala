@@ -17,10 +17,17 @@ sealed trait Connector {
 }
 
 /** Directory-of-parquet connector (the lake layout; one file/dir per
-  * table). */
-final case class ParquetConnector(dir: String) extends Connector {
-  def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  * table). `mergeSchema = true` reconciles files written under evolved
+  * schemas (added columns surface as nulls on old files) — at a cost:
+  * every file footer is read at planning, so leave it off for tables
+  * with a settled schema. */
+final case class ParquetConnector(dir: String,
+                                  mergeSchema: Boolean = false) extends Connector {
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val r = spark.read
+    (if (mergeSchema) r.option("mergeSchema", "true") else r)
+      .parquet(s"$dir/$table.parquet")
+  }
   def write(df: DataFrame, table: String, mode: SaveMode): Unit =
     df.write.mode(mode).parquet(s"$dir/$table.parquet")
 }

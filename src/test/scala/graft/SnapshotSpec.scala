@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.sink.SnapshotWriter
+import graft.sources.ParquetConnector
+
+class SnapshotSpec extends SparkSpec {
+
+  test("snapshot write/read/prune/rollback lifecycle") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString + "/fact"
+    def ver(n: Int) = (1 to n).map(i => (i.toLong, s"v$n")).toDF("k", "tag")
+
+    assert(SnapshotWriter.write(spark, ver(1), root, keep = 2) === 0L)
+    assert(SnapshotWriter.write(spark, ver(2), root, keep = 2) === 1L)
+    assert(SnapshotWriter.read(spark, root).count() === 2)
+    // pinned historical read
+    assert(SnapshotWriter.read(spark, root, Some(0L)).count() === 1)
+
+    // third write prunes v0 (keep=2)
+    assert(SnapshotWriter.write(spark, ver(3), root, keep = 2) === 2L)
+    assert(SnapshotWriter.versions(spark, root) === Seq(1L, 2L))
+    intercept[Exception](SnapshotWriter.read(spark, root, Some(0L)).count())
+
+    // rollback flips the pointer to a retained version
+    SnapshotWriter.rollback(spark, root, 1L)
+    assert(SnapshotWriter.read(spark, root).count() === 2)
+    assert(SnapshotWriter.read(spark, root).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("v2"))
+    intercept[IllegalArgumentException](
+      SnapshotWriter.rollback(spark, root, 0L))
+  }
+
+  test("parquet connector mergeSchema reconciles evolved table schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val conn = ParquetConnector(dir)
+    conn.write(Seq((1L, "a")).toDF("k", "v"), "t", SaveMode.Overwrite)
+    // schema evolves: a new column appears in later files
+    conn.write(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), "t",
+      SaveMode.Append)
+    val merged = ParquetConnector(dir, mergeSchema = true).read(spark, "t")
+      .select("k", "v", "score")
+    val rows = merged.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+}
