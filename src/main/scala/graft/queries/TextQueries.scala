@@ -628,6 +628,35 @@ object TextQueries {
         FROM s"""),
       "URL canonicalization for per-domain curation: scheme/query/" +
         "fragment stripped, host lowercased + de-www'd, path case kept, " +
-        "trailing slash dropped — RE2-safe per-row regex, no shuffle")
+        "trailing slash dropped — RE2-safe per-row regex, no shuffle"),
+
+    QuerySpec("q87_domain_quota",
+      (s, dir) => {
+        val t = graft.operators.TextAnalysis
+        // per-domain cap: at most 40 documents per host, chosen by
+        // salted hash — the anti-domination pass web corpora run after
+        // URL canonicalization (one synthetic host per doc_id % 7)
+        val url = concat(lit("https://www.site"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com/d/"),
+          col("doc_id").cast("string"))
+        val withHost = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), t.hostOf(url).as("host"))
+        graft.operators.CorpusStats.stratifiedSample(
+          withHost, "host", "doc_id", nPerStratum = 40, salt = "quota")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+          FROM documents)
+        SELECT doc_id, host FROM (
+          SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'quota'),
+                            doc_id) AS rn
+          FROM h) WHERE rn <= 40"""),
+      "per-domain quota (anti-domination): canonical host + capped " +
+        "deterministic per-stratum sample — the composition web corpora " +
+        "run right after URL canonicalization")
   )
 }

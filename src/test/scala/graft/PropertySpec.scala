@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Scd
+import graft.ops.layout
+
+/**
+ * Property-style tests: randomized inputs (scalacheck generators with a
+ * FIXED seed, so failures reproduce) against invariants that must hold
+ * for every input, not just the hand-picked examples in the unit specs.
+ */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("zorder2 round-trips: de-interleaving recovers (x, y) for random points") {
+    import spark.implicits._
+    val pts = sample(Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))), 7L)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        layout.zorder2(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // reference de-interleave: even bits → x, odd bits → y
+      val rx = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ry = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert((rx, ry) === (x, y), s"z=$z did not round-trip")
+    }
+  }
+
+  test("zorder2 is monotone on each axis when the other is fixed") {
+    import spark.implicits._
+    val xs = sample(Gen.listOfN(200, Gen.chooseNum(0L, 65534L)), 11L)
+    val rows = xs.map(x => (x, x + 1, 12345L)).toDF("a", "b", "fixed")
+      .select(layout.zorder2(col("a"), col("fixed")).as("za"),
+        layout.zorder2(col("b"), col("fixed")).as("zb"),
+        layout.zorder2(col("fixed"), col("a")).as("wa"),
+        layout.zorder2(col("fixed"), col("b")).as("wb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "x-axis order not preserved")
+      assert(r.getLong(2) < r.getLong(3), "y-axis order not preserved")
+    }
+  }
+
+  test("scd2 invariants hold on a randomized change log") {
+    import spark.implicits._
+    // ~400 changes over 12 keys with 3 attribute values → plenty of
+    // repeats (compression) and interleavings; timestamps strictly
+    // increase with the sequence so interval ordering is unambiguous
+    val changes = sample(Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0L, 11L), Gen.oneOf("A", "B", "C"))), 13L)
+      .zipWithIndex
+      .map { case ((u, a), i) =>
+        (u, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+          i.toLong, a)
+      }
+    val out = Scd.scd2(changes.toDF("user_id", "ts", "seq", "status"),
+        Seq("user_id"), "ts", Seq("seq"), Seq("status"))
+      .orderBy("user_id", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getInt(4)))
+      .groupBy(_._1)
+
+    assert(out.nonEmpty)
+    out.foreach { case (user, rows) =>
+      // exactly one open (current) interval per key, and it is the last
+      assert(rows.count(_._4.isEmpty) === 1, s"user $user open intervals")
+      assert(rows.last._4.isEmpty && rows.last._5 === 1)
+      assert(rows.init.forall(_._5 === 0))
+      // intervals chain with no gaps or overlaps
+      rows.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev._4.contains(next._3),
+            s"user $user: ${prev._4} does not chain to ${next._3}")
+          // consecutive versions must actually differ (compression)
+          assert(prev._2 !== next._2,
+            s"user $user kept a repeated version ${prev._2}")
+        case _ => ()
+      }
+    }
+  }
+
+}
