@@ -69,13 +69,17 @@ object CorpusStats {
    * the fraction scaled to 16^8 and hex-formatted over the first 8
    * nibbles.
    */
-  /** Hex threshold for a keep-fraction: first 8 nibbles span 16^8 = 2^32,
-    * the tail of f's admits every hash strictly under the scaled prefix.
-    * Fraction 1.0 maps to "g", which is lexicographically above every
-    * hex digest — keep-everything without a special case downstream. */
+  /** Hex threshold for a keep-fraction: first 8 nibbles span 16^8 = 2^32;
+    * the tail of f's admits (almost) the whole prefix bucket at the
+    * boundary, so the effective keep fraction is (P+1)/2^32 — a 2^-32
+    * bias shared with any engine computing the same compare, immaterial
+    * next to md5's own uniformity. The endpoints are exact: 1.0 maps to
+    * "g" (above every hex digest — keep everything), 0.0 maps to ""
+    * (no digest is < "" — keep nothing). */
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
     if (fraction >= 1.0) "g"
+    else if (fraction <= 0.0) ""
     else f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1)}%08x" + "f" * 24
   }
 

@@ -161,7 +161,6 @@ object Dedup {
    * pipeline by the iteration count.
    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // pin the DIRECTED pair list — the expensive upstream (a similarity
     // join, typically); the symmetric edge view is two cheap cache scans,
     // so union-ing it lazily avoids running that upstream twice
@@ -177,18 +176,18 @@ object Dedup {
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min(col("label")).as("nlabel"))
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.withColumnRenamed("label", "old")
-        .join(prop, col("node") === col("pnode"), "left")
-        .select(col("node"),
-          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"),
-          col("old"))
-        .observe(obs, count(when(col("label") =!= col("old"), lit(1)))
-          .as("changed"))
-        .select("node", "label")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // the one action: pins `next` AND fires the metric
+      // materialize = ONE action: pins `next` AND fires the metric
+      val next = graft.ops.materialize(
+        labels.withColumnRenamed("label", "old")
+          .join(prop, col("node") === col("pnode"), "left")
+          .select(col("node"),
+            least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"),
+            col("old"))
+          .observe(obs, count(when(col("label") =!= col("old"), lit(1)))
+            .as("changed"))
+          .select("node", "label"))
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      labels.unpersist()
+      graft.ops.materialize.release(labels)
       labels = next
       i += 1
     }
@@ -197,6 +196,10 @@ object Dedup {
         s"duplicateClusters: no fixpoint after $maxIter iterations; " +
           "emitting the partially-propagated labels (components wider " +
           s"than $maxIter hops may carry several labels)")
+    // the final label table is pinned; the edge list has served its
+    // purpose — release it so repeated operator calls in a long-lived
+    // session don't accumulate CacheManager entries
+    graft.ops.materialize.release(p)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

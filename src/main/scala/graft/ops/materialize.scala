@@ -20,14 +20,45 @@ import org.apache.spark.storage.StorageLevel
  * even a re-analyzed copy of the plan — resolves to the cached
  * relation.
  *
- * Sessions that run many independent queries (bench, verify) clear
- * the cache between queries; within one query the entry is bounded by
- * the intermediate's size and spills to disk, never recomputes.
+ * Lifecycle: most pins are load-bearing for the operator's RETURNED
+ * lazy plan (the consumer's evaluation is what reuses them), so the
+ * operator itself cannot unpersist them. Sessions that run many
+ * independent queries (bench, verify) call `spark.catalog.clearCache()`
+ * between queries; long-lived sessions (a pipeline runner looping over
+ * facts) call [[materialize.releaseAll]] once each result is written.
+ * Every pin created here is tracked (weakly — a dropped DataFrame does
+ * not outlive its references) so neither path leaks CacheManager
+ * entries across repeated operator calls. Operators whose output is
+ * itself pinned release their intermediates with [[materialize.release]]
+ * before returning (e.g. `Dedup.duplicateClusters` frees the edge
+ * list once the final label table is pinned).
  */
 object materialize {
+  // weak keys: tracking must not keep otherwise-dropped plans alive
+  private val pins = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
   def apply(df: DataFrame): DataFrame = {
     val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     pinned.count()
+    pins.synchronized { pins.add(pinned) }
     pinned
+  }
+
+  /** Release one pinned intermediate (blocking=false: frees lazily). */
+  def release(df: DataFrame): Unit = {
+    pins.synchronized { pins.remove(df) }
+    df.unpersist()
+  }
+
+  /** Release every intermediate pinned through this helper — the
+    * long-lived-session hook (pipeline runners call it per fact). */
+  def releaseAll(): Unit = {
+    val snapshot = pins.synchronized {
+      val s = new java.util.ArrayList[DataFrame](pins)
+      pins.clear()
+      s
+    }
+    snapshot.forEach(_.unpersist())
   }
 }

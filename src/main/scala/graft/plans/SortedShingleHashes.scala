@@ -68,21 +68,31 @@ object SortedShingleHashes {
     val len = toks.numElements()
     if (n < 1 || len < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](len - n + 1)
+    // grams containing a null token are dropped (fewer hashes out), the
+    // exact semantics of the declarative zip_with chain whose
+    // filter(isNotNull) removes null-bearing grams — the input type
+    // admits ArrayType(String, containsNull=true)
+    var filled = 0
     var i = 0
     while (i <= len - n) {
-      var g = toks.getUTF8String(i)
+      var g: UTF8String =
+        if (toks.isNullAt(i)) null else toks.getUTF8String(i)
       var j = 1
-      while (j < n) {
-        g = UTF8String.concat(g, SEP, toks.getUTF8String(i + j))
+      while (g != null && j < n) {
+        g = if (toks.isNullAt(i + j)) null
+            else UTF8String.concat(g, SEP, toks.getUTF8String(i + j))
         j += 1
       }
-      out(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset,
-        g.numBytes, 42L)
+      if (g != null) {
+        out(filled) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset,
+          g.numBytes, 42L)
+        filled += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(out)
+    java.util.Arrays.sort(out, 0, filled)
     var w = 0; var r = 0; var prev = 0L
-    while (r < out.length) {
+    while (r < filled) {
       val v = out(r)
       if (w == 0 || v != prev) { out(w) = v; prev = v; w += 1 }
       r += 1

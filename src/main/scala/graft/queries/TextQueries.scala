@@ -356,9 +356,9 @@ object TextQueries {
             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
           FROM documents)
         SELECT doc_id, source AS shard, n_tok,
-          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok,
-          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 512 AS start_chunk,
-          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 512 AS end_chunk
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tok,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 512 AS BIGINT) AS start_chunk,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 512 AS BIGINT) AS end_chunk
         FROM d"""),
       "LLM sequence packing (concat-and-chunk): per-shard running token " +
         "sum cut into 512-token chunks; windows parallelize across shards"),
@@ -497,9 +497,9 @@ object TextQueries {
               WHEN 'src1' THEN '80000000ffffffffffffffffffffffff'
               ELSE '40000000ffffffffffffffffffffffff' END)
         SELECT doc_id, source AS shard, n_tok,
-          sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok,
-          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 256 AS start_chunk,
-          (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 256 AS end_chunk
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tok,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok) // 256 AS BIGINT) AS start_chunk,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - 1) // 256 AS BIGINT) AS end_chunk
         FROM m"""),
       "the complete training-mix assembly: quality gate → exact dedup → " +
         "per-source mixing → token budgeting → 256-token sequence packing"),

@@ -133,6 +133,10 @@ object Main {
         case e: Exception =>
           failures += 1
           System.err.println(s"[runner] ${p.name}: FAILED — ${e.getMessage}")
+      } finally {
+        // operator-internal pinned intermediates must not accumulate
+        // across pipelines in this long-lived session
+        graft.ops.materialize.releaseAll()
       }
     }
     if (active.isEmpty) spark.stop()

@@ -44,12 +44,17 @@ object SnapshotWriter {
   }
 
   private def writePointer(f: FileSystem, root: Path, v: Long): Unit = {
-    // write-then-rename: the pointer flip is the atomic commit
+    // write-then-rename-with-OVERWRITE: the pointer flip is the atomic
+    // commit. A delete-then-rename pair would open a window where
+    // `_LATEST` does not exist and a concurrent read() throws — the
+    // FileContext rename replaces the old pointer in one operation.
     val tmp = new Path(root, Latest + ".tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(root, Latest), false)
-    f.rename(tmp, new Path(root, Latest))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, f.getConf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(new Path(root, Latest)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Write `df` as the next version and flip `_LATEST` to it.
@@ -76,8 +81,13 @@ object SnapshotWriter {
            version: Option[Long] = None): DataFrame = {
     val f = fs(spark)
     val rootP = new Path(root)
-    val v = version.orElse(readPointer(f, rootP)).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+    // belt-and-braces: if the pointer is momentarily absent (non-HDFS
+    // stores without atomic replace), fall back to the highest retained
+    // version — write() only flips the pointer after that version is
+    // fully written, so the highest v= directory is always complete
+    val v = version.orElse(readPointer(f, rootP))
+      .orElse(versionDirs(f, rootP).lastOption.map(_._1)).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root"))
     spark.read.parquet(new Path(rootP, f"v=$v%08d").toString)
   }
 

@@ -180,17 +180,27 @@ object UpsertWriter {
       case e: Throwable => fs.delete(staging, true); throw e
     }
     // swap in each staged partition directory (only touched ones exist
-    // in staging, by construction)
+    // in staging, by construction). Backups live OUTSIDE the table root
+    // (mirroring the whole-table promote path): a `day=…__old` directory
+    // inside it would be discovered as a real partition during the swap
+    // window or after a crash — duplicate stale rows, and a name with
+    // '=' that can flip the inferred partition-column type for readers.
+    val backupRoot = new Path(targetPath + "__old")
     stagedPartitionRels(fs, staging, partitionBy.size).foreach { rel =>
       val src = new Path(staging, rel)
       val dst = new Path(target, rel)
-      val bak = new Path(target, rel + "__old")
-      if (fs.exists(dst)) { fs.delete(bak, true); fs.rename(dst, bak) }
+      val bak = new Path(backupRoot, rel)
+      if (fs.exists(dst)) {
+        fs.delete(bak, true)
+        fs.mkdirs(bak.getParent)
+        fs.rename(dst, bak)
+      }
       fs.mkdirs(dst.getParent)
       fs.rename(src, dst)
       fs.delete(bak, true)
     }
     fs.delete(staging, true)
+    fs.delete(backupRoot, true)
     obs.get("rows").asInstanceOf[Long]
   }
 

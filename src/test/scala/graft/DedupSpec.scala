@@ -54,6 +54,47 @@ class DedupSpec extends SparkSpec {
     assert(short === Seq.empty)
   }
 
+  test("duplicateClusters releases its intermediates; releaseAll frees the rest") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    assert(clusters.count() === 5)
+    // the edge list and per-iteration label tables were released as the
+    // loop advanced; only the final (returned) label table stays pinned
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      "exactly the output may remain pinned")
+    // the long-lived-session hook clears that too
+    graft.ops.materialize.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("sortedShingleHashes drops null-bearing grams like the HOF chain") {
+    import spark.implicits._
+    // null ELEMENTS can't come from split(); the expression's input type
+    // admits ArrayType(String, containsNull=true), so build arrays with
+    // holes directly. The declarative chain's concat propagates null
+    // through a gram and filter(isNotNull) then drops it — the kernel
+    // must emit the same (smaller) hash set, not crash.
+    val df = Seq(1, 2, 3).toDF("i").select(
+      when(col("i") === 1,
+          array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")))
+        .when(col("i") === 2,
+          array(lit(null).cast("string"), lit(null).cast("string")))
+        .otherwise(array(lit("x"), lit("y")))
+        .as("toks"))
+    for (n <- Seq(1, 2, 3)) {
+      val rows = df.select(
+          Dedup.sortedShingleHashes(col("toks"), n).as("fast"),
+          array_sort(transform(
+            Dedup.shinglesOfTokens(col("toks"), n), s => xxhash64(s)))
+            .as("hof"))
+        .collect()
+      rows.foreach(r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("jaccardPairs finds exact and near duplicates with correct similarity") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),

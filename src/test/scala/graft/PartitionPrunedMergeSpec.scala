@@ -90,4 +90,39 @@ class PartitionPrunedMergeSpec extends SparkSpec {
     assert(exec.metrics("numFiles").value === day3Files,
       "scan must list only the touched partition's files")
   }
+
+  test("per-partition backups live OUTSIDE the table root") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ppm4")
+      .toString
+    val dir = base + "/fact"
+    val init = Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "day", "v")
+    UpsertWriter.upsertPartitionPruned(spark, init, dir,
+      Seq("k", "day"), Seq("day"))
+
+    // simulate the crash window: a backup left at the new out-of-root
+    // location (<root>__old/day=…). Readers of the table root must be
+    // unaffected — the old in-root layout (day=10__old INSIDE the root)
+    // was discovered as a real partition, duplicating stale rows and
+    // corrupting partition-column type inference during the window.
+    Seq((1L, "stale")).toDF("k", "v").write
+      .parquet(s"${dir}__old/day=10")
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(spark.read.parquet(dir).filter("v = 'stale'").count() === 0)
+
+    // the next merge still succeeds and clears the leftover backup root
+    UpsertWriter.upsertPartitionPruned(spark,
+      Seq((1L, 10, "A!")).toDF("k", "day", "v"), dir,
+      Seq("k", "day"), Seq("day"))
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"${dir}__old")),
+      "backup root must be cleaned up after a successful swap")
+    // and the table root itself holds only real partition directories
+    val entries = fs.listStatus(new Path(dir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(entries.forall(e => e.startsWith("day=") && !e.contains("__old")),
+      s"table root must never contain backup directories, got $entries")
+    assert(spark.read.parquet(dir).filter("k = 1").select("v")
+      .collect().map(_.getString(0)).toSeq === Seq("A!"))
+  }
 }

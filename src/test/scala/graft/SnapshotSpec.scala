@@ -33,6 +33,23 @@ class SnapshotSpec extends SparkSpec {
       SnapshotWriter.rollback(spark, root, 0L))
   }
 
+  test("read falls back to the newest complete version when the pointer is absent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap2")
+      .toString + "/fact"
+    SnapshotWriter.write(spark, Seq((1L, "v0")).toDF("k", "tag"), root)
+    SnapshotWriter.write(spark, Seq((1L, "v1"), (2L, "v1")).toDF("k", "tag"),
+      root)
+    // simulate a store without atomic replace, observed mid-flip: the
+    // pointer file is momentarily gone. write() flips the pointer only
+    // AFTER the version directory is complete, so the highest v= dir is
+    // always a safe answer.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_LATEST"))
+    assert(SnapshotWriter.read(spark, root).count() === 2)
+    assert(SnapshotWriter.read(spark, root).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+  }
+
   test("parquet connector mergeSchema reconciles evolved table schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString

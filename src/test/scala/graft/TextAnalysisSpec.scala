@@ -144,8 +144,11 @@ class TextAnalysisSpec extends SparkSpec {
       !CorpusStats.hashSplitPredicate(org.apache.spark.sql.functions.col("id"),
         0.25, "s1"))
     assert(holdout.count() === 20000 - n)
-    // fraction 1.0 keeps everything
+    // fraction 1.0 keeps everything; 0.0 keeps NOTHING (no hash is
+    // < "" — without the special case the threshold "00000000f…f"
+    // would still admit a ~2^-32 sliver of the keyspace)
     assert(CorpusStats.hashSplit(df, "id", 1.0).count() === 20000)
+    assert(CorpusStats.hashSplit(df, "id", 0.0).count() === 0)
   }
 
   test("contamination flags only docs sharing a probe n-gram") {
