@@ -150,35 +150,63 @@ object Dedup {
    * among itself and its neighbors until fixpoint). Returns
    * (doc_id, cluster_id) where cluster_id = min doc id of the component.
    *
-   * The loop is driver-coordinated but every step is a distributed
-   * join+groupBy — the standard Spark shape for iterative graph
-   * algorithms; iterations ≤ the component diameter (near-dup clusters
-   * are shallow). Cost profile: exactly ONE Spark action per iteration —
-   * the job that pins the new label table also carries the convergence
-   * metric (`Dataset.observe` counting changed labels), so there is no
-   * second pass. The pair list is pinned up front; recomputing an
-   * upstream similarity join per iteration would multiply the whole
-   * pipeline by the iteration count.
+   * Two physical strategies behind one contract, picked by the EDGE
+   * count (known for free — the pair list is pinned with a count
+   * before anything else):
+   *
+   *  - **Bounded edge list** (≤ `localEdgeLimit`, default 2M pairs ≈
+   *    64 MB): union-find on the driver, O(E·α). Near-dup pair lists
+   *    are proportional to the duplicate count, not the corpus, so
+   *    this is the overwhelmingly common case — and it replaces
+   *    diameter-many distributed jobs with one collect of data that
+   *    already fit one JVM's eye. This is the same bounded-driver-read
+   *    class as the IVF centroid model or a watermark probe.
+   *  - **Huge edge list** (a heavily-duplicated crawl can exceed any
+   *    driver bound): iterative min-label propagation. The loop is
+   *    driver-coordinated but every step is a distributed join+groupBy
+   *    — the standard Spark shape for iterative graph algorithms;
+   *    iterations ≤ the component diameter (near-dup clusters are
+   *    shallow). Cost profile: exactly ONE Spark action per iteration —
+   *    the job that pins the new label table also carries the
+   *    convergence metric (`Dataset.observe` counting changed labels),
+   *    so there is no second pass. The pair list is pinned up front;
+   *    recomputing an upstream similarity join per iteration would
+   *    multiply the whole pipeline by the iteration count.
    */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        localEdgeLimit: Long = 2000000L): DataFrame = {
     // pin the DIRECTED pair list — the expensive upstream (a similarity
     // join, typically); the symmetric edge view is two cheap cache scans,
     // so union-ing it lazily avoids running that upstream twice
     val p = graft.ops.materialize(pairs.select(col("doc_a"), col("doc_b")))
+    val idType = p.schema.head.dataType
+    if (p.count() <= localEdgeLimit && localOrdering(idType).isDefined)
+      return localClusters(p, idType)
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+    // each iteration REBASES its plan on the pinned previous result's
+    // RDD (a LogicalRDD leaf): without the cut, the logical plan grows
+    // a join layer per iteration and its rendering/analysis cost grows
+    // exponentially with the component diameter — persist caches the
+    // DATA but does not truncate the LINEAGE
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    def cut(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, labelSchema)
     var labels = graft.ops.materialize(
       edges.select(col("doc_a").as("node")).distinct()
         .withColumn("label", col("node")))
+    var labelsCut = cut(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels, edges("doc_b") === labels("node"))
+      val prop = edges.join(labelsCut, edges("doc_b") === labelsCut("node"))
         .groupBy(edges("doc_a").as("pnode"))
         .agg(min(col("label")).as("nlabel"))
       val obs = org.apache.spark.sql.Observation()
       // materialize = ONE action: pins `next` AND fires the metric
       val next = graft.ops.materialize(
-        labels.withColumnRenamed("label", "old")
+        labelsCut.withColumnRenamed("label", "old")
           .join(prop, col("node") === col("pnode"), "left")
           .select(col("node"),
             least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"),
@@ -189,6 +217,7 @@ object Dedup {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       graft.ops.materialize.release(labels)
       labels = next
+      labelsCut = cut(next)
       i += 1
     }
     if (!converged)
@@ -201,6 +230,63 @@ object Dedup {
     // session don't accumulate CacheManager entries
     graft.ops.materialize.release(p)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver orderings for the id types the union-find fast path
+    * supports; anything else routes to the distributed loop. */
+  private def localOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.StringType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+    case _ => None
+  }
+
+  /** Union-find over a collected (bounded) edge list; emits the same
+    * (doc_id, cluster_id = min member) contract as the loop. */
+  private def localClusters(p: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord = localOrdering(idType).get
+    val edges = p.collect()
+    graft.ops.materialize.release(p)
+    val index = new java.util.HashMap[Any, Int](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any](edges.length)
+    def idxOf(v: Any): Int =
+      if (index.containsKey(v)) index.get(v)
+      else { index.put(v, ids.length); ids += v; ids.length - 1 }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](edges.length)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = idxOf(r.get(0)); val b = idxOf(r.get(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min member per root, then one row per node
+    val minOf = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(ids(i), cur)) minOf.put(r, ids(i))
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    ids.indices.foreach { i =>
+      rows.add(org.apache.spark.sql.Row(ids(i), minOf.get(find(i))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    p.sparkSession.createDataFrame(rows, schema)
   }
 
   // ───────────────────────── MinHash + LSH ─────────────────────────

@@ -58,7 +58,9 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     spark.catalog.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val clusters = Dedup.duplicateClusters(pairs)
+    // localEdgeLimit=0 forces the distributed loop (the fast path pins
+    // nothing at all — asserted in the equivalence test below)
+    val clusters = Dedup.duplicateClusters(pairs, localEdgeLimit = 0)
     assert(clusters.count() === 5)
     // the edge list and per-iteration label tables were released as the
     // loop advanced; only the final (returned) label table stays pinned
@@ -67,6 +69,27 @@ class DedupSpec extends SparkSpec {
     // the long-lived-session hook clears that too
     graft.ops.materialize.releaseAll()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("duplicateClusters: union-find fast path ≡ distributed loop") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // random graph with chains (deep components exercise path halving
+    // and multi-iteration propagation alike), self-contained seed
+    val rnd = new scala.util.Random(7)
+    val chain = (0 until 30).map(i => (100L + i, 101L + i))
+    val random = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ random).toDF("doc_a", "doc_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val fast = canon(Dedup.duplicateClusters(pairs))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the fast path must leave nothing pinned")
+    val loop = canon(Dedup.duplicateClusters(pairs, maxIter = 50,
+      localEdgeLimit = 0))
+    graft.ops.materialize.releaseAll()
+    assert(fast === loop)
   }
 
   test("sortedShingleHashes drops null-bearing grams like the HOF chain") {
