@@ -251,4 +251,67 @@ object CorpusStats {
         .filter(col("top_ngram_fraction") > maxFraction)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /**
+   * Sliding-window chunking with overlap — the context-window
+   * preprocessing step for training/retrieval corpora: each document
+   * becomes ⌈n_tok/stride⌉ chunks of up to `chunkTokens` tokens whose
+   * starts are `stride` apart (`stride < chunkTokens` ⇒ overlapping
+   * chunks; the tail chunk may be short). Pure per-row explode — no
+   * shuffle, parallel in the document dimension, and the token array
+   * is materialized once per row (`transform` over a `sequence` of
+   * offsets, each chunk a `slice`), so cost is linear in emitted
+   * chunk tokens. Empty documents emit no chunks.
+   */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens ($chunkTokens) and stride ($stride) must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val chunks = when(size(toks) > 0,
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(stride)).cast("int")),
+        o => slice(toks, o * stride + 1, lit(chunkTokens))))
+      .otherwise(array().cast("array<array<string>>"))
+    docs.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("int").as("n_tok"))
+  }
+
+  /**
+   * Deterministic epoch shuffle — the global row permutation every
+   * training run draws per epoch, without RNG state: order by
+   * `md5(key ∥ salt)` (key as tiebreak) and assign contiguous
+   * positions. Different salts give independent permutations;
+   * re-running one is bit-identical. The position assignment is
+   * [[graft.ops.relational.contiguousRowNumber]] — a RANGE-partitioned
+   * sort plus per-partition offsets, not a single-reducer global
+   * window — so the shuffle scales with partition count exactly like
+   * any range sort.
+   */
+  def epochShuffle(df: DataFrame, keyCol: String, salt: String,
+                   as: String = "shuffle_pos"): DataFrame =
+    graft.ops.relational.contiguousRowNumber(
+      df.withColumn("__h", saltedHash(col(keyCol), salt)),
+      Seq(col("__h"), col(keyCol)), as)
+      .drop("__h")
+
+  /**
+   * Per-stratum quality binning: `ntile(nBins)` over a deterministic
+   * total order (score, then key as tiebreak) within each stratum —
+   * "label each document with its within-source quality decile", the
+   * standard precursor to quality-weighted sampling (keep bin 1-3 of
+   * the crawl, all of the curated source). One window shuffle keyed on
+   * the stratum; ntile itself is a streaming pass over each sorted
+   * partition.
+   */
+  def qualityBins(df: DataFrame, strataCol: String, scoreCol: Column,
+                  keyCol: String, nBins: Int,
+                  as: String = "quality_bin"): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(scoreCol, col(keyCol))
+    df.withColumn(as, ntile(nBins).over(w))
+  }
 }

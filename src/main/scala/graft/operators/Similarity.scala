@@ -354,4 +354,50 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("cosine"))
     topK(scored, k)
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication by clustering embeddings with k-means and removing
+   * all but one member of every within-cluster near-duplicate group
+   * (cosine ≥ `eps`). The paper's insight is that the cluster step
+   * bounds the quadratic: pairs are only scored inside a cell, so cost
+   * is Σ|cell|² instead of n² — with balanced cells that is n²/k.
+   *
+   * Shape at scale: centroids are a model artifact (sampled spherical
+   * k-means via [[fitCentroids]]); cell assignment is a per-row argmax
+   * EXPRESSION over the literal centroids — zero shuffle, exactly the
+   * IVF corpus pass; the within-cell self-join shuffles once on the
+   * cell id. Kept member per duplicate group = smallest id (the paper
+   * keeps an arbitrary representative; smallest-id is deterministic).
+   * Returns the surviving rows of `df`.
+   *
+   * The drop set is one id column, proportional to the DUPLICATE
+   * count — the anti-join is hint-free for the same backfill reason as
+   * [[graft.operators.Dedup.nearDedupKeep]].
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    eps: Double, nCentroids: Int = 16,
+                    centroidIters: Int = 8): DataFrame = {
+    require(nCentroids >= 1, s"need >= 1 centroid, got $nCentroids")
+    val cents = fitCentroids(df, idCol, vecCol, nCentroids, centroidIters)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val bestCell = greatest(cents.map { case (cid, v) =>
+      struct(cosine(col("v"), typedLit(v)).as("csim"),
+        lit(-cid).as("neg_id"))
+    }.toIndexedSeq: _*)
+    // normalized vectors + cell ids feed both sides of the pair join —
+    // pin so normalization and assignment run once
+    val base = graft.ops.materialize(
+      normed(df, idCol, vecCol)
+        .withColumn("cell", -bestCell.getField("neg_id")))
+    val a = base.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drop = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
 }

@@ -657,6 +657,63 @@ object TextQueries {
           FROM h) WHERE rn <= 40"""),
       "per-domain quota (anti-domination): canonical host + capped " +
         "deterministic per-stratum sample — the composition web corpora " +
-        "run right after URL canonicalization")
+        "run right after URL canonicalization"),
+
+    QuerySpec("q88_sliding_chunks",
+      (s, dir) => graft.operators.CorpusStats.slidingChunks(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", chunkTokens = 64, stride = 48),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE doc_id < 200),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS cid
+          FROM d WHERE len(toks) > 0)
+        SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+               array_to_string(toks[cid*48+1 : cid*48+64], ' ') AS chunk_text,
+               CAST(len(toks[cid*48+1 : cid*48+64]) AS INTEGER) AS n_tok
+        FROM c"""),
+      "sliding-window chunking with overlap (context-window prep): " +
+        "64-token chunks every 48 tokens, pure per-row explode"),
+
+    QuerySpec("q89_epoch_shuffle",
+      (s, dir) => graft.operators.CorpusStats.epochShuffle(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", salt = "epoch0")
+        .select(col("doc_id"), col("source"), col("shuffle_pos")),
+      Some("""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch0'), doc_id)
+                 AS BIGINT) AS shuffle_pos
+        FROM documents"""),
+      "deterministic epoch shuffle: seeded global permutation via hash " +
+        "ordering — range-partitioned contiguous numbering, no RNG state, " +
+        "no single-reducer window"),
+
+    QuerySpec("q90_quality_bins",
+      (s, dir) => {
+        val t = graft.operators.TextAnalysis
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            t.tokenCount(col("text")).cast("int").as("n_tok"))
+        graft.operators.CorpusStats.qualityBins(
+          scored, "source", col("n_tok"), "doc_id", nBins = 10)
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("quality_bin").cast("int").as("quality_bin"))
+      },
+      Some("""
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS INTEGER) AS n_tok,
+               CAST(ntile(10) OVER (PARTITION BY source
+                 ORDER BY len(list_filter(string_split(text, ' '), x -> x <> '')),
+                          doc_id) AS INTEGER) AS quality_bin
+        FROM documents"""),
+      "per-source quality deciles (ntile over a deterministic total " +
+        "order) — the precursor to quality-weighted sampling")
   )
 }

@@ -148,6 +148,18 @@ object VectorQueries {
                     for i in generate_series(1, len(e))]) AS max_abs_err
         FROM q"""),
       "symmetric int8 embedding quantization (4x storage/shuffle cut): " +
-        "per-vector scale + codes, reconstruction error surfaced per row")
+        "per-vector scale + codes, reconstruction error surfaced per row"),
+
+    QuerySpec("q91_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.semanticDedup(e, "vec_id", "embedding", eps = 0.4,
+            nCentroids = 8)
+          .select(col("vec_id"))
+      },
+      None,
+      "SemDeDup: k-means cells bound the pairwise cosine pass " +
+        "(n²/k, one cell-keyed shuffle); survivors keep the smallest id " +
+        "per near-dup group — soundness + recall vs exact q60 in tests")
   )
 }

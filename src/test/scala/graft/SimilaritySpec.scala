@@ -97,6 +97,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("semanticDedup: sound drops, high recall vs the exact pair list") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedup(e, "vec_id", "embedding", eps = 0.4,
+        nCentroids = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all.diff(kept)
+    // exact droppable set: every id with a smaller-id near-dup anywhere
+    val exactDroppable = Similarity
+      .cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(exactDroppable.nonEmpty)
+    // soundness: cell pairs ⊆ all pairs, so every drop is justified by
+    // a real near-duplicate with a smaller id
+    assert(dropped.subsetOf(exactDroppable),
+      s"unjustified drops: ${dropped.diff(exactDroppable)}")
+    // recall: the cluster step only misses CROSS-cell duplicates
+    val recall = dropped.size.toDouble / exactDroppable.size
+    assert(recall >= 0.5, s"recall $recall (${dropped.size}/${exactDroppable.size})")
+    graft.ops.materialize.releaseAll()
+  }
+
   test("quantizeInt8 bounds reconstruction error; zero vectors are safe") {
     import spark.implicits._
     val df = Seq(

@@ -151,6 +151,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(CorpusStats.hashSplit(df, "id", 0.0).count() === 0)
   }
 
+  test("slidingChunks: overlap, short tail, empty docs emit nothing") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.slidingChunks(docs, "doc_id", "text",
+        chunkTokens = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e", 1),
+      (3L, 0, "x", 1)))
+  }
+
+  test("epochShuffle: contiguous permutation, salt-independent draws") {
+    import graft.operators.CorpusStats
+    val df = spark.range(5000).toDF("id")
+    def positions(salt: String) =
+      CorpusStats.epochShuffle(df, "id", salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = positions("e0")
+    // a contiguous permutation of 1..n
+    assert(e0.values.toSeq.sorted === (1L to 5000L).toSeq)
+    // deterministic, and a different salt draws a different permutation
+    assert(positions("e0") === e0)
+    assert(positions("e1") !== e0)
+    graft.ops.materialize.releaseAll()
+  }
+
+  test("qualityBins: ntile per stratum over a deterministic order") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val df = (1 to 20).map(i => (i.toLong, if (i <= 12) "a" else "b", i * 10))
+      .toDF("id", "src", "score")
+    val got = CorpusStats.qualityBins(df, "src", col("score"), "id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // stratum a: 12 rows → bins of 3; stratum b: 8 rows → bins of 2
+    assert(got(1L) === 1 && got(3L) === 1 && got(4L) === 2)
+    assert(got(12L) === 4 && got(13L) === 1 && got(20L) === 4)
+  }
+
   test("contamination flags only docs sharing a probe n-gram") {
     import spark.implicits._
     import graft.operators.CorpusStats
