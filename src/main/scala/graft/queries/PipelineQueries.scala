@@ -367,6 +367,230 @@ object PipelineQueries {
         FROM j"""),
       "GarmentTotalHutangFact.transform over fixture-shaped sources: J8 " +
         "as-of currency lookup, M5 truthy default rate, C4 gate/argument " +
-        "mismatch (reference-faithful), keep-first PR/category/unit trio")
+        "mismatch (reference-faithful), keep-first PR/category/unit trio"),
+
+    QuerySpec("q92_pipeline_sales_contract",
+      (s, dir) => {
+        // U2: three production branches through ONE transform with a
+        // literal discriminator (SpinningSC/WeavingSC/FinishingPrintingSC
+        // run.js) — shaped from orders, split by key mod 3
+        val o = Tables.load(s, dir, "orders")
+        def src(mod: Int) = o.filter(col("o_orderkey") % 3 === mod).select(
+          when(col("o_orderkey") % 7 === 0, lit(""))
+            .otherwise(concat(lit("SC-"), col("o_orderkey"))).as("contractNo"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("BY"), col("o_custkey") % 100))
+            .as("buyerName"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 23 AS INT), " +
+            "o_orderdate)").as("createdUtc"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(lit("cotton")).as("material"),
+          col("o_orderpriority").as("construction"),
+          lit("40s").as("yarn"),
+          (col("o_orderkey") % 90).cast("string").as("width"),
+          when(col("o_orderkey") % 2 === 0, lit("YARD")).otherwise(lit("MTR"))
+            .as("uom"),
+          col("o_totalprice").as("orderQuantity"),
+          (col("o_totalprice") * lit(2.0)).as("amount"))
+        graft.pipelines.SalesContractFact.transform(Map(
+          "spinningContracts" -> src(0),
+          "weavingContracts" -> src(1),
+          "fpContracts" -> src(2)))
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'Spinning'
+                 WHEN o_orderkey % 3 = 1 THEN 'Weaving'
+                 ELSE 'Finishing Printing' END AS production_type,
+            CASE WHEN o_orderkey % 7 = 0 THEN ''
+                 ELSE 'SC-' || o_orderkey END AS contractNo,
+            CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                 ELSE 'BY' || CAST(o_custkey % 100 AS VARCHAR) END AS buyerName,
+            o_orderdate + (o_orderkey % 23) * INTERVAL 1 HOUR AS createdUtc,
+            CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                 ELSE 'cotton' END AS material,
+            o_orderpriority AS construction,
+            '40s' AS yarn,
+            CAST(o_orderkey % 90 AS VARCHAR) AS width,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'YARD' ELSE 'MTR' END AS uom,
+            o_totalprice AS orderQuantity,
+            o_totalprice * CAST(2.0 AS DOUBLE) AS amount
+          FROM orders)
+        SELECT
+          CASE WHEN contractNo IS NOT NULL AND contractNo <> ''
+               THEN contractNo END AS contract_no,
+          production_type,
+          CASE WHEN buyerName IS NOT NULL AND buyerName <> ''
+               THEN buyerName END AS buyer_name,
+          CAST(createdUtc + INTERVAL 7 HOUR AS DATE) AS contract_date,
+          material || ' ' || construction || ' ' || yarn || ' ' || width
+            AS construction_string,
+          CASE WHEN lower(uom) IN ('yard', 'yds')
+               THEN orderQuantity * CAST(0.9144 AS DOUBLE)
+               ELSE orderQuantity END AS order_qty_meters,
+          amount
+        FROM src"""),
+      "SalesContractFact.transform over fixture-shaped sources: U2 " +
+        "branch union + discriminator, T3 null-propagating construction " +
+        "string, M2 yard conversion, D1 WIB date floor"),
+
+    QuerySpec("q93_pipeline_kanban",
+      (s, dir) => {
+        // J2 4-way left chain with one-to-many fan-out and BOTH C6
+        // dialects (Kanban/run.js:68-109) — kanbans from customer,
+        // instructions from orders, steps from lineitem, machines from
+        // supplier; each left side deliberately has unmatched rows
+        val kanbans = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          when(col("c_custkey") % 13 === 0, lit(""))
+            .otherwise(concat(lit("KB-"), col("c_custkey"))).as("code"),
+          when(col("c_custkey") % 17 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(HOUR, CAST(c_custkey % 41 AS INT), " +
+              "timestamp'2018-03-01 00:00:00')")).as("createdUtc"),
+          concat(lit("PO-"), col("c_custkey") % 500)
+            .as("productionOrderOrderNo"),
+          when(col("c_custkey") % 4 === 0, lit("")).otherwise(lit("A"))
+            .as("grade"),
+          concat(lit("C"), col("c_custkey") % 30).as("cartCartNumber"),
+          // `!= undefined` dialect: ZERO must survive (run.js:89)
+          (col("c_custkey") % 7).cast("double").as("cartQty"),
+          (col("c_custkey") % 11 === 0).as("isDeleted"),
+          (col("c_custkey") % 2 === 0).as("isComplete"),
+          concat(lit("SC-"), col("c_custkey") % 200)
+            .as("productionOrderSalesContractNo"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(lit("printing")).as("productionOrderProcessTypeName"),
+          col("c_mktsegment").as("productionOrderOrderTypeName"),
+          (col("c_custkey") % 23 === 0).as("isBadOutput"),
+          (col("c_custkey") % 29 === 0).as("isReprocess"),
+          (col("c_custkey") % 31).as("oldKanbanId"))
+        val instr = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 6000)
+          .select((col("o_orderkey") % 1400).as("kanbanId"),
+            col("o_orderkey").as("id"),
+            concat(lit("IN-"), col("o_orderkey")).as("code"),
+            col("o_orderpriority").as("name"))
+        val steps = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .select(col("l_orderkey").as("instructionId"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            concat(lit("ST-"), col("l_linenumber")).as("code"),
+            col("l_returnflag").as("process"),
+            expr("timestampadd(MINUTE, CAST(l_partkey % 90 AS INT), " +
+              "l_shipdate)").as("deadline"),
+            when(col("l_linenumber") % 3 === 0, lit(""))
+              .otherwise(lit("finishing")).as("processArea"),
+            when(col("l_suppkey") % 3 === 0, lit(null).cast("long"))
+              .otherwise(col("l_suppkey")).as("machineId"),
+            col("l_linenumber").as("stepIndex"))
+        val machines = Tables.load(s, dir, "supplier").select(
+          col("s_suppkey").as("id"),
+          concat(lit("M-"), col("s_suppkey")).as("code"),
+          col("s_name").as("name"),
+          // `!= undefined` dialect: zero capacity survives (run.js:97)
+          (col("s_suppkey") % 6).cast("double").as("monthlyCapacity"))
+        graft.pipelines.KanbanFact.transform(Map(
+          "kanbans" -> kanbans, "kanbanInstructions" -> instr,
+          "kanbanSteps" -> steps, "machines" -> machines))
+      },
+      Some("""
+        WITH kanbans AS (
+          SELECT c_custkey AS k_id,
+            CASE WHEN c_custkey % 13 = 0 THEN ''
+                 ELSE 'KB-' || c_custkey END AS code,
+            CASE WHEN c_custkey % 17 = 0 THEN NULL
+                 ELSE TIMESTAMP '2018-03-01 00:00:00'
+                      + (c_custkey % 41) * INTERVAL 1 HOUR END AS createdUtc,
+            'PO-' || CAST(c_custkey % 500 AS VARCHAR) AS productionOrderOrderNo,
+            CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'A' END AS grade,
+            'C' || CAST(c_custkey % 30 AS VARCHAR) AS cartCartNumber,
+            CAST(c_custkey % 7 AS DOUBLE) AS cartQty,
+            c_custkey % 11 = 0 AS isDeleted,
+            c_custkey % 2 = 0 AS isComplete,
+            'SC-' || CAST(c_custkey % 200 AS VARCHAR) AS productionOrderSalesContractNo,
+            CASE WHEN c_custkey % 5 = 0 THEN NULL
+                 ELSE 'printing' END AS productionOrderProcessTypeName,
+            c_mktsegment AS productionOrderOrderTypeName,
+            c_custkey % 23 = 0 AS isBadOutput,
+            c_custkey % 29 = 0 AS isReprocess,
+            c_custkey % 31 AS oldKanbanId
+          FROM customer),
+        instr AS (
+          SELECT o_orderkey % 1400 AS kanbanId, o_orderkey AS instr_id,
+                 'IN-' || o_orderkey AS instr_code,
+                 o_orderpriority AS instr_name
+          FROM orders WHERE o_orderkey <= 6000),
+        steps AS (
+          SELECT l_orderkey AS instructionId,
+                 l_orderkey * 10 + l_linenumber AS step_id_raw,
+                 'ST-' || l_linenumber AS step_code,
+                 l_returnflag AS step_name,
+                 l_shipdate + (l_partkey % 90) * INTERVAL 1 MINUTE AS deadline,
+                 CASE WHEN l_linenumber % 3 = 0 THEN ''
+                      ELSE 'finishing' END AS processArea,
+                 CASE WHEN l_suppkey % 3 = 0 THEN NULL
+                      ELSE l_suppkey END AS m_id,
+                 l_linenumber AS step_index
+          FROM lineitem WHERE l_orderkey <= 2000),
+        machines AS (
+          SELECT s_suppkey AS m_id, 'M-' || s_suppkey AS machine_code,
+                 s_name AS machine_name,
+                 CAST(s_suppkey % 6 AS DOUBLE) AS machine_monthly_capacity
+          FROM supplier),
+        j AS (
+          SELECT * FROM kanbans k
+          LEFT JOIN instr i ON i.kanbanId = k.k_id
+          LEFT JOIN steps st ON st.instructionId = i.instr_id
+          LEFT JOIN machines m ON m.m_id = st.m_id)
+        SELECT
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CASE WHEN code IS NOT NULL AND code <> '' THEN code END AS kanban_code,
+          CASE WHEN createdUtc IS NOT NULL
+               THEN strftime(createdUtc + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS created_date,
+          CASE WHEN productionOrderOrderNo IS NOT NULL AND productionOrderOrderNo <> ''
+               THEN productionOrderOrderNo END AS production_order_no,
+          CASE WHEN grade IS NOT NULL AND grade <> '' THEN grade END AS grade,
+          CASE WHEN cartCartNumber IS NOT NULL AND cartCartNumber <> ''
+               THEN cartCartNumber END AS cart_number,
+          cartQty AS cart_qty,
+          CAST(instr_id AS VARCHAR) AS instruction_id,
+          CASE WHEN instr_code IS NOT NULL AND instr_code <> ''
+               THEN instr_code END AS instruction_code,
+          CASE WHEN instr_name IS NOT NULL AND instr_name <> ''
+               THEN instr_name END AS instruction_name,
+          CAST(step_id_raw AS VARCHAR) AS step_id,
+          CASE WHEN step_code IS NOT NULL AND step_code <> ''
+               THEN step_code END AS step_code,
+          CASE WHEN step_name IS NOT NULL AND step_name <> ''
+               THEN step_name END AS step_name,
+          CASE WHEN machine_name IS NOT NULL AND machine_name <> ''
+               THEN machine_name END AS machine_name,
+          CASE WHEN machine_code IS NOT NULL AND machine_code <> ''
+               THEN machine_code END AS machine_code,
+          machine_monthly_capacity,
+          CASE WHEN deadline IS NOT NULL
+               THEN strftime(deadline + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS deadline,
+          CASE WHEN processArea IS NOT NULL AND processArea <> ''
+               THEN processArea END AS process_area,
+          CAST(isComplete AS VARCHAR) AS is_complete,
+          CASE WHEN productionOrderSalesContractNo IS NOT NULL AND productionOrderSalesContractNo <> ''
+               THEN productionOrderSalesContractNo END AS sales_contract_no,
+          CASE WHEN productionOrderProcessTypeName IS NOT NULL AND productionOrderProcessTypeName <> ''
+               THEN productionOrderProcessTypeName END AS process_type,
+          CASE WHEN productionOrderOrderTypeName IS NOT NULL AND productionOrderOrderTypeName <> ''
+               THEN productionOrderOrderTypeName END AS order_type,
+          CAST(isBadOutput AS VARCHAR) AS is_bad_output,
+          CAST(isReprocess AS VARCHAR) AS is_reprocess,
+          CAST(oldKanbanId AS VARCHAR) AS old_kanban_id,
+          CAST(k_id AS VARCHAR) AS kanban_id,
+          step_index
+        FROM j"""),
+      "KanbanFact.transform over fixture-shaped sources: J2 4-way left " +
+        "chain with per-step fan-out, C6 truthiness gates AND the " +
+        "`!= undefined` dialect (zero cart qty / capacity survive), D1 " +
+        "WIB date formatting on two timestamps")
   )
 }
