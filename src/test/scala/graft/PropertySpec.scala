@@ -89,4 +89,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("slidingChunks matches the in-memory reference on random docs") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // random docs of 0..40 tokens, random (chunk, stride) with
+    // stride ≤ chunk (overlap) and stride > chunk (gaps) alike
+    val docs = sample(Gen.listOfN(60,
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")))), 17L)
+      .zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    for ((chunk, stride) <- Seq((5, 3), (4, 4), (3, 5), (1, 1))) {
+      val got = CorpusStats.slidingChunks(
+          docs.toDF("doc_id", "text"), "doc_id", "text", chunk, stride)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getInt(3))))
+        .toMap
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else (0 to (toks.length - 1) / stride).map { c =>
+          val slice = toks.slice(c * stride, c * stride + chunk)
+          ((id, c), (slice.mkString(" "), slice.length))
+        }
+      }.toMap
+      assert(got === want, s"chunk=$chunk stride=$stride")
+    }
+  }
+
+  test("qualityBins: bins are in range and monotone in score per stratum") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val rows = sample(Gen.listOfN(300,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 50))), 19L)
+      .zipWithIndex.map { case ((src, score), i) => (i.toLong, src, score) }
+    val got = CorpusStats.qualityBins(rows.toDF("id", "src", "score"),
+        "src", col("score"), "id", nBins = 7)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got.forall { case (_, _, b) => b >= 1 && b <= 7 })
+    got.groupBy(_._1).foreach { case (src, g) =>
+      // within a stratum, bins never decrease as the score increases
+      val byScore = g.sortBy(_._2)
+      byScore.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo._3 <= hi._3, s"$src: bin order violated at $lo → $hi")
+        case _ => ()
+      }
+      // near-equal bin sizes (ntile contract: differ by at most 1)
+      val sizes = g.groupBy(_._3).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$src: skewed bins $sizes")
+    }
+  }
+
 }
