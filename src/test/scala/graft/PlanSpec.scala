@@ -126,4 +126,32 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).size +
       "partial_sum".r.findAllIn(p).size >= 4, p)
   }
+
+  test("q88 chunking: pure per-row explode — zero exchanges") {
+    val p = formatted("q88_sliding_chunks")
+    assert(p.contains("posexplode("), p)
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+  }
+
+  test("q89 epoch shuffle: RANGE partitioning, no single-reducer window") {
+    val p = formatted("q89_epoch_shuffle")
+    assert(p.contains("rangepartitioning(__h#"), p)
+    // the in-partition numbering windows on the partition id, never on
+    // an empty (global) partition spec
+    assert(p.contains("windowspecdefinition(__pid#"), p)
+  }
+
+  test("q90 quality bins: window keys on the stratum, never global") {
+    val p = formatted("q90_quality_bins")
+    assert(p.contains("windowspecdefinition(source#"), p)
+  }
+
+  test("q92/q93 pipeline transforms: dimension joins broadcast") {
+    val p = formatted("q93_pipeline_kanban")
+    // instructions/steps/machines are dims against the kanban spine —
+    // AQE or static planning must broadcast, not shuffle, all three
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!formatted("q92_pipeline_sales_contract").contains("Exchange"),
+      "branch union + scalar transform must not shuffle")
+  }
 }
