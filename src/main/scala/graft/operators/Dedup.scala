@@ -356,10 +356,7 @@ object Dedup {
       minHashSignatures(docs, idCol, textCol, n, k, seed))
     // bare (doc, band, hash) rows only — signatures rejoin *after* the
     // distinct, so the shuffle carries ids, not 8-byte×k arrays
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val banded = bandedSigs(sig, bands, rows)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -401,5 +398,73 @@ object Dedup {
       when(vote > 0, mask).otherwise(lit(0L))
     }
     when(hashes.isNotNull, bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** LSH band hashes of a (doc_id, sig) signature table: one
+    * (doc_id, band, band_hash) row per band. */
+  private def bandedSigs(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+  /**
+   * Incremental MinHash near-dedup — the nightly-ingest shape at
+   * 100 TB: dedup a NEW batch against everything already processed
+   * WITHOUT touching the historical documents again. The state is the
+   * signature table (doc_id, sig: array<long> of k minima) — k·8 bytes
+   * per document, orders of magnitude smaller than the text, and the
+   * only thing the next batch joins against.
+   *
+   * A batch document is dropped when LSH banding pairs it with ANY
+   * smaller-id document (historical or same-batch) at estimated
+   * Jaccard ≥ `threshold` — exactly the keep-first rule of the
+   * one-shot dedup over the accumulated corpus. Because banding is
+   * per-document, running batches through this incrementally yields
+   * BIT-IDENTICAL survivors to one big batch over the union (asserted
+   * in DedupSpec), provided ids are assigned monotonically across
+   * batches (older docs have smaller ids — the natural ingest order).
+   *
+   * The state keeps signatures of every processed doc (dropped ones
+   * too: the keep-first rule lets an already-dropped doc shadow later
+   * copies). On a real lake the state would be written bucketed by
+   * band hash so the nightly candidate join is Exchange-free on the
+   * state side.
+   *
+   * @param seenSigs previous state, or None for the first batch
+   * @return (surviving batch rows, updated signature state)
+   */
+  def incrementalNearDedup(batch: DataFrame, idCol: String, textCol: String,
+                           seenSigs: Option[DataFrame], n: Int, k: Int,
+                           bands: Int, threshold: Double,
+                           seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    // the batch signatures feed banding, the verify rejoin, and the
+    // state union — pin once (same reasoning as minHashCandidates)
+    val batchSigs = graft.ops.materialize(
+      minHashSignatures(batch, idCol, textCol, n, k, seed))
+    val all = seenSigs.map(_.unionByName(batchSigs)).getOrElse(batchSigs)
+    // candidate side x ranges over the WHOLE state, y only over the
+    // batch: the join output is bounded by the batch's collisions, not
+    // the corpus's
+    val cand = bandedSigs(all, bands, rows).as("x")
+      .join(bandedSigs(batchSigs, bands, rows).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val drop = cand
+      .join(all.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(batchSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => a === b), x => x)).cast("double") / k) >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    val survivors = batch
+      .join(drop, col(idCol) === col("__drop_id"), "left_anti")
+    (survivors, all)
   }
 }

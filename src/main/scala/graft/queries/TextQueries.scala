@@ -714,6 +714,24 @@ object TextQueries {
                           doc_id) AS INTEGER) AS quality_bin
         FROM documents"""),
       "per-source quality deciles (ntile over a deterministic total " +
-        "order) — the precursor to quality-weighted sampling")
+        "order) — the precursor to quality-weighted sampling"),
+
+    QuerySpec("q94_incremental_neardedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // the nightly shape: yesterday's corpus is only a signature
+        // table; today's batch dedups against it without re-reading text
+        val (_, state) = graft.operators.Dedup.incrementalNearDedup(
+          docs.filter(col("doc_id") < 250), "doc_id", "text",
+          None, n = 3, k = 64, bands = 8, threshold = 0.5)
+        val (survivors, _) = graft.operators.Dedup.incrementalNearDedup(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          Some(state), n = 3, k = 64, bands = 8, threshold = 0.5)
+        survivors.select(col("doc_id"), col("source"))
+      },
+      None,
+      "incremental MinHash near-dedup: a new batch against the stored " +
+        "signature state (k longs/doc) — bit-identical to one-shot " +
+        "dedup of the union, proven in DedupSpec")
   )
 }

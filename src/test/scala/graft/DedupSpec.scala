@@ -92,6 +92,30 @@ class DedupSpec extends SparkSpec {
     assert(fast === loop)
   }
 
+  test("incrementalNearDedup over two batches ≡ one-shot over the union") {
+    spark.catalog.clearCache()
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (n, k, bands, t) = (3, 64, 8, 0.5)
+    // ids are monotone across the split, matching ingest order
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (s1, state1) = Dedup.incrementalNearDedup(b1, "doc_id", "text",
+      None, n, k, bands, t)
+    val (s2, state2) = Dedup.incrementalNearDedup(b2, "doc_id", "text",
+      Some(state1), n, k, bands, t)
+    val (oneShot, _) = Dedup.incrementalNearDedup(docs, "doc_id", "text",
+      None, n, k, bands, t)
+    assert(ids(s1) ++ ids(s2) === ids(oneShot),
+      "incremental survivors must equal the one-shot survivors")
+    // something was actually dropped, and the state covers every doc
+    assert(ids(oneShot).size < ids(docs).size)
+    assert(state2.count() === docs.count())
+    graft.ops.materialize.releaseAll()
+  }
+
   test("sortedShingleHashes drops null-bearing grams like the HOF chain") {
     import spark.implicits._
     // null ELEMENTS can't come from split(); the expression's input type
