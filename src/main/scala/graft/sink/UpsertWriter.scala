@@ -60,6 +60,11 @@ object UpsertWriter {
     val target = new Path(t.path)
     val staging = new Path(t.path + "__staging")
     val backup = new Path(t.path + "__old")
+    // crash recovery: a previous promote that died between its two
+    // renames left the live history at __old and no target — without
+    // the restore, this run would see "first write" and MERGE only the
+    // batch, silently dropping the table
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
     val merged =
       if (fs.exists(target)) mergedPlan(spark.read.parquet(t.path), t.batch, t.keys)
       else t.batch
@@ -148,6 +153,19 @@ object UpsertWriter {
         "stale copy in an untouched directory")
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val target = new Path(targetPath)
+    // crash recovery: restore any partition whose swap died between its
+    // renames (backup exists outside the root, live directory missing) —
+    // otherwise this merge's pruned scan reads 0 current rows for that
+    // partition and the stale history is silently dropped
+    val backupRoot0 = new Path(targetPath + "__old")
+    if (fs.exists(backupRoot0) && partitionBy.nonEmpty)
+      stagedPartitionRels(fs, backupRoot0, partitionBy.size).foreach { rel =>
+        val dst = new Path(target, rel)
+        if (!fs.exists(dst)) {
+          fs.mkdirs(dst.getParent)
+          fs.rename(new Path(backupRoot0, rel), dst)
+        }
+      }
     if (!fs.exists(target)) {
       val s = stage(spark, fs, Target(batch, targetPath, keys, partitionBy, sortBy))
       promote(fs, s)

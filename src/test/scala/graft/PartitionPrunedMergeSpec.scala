@@ -91,6 +91,43 @@ class PartitionPrunedMergeSpec extends SparkSpec {
       "scan must list only the touched partition's files")
   }
 
+  test("crash between promote renames: history restored, nothing lost") {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+    // whole-table path: the promote died after target→backup, before
+    // staging→target — live table is GONE, history sits at __old
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-cr1")
+      .toString + "/fact"
+    UpsertWriter.upsert(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      dir1, Seq("k"))
+    fs.rename(new Path(dir1), new Path(dir1 + "__old"))
+    assert(!fs.exists(new Path(dir1)))
+    val n1 = UpsertWriter.upsert(spark,
+      Seq((2L, "B!"), (3L, "c")).toDF("k", "v"), dir1, Seq("k"))
+    assert(n1 === 3, "history must be restored before the merge")
+    assert(spark.read.parquet(dir1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "B!"), (3L, "c")))
+
+    // partition-pruned path: one partition's swap died mid-rename
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cr2")
+      .toString + "/fact"
+    UpsertWriter.upsertPartitionPruned(spark,
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "day", "v"),
+      dir2, Seq("k", "day"), Seq("day"))
+    fs.mkdirs(new Path(dir2 + "__old"))
+    fs.rename(new Path(dir2, "day=10"), new Path(dir2 + "__old/day=10"))
+    assert(!fs.exists(new Path(dir2, "day=10")))
+    UpsertWriter.upsertPartitionPruned(spark,
+      Seq((1L, 10, "A!")).toDF("k", "day", "v"),
+      dir2, Seq("k", "day"), Seq("day"))
+    assert(spark.read.parquet(dir2).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(1))).toSet ===
+      Set((1L, 10, "A!"), (2L, 20, "b")))
+    assert(!fs.exists(new Path(dir2 + "__old")))
+  }
+
   test("per-partition backups live OUTSIDE the table root") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-ppm4")
