@@ -165,4 +165,57 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Micro-batch near-dedup ingestion — [[microBatchUpsert]] composed
+   * with [[graft.operators.Dedup.incrementalNearDedup]]: every arriving
+   * batch is near-deduplicated against the PERSISTENT signature state
+   * (k longs per ever-seen document, at `statePath`) before its
+   * survivors MERGE into the corpus. The historical text is never
+   * re-read; reruns with the same checkpoint are no-ops; and because
+   * the drop rule is keep-first, the corpus equals what a one-shot
+   * dedup of all batches would keep (DedupSpec asserts the batch
+   * equivalence). This is the streaming form of the nightly
+   * training-corpus ingest: dedup happens ON THE WAY IN, not as a
+   * corpus-wide rewrite.
+   *
+   * Doc ids must be monotone across batches (the natural arrival
+   * order) for keep-first to mean keep-oldest.
+   */
+  def microBatchNearDedup(spark: org.apache.spark.sql.SparkSession,
+                          sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          idCol: String, textCol: String,
+                          targetPath: String, statePath: String,
+                          checkpoint: String,
+                          n: Int = 3, k: Int = 64, bands: Int = 8,
+                          threshold: Double = 0.5): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val seen =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            Some(spark.read.parquet(statePath))
+          else None
+        val (survivors, state) = graft.operators.Dedup.incrementalNearDedup(
+          batch.toDF(), idCol, textCol, seen, n, k, bands, threshold)
+        graft.sink.UpsertWriter.upsert(spark, survivors, targetPath,
+          Seq(idCol)): Unit
+        // append ONLY this batch's signatures (the state grows by the
+        // batch, it is never rewritten) through the staged atomic
+        // promote, so a crash mid-swap cannot lose the state either
+        val newSigs = state.join(
+          batch.toDF().select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.sink.UpsertWriter.upsert(spark, newSigs, statePath,
+          Seq("doc_id")): Unit
+        graft.ops.materialize.releaseAll()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -86,6 +86,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(tgt).count() === 3)
   }
 
+  test("microBatchNearDedup: dedup-on-ingest against the signature state " +
+    "equals one-shot dedup of all batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbnd").toString
+    val src = s"$dir/src"; val fact = s"$dir/fact"
+    val state = s"$dir/state"; val ckp = s"$dir/ckp"
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text", "source")
+    def run(): Unit = graft.streaming.EventStreams.microBatchNearDedup(
+      spark, src, docs.schema, "doc_id", "text", fact, state, ckp,
+      n = 3, k = 64, bands = 8, threshold = 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batches arrive in id order (ingest order); the stream dedups each
+    // ON THE WAY IN against the accumulated signature state
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(src)
+    run()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    run()
+
+    val (oneShot, _) = graft.operators.Dedup.incrementalNearDedup(
+      docs, "doc_id", "text", None, 3, 64, 8, 0.5)
+    assert(ids(spark.read.parquet(fact)) === ids(oneShot),
+      "streamed corpus must equal the one-shot dedup of all batches")
+    // the state covers every processed doc (dropped ones shadow later
+    // copies), and a rerun with no new files changes nothing
+    assert(spark.read.parquet(state).count() === docs.count())
+    val before = ids(spark.read.parquet(fact))
+    run()
+    assert(ids(spark.read.parquet(fact)) === before)
+    graft.ops.materialize.releaseAll()
+  }
+
   test("microBatchUpsert with a partitioned fact leaves untouched " +
     "partitions' files alone across batches") {
     import spark.implicits._
