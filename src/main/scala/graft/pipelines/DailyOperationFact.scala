@@ -41,8 +41,14 @@ object DailyOperationFact extends Pipeline {
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
     val d = t("dailyOperations")
+    // description AND action both ride the reasons join (run.js:71,104:
+    // `db.Description badOutputDescription`, `db.action`) — they are
+    // PER-REASON values that fan out with the one-to-many join, not
+    // operation-level attributes
     val reasons = t("badOutputReasons")
-      .select(col("dailyOperationId").as("d_id"), col("action").as("r_action"))
+      .select(col("dailyOperationId").as("d_id"),
+        col("description").as("r_description"),
+        col("action").as("r_action"))
     val kanban = t("kanbans").select(col("id").as("k_id"),
       col("grade").as("k_grade"), col("cartCartNumber").as("k_cart_number"),
       col("cartCode").as("k_cart_code"), col("cartPcs").as("k_cart_pcs"),
@@ -79,8 +85,8 @@ object DailyOperationFact extends Pipeline {
     joined.select(
       col("isDeleted").cast("string").as("deleted"),
       business.nullIfFalsyNum(col("badOutput")).as("bad_output"),
-      when(business.nullIfFalsyStr(col("badOutputDescription")).isNotNull,
-        s(col("badOutputDescription"), 499)).as("bad_output_description"),
+      when(business.nullIfFalsyStr(col("r_description")).isNotNull,
+        s(col("r_description"), 499)).as("bad_output_description"),
       when(business.nullIfFalsyStr(col("code")).isNotNull, s(col("code"), 49))
         .as("code"),
       when(col("dateInput").isNotNull,

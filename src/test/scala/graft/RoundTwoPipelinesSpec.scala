@@ -148,19 +148,19 @@ class RoundTwoPipelinesSpec extends SparkSpec {
   private def dailyOpFixtures = {
     import spark.implicits._
     val ops = Seq(
-      (1L, "OP-1", "input", false, Option(2.5), Option("desc"),
+      (1L, "OP-1", "input", false, Option(2.5),
         Option(ts("2020-01-01 00:00:00")), Option(ts("2020-01-02 00:00:00")),
         Option(90.0), Option(100.0), Option("shift 'A'"),
         Option(ts("2020-01-01 01:00:00")), Option(ts("2020-01-01 09:00:00")),
         "K-1", 10L, 20L, Option(7L), Option("step x")),
       (2L, "OP-2", "output", false, Option.empty[Double],
-        Option.empty[String], Option(ts("2020-01-03 00:00:00")),
+        Option(ts("2020-01-03 00:00:00")),
         Option.empty[Timestamp], Option.empty[Double], Option(40.0),
         Option.empty[String], Option.empty[Timestamp],
         Option.empty[Timestamp], "K-9", 99L, 20L, Option.empty[Long],
         Option.empty[String])
     ).toDF("id", "code", "type", "isDeleted", "badOutput",
-      "badOutputDescription", "dateInput", "dateOutput", "goodOutput",
+      "dateInput", "dateOutput", "goodOutput",
       "input", "shift", "timeInput", "timeOutput", "kanbanCode",
       "kanbanId", "machineId", "stepId", "stepProcess")
     val reasons = Seq(
@@ -196,6 +196,12 @@ class RoundTwoPipelinesSpec extends SparkSpec {
     val op1 = rows.filter(_.getAs[String]("code") === "OP-1")
     assert(op1.length === 2)
     assert(op1.map(_.getAs[String]("action")).toSet === Set("re\"do", null))
+    // description is PER-REASON (db.Description rides the join,
+    // run.js:71) — each fan-out row carries its own reason's value
+    assert(op1.map(_.getAs[String]("bad_output_description")).toSet ===
+      Set("cut", null))
+    assert(rows.filter(_.getAs[String]("code") === "OP-2")
+      .forall(_.getAs[String]("bad_output_description") == null))
     val r = op1.head
     // T2: order type truncated to 24 chars
     assert(r.getAs[String]("order_type") === "printing but with an ext")
