@@ -144,6 +144,23 @@ object MonitoringEventFact extends Pipeline {
         business.operationRange(durationMin)).as("event_range"),
       col("createdBy").as("created_by"),
       col("isDeleted").cast("string").as("deleted"),
-      business.nullIfFalsyStr(col("me_category")).as("event_category"))
+      business.nullIfFalsyStr(col("me_category")).as("event_category"),
+      // fact-schema parity: columns the reference's DWH insert carries
+      // but that its own dataflow can never populate — `machine.step`
+      // and `productionOrder.construction` are never set by the lookup
+      // joins (run.js:109-121, 164-177), the selected-detail block is
+      // literal nulls (run.js:279-286), and [productionOrderDetail*] is
+      // filled FROM those nulls in the insert (run.js:324). Typed NULLs
+      // so a reference user's fact schema round-trips.
+      lit(null).cast("string").as("machine_step_process"),
+      lit(null).cast("string").as("production_order_construction"),
+      lit(null).cast("string").as("production_order_detail_code"),
+      lit(null).cast("string").as("production_order_detail_color_request"),
+      lit(null).cast("string").as("production_order_detail_color_template"),
+      lit(null).cast("string").as("production_order_detail_color_type_name"),
+      lit(null).cast("string").as("selected_production_order_detail_code"),
+      lit(null).cast("string").as("selected_production_order_detail_color_request"),
+      lit(null).cast("string").as("selected_production_order_detail_color_template"),
+      lit(null).cast("string").as("selected_production_order_detail_color_type_name"))
   }
 }

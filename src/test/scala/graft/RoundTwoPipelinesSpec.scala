@@ -75,6 +75,13 @@ class RoundTwoPipelinesSpec extends SparkSpec {
     // no dateEnd → no range (run.js:288)
     assert(e2.get(e2.fieldIndex("event_range")) === null)
     assert(e2.getAs[String]("cart_number") === "CART-9")
+
+    // fact-schema parity: the reference-dead columns exist and are NULL
+    // on every row (its own dataflow can never populate them)
+    val dead = Seq("machine_step_process", "production_order_construction",
+      "production_order_detail_code", "selected_production_order_detail_code")
+    for (c <- dead; r <- Seq(e1, e2))
+      assert(r.get(r.fieldIndex(c)) === null, s"$c must be null")
   }
 
   // ─────────────────── ProductionOrderStatusFact ───────────────────
