@@ -591,6 +591,292 @@ object PipelineQueries {
       "KanbanFact.transform over fixture-shaped sources: J2 4-way left " +
         "chain with per-step fan-out, C6 truthiness gates AND the " +
         "`!= undefined` dialect (zero cart qty / capacity survive), D1 " +
-        "WIB date formatting on two timestamps")
+        "WIB date formatting on two timestamps"),
+
+    QuerySpec("q95_pipeline_purchasing",
+      (s, dir) => {
+        // the FLAGSHIP pipeline (Pembelian) over its full 10-table
+        // document chain, shaped from orders+lineitem: chains die at
+        // the EPO hop for key%4=0, at delivery for %3=0, at receipt for
+        // %5=0, at payment for %7=0; ipo created by "dev" for %13=0
+        // (inner-ized away); epo items deleted for %17=0; zero currency
+        // rate for %10=0 (JS a*0 total); quotes in supplier/product
+        // names exercise T1
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        def shift(days: org.apache.spark.sql.Column) =
+          col("o_orderdate") +
+            make_dt_interval(days.cast("int"), lit(0), lit(0), lit(0.0))
+        val prs = o.select(
+          key.as("id"), concat(lit("PR-"), key).as("no"),
+          col("o_orderdate").as("createdUtc"),
+          expr("timestampadd(DAY, 10, o_orderdate)")
+            .as("expectedDeliveryDate"),
+          concat(lit("B"), key % 5).as("budgetCode"),
+          lit("opex").as("budgetName"),
+          concat(lit("U"), key % 3).as("unitCode"),
+          lit("weaving").as("unitName"),
+          concat(lit("D"), key % 2).as("divisionCode"),
+          lit("textile").as("divisionName"),
+          concat(lit("C"), key % 4).as("categoryCode"),
+          when(key % 2 === 0, lit("BAHAN BAKU"))
+            .otherwise(col("o_orderpriority")).as("categoryName"),
+          (key % 11 === 0).as("isDeleted"))
+        val ipos = o.select(key.as("prId"), (key + 10000000L).as("id"),
+          concat(lit("PO-"), key).as("poNo"),
+          when(key % 13 === 0, lit("dev"))
+            .otherwise(concat(lit("staff"), key % 7)).as("createdBy"),
+          shift(key % 5).as("createdUtc"),
+          lit(false).as("isDeleted"),
+          concat(lit("PR-"), key).as("prNo"),
+          expr("timestampadd(DAY, 12, o_orderdate)")
+            .as("expectedDeliveryDate"))
+        val eis = o.select((key + 10000000L).as("poId"),
+          (key + 20000000L).as("id"), (key + 30000000L).as("epoId"),
+          (key % 17 === 0).as("isDeleted"))
+        val eds = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 3000)
+          .select((col("l_orderkey") + 20000000L).as("epoItemId"),
+            concat(lit("P-"), col("l_partkey")).as("productCode"),
+            concat(lit("prod'"), col("l_partkey") % 50).as("productName"),
+            col("l_quantity").as("dealQuantity"),
+            when(col("l_linenumber") % 2 === 0, "MTR").otherwise("YARD")
+              .as("dealUomUnit"),
+            col("l_extendedprice").as("pricePerDealUnit"))
+        val epos = o.filter(key % 4 =!= 0).select(
+          (key + 30000000L).as("id"),
+          shift(key % 9).as("createdUtc"),
+          concat(lit("EPO-"), key).as("epoNo"),
+          concat(lit("S"), key % 6).as("supplierCode"),
+          concat(lit("sup'"), key % 6).as("supplierName"),
+          (key % 3 + 1).as("currencyId"),
+          when(key % 3 === 0, "USD").when(key % 3 === 1, "IDR")
+            .otherwise("EUR").as("currencyCode"),
+          lit("CASH").as("paymentMethod"),
+          when(key % 10 === 0, lit(0.0))
+            .otherwise((key % 100).cast("double") * 100 + 1000)
+            .as("currencyRate"))
+        val delivered = o.filter(key % 4 =!= 0 && key % 3 =!= 0)
+        val dois = delivered.select((key + 30000000L).as("epoId"),
+          (key + 40000000L).as("doId"))
+        val dos = delivered.select((key + 40000000L).as("id"),
+          concat(lit("DO-"), key).as("doNo"),
+          shift(key % 20).as("doDate"))
+        val received = delivered.filter(key % 5 =!= 0)
+        val urns = received.select((key + 40000000L).as("doId"),
+          (key + 50000000L).as("id"), concat(lit("URN-"), key).as("urnNo"),
+          shift(key % 25).as("receiptDate"))
+        val paid = received.filter(key % 7 =!= 0)
+        val upois = paid.select((key + 50000000L).as("urnId"),
+          (key + 60000000L).as("upoId"))
+        val upos = paid.select((key + 60000000L).as("id"),
+          concat(lit("UPO-"), key).as("upoNo"),
+          shift(key % 30).as("date"))
+        val currencies = Seq((1L, "US Dollar"), (2L, "Rupiah"),
+          (3L, "Euro")).toDF("id", "description")
+        graft.pipelines.PurchasingFact.transform(Map(
+          "purchaserequests" -> prs, "internalpurchaseorders" -> ipos,
+          "epoItems" -> eis, "epoDetails" -> eds,
+          "externalPurchaseOrders" -> epos, "doItems" -> dois,
+          "deliveryOrders" -> dos, "unitReceiptNotes" -> urns,
+          "upoItems" -> upois, "unitPaymentOrders" -> upos,
+          "currencies" -> currencies))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 3000),
+        chain AS (
+          SELECT o.o_orderkey AS key,
+            'PR-' || o.o_orderkey AS prNo,
+            o.o_orderdate AS prCreatedUtc,
+            o.o_orderdate + INTERVAL 10 DAY AS prExpectedDeliveryDate,
+            'B' || (o.o_orderkey % 5) AS budgetCode,
+            'opex' AS budgetName,
+            'U' || (o.o_orderkey % 3) AS unitCode,
+            'weaving' AS unitName,
+            'D' || (o.o_orderkey % 2) AS divisionCode,
+            'textile' AS divisionName,
+            'C' || (o.o_orderkey % 4) AS categoryCode,
+            CASE WHEN o.o_orderkey % 2 = 0 THEN 'BAHAN BAKU'
+                 ELSE o.o_orderpriority END AS categoryName,
+            o.o_orderkey % 11 = 0 AS prDeleted,
+            'PO-' || o.o_orderkey AS PONo,
+            'staff' || (o.o_orderkey % 7) AS ipoCreatedBy,
+            o.o_orderdate + (o.o_orderkey % 5) * INTERVAL 1 DAY AS ipoCreatedUtc,
+            FALSE AS ipoIsDeleted,
+            'PR-' || o.o_orderkey AS ipoPrNo,
+            o.o_orderdate + INTERVAL 12 DAY AS ipoExpectedDeliveryDate,
+            ed.productCode, ed.productName, ed.dealQuantity,
+            ed.dealUomUnit, ed.pricePerDealUnit,
+            ep.epoCreatedUtc, ep.epoNo, ep.supplierCode, ep.supplierName,
+            ep.currencyId, ep.currencyCode, ep.paymentMethod, ep.currencyRate,
+            del.DONo, del.DODate,
+            rec.URNNo, rec.receiptDate,
+            pay.interNoteNo, pay.interNoteDate,
+            cur.currencyDescription
+          FROM o
+          LEFT JOIN (
+            SELECT l_orderkey AS edkey, 'P-' || l_partkey AS productCode,
+                   'prod''' || (l_partkey % 50) AS productName,
+                   l_quantity AS dealQuantity,
+                   CASE WHEN l_linenumber % 2 = 0 THEN 'MTR' ELSE 'YARD' END
+                     AS dealUomUnit,
+                   l_extendedprice AS pricePerDealUnit
+            FROM lineitem WHERE l_orderkey <= 3000) ed
+            ON ed.edkey = o.o_orderkey
+          LEFT JOIN (
+            SELECT o_orderkey AS epkey,
+                   o_orderdate + (o_orderkey % 9) * INTERVAL 1 DAY AS epoCreatedUtc,
+                   'EPO-' || o_orderkey AS epoNo,
+                   'S' || (o_orderkey % 6) AS supplierCode,
+                   'sup''' || (o_orderkey % 6) AS supplierName,
+                   o_orderkey % 3 + 1 AS currencyId,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'USD'
+                        WHEN o_orderkey % 3 = 1 THEN 'IDR'
+                        ELSE 'EUR' END AS currencyCode,
+                   'CASH' AS paymentMethod,
+                   CASE WHEN o_orderkey % 10 = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE CAST(o_orderkey % 100 AS DOUBLE) * 100 + 1000
+                   END AS currencyRate
+            FROM o WHERE o_orderkey % 4 <> 0) ep ON ep.epkey = o.o_orderkey
+          LEFT JOIN (
+            SELECT o_orderkey AS dkey, 'DO-' || o_orderkey AS DONo,
+                   o_orderdate + (o_orderkey % 20) * INTERVAL 1 DAY AS DODate
+            FROM o WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 <> 0) del
+            ON del.dkey = o.o_orderkey
+          LEFT JOIN (
+            SELECT o_orderkey AS rkey, 'URN-' || o_orderkey AS URNNo,
+                   o_orderdate + (o_orderkey % 25) * INTERVAL 1 DAY AS receiptDate
+            FROM o WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 <> 0
+              AND o_orderkey % 5 <> 0) rec ON rkey = o.o_orderkey
+          LEFT JOIN (
+            SELECT o_orderkey AS pkey, 'UPO-' || o_orderkey AS interNoteNo,
+                   o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS interNoteDate
+            FROM o WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 <> 0
+              AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0) pay
+            ON pkey = o.o_orderkey
+          LEFT JOIN (
+            SELECT 1 AS cid, 'US Dollar' AS currencyDescription
+            UNION ALL SELECT 2, 'Rupiah' UNION ALL SELECT 3, 'Euro') cur
+            ON cur.cid = o.o_orderkey % 3 + 1 AND o.o_orderkey % 4 <> 0
+          WHERE o.o_orderkey % 13 <> 0   -- dev-created internal PO dropped
+            AND o.o_orderkey % 17 <> 0)  -- deleted EPO item dropped
+        SELECT
+          prNo AS pr_no,
+          strftime(prCreatedUtc + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
+          strftime(prExpectedDeliveryDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS expected_pr_delivery_date,
+          budgetCode AS budget_code, budgetName AS budget_name,
+          unitCode AS unit_code, unitName AS unit_name,
+          divisionCode AS division_code, divisionName AS division_name,
+          categoryCode AS category_code, categoryName AS category_name,
+          CASE WHEN categoryName = 'BAHAN BAKU' THEN 'BAHAN BAKU'
+               ELSE 'NON BAHAN BAKU' END AS category_type,
+          productCode AS product_code,
+          replace(productName, '''', '"') AS product_name,
+          CAST(date_diff('day', CAST(prCreatedUtc AS DATE),
+            CAST(ipoCreatedUtc AS DATE)) AS INTEGER) AS purchase_request_days,
+          CASE WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(ipoCreatedUtc AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(ipoCreatedUtc AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(ipoCreatedUtc AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS purchase_request_days_range,
+          CAST(date_diff('day', CAST(prCreatedUtc AS DATE),
+            CAST(epoCreatedUtc AS DATE)) AS INTEGER) AS pr_po_external_days,
+          CASE WHEN epoCreatedUtc IS NULL THEN NULL
+               WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(prCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS pr_po_external_days_range,
+          PONo AS po_no,
+          strftime(ipoCreatedUtc + INTERVAL 7 HOUR, '%Y-%m-%d') AS po_date,
+          CAST(date_diff('day', CAST(ipoCreatedUtc AS DATE),
+            CAST(epoCreatedUtc AS DATE)) AS INTEGER) AS po_external_days,
+          CASE WHEN epoCreatedUtc IS NULL THEN NULL
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(epoCreatedUtc AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS po_external_days_range,
+          ipoCreatedBy AS purchasing_staff_name,
+          ipoPrNo AS pr_no_at_po,
+          epoNo AS po_external_no,
+          strftime(epoCreatedUtc + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS po_external_date,
+          CASE WHEN epoCreatedUtc IS NOT NULL AND DODate IS NOT NULL
+               THEN CAST(date_diff('day', CAST(epoCreatedUtc AS DATE),
+                 CAST(DODate AS DATE)) AS INTEGER) END AS delivery_order_days,
+          CASE WHEN epoCreatedUtc IS NULL OR DODate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(epoCreatedUtc AS DATE), CAST(DODate AS DATE)) <= 30 THEN '0-30 hari'
+               WHEN date_diff('day', CAST(epoCreatedUtc AS DATE), CAST(DODate AS DATE)) <= 60 THEN '31-60 hari'
+               WHEN date_diff('day', CAST(epoCreatedUtc AS DATE), CAST(DODate AS DATE)) <= 90 THEN '61-90 hari'
+               ELSE '>90 hari' END AS delivery_order_days_range,
+          supplierCode AS supplier_code,
+          replace(supplierName, '''', '"') AS supplier_name,
+          currencyCode AS currency_code,
+          currencyDescription AS currency_name,
+          paymentMethod AS payment_method,
+          CASE WHEN currencyRate IS NOT NULL AND currencyRate <> 0
+               THEN currencyRate END AS currency_rate,
+          CASE WHEN dealQuantity IS NOT NULL AND dealQuantity <> 0
+               THEN dealQuantity END AS purchase_quantity,
+          dealUomUnit AS uom,
+          CASE WHEN pricePerDealUnit IS NOT NULL AND pricePerDealUnit <> 0
+               THEN pricePerDealUnit END AS price_per_unit,
+          CASE WHEN pricePerDealUnit IS NOT NULL AND pricePerDealUnit <> 0
+                AND dealQuantity IS NOT NULL AND dealQuantity <> 0
+               THEN dealQuantity * pricePerDealUnit * COALESCE(currencyRate, 0)
+          END AS total_price,
+          strftime(ipoExpectedDeliveryDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS expected_delivery_date,
+          CASE WHEN epoNo IS NOT NULL THEN prNo END AS pr_no_at_po_ext,
+          DONo AS delivery_order_no,
+          strftime(DODate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS delivery_order_date,
+          CASE WHEN receiptDate IS NOT NULL
+               THEN CAST(date_diff('day', CAST(DODate AS DATE),
+                 CAST(receiptDate AS DATE)) AS INTEGER)
+          END AS unit_receipt_note_days,
+          CASE WHEN receiptDate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(DODate AS DATE), CAST(receiptDate AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(DODate AS DATE), CAST(receiptDate AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(DODate AS DATE), CAST(receiptDate AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS unit_receipt_note_days_range,
+          CASE WHEN DODate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(ipoExpectedDeliveryDate AS DATE),
+                 CAST(DODate AS DATE)) <= 0 THEN 'Tepat Waktu'
+               ELSE 'Tidak Tepat Waktu' END AS ontime_status,
+          CASE WHEN DONo IS NOT NULL THEN prNo END AS pr_no_at_do,
+          URNNo AS unit_receipt_note_no,
+          strftime(receiptDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS unit_receipt_note_date,
+          CASE WHEN interNoteDate IS NOT NULL
+               THEN CAST(date_diff('day', CAST(receiptDate AS DATE),
+                 CAST(interNoteDate AS DATE)) AS INTEGER)
+          END AS unit_payment_order_days,
+          CASE WHEN interNoteDate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(receiptDate AS DATE), CAST(interNoteDate AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(receiptDate AS DATE), CAST(interNoteDate AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(receiptDate AS DATE), CAST(interNoteDate AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS unit_payment_order_days_range,
+          interNoteNo AS unit_payment_order_no,
+          strftime(interNoteDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS unit_payment_order_date,
+          CASE WHEN interNoteDate IS NOT NULL
+               THEN CAST(date_diff('day', CAST(ipoCreatedUtc AS DATE),
+                 CAST(interNoteDate AS DATE)) AS INTEGER)
+          END AS purchase_order_days,
+          CASE WHEN interNoteDate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(interNoteDate AS DATE)) <= 30 THEN '0-30 hari'
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(interNoteDate AS DATE)) <= 60 THEN '31-60 hari'
+               WHEN date_diff('day', CAST(ipoCreatedUtc AS DATE), CAST(interNoteDate AS DATE)) <= 90 THEN '61-90 hari'
+               ELSE '>90 hari' END AS purchase_order_days_range,
+          CASE WHEN interNoteDate IS NOT NULL
+               THEN CAST(pricePerDealUnit AS VARCHAR) END AS invoice_price,
+          CAST(prDeleted AS VARCHAR) AS deleted_pr,
+          CAST(ipoIsDeleted AS VARCHAR) AS deleted_po
+        FROM chain"""),
+      "the FLAGSHIP Pembelian pipeline's full 10-table document chain " +
+        "under the DuckDB oracle: inner-ized WHERE filters, seven lead " +
+        "times with week/month buckets, C5 on-time on raw dates, JS " +
+        "zero-coercing total price, T1/C6 per column")
   )
 }

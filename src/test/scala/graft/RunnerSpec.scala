@@ -23,27 +23,49 @@ class RunnerSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-runner").toString
     val lake = ParquetConnector(s"$dir/lake")
     lake.write(Seq(
-      ("PR-1", "BAHAN BAKU", ts("2020-01-01 00:00:00"),
-        ts("2020-01-10 00:00:00"), 10.0, 2.5, false,
-        ts("2020-01-02 00:00:00"), "USD"),
-      ("PR-2", "SPAREPART", ts("2020-01-05 00:00:00"),
-        ts("2020-01-20 00:00:00"), 4.0, 1.0, false,
-        ts("2020-01-06 00:00:00"), "IDR"),
-      ("PR-3", "BAHAN BAKU", ts("2020-02-01 00:00:00"),
-        ts("2020-02-15 00:00:00"), 7.0, 3.0, true,
-        ts("2020-02-02 00:00:00"), "EUR")
-    ).toDF("no", "categoryName", "createdUtc", "expectedDeliveryDate",
-      "dealQuantity", "pricePerDealUnit", "isDeleted", "lastmodifiedutc",
-      "currencyCode"), "purchaserequests", SaveMode.Overwrite)
+      (1L, "PR-1", ts("2020-01-01 00:00:00"), ts("2020-01-10 00:00:00"),
+        "B-1", "opex", "U-1", "weaving", "D-1", "textile", "C-1",
+        "BAHAN BAKU", false, ts("2020-01-02 00:00:00")),
+      (2L, "PR-2", ts("2020-01-05 00:00:00"), ts("2020-01-20 00:00:00"),
+        "B-2", "capex", "U-2", "spinning", "D-1", "textile", "C-2",
+        "SPAREPART", false, ts("2020-01-06 00:00:00"))
+    ).toDF("id", "no", "createdUtc", "expectedDeliveryDate", "budgetCode",
+      "budgetName", "unitCode", "unitName", "divisionCode", "divisionName",
+      "categoryCode", "categoryName", "isDeleted", "lastmodifiedutc"),
+      "purchaserequests", SaveMode.Overwrite)
     lake.write(Seq(
-      ("PR-1", "PO-1", ts("2020-01-04 00:00:00")),
-      ("PR-3", "PO-3", ts("2020-02-20 00:00:00"))
-    ).toDF("prNo", "poNo", "createdUtc"), "internalpurchaseorders",
+      (1L, 11L, "PO-1", "alice", ts("2020-01-04 00:00:00"), false, "PR-1",
+        ts("2020-01-10 00:00:00")),
+      (2L, 12L, "PO-2", "bob", ts("2020-01-08 00:00:00"), false, "PR-2",
+        ts("2020-01-22 00:00:00"))
+    ).toDF("prId", "id", "poNo", "createdBy", "createdUtc", "isDeleted",
+      "prNo", "expectedDeliveryDate"), "internalpurchaseorders",
       SaveMode.Overwrite)
+    lake.write(Seq((11L, 21L, 31L, false), (12L, 22L, 32L, false))
+      .toDF("poId", "id", "epoId", "isDeleted"), "epoItems",
+      SaveMode.Overwrite)
+    lake.write(Seq((21L, "P-1", "fabric", 10.0, "MTR", 2.5))
+      .toDF("epoItemId", "productCode", "productName", "dealQuantity",
+        "dealUomUnit", "pricePerDealUnit"), "epoDetails", SaveMode.Overwrite)
     lake.write(Seq(
-      ("USD", 14000.0, "US Dollar"), ("USD", 13000.0, "US Dollar old"),
-      ("EUR", 16000.0, "Euro")
-    ).toDF("code", "rate", "description"), "currencies", SaveMode.Overwrite)
+      (31L, ts("2020-01-06 00:00:00"), "EPO-1", "S-1", "supplier one",
+        501L, "USD", "CASH", 14000.0)
+    ).toDF("id", "createdUtc", "epoNo", "supplierCode", "supplierName",
+      "currencyId", "currencyCode", "paymentMethod", "currencyRate"),
+      "externalPurchaseOrders", SaveMode.Overwrite)
+    lake.write(Seq((31L, 41L)).toDF("epoId", "doId"), "doItems",
+      SaveMode.Overwrite)
+    lake.write(Seq((41L, "DO-1", ts("2020-01-09 00:00:00")))
+      .toDF("id", "doNo", "doDate"), "deliveryOrders", SaveMode.Overwrite)
+    lake.write(Seq((41L, 51L, "URN-1", ts("2020-01-11 00:00:00")))
+      .toDF("doId", "id", "urnNo", "receiptDate"), "unitReceiptNotes",
+      SaveMode.Overwrite)
+    lake.write(Seq((51L, 61L)).toDF("urnId", "upoId"), "upoItems",
+      SaveMode.Overwrite)
+    lake.write(Seq((61L, "UPO-1", ts("2020-01-15 00:00:00")))
+      .toDF("id", "upoNo", "date"), "unitPaymentOrders", SaveMode.Overwrite)
+    lake.write(Seq((501L, "US Dollar")).toDF("id", "description"),
+      "currencies", SaveMode.Overwrite)
 
     def invoke(): Unit = Main.main(Array("pembelian",
       "--sources", s"$dir/lake", "--warehouse", s"$dir/dwh",
@@ -51,7 +73,7 @@ class RunnerSpec extends SparkSpec {
 
     invoke()
     val fact = spark.read.parquet(s"$dir/dwh/purchasing-fact")
-    assert(fact.count() === 3)
+    assert(fact.count() === 2)
     assert(fact.filter("pr_no = 'PR-1'").collect().head
       .getAs[Double]("total_price") === 10.0 * 2.5 * 14000.0)
     // S9: pembelian maintains the shared dim-time alongside the fact
@@ -60,7 +82,7 @@ class RunnerSpec extends SparkSpec {
     // second invocation: watermark advanced past every fixture row, so
     // the incremental batch is empty and the fact must not change
     invoke()
-    assert(spark.read.parquet(s"$dir/dwh/purchasing-fact").count() === 3)
+    assert(spark.read.parquet(s"$dir/dwh/purchasing-fact").count() === 2)
 
     val control = new WatermarkManager(spark, s"$dir/dwh/control")
     assert(control.log.filter("status = 'Successful'").count() === 2)
