@@ -44,41 +44,103 @@ class MorePipelinesSpec extends SparkSpec {
     assert(fact.collect().head.getAs[String]("construction_string") === null)
   }
 
-  test("GarmentPurchasingFact: last fulfillment + as-of rate + defaults") {
+  test("GarmentPurchasingFact: both branches, fulfillment fan-out, dialects") {
     import spark.implicits._
-    val items = Seq(
-      (1L, "SN-1", "FAB", ts("2020-03-10 00:00:00"), 10.0, 2.0),
-      (2L, "SN-2", "EMB", ts("2020-03-15 00:00:00"), 5.0, 3.0),
-      (3L, "SN-3", "BTN", ts("2020-03-20 00:00:00"), 1.0, 1.0)
-    ).toDF("id", "poSerialNumber", "categoryCode", "shipmentDate",
-      "quantity", "pricePerUnit")
+    val prs = Seq(
+      (1L, "PR-1", ts("2020-03-01 00:00:00"), "maker",
+        ts("2020-03-20 00:00:00"), "U-1", "sewing", "DV-1", "garment", false),
+      (2L, "PR-2", ts("2020-03-02 00:00:00"), "pr'creator",
+        ts("2020-03-25 00:00:00"), "U-2", "cutting", "DV-1", "garment", false)
+    ).toDF("id", "no", "createdDate", "createdBy", "expectedDeliveryDate",
+      "unitCode", "unitName", "divisionCode", "divisionName", "deleted")
+    val pos = Seq(
+      (1L, 11L, "PO-1", ts("2020-03-04 00:00:00"), "staff'x", false)
+    ).toDF("prId", "id", "no", "createdDate", "createdBy", "deleted")
+    val poItems = Seq(
+      // full chain: EPO present, two fulfillments
+      (11L, 101L, "FAB", "fabric", "P-1", "cot'ton", "EPO-1",
+        Option(ts("2020-03-06 00:00:00")), Option(ts("2020-03-15 00:00:00")),
+        "S-1", "supp'one", "USD", "$", Option(14000.0), "CASH",
+        Option(10.0), "MTR", Option(2.0), Option(10.0)),
+      // EPO missing, no fulfillments
+      (11L, 102L, "EMB", "embroidery", "P-2", "thread", null,
+        Option.empty[Timestamp], Option.empty[Timestamp],
+        null, null, null, null, Option.empty[Double], null,
+        Option(5.0), "PCS", Option(3.0), Option(5.0))
+    ).toDF("poId", "id", "categoryCode", "categoryName", "productCode",
+      "productName", "epoNo", "epoCreatedDate", "epoExpectedDeliveryDate",
+      "supplierCode", "supplierName", "currencyCode", "currencySymbol",
+      "currencyRate", "paymentMethod", "defaultQuantity", "defaultUomUnit",
+      "pricePerDealUnit", "dealQuantity")
     val fulfillments = Seq(
-      (10L, 1L, ts("2020-03-08 00:00:00"), "USD"), // earlier
-      (11L, 1L, ts("2020-03-12 00:00:00"), "USD"), // last → late
-      (12L, 2L, ts("2020-03-14 00:00:00"), "EUR")  // on time
-    ).toDF("fulfillmentId", "poItemId", "deliveryOrderDate", "doCurrencyCode")
-    val currencies = Seq(
-      ("USD", ts("2020-03-01 00:00:00"), 14000.0),
-      ("USD", ts("2020-03-11 00:00:00"), 15000.0), // as-of pick for item 1
-      ("USD", ts("2020-03-13 00:00:00"), 16000.0)  // after DO date → ignored
-    ).toDF("code", "date", "rate")
+      // early delivery, fully invoiced
+      (101L, 1001L, "DO-1", Option(ts("2020-03-10 00:00:00")), "URN-1",
+        Option(ts("2020-03-12 00:00:00")), "UPO-1",
+        Option(ts("2020-03-14 00:00:00")), Option(2.5), Option(9.0),
+        Option(ts("2020-04-01 00:00:00")), Option(0.0)),
+      // LAST fulfillment (highest id): late vs the 03-15 promise, and
+      // missing URN/UPO dates → the literal-0 day-count defaults
+      (101L, 1002L, "DO-2", Option(ts("2020-03-17 00:00:00")), null,
+        Option.empty[Timestamp], null, Option.empty[Timestamp],
+        Option.empty[Double], Option.empty[Double],
+        Option.empty[Timestamp], Option.empty[Double])
+    ).toDF("poItemId", "fulfillmentId", "deliveryOrderNo",
+      "deliveryOrderDate", "unitReceiptNoteNo", "unitReceiptNoteDate",
+      "interNoteNo", "interNoteDate", "interNotePrice", "interNoteQuantity",
+      "interNoteDueDate", "unitReceiptNoteDeliveredQuantity")
+    val prItems = Seq(
+      (2L, 201L, "BTN", "buttons", "P-9", "button'9", Option(100.0), "PCS")
+    ).toDF("prId", "id", "categoryCode", "categoryName", "productCode",
+      "productName", "quantity", "uomUnit")
 
     val fact = GarmentPurchasingFact.transform(Map(
-      "garmentPOItems" -> items, "fulfillments" -> fulfillments,
-      "garmentCurrencies" -> currencies))
-    val byId = fact.collect().map(r => r.getAs[Long]("po_item_id") -> r).toMap
+      "garmentPurchaseRequests" -> prs, "garmentPurchaseOrders" -> pos,
+      "garmentPOItems" -> poItems, "garmentFulfillments" -> fulfillments,
+      "garmentPRItems" -> prItems))
+    val rows = fact.collect()
 
-    assert(byId(1L).getAs[String]("category_type") === "Bahan Baku")
-    assert(byId(2L).getAs[String]("category_type") === "Jasa")
-    assert(byId(3L).getAs[String]("category_type") === "Accessories")
-    // item 1: last fulfillment 03-12 > shipment 03-10 → late; rate 15000
-    assert(byId(1L).getAs[String]("ontime_status") === "Tidak Tepat Waktu")
-    assert(byId(1L).getAs[Double]("total_price_idr") === 10.0 * 2.0 * 15000.0)
-    // item 2: EUR has no rate → default 1
-    assert(byId(2L).getAs[Double]("total_price_idr") === 5.0 * 3.0 * 1.0)
-    assert(byId(2L).getAs[String]("ontime_status") === "Tepat Waktu")
-    // item 3: no fulfillment at all → preserved with null status
-    assert(byId(3L).getAs[String]("ontime_status") === null)
+    // item 101 fans out to its two fulfillments
+    val i101 = rows.filter(_.getAs[Long]("po_item_id") == 101L)
+    assert(i101.length === 2)
+    // BOTH rows take the on-time status of the LAST fulfillment
+    // (03-17 > promise 03-15 → late), even the early delivery's row
+    assert(i101.map(_.getAs[String]("ontime_status")).toSet ===
+      Set("Tidak Tepat Waktu"))
+    assert(i101.forall(_.getAs[String]("category_type") === "Bahan Baku"))
+    assert(i101.forall(_.getAs[Double]("total_price") === 10.0 * 2.0 * 14000.0))
+    assert(i101.forall(_.getAs[String]("supplier_name") === "supp\"one"))
+    // WIB-shifted diffs: PR 03-01 → PO 03-04 = 3; EPO 03-06 → DO-2 03-17 = 11
+    assert(i101.forall(_.getAs[Int]("purchase_request_days") === 3))
+    val f2 = i101.find(_.getAs[String]("delivery_order_no") == "DO-2").get
+    assert(f2.getAs[Int]("delivery_order_days") === 11)
+    // fulfillment exists but URN/UPO dates are absent → literal 0s
+    assert(f2.getAs[Int]("unit_receipt_note_days") === 0)
+    assert(f2.getAs[Int]("unit_payment_order_days") === 0)
+    assert(f2.getAs[Int]("purchase_order_days") === 0)
+    assert(f2.getAs[String]("unit_receipt_note_days_range") === null)
+    val f1 = i101.find(_.getAs[String]("delivery_order_no") == "DO-1").get
+    assert(f1.getAs[Int]("unit_receipt_note_days") === 2)
+    assert(f1.getAs[String]("invoice_price") === "2.5")
+    // `!= undefined`: the zero delivered quantity survives as "0.0"
+    assert(f1.getAs[String]("unit_receipt_note_delivered_quantity") === "0.0")
+
+    // item 102: no fulfillments → ONE row, day counts NULL (not 0)
+    val i102 = rows.filter(_.getAs[Long]("po_item_id") == 102L)
+    assert(i102.length === 1)
+    assert(i102.head.get(i102.head.fieldIndex("delivery_order_days")) === null)
+    assert(i102.head.getAs[String]("supplier_name") === null)
+    assert(i102.head.getAs[String]("category_type") === "Jasa")
+    assert(i102.head.get(i102.head.fieldIndex("total_price")) === null)
+
+    // PR-2 has no PO: the PR-only branch fans out its own items
+    val i201 = rows.filter(_.getAs[Long]("po_item_id") == 201L)
+    assert(i201.length === 1)
+    assert(i201.head.getAs[String]("pr_no") === "PR-2")
+    assert(i201.head.getAs[String]("po_no") === null)
+    assert(i201.head.getAs[String]("purchasing_staff_name") === "pr\"creator")
+    assert(i201.head.getAs[Double]("purchase_quantity") === 100.0)
+    assert(i201.head.getAs[String]("category_type") === "Accessories")
+    assert(i201.head.get(i201.head.fieldIndex("purchase_request_days")) === null)
   }
 
   test("MigrationLogSync: latest successful record per description") {
