@@ -877,6 +877,411 @@ object PipelineQueries {
       "the FLAGSHIP Pembelian pipeline's full 10-table document chain " +
         "under the DuckDB oracle: inner-ized WHERE filters, seven lead " +
         "times with week/month buckets, C5 on-time on raw dates, JS " +
-        "zero-coercing total price, T1/C6 per column")
+        "zero-coercing total price, T1/C6 per column"),
+
+    QuerySpec("q96_pipeline_garment_purchasing",
+      (s, dir) => {
+        // GarmentPembelian's TWO branches: orders with key%3≠0 carry a
+        // PO (branch A: items from lineitem, fulfillments per item —
+        // none when linenumber%3=0, two when linenumber%4=0); key%3=0
+        // orders are PO-less and fan out PR items (branch B). EPO
+        // absent for partkey%4=0; zero rate for partkey%10=0; missing
+        // DO/URN/UPO dates by partkey mod 7/5/6.
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — dedupe on a total order so the derived item ids
+        // are unique and the last-fulfillment argmax is unambiguous
+        val liW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_quantity"))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .withColumn("__rn", row_number().over(liW))
+          .filter(col("__rn") === 1).drop("__rn")
+        val key = col("o_orderkey")
+        def days(n: org.apache.spark.sql.Column) =
+          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
+        val prs = o.select(key.as("id"), concat(lit("GPR-"), key).as("no"),
+          col("o_orderdate").as("createdDate"),
+          concat(lit("mk'r"), key % 5).as("createdBy"),
+          (col("o_orderdate") + days(lit(9))).as("expectedDeliveryDate"),
+          when(key % 13 === 0, lit(""))
+            .otherwise(concat(lit("U"), key % 3)).as("unitCode"),
+          lit("sewing").as("unitName"),
+          concat(lit("DV"), key % 2).as("divisionCode"),
+          lit("garment").as("divisionName"),
+          (key % 11 === 0).as("deleted"))
+        val pos = o.filter(key % 3 =!= 0).select(key.as("prId"),
+          (key + 1000000L).as("id"), concat(lit("GPO-"), key).as("no"),
+          (col("o_orderdate") + days(key % 6)).as("createdDate"),
+          concat(lit("st'f"), key % 4).as("createdBy"),
+          lit(false).as("deleted"))
+        val itemBase = li.filter(col("l_orderkey") % 3 =!= 0)
+        val itemId = col("l_orderkey") * 100 + col("l_linenumber")
+        val hasEpoF = col("l_partkey") % 4 =!= 0
+        val poItems = itemBase.select(
+          (col("l_orderkey") + 1000000L).as("poId"), itemId.as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
+            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
+          lit("category").as("categoryName"),
+          concat(lit("P-"), col("l_partkey")).as("productCode"),
+          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
+          when(hasEpoF, concat(lit("EPO-"), itemId)).as("epoNo"),
+          when(hasEpoF, col("l_shipdate") - days(lit(5)))
+            .as("epoCreatedDate"),
+          when(hasEpoF, col("l_shipdate") + days(col("l_suppkey") % 3 - 1))
+            .as("epoExpectedDeliveryDate"),
+          when(hasEpoF, concat(lit("S"), col("l_suppkey") % 5))
+            .as("supplierCode"),
+          when(hasEpoF, concat(lit("su'p"), col("l_suppkey") % 5))
+            .as("supplierName"),
+          when(hasEpoF, lit("USD")).as("currencyCode"),
+          when(hasEpoF, lit("$")).as("currencySymbol"),
+          when(hasEpoF && col("l_partkey") % 10 =!= 0,
+            (col("l_partkey") % 50).cast("double") * 100 + 1000)
+            .otherwise(when(hasEpoF, lit(0.0))).as("currencyRate"),
+          when(hasEpoF, lit("credit")).as("paymentMethod"),
+          when(col("l_partkey") % 17 === 0, lit(0.0))
+            .otherwise(col("l_quantity")).as("defaultQuantity"),
+          lit("MTR").as("defaultUomUnit"),
+          col("l_extendedprice").as("pricePerDealUnit"),
+          col("l_quantity").as("dealQuantity"))
+        val fBase = itemBase.filter(col("l_linenumber") % 3 =!= 0)
+        val f1 = fBase.select(itemId.as("poItemId"),
+          (itemId * 10 + 1).as("fulfillmentId"),
+          concat(lit("DO-"), itemId).as("deliveryOrderNo"),
+          when(col("l_partkey") % 7 =!= 0, col("l_shipdate"))
+            .as("deliveryOrderDate"),
+          when(col("l_partkey") % 5 =!= 0, concat(lit("URN-"), itemId))
+            .as("unitReceiptNoteNo"),
+          when(col("l_partkey") % 5 =!= 0, col("l_shipdate") + days(lit(2)))
+            .as("unitReceiptNoteDate"),
+          when(col("l_partkey") % 6 =!= 0, concat(lit("UPO-"), itemId))
+            .as("interNoteNo"),
+          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(4)))
+            .as("interNoteDate"),
+          when(col("l_partkey") % 6 =!= 0, col("l_extendedprice"))
+            .as("interNotePrice"),
+          when(col("l_partkey") % 6 =!= 0, col("l_quantity"))
+            .as("interNoteQuantity"),
+          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(30)))
+            .as("interNoteDueDate"),
+          when(col("l_partkey") % 5 =!= 0, (col("l_partkey") % 3).cast("double"))
+            .as("unitReceiptNoteDeliveredQuantity"))
+        val f2 = fBase.filter(col("l_linenumber") % 4 === 0).select(
+          itemId.as("poItemId"), (itemId * 10 + 2).as("fulfillmentId"),
+          concat(lit("DO2-"), itemId).as("deliveryOrderNo"),
+          (col("l_shipdate") + days(lit(3))).as("deliveryOrderDate"),
+          lit(null).cast("string").as("unitReceiptNoteNo"),
+          lit(null).cast("timestamp").as("unitReceiptNoteDate"),
+          lit(null).cast("string").as("interNoteNo"),
+          lit(null).cast("timestamp").as("interNoteDate"),
+          lit(null).cast("double").as("interNotePrice"),
+          lit(null).cast("double").as("interNoteQuantity"),
+          lit(null).cast("timestamp").as("interNoteDueDate"),
+          lit(null).cast("double").as("unitReceiptNoteDeliveredQuantity"))
+        val prItems = li.filter(col("l_orderkey") % 3 === 0).select(
+          col("l_orderkey").as("prId"), (itemId + 50000000L).as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
+            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
+          lit("category").as("categoryName"),
+          concat(lit("P-"), col("l_partkey")).as("productCode"),
+          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
+          when(col("l_partkey") % 9 === 0, lit(0.0))
+            .otherwise(col("l_quantity")).as("quantity"),
+          lit("PCS").as("uomUnit"))
+        graft.pipelines.GarmentPurchasingFact.transform(Map(
+          "garmentPurchaseRequests" -> prs, "garmentPurchaseOrders" -> pos,
+          "garmentPOItems" -> poItems, "garmentFulfillments" ->
+            f1.unionByName(f2), "garmentPRItems" -> prItems))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        li AS (SELECT *, l_orderkey*100 + l_linenumber AS item_id
+               FROM lineitem WHERE l_orderkey <= 2000
+               QUALIFY row_number() OVER (
+                 PARTITION BY l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_partkey, l_suppkey,
+                          l_extendedprice, l_quantity) = 1),
+        ib AS (SELECT * FROM li WHERE l_orderkey % 3 <> 0),
+        f1 AS (
+          SELECT item_id AS poItemId, item_id*10 + 1 AS fulfillmentId,
+            'DO-' || item_id AS deliveryOrderNo,
+            CASE WHEN l_partkey % 7 <> 0 THEN l_shipdate END AS doDate,
+            CASE WHEN l_partkey % 5 <> 0 THEN 'URN-' || item_id END AS urnNo,
+            CASE WHEN l_partkey % 5 <> 0 THEN l_shipdate + INTERVAL 2 DAY END AS urnDate,
+            CASE WHEN l_partkey % 6 <> 0 THEN 'UPO-' || item_id END AS upoNo,
+            CASE WHEN l_partkey % 6 <> 0 THEN l_shipdate + INTERVAL 4 DAY END AS upoDate,
+            CASE WHEN l_partkey % 6 <> 0 THEN l_extendedprice END AS upoPrice,
+            CASE WHEN l_partkey % 6 <> 0 THEN l_quantity END AS upoQty,
+            CASE WHEN l_partkey % 6 <> 0 THEN l_shipdate + INTERVAL 30 DAY END AS upoDueDate,
+            CASE WHEN l_partkey % 5 <> 0 THEN CAST(l_partkey % 3 AS DOUBLE) END AS deliveredQty
+          FROM ib WHERE l_linenumber % 3 <> 0),
+        f2 AS (
+          SELECT item_id AS poItemId, item_id*10 + 2 AS fulfillmentId,
+            'DO2-' || item_id AS deliveryOrderNo,
+            l_shipdate + INTERVAL 3 DAY AS doDate,
+            NULL AS urnNo, CAST(NULL AS TIMESTAMP) AS urnDate,
+            NULL AS upoNo, CAST(NULL AS TIMESTAMP) AS upoDate,
+            CAST(NULL AS DOUBLE) AS upoPrice, CAST(NULL AS DOUBLE) AS upoQty,
+            CAST(NULL AS TIMESTAMP) AS upoDueDate,
+            CAST(NULL AS DOUBLE) AS deliveredQty
+          FROM ib WHERE l_linenumber % 3 <> 0 AND l_linenumber % 4 = 0),
+        f AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+        lastdo AS (SELECT poItemId, arg_max(doDate, fulfillmentId) AS lastDoDate
+                   FROM f GROUP BY poItemId),
+        a AS (
+          SELECT
+            'GPR-' || ib.l_orderkey AS prNo,
+            o.o_orderdate AS prCreatedDate,
+            o.o_orderdate + INTERVAL 9 DAY AS prExpected,
+            CASE WHEN ib.l_orderkey % 13 = 0 THEN ''
+                 ELSE 'U' || (ib.l_orderkey % 3) END AS unitCode,
+            'DV' || (ib.l_orderkey % 2) AS divisionCode,
+            ib.l_orderkey % 11 = 0 AS prDeleted,
+            'GPO-' || ib.l_orderkey AS poNo,
+            o.o_orderdate + (ib.l_orderkey % 6) * INTERVAL 1 DAY AS poCreatedDate,
+            'st''f' || (ib.l_orderkey % 4) AS poCreatedBy,
+            ib.item_id,
+            CASE CAST(ib.l_linenumber % 3 AS INTEGER)
+              WHEN 0 THEN 'FAB' WHEN 1 THEN 'EMB' ELSE 'BTN' END AS catCode,
+            'P-' || ib.l_partkey AS productCode,
+            'pr''d' || (ib.l_partkey % 40) AS productName,
+            ib.l_partkey % 4 <> 0 AS hasEpo,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN 'EPO-' || ib.item_id END AS epoNo,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN ib.l_shipdate - INTERVAL 5 DAY END AS epoCreatedDate,
+            CASE WHEN ib.l_partkey % 4 <> 0
+                 THEN ib.l_shipdate + (ib.l_suppkey % 3 - 1) * INTERVAL 1 DAY
+            END AS epoExpected,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN 'S' || (ib.l_suppkey % 5) END AS supplierCode,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN 'su''p' || (ib.l_suppkey % 5) END AS supplierName,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN 'USD' END AS currencyCode,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN '$' END AS currencySymbol,
+            CASE WHEN ib.l_partkey % 4 <> 0 AND ib.l_partkey % 10 <> 0
+                 THEN CAST(ib.l_partkey % 50 AS DOUBLE) * 100 + 1000
+                 WHEN ib.l_partkey % 4 <> 0 THEN CAST(0.0 AS DOUBLE)
+            END AS currencyRate,
+            CASE WHEN ib.l_partkey % 4 <> 0 THEN 'credit' END AS paymentMethod,
+            CASE WHEN ib.l_partkey % 17 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE ib.l_quantity END AS defaultQuantity,
+            ib.l_extendedprice AS pricePerDealUnit,
+            ib.l_quantity AS dealQuantity,
+            f.fulfillmentId, f.deliveryOrderNo, f.doDate, f.urnNo, f.urnDate,
+            f.upoNo, f.upoDate, f.upoPrice, f.upoQty, f.upoDueDate,
+            f.deliveredQty, ld.lastDoDate
+          FROM ib
+          JOIN o ON o.o_orderkey = ib.l_orderkey
+          LEFT JOIN f ON f.poItemId = ib.item_id
+          LEFT JOIN lastdo ld ON ld.poItemId = ib.item_id)
+        SELECT
+          item_id AS po_item_id,
+          prNo AS pr_no,
+          strftime(prCreatedDate + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
+          strftime(prExpected + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS expected_pr_delivery_date,
+          CASE WHEN unitCode <> '' THEN unitCode END AS unit_code,
+          'sewing' AS unit_name,
+          divisionCode AS division_code,
+          'garment' AS division_name,
+          catCode AS category_code,
+          'category' AS category_name,
+          CASE WHEN lower(catCode) = 'fab' THEN 'Bahan Baku'
+               WHEN lower(catCode) IN ('emb','wsh','pls','prn','tes','qlt') THEN 'Jasa'
+               ELSE 'Accessories' END AS category_type,
+          productCode AS product_code,
+          replace(productName, '''', '"') AS product_name,
+          CAST(date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE),
+            CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+            AS purchase_request_days,
+          CASE WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS purchase_request_days_range,
+          CASE WHEN hasEpo THEN CAST(date_diff('day',
+            CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE),
+            CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS pr_po_external_days,
+          CASE WHEN NOT hasEpo OR epoCreatedDate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(prCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS pr_po_external_days_range,
+          CAST(prDeleted AS VARCHAR) AS deleted_pr,
+          poNo AS po_no,
+          strftime(poCreatedDate + INTERVAL 7 HOUR, '%Y-%m-%d') AS po_date,
+          CASE WHEN hasEpo THEN CAST(date_diff('day',
+            CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE),
+            CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS po_external_days,
+          CASE WHEN NOT hasEpo OR epoCreatedDate IS NULL THEN NULL
+               WHEN date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 7 THEN '0-7 hari'
+               WHEN date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 14 THEN '8-14 hari'
+               WHEN date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS po_external_days_range,
+          replace(poCreatedBy, '''', '"') AS purchasing_staff_name,
+          prNo AS pr_no_at_po,
+          'false' AS deleted_po,
+          epoNo AS po_external_no,
+          strftime(epoCreatedDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS po_external_date,
+          CASE WHEN fulfillmentId IS NOT NULL AND doDate IS NULL THEN 0
+               WHEN fulfillmentId IS NOT NULL
+               THEN CAST(date_diff('day',
+                 CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE),
+                 CAST(doDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS delivery_order_days,
+          CASE WHEN fulfillmentId IS NULL OR doDate IS NULL THEN NULL
+               WHEN COALESCE(date_diff('day', CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(doDate + INTERVAL 7 HOUR AS DATE)), 0) <= 30 THEN '0-30 hari'
+               WHEN COALESCE(date_diff('day', CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(doDate + INTERVAL 7 HOUR AS DATE)), 0) <= 60 THEN '31-60 hari'
+               WHEN COALESCE(date_diff('day', CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(doDate + INTERVAL 7 HOUR AS DATE)), 0) <= 90 THEN '61-90 hari'
+               ELSE '>90 hari' END AS delivery_order_days_range,
+          CASE WHEN hasEpo THEN supplierCode END AS supplier_code,
+          CASE WHEN hasEpo THEN replace(supplierName, '''', '"') END AS supplier_name,
+          CASE WHEN hasEpo THEN currencyCode END AS currency_code,
+          CASE WHEN hasEpo THEN currencySymbol END AS currency_symbol,
+          CASE WHEN hasEpo THEN paymentMethod END AS payment_method,
+          CASE WHEN hasEpo AND currencyRate IS NOT NULL AND currencyRate <> 0
+               THEN currencyRate END AS currency_rate,
+          CASE WHEN defaultQuantity IS NOT NULL AND defaultQuantity <> 0
+               THEN defaultQuantity END AS purchase_quantity,
+          'MTR' AS uom,
+          CASE WHEN hasEpo AND epoNo IS NOT NULL AND epoNo <> ''
+               THEN pricePerDealUnit END AS price_per_unit,
+          CASE WHEN currencyRate IS NOT NULL AND currencyRate <> 0
+                AND pricePerDealUnit IS NOT NULL AND pricePerDealUnit <> 0
+                AND dealQuantity IS NOT NULL AND dealQuantity <> 0
+               THEN dealQuantity * pricePerDealUnit * currencyRate
+          END AS total_price,
+          CASE WHEN hasEpo AND epoExpected IS NOT NULL
+               THEN strftime(epoExpected + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS expected_delivery_date,
+          prNo AS pr_no_at_po_ext,
+          CASE WHEN fulfillmentId IS NOT NULL THEN deliveryOrderNo
+          END AS delivery_order_no,
+          CASE WHEN fulfillmentId IS NOT NULL AND doDate IS NOT NULL
+               THEN strftime(doDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS delivery_order_date,
+          CASE WHEN fulfillmentId IS NOT NULL AND urnDate IS NULL THEN 0
+               WHEN fulfillmentId IS NOT NULL
+               THEN CAST(date_diff('day',
+                 CAST(doDate + INTERVAL 7 HOUR AS DATE),
+                 CAST(urnDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS unit_receipt_note_days,
+          CASE WHEN fulfillmentId IS NULL OR urnDate IS NULL THEN NULL
+               WHEN COALESCE(date_diff('day', CAST(doDate + INTERVAL 7 HOUR AS DATE), CAST(urnDate + INTERVAL 7 HOUR AS DATE)), 0) <= 7 THEN '0-7 hari'
+               WHEN COALESCE(date_diff('day', CAST(doDate + INTERVAL 7 HOUR AS DATE), CAST(urnDate + INTERVAL 7 HOUR AS DATE)), 0) <= 14 THEN '8-14 hari'
+               WHEN COALESCE(date_diff('day', CAST(doDate + INTERVAL 7 HOUR AS DATE), CAST(urnDate + INTERVAL 7 HOUR AS DATE)), 0) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS unit_receipt_note_days_range,
+          CASE WHEN fulfillmentId IS NOT NULL AND doDate IS NOT NULL THEN
+            CASE WHEN date_diff('day',
+                CAST(epoExpected + INTERVAL 7 HOUR AS DATE),
+                CAST(lastDoDate + INTERVAL 7 HOUR AS DATE)) <= 0
+              THEN 'Tepat Waktu' ELSE 'Tidak Tepat Waktu' END
+          END AS ontime_status,
+          CASE WHEN fulfillmentId IS NOT NULL THEN prNo END AS pr_no_at_do,
+          CASE WHEN fulfillmentId IS NOT NULL THEN urnNo
+          END AS unit_receipt_note_no,
+          CASE WHEN fulfillmentId IS NOT NULL AND urnDate IS NOT NULL
+               THEN strftime(urnDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS unit_receipt_note_date,
+          CASE WHEN fulfillmentId IS NOT NULL AND upoDate IS NULL THEN 0
+               WHEN fulfillmentId IS NOT NULL
+               THEN CAST(date_diff('day',
+                 CAST(urnDate + INTERVAL 7 HOUR AS DATE),
+                 CAST(upoDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS unit_payment_order_days,
+          CASE WHEN fulfillmentId IS NULL OR upoDate IS NULL THEN NULL
+               WHEN COALESCE(date_diff('day', CAST(urnDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 7 THEN '0-7 hari'
+               WHEN COALESCE(date_diff('day', CAST(urnDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 14 THEN '8-14 hari'
+               WHEN COALESCE(date_diff('day', CAST(urnDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 30 THEN '15-30 hari'
+               ELSE '>30 hari' END AS unit_payment_order_days_range,
+          CASE WHEN fulfillmentId IS NOT NULL THEN upoNo
+          END AS unit_payment_order_no,
+          CASE WHEN fulfillmentId IS NOT NULL AND upoDate IS NOT NULL
+               THEN strftime(upoDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS unit_payment_order_date,
+          CASE WHEN fulfillmentId IS NOT NULL AND upoDate IS NULL THEN 0
+               WHEN fulfillmentId IS NOT NULL
+               THEN CAST(date_diff('day',
+                 CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE),
+                 CAST(upoDate + INTERVAL 7 HOUR AS DATE)) AS INTEGER)
+          END AS purchase_order_days,
+          CASE WHEN fulfillmentId IS NULL OR upoDate IS NULL THEN NULL
+               WHEN COALESCE(date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 30 THEN '0-30 hari'
+               WHEN COALESCE(date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 60 THEN '31-60 hari'
+               WHEN COALESCE(date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(upoDate + INTERVAL 7 HOUR AS DATE)), 0) <= 90 THEN '61-90 hari'
+               ELSE '>90 hari' END AS purchase_order_days_range,
+          CASE WHEN upoPrice IS NOT NULL AND upoPrice <> 0
+               THEN CAST(upoPrice AS VARCHAR) END AS invoice_price,
+          CASE WHEN upoPrice IS NOT NULL AND upoPrice <> 0
+               THEN CAST(upoPrice AS VARCHAR) END AS unit_payment_order_price,
+          CASE WHEN upoQty IS NOT NULL AND upoQty <> 0
+               THEN CAST(upoQty AS VARCHAR) END AS unit_payment_order_quantity,
+          CASE WHEN upoDueDate IS NOT NULL
+               THEN strftime(upoDueDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS unit_payment_order_due_date,
+          CAST(deliveredQty AS VARCHAR) AS unit_receipt_note_delivered_quantity
+        FROM a
+        UNION ALL
+        SELECT
+          li.item_id + 50000000 AS po_item_id,
+          'GPR-' || li.l_orderkey AS pr_no,
+          strftime(o.o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
+          strftime(o.o_orderdate + INTERVAL 9 DAY + INTERVAL 7 HOUR,
+            '%Y-%m-%d') AS expected_pr_delivery_date,
+          CASE WHEN li.l_orderkey % 13 = 0 THEN NULL
+               ELSE 'U' || (li.l_orderkey % 3) END AS unit_code,
+          'sewing' AS unit_name,
+          'DV' || (li.l_orderkey % 2) AS division_code,
+          'garment' AS division_name,
+          CASE CAST(li.l_linenumber % 3 AS INTEGER)
+            WHEN 0 THEN 'FAB' WHEN 1 THEN 'EMB' ELSE 'BTN' END
+            AS category_code,
+          'category' AS category_name,
+          CASE WHEN li.l_linenumber % 3 = 0 THEN 'Bahan Baku'
+               WHEN li.l_linenumber % 3 = 1 THEN 'Jasa'
+               ELSE 'Accessories' END AS category_type,
+          'P-' || li.l_partkey AS product_code,
+          replace('pr''d' || (li.l_partkey % 40), '''', '"') AS product_name,
+          NULL AS purchase_request_days,
+          NULL AS purchase_request_days_range,
+          NULL AS pr_po_external_days,
+          NULL AS pr_po_external_days_range,
+          CAST(li.l_orderkey % 11 = 0 AS VARCHAR) AS deleted_pr,
+          NULL AS po_no, NULL AS po_date,
+          NULL AS po_external_days, NULL AS po_external_days_range,
+          replace('mk''r' || (li.l_orderkey % 5), '''', '"')
+            AS purchasing_staff_name,
+          NULL AS pr_no_at_po, NULL AS deleted_po,
+          NULL AS po_external_no, NULL AS po_external_date,
+          NULL AS delivery_order_days, NULL AS delivery_order_days_range,
+          NULL AS supplier_code, NULL AS supplier_name,
+          NULL AS currency_code, NULL AS currency_symbol,
+          NULL AS payment_method, CAST(NULL AS DOUBLE) AS currency_rate,
+          CASE WHEN li.l_partkey % 9 <> 0 AND li.l_quantity <> 0
+               THEN li.l_quantity END AS purchase_quantity,
+          'PCS' AS uom,
+          CAST(NULL AS DOUBLE) AS price_per_unit,
+          CAST(NULL AS DOUBLE) AS total_price,
+          NULL AS expected_delivery_date, NULL AS pr_no_at_po_ext,
+          NULL AS delivery_order_no, NULL AS delivery_order_date,
+          NULL AS unit_receipt_note_days, NULL AS unit_receipt_note_days_range,
+          NULL AS ontime_status, NULL AS pr_no_at_do,
+          NULL AS unit_receipt_note_no, NULL AS unit_receipt_note_date,
+          NULL AS unit_payment_order_days,
+          NULL AS unit_payment_order_days_range,
+          NULL AS unit_payment_order_no, NULL AS unit_payment_order_date,
+          NULL AS purchase_order_days, NULL AS purchase_order_days_range,
+          NULL AS invoice_price, NULL AS unit_payment_order_price,
+          NULL AS unit_payment_order_quantity,
+          NULL AS unit_payment_order_due_date,
+          NULL AS unit_receipt_note_delivered_quantity
+        FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+        WHERE li.l_orderkey % 3 = 0"""),
+      "GarmentPembelian's full two-branch dataflow under the DuckDB " +
+        "oracle: fulfillment fan-out with last-delivery on-time status, " +
+        "literal-0 vs null day-count dialects, !==undefined gates, and " +
+        "the PR-only branch over the request's own items")
   )
 }
