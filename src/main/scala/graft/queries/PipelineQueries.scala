@@ -1282,6 +1282,310 @@ object PipelineQueries {
       "GarmentPembelian's full two-branch dataflow under the DuckDB " +
         "oracle: fulfillment fan-out with last-delivery on-time status, " +
         "literal-0 vs null day-count dialects, !==undefined gates, and " +
-        "the PR-only branch over the request's own items")
+        "the PR-only branch over the request's own items"),
+
+    QuerySpec("q97_pipeline_daily_operation",
+      (s, dir) => {
+        graft.pipelines.DailyOperationFact.transform(dailyOpSources(s, dir))
+      },
+      Some(s"""
+        WITH $dailyOpSqlCtes
+        SELECT
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CASE WHEN badOutput IS NOT NULL AND badOutput <> 0
+               THEN badOutput END AS bad_output,
+          CASE WHEN r_description IS NOT NULL AND r_description <> ''
+               THEN substr(r_description, 1, 499) END AS bad_output_description,
+          substr(code, 1, 49) AS code,
+          strftime(dateInput + INTERVAL 7 HOUR, '%Y-%m-%d') AS input_date,
+          CASE WHEN dateOutput IS NOT NULL
+               THEN strftime(dateOutput + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS output_date,
+          CASE WHEN goodOutput IS NOT NULL AND goodOutput <> 0
+               THEN goodOutput END AS good_output,
+          CASE WHEN input IS NOT NULL AND input <> 0 THEN input END AS input,
+          CASE WHEN shift IS NOT NULL AND shift <> ''
+               THEN substr(shift, 1, 49) END AS shift,
+          CASE WHEN timeInput IS NOT NULL
+               THEN strftime(timeInput + INTERVAL 7 HOUR, '%H:%M:%S')
+          END AS input_time,
+          CASE WHEN timeOutput IS NOT NULL
+               THEN strftime(timeOutput + INTERVAL 7 HOUR, '%H:%M:%S')
+          END AS output_time,
+          substr(kanbanCode, 1, 49) AS kanban_code,
+          CASE WHEN k_grade IS NOT NULL AND k_grade <> ''
+               THEN substr(k_grade, 1, 49) END AS kanban_grade,
+          CASE WHEN k_cart_number IS NOT NULL AND k_cart_number <> ''
+               THEN substr(k_cart_number, 1, 49) END AS kanban_cart_number,
+          CASE WHEN k_cart_code IS NOT NULL AND k_cart_code <> ''
+               THEN substr(k_cart_code, 1, 49) END AS kanban_cart_code,
+          COALESCE(CASE WHEN k_cart_pcs IS NOT NULL AND k_cart_pcs <> 0
+                        THEN k_cart_pcs END, 0) AS kanban_cart_pcs,
+          COALESCE(CASE WHEN k_cart_qty IS NOT NULL AND k_cart_qty <> 0
+                        THEN k_cart_qty END, 0) AS kanban_cart_qty,
+          CASE WHEN ki_code IS NOT NULL AND ki_code <> ''
+               THEN substr(ki_code, 1, 49) END AS kanban_instruction_code,
+          CASE WHEN ki_name IS NOT NULL AND ki_name <> ''
+               THEN substr(ki_name, 1, 49) END AS kanban_instruction_name,
+          CASE WHEN k_order_type IS NOT NULL AND k_order_type <> ''
+               THEN substr(k_order_type, 1, 24) END AS order_type,
+          CASE WHEN k_color_request IS NOT NULL AND k_color_request <> ''
+               THEN replace(substr(k_color_request, 1, 49), '''', '"')
+          END AS color_request,
+          CASE WHEN k_color_template IS NOT NULL AND k_color_template <> ''
+               THEN replace(substr(k_color_template, 1, 499), '''', '"')
+          END AS color_template,
+          CASE WHEN m_code IS NOT NULL AND m_code <> ''
+               THEN substr(m_code, 1, 49) END AS machine_code,
+          CASE WHEN m_condition IS NOT NULL AND m_condition <> ''
+               THEN substr(m_condition, 1, 49) END AS machine_condition,
+          CASE WHEN m_manufacture IS NOT NULL AND m_manufacture <> ''
+               THEN substr(m_manufacture, 1, 49) END AS machine_manufacture,
+          CASE WHEN m_monthly_capacity IS NOT NULL AND m_monthly_capacity <> 0
+               THEN m_monthly_capacity END AS machine_monthly_capacity,
+          CASE WHEN m_name IS NOT NULL AND m_name <> ''
+               THEN substr(m_name, 1, 49) END AS machine_name,
+          CASE WHEN m_process IS NOT NULL AND m_process <> ''
+               THEN substr(m_process, 1, 49) END AS machine_process,
+          CASE WHEN m_year IS NOT NULL AND m_year <> 0
+               THEN substr(CAST(m_year AS VARCHAR), 1, 4) END AS machine_year,
+          CASE WHEN k_uom IS NOT NULL AND k_uom <> ''
+                AND input IS NOT NULL AND input <> 0
+               THEN input END AS input_quantity_conversion,
+          CASE WHEN k_uom IS NOT NULL AND k_uom <> ''
+                AND goodOutput IS NOT NULL AND goodOutput <> 0
+               THEN goodOutput END AS good_output_quantity_conversion,
+          CASE WHEN k_uom IS NOT NULL AND k_uom <> ''
+                AND badOutput IS NOT NULL AND badOutput <> 0
+               THEN badOutput END AS bad_output_quantity_conversion,
+          substr(type, 1, 9) AS type,
+          CASE WHEN stepId IS NOT NULL AND stepId <> 0
+               THEN substr(CAST(stepId AS VARCHAR), 1, 49)
+          END AS step_process_id,
+          CASE WHEN stepProcess IS NOT NULL AND stepProcess <> ''
+               THEN substr(stepProcess, 1, 49) END AS step_process,
+          CASE WHEN k_po_no IS NOT NULL AND k_po_no <> ''
+               THEN substr(k_po_no, 1, 99) END AS production_order_no,
+          CASE WHEN k_sc_no IS NOT NULL AND k_sc_no <> ''
+               THEN substr(k_sc_no, 1, 99) END AS sales_contract_no,
+          CASE WHEN r_action IS NOT NULL AND r_action <> ''
+               THEN replace(substr(r_action, 1, 254), '''', '"')
+          END AS action
+        FROM joined"""),
+      "DailyOperationFact's operations fact under the DuckDB oracle: " +
+        "5-way left chain with per-reason fan-out (description+action " +
+        "ride the reasons join), T2 truncation everywhere, M4 zero " +
+        "defaults, WIB dates and times, conversion gates on the kanban " +
+        "uom"),
+
+    QuerySpec("q98_pipeline_daily_operation_reasons",
+      (s, dir) => graft.pipelines.DailyOperationFact.transformReasons(
+        dailyOpSources(s, dir)),
+      Some("""
+        WITH r AS (
+          SELECT l_orderkey AS d_id,
+                 'BC-' || CAST(l_linenumber AS VARCHAR) AS badOutputCode,
+                 CASE WHEN l_partkey % 6 = 0 THEN NULL
+                      ELSE 'torn ''edge'' ' || CAST(l_partkey % 9 AS VARCHAR)
+                 END AS badOutputReason,
+                 CASE WHEN l_partkey % 4 = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE l_quantity END AS length,
+                 CASE WHEN l_partkey % 5 = 0 THEN ''
+                      ELSE 'cut at ' || CAST(l_partkey % 7 AS VARCHAR)
+                 END AS description,
+                 CASE WHEN l_partkey % 3 = 0 THEN NULL
+                      ELSE 're''do ' || CAST(l_partkey % 5 AS VARCHAR)
+                 END AS action
+          FROM lineitem WHERE l_orderkey <= 2000),
+        d AS (SELECT o_orderkey AS d_id, 'OP-' || o_orderkey AS d_code
+              FROM orders WHERE o_orderkey <= 2000)
+        SELECT d.d_code AS daily_operation_code,
+          CASE WHEN badOutputCode IS NOT NULL AND badOutputCode <> ''
+               THEN badOutputCode END AS bad_output_reason_code,
+          CASE WHEN badOutputReason IS NOT NULL AND badOutputReason <> ''
+               THEN replace(badOutputReason, '''', '"') END AS reason,
+          COALESCE(CASE WHEN length IS NOT NULL AND length <> 0
+                        THEN length END, 0) AS length,
+          CASE WHEN description IS NOT NULL AND description <> ''
+               THEN replace(description, '''', '"') END AS description,
+          CASE WHEN action IS NOT NULL AND action <> ''
+               THEN replace(action, '''', '"') END AS action
+        FROM r JOIN d USING (d_id)"""),
+      "the second staging table of the S12 dual sink: reasons INNER " +
+        "JOIN operations, quote swaps, M4 length default")
   )
+
+  /** Fixture-shaped sources for the DailyOperation dual-fact pipeline,
+    * shared by q97/q98: operations from orders, per-operation reasons
+    * from lineitem (fan-out), kanbans+instructions from customer,
+    * machines from supplier. */
+  private def dailyOpSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+    val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+    val key = col("o_orderkey")
+    def hrs(n: org.apache.spark.sql.Column) =
+      make_dt_interval(lit(0), n.cast("int"), lit(0), lit(0.0))
+    val ops = o.select(key.as("id"), concat(lit("OP-"), key).as("code"),
+      when(key % 2 === 0, lit("input")).otherwise(lit("output")).as("type"),
+      (key % 11 === 0).as("isDeleted"),
+      when(key % 7 === 0, lit(0.0)).otherwise((key % 40).cast("double"))
+        .as("badOutput"),
+      col("o_orderdate").as("dateInput"),
+      when(key % 3 =!= 0, col("o_orderdate") + hrs(lit(26)))
+        .as("dateOutput"),
+      when(key % 5 === 0, lit(null).cast("double"))
+        .otherwise((key % 90).cast("double")).as("goodOutput"),
+      ((key % 100) + 1).cast("double").as("input"),
+      when(key % 4 === 0, lit("")).otherwise(concat(lit("shift '"), key % 3,
+        lit("'"))).as("shift"),
+      (col("o_orderdate") + hrs(key % 23)).as("timeInput"),
+      when(key % 3 =!= 0, col("o_orderdate") + hrs(key % 23 + 9))
+        .as("timeOutput"),
+      concat(lit("K-"), key % 500).as("kanbanCode"),
+      (key % 500).as("kanbanId"),
+      (key % 100 + 1).as("machineId"),
+      when(key % 6 === 0, lit(0L)).otherwise(key % 30).as("stepId"),
+      when(key % 8 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("step "), key % 12)).as("stepProcess"))
+    val reasons = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey").as("dailyOperationId"),
+        concat(lit("BC-"), col("l_linenumber")).as("badOutputCode"),
+        when(col("l_partkey") % 6 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("torn 'edge' "), col("l_partkey") % 9))
+          .as("badOutputReason"),
+        when(col("l_partkey") % 4 === 0, lit(0.0))
+          .otherwise(col("l_quantity")).as("length"),
+        when(col("l_partkey") % 5 === 0, lit(""))
+          .otherwise(concat(lit("cut at "), col("l_partkey") % 7))
+          .as("description"),
+        when(col("l_partkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("re'do "), col("l_partkey") % 5))
+          .as("action"))
+    val c = Tables.load(s, dir, "customer").filter(col("c_custkey") <= 500)
+    val ck = col("c_custkey")
+    val kanbans = c.select(ck.as("id"),
+      when(ck % 4 === 0, lit("")).otherwise(lit("A")).as("grade"),
+      concat(lit("CART-"), ck % 40).as("cartCartNumber"),
+      concat(lit("CC-"), ck % 25).as("cartCode"),
+      when(ck % 3 === 0, lit(null).cast("double"))
+        .otherwise((ck % 9).cast("double")).as("cartPcs"),
+      (ck % 50).cast("double").as("cartQty"),
+      concat(lit("printing with an extremely long type name "), ck % 5)
+        .as("productionOrderOrderTypeName"),
+      concat(lit("red'ish "), ck % 6)
+        .as("selectedProductionOrderDetailColorRequest"),
+      concat(lit("tpl'"), ck % 7)
+        .as("selectedProductionOrderDetailColorTemplate"),
+      when(ck % 5 === 0, lit(""))
+        .otherwise(lit("MTR")).as("selectedProductionOrderDetailUomUnit"),
+      concat(lit("ORD-"), ck % 300).as("productionOrderOrderNo"),
+      concat(lit("SC-"), ck % 200).as("productionOrderSalesContractNo"))
+    val instr = c.filter(ck % 2 === 0).select(ck.as("kanbanId"),
+      concat(lit("KI-"), ck % 20).as("code"),
+      when(ck % 10 === 0, lit("")).otherwise(lit("wash")).as("name"))
+    val sup = Tables.load(s, dir, "supplier")
+    val machines = sup.select(col("s_suppkey").as("id"),
+      concat(lit("M-"), col("s_suppkey")).as("code"),
+      lit("ok").as("condition"),
+      concat(lit("ACME "), col("s_suppkey") % 4).as("manufacture"),
+      when(col("s_suppkey") % 6 === 0, lit(0.0))
+        .otherwise((col("s_suppkey") % 80).cast("double") * 100)
+        .as("monthlyCapacity"),
+      col("s_name").as("name"), lit("weave").as("process"),
+      (lit(2000) + col("s_suppkey") % 24).as("year"))
+    Map("dailyOperations" -> ops, "badOutputReasons" -> reasons,
+      "kanbans" -> kanbans, "kanbanInstructions" -> instr,
+      "machines" -> machines)
+  }
+
+  /** The q97 oracle's source CTEs (string-interpolated so the fixture
+    * shaping lives next to its Spark twin above; a def — `specs` above
+    * initializes first and a val here would still be null then). */
+  private def dailyOpSqlCtes: String = """
+        o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        ops AS (
+          SELECT o_orderkey AS d_id, 'OP-' || o_orderkey AS code,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'input' ELSE 'output' END AS type,
+            o_orderkey % 11 = 0 AS isDeleted,
+            CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey % 40 AS DOUBLE) END AS badOutput,
+            o_orderdate AS dateInput,
+            CASE WHEN o_orderkey % 3 <> 0
+                 THEN o_orderdate + INTERVAL 26 HOUR END AS dateOutput,
+            CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(o_orderkey % 90 AS DOUBLE) END AS goodOutput,
+            CAST(o_orderkey % 100 + 1 AS DOUBLE) AS input,
+            CASE WHEN o_orderkey % 4 = 0 THEN ''
+                 ELSE 'shift ''' || CAST(o_orderkey % 3 AS VARCHAR) || ''''
+            END AS shift,
+            o_orderdate + (o_orderkey % 23) * INTERVAL 1 HOUR AS timeInput,
+            CASE WHEN o_orderkey % 3 <> 0
+                 THEN o_orderdate + (o_orderkey % 23 + 9) * INTERVAL 1 HOUR
+            END AS timeOutput,
+            'K-' || CAST(o_orderkey % 500 AS VARCHAR) AS kanbanCode,
+            o_orderkey % 500 AS kanbanId,
+            o_orderkey % 100 + 1 AS machineId,
+            CASE WHEN o_orderkey % 6 = 0 THEN 0
+                 ELSE o_orderkey % 30 END AS stepId,
+            CASE WHEN o_orderkey % 8 = 0 THEN NULL
+                 ELSE 'step ' || CAST(o_orderkey % 12 AS VARCHAR)
+            END AS stepProcess
+          FROM o),
+        reasons AS (
+          SELECT l_orderkey AS d_id,
+            CASE WHEN l_partkey % 6 = 0 THEN NULL
+                 ELSE 'torn ''edge'' ' || CAST(l_partkey % 9 AS VARCHAR)
+            END AS r_description_src,
+            CASE WHEN l_partkey % 5 = 0 THEN ''
+                 ELSE 'cut at ' || CAST(l_partkey % 7 AS VARCHAR)
+            END AS r_description,
+            CASE WHEN l_partkey % 3 = 0 THEN NULL
+                 ELSE 're''do ' || CAST(l_partkey % 5 AS VARCHAR)
+            END AS r_action
+          FROM lineitem WHERE l_orderkey <= 2000),
+        kanbans AS (
+          SELECT c_custkey AS k_id,
+            CASE WHEN c_custkey % 4 = 0 THEN '' ELSE 'A' END AS k_grade,
+            'CART-' || CAST(c_custkey % 40 AS VARCHAR) AS k_cart_number,
+            'CC-' || CAST(c_custkey % 25 AS VARCHAR) AS k_cart_code,
+            CASE WHEN c_custkey % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(c_custkey % 9 AS DOUBLE) END AS k_cart_pcs,
+            CAST(c_custkey % 50 AS DOUBLE) AS k_cart_qty,
+            'printing with an extremely long type name ' ||
+              CAST(c_custkey % 5 AS VARCHAR) AS k_order_type,
+            'red''ish ' || CAST(c_custkey % 6 AS VARCHAR) AS k_color_request,
+            'tpl''' || CAST(c_custkey % 7 AS VARCHAR) AS k_color_template,
+            CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'MTR' END AS k_uom,
+            'ORD-' || CAST(c_custkey % 300 AS VARCHAR) AS k_po_no,
+            'SC-' || CAST(c_custkey % 200 AS VARCHAR) AS k_sc_no
+          FROM customer WHERE c_custkey <= 500),
+        instr AS (
+          SELECT c_custkey AS k_id,
+            'KI-' || CAST(c_custkey % 20 AS VARCHAR) AS ki_code,
+            CASE WHEN c_custkey % 10 = 0 THEN '' ELSE 'wash' END AS ki_name
+          FROM customer WHERE c_custkey <= 500 AND c_custkey % 2 = 0),
+        machines AS (
+          SELECT s_suppkey AS m_id, 'M-' || s_suppkey AS m_code,
+            'ok' AS m_condition,
+            'ACME ' || CAST(s_suppkey % 4 AS VARCHAR) AS m_manufacture,
+            CASE WHEN s_suppkey % 6 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(s_suppkey % 80 AS DOUBLE) * 100
+            END AS m_monthly_capacity,
+            s_name AS m_name, 'weave' AS m_process,
+            2000 + s_suppkey % 24 AS m_year
+          FROM supplier),
+        joined AS (
+          SELECT ops.*, r.r_description, r.r_action,
+                 k.k_grade, k.k_cart_number, k.k_cart_code, k.k_cart_pcs,
+                 k.k_cart_qty, k.k_order_type, k.k_color_request,
+                 k.k_color_template, k.k_uom, k.k_po_no, k.k_sc_no,
+                 i.ki_code, i.ki_name,
+                 m.m_code, m.m_condition, m.m_manufacture,
+                 m.m_monthly_capacity, m.m_name, m.m_process, m.m_year
+          FROM ops
+          LEFT JOIN reasons r ON r.d_id = ops.d_id
+          LEFT JOIN kanbans k ON k.k_id = ops.kanbanId
+          LEFT JOIN instr i ON i.k_id = ops.kanbanId
+          LEFT JOIN machines m ON m.m_id = ops.machineId)"""
 }
