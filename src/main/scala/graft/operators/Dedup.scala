@@ -241,7 +241,16 @@ object Dedup {
     case org.apache.spark.sql.types.IntegerType =>
       Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
     case org.apache.spark.sql.types.StringType =>
-      Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      // must match the distributed loop's min(label), which compares
+      // UTF8String (UTF-8 bytes) — Java String ordering (UTF-16 code
+      // units) disagrees for BMP-private-use vs supplementary chars
+      Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String]))
+      })
     case _ => None
   }
 

@@ -378,7 +378,8 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     eps: Double, nCentroids: Int = 16,
                     centroidIters: Int = 8): DataFrame = {
-    require(nCentroids >= 1, s"need >= 1 centroid, got $nCentroids")
+    // fitCentroids needs >= 2, and greatest() needs >= 2 struct args
+    require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
     val cents = fitCentroids(df, idCol, vecCol, nCentroids, centroidIters)
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
     val bestCell = greatest(cents.map { case (cid, v) =>
@@ -386,9 +387,13 @@ object Similarity {
         lit(-cid).as("neg_id"))
     }.toIndexedSeq: _*)
     // normalized vectors + cell ids feed both sides of the pair join —
-    // pin so normalization and assignment run once
+    // pin so normalization and assignment run once. The id rides RAW
+    // (no long cast): non-numeric ids would cast to NULL and silently
+    // survive the final anti-join
     val base = graft.ops.materialize(
-      normed(df, idCol, vecCol)
+      df.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", l2Norm(col("v")))
         .withColumn("cell", -bestCell.getField("neg_id")))
     val a = base.select(col("cell"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
@@ -398,6 +403,6 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= eps)
       .select(col("id_b").as("__drop_id")).distinct()
-    df.join(drop, col(idCol).cast("long") === col("__drop_id"), "left_anti")
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 }

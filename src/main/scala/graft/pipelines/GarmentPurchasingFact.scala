@@ -204,7 +204,11 @@ object GarmentPurchasingFact extends Pipeline {
         .as("total_price"),
       when(hasEpo && col("epoExpectedDeliveryDate").isNotNull,
         dateStr(col("epoExpectedDeliveryDate"))).as("expected_delivery_date"),
-      when(gs(col("prNo")).isNotNull, col("prNo")).as("pr_no_at_po_ext"),
+      // branch-inconsistent dialect: swapped on fulfillment rows
+      // (run.js:664) but NOT on PO-only rows (run.js:739)
+      when(gs(col("prNo")).isNotNull,
+        when(hasFf, q(col("prNo"))).otherwise(col("prNo")))
+        .as("pr_no_at_po_ext"),
       when(hasFf && gs(col("deliveryOrderNo")).isNotNull,
         q(col("deliveryOrderNo"))).as("delivery_order_no"),
       when(hasFf && col("deliveryOrderDate").isNotNull,

@@ -56,7 +56,12 @@ object PurchasingFact extends Pipeline {
   private def gn(c: Column): Column = business.nullIfFalsyNum(c)
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
-    val pr = t("purchaserequests").select(
+    // run.js:167 also filters pr.createdby NOT IN ('dev','unit-test');
+    // SQL NOT IN drops NULL createdby rows too.
+    val pr = t("purchaserequests")
+      .filter(col("createdBy").isNotNull &&
+        !col("createdBy").isin("dev", "unit-test"))
+      .select(
       col("id").as("pr_id"), col("no").as("prNo"),
       col("createdUtc").as("prCreatedUtc"),
       col("expectedDeliveryDate").as("prExpectedDeliveryDate"),

@@ -599,7 +599,9 @@ object PipelineQueries {
         // document chain, shaped from orders+lineitem: chains die at
         // the EPO hop for key%4=0, at delivery for %3=0, at receipt for
         // %5=0, at payment for %7=0; ipo created by "dev" for %13=0
-        // (inner-ized away); epo items deleted for %17=0; zero currency
+        // (inner-ized away); pr created by "unit-test" for %19=0 and by
+        // NULL for %23=0 (both fail pr.createdby NOT IN, run.js:167);
+        // epo items deleted for %17=0; zero currency
         // rate for %10=0 (JS a*0 total); quotes in supplier/product
         // names exercise T1
         import s.implicits._
@@ -610,6 +612,9 @@ object PipelineQueries {
             make_dt_interval(days.cast("int"), lit(0), lit(0), lit(0.0))
         val prs = o.select(
           key.as("id"), concat(lit("PR-"), key).as("no"),
+          when(key % 19 === 0, lit("unit-test"))
+            .when(key % 23 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("user"), key % 4)).as("createdBy"),
           col("o_orderdate").as("createdUtc"),
           expr("timestampadd(DAY, 10, o_orderdate)")
             .as("expectedDeliveryDate"),
@@ -760,7 +765,9 @@ object PipelineQueries {
             UNION ALL SELECT 2, 'Rupiah' UNION ALL SELECT 3, 'Euro') cur
             ON cur.cid = o.o_orderkey % 3 + 1 AND o.o_orderkey % 4 <> 0
           WHERE o.o_orderkey % 13 <> 0   -- dev-created internal PO dropped
-            AND o.o_orderkey % 17 <> 0)  -- deleted EPO item dropped
+            AND o.o_orderkey % 17 <> 0   -- deleted EPO item dropped
+            AND o.o_orderkey % 19 <> 0   -- unit-test-created PR dropped
+            AND o.o_orderkey % 23 <> 0)  -- NULL-creator PR fails NOT IN
         SELECT
           prNo AS pr_no,
           strftime(prCreatedUtc + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
@@ -902,7 +909,7 @@ object PipelineQueries {
         val key = col("o_orderkey")
         def days(n: org.apache.spark.sql.Column) =
           make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
-        val prs = o.select(key.as("id"), concat(lit("GPR-"), key).as("no"),
+        val prs = o.select(key.as("id"), concat(lit("GPR'"), key).as("no"),
           col("o_orderdate").as("createdDate"),
           concat(lit("mk'r"), key % 5).as("createdBy"),
           (col("o_orderdate") + days(lit(9))).as("expectedDeliveryDate"),
@@ -1033,7 +1040,7 @@ object PipelineQueries {
                    FROM f GROUP BY poItemId),
         a AS (
           SELECT
-            'GPR-' || ib.l_orderkey AS prNo,
+            'GPR''' || ib.l_orderkey AS prNo,
             o.o_orderdate AS prCreatedDate,
             o.o_orderdate + INTERVAL 9 DAY AS prExpected,
             CASE WHEN ib.l_orderkey % 13 = 0 THEN ''
@@ -1076,7 +1083,7 @@ object PipelineQueries {
           LEFT JOIN lastdo ld ON ld.poItemId = ib.item_id)
         SELECT
           item_id AS po_item_id,
-          prNo AS pr_no,
+          replace(prNo, '''', '"') AS pr_no,
           strftime(prCreatedDate + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
           strftime(prExpected + INTERVAL 7 HOUR, '%Y-%m-%d')
             AS expected_pr_delivery_date,
@@ -1120,7 +1127,7 @@ object PipelineQueries {
                WHEN date_diff('day', CAST(poCreatedDate + INTERVAL 7 HOUR AS DATE), CAST(epoCreatedDate + INTERVAL 7 HOUR AS DATE)) <= 30 THEN '15-30 hari'
                ELSE '>30 hari' END AS po_external_days_range,
           replace(poCreatedBy, '''', '"') AS purchasing_staff_name,
-          prNo AS pr_no_at_po,
+          replace(prNo, '''', '"') AS pr_no_at_po,
           'false' AS deleted_po,
           epoNo AS po_external_no,
           strftime(epoCreatedDate + INTERVAL 7 HOUR, '%Y-%m-%d')
@@ -1156,7 +1163,9 @@ object PipelineQueries {
           CASE WHEN hasEpo AND epoExpected IS NOT NULL
                THEN strftime(epoExpected + INTERVAL 7 HOUR, '%Y-%m-%d')
           END AS expected_delivery_date,
-          prNo AS pr_no_at_po_ext,
+          CASE WHEN fulfillmentId IS NOT NULL
+               THEN replace(prNo, '''', '"') ELSE prNo
+          END AS pr_no_at_po_ext,
           CASE WHEN fulfillmentId IS NOT NULL THEN deliveryOrderNo
           END AS delivery_order_no,
           CASE WHEN fulfillmentId IS NOT NULL AND doDate IS NOT NULL
@@ -1226,7 +1235,7 @@ object PipelineQueries {
         UNION ALL
         SELECT
           li.item_id + 50000000 AS po_item_id,
-          'GPR-' || li.l_orderkey AS pr_no,
+          'GPR"' || li.l_orderkey AS pr_no,
           strftime(o.o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d') AS pr_date,
           strftime(o.o_orderdate + INTERVAL 9 DAY + INTERVAL 7 HOUR,
             '%Y-%m-%d') AS expected_pr_delivery_date,

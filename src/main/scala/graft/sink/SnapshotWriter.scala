@@ -20,6 +20,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object SnapshotWriter {
 
   private val Latest = "_LATEST"
+  private val Committed = "_COMMITTED"
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -65,9 +66,13 @@ object SnapshotWriter {
     val f = fs(spark)
     val rootP = new Path(root)
     val next = versionDirs(f, rootP).lastOption.map(_._1 + 1).getOrElse(0L)
-    df.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(rootP, f"v=$next%08d").toString)
+    val dir = new Path(rootP, f"v=$next%08d")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     writePointer(f, rootP, next)
+    // marker AFTER the pointer flip: its presence proves this version
+    // was once committed, so the pointer-absent fallback in read()
+    // can never serve a version whose flip never happened
+    f.create(new Path(dir, Committed), true).close()
     // prune everything older than the keep window — but never a version
     // the pointer might still name (the pointer was just flipped to
     // `next`, so anything below the window is unreachable)
@@ -82,11 +87,15 @@ object SnapshotWriter {
     val f = fs(spark)
     val rootP = new Path(root)
     // belt-and-braces: if the pointer is momentarily absent (non-HDFS
-    // stores without atomic replace), fall back to the highest retained
-    // version — write() only flips the pointer after that version is
-    // fully written, so the highest v= directory is always complete
+    // stores without atomic replace), fall back to the highest version
+    // carrying a `_COMMITTED` marker — the marker is written after the
+    // pointer flip, so a writer that crashed after fully writing its
+    // directory but before its first flip can never be served here
     val v = version.orElse(readPointer(f, rootP))
-      .orElse(versionDirs(f, rootP).lastOption.map(_._1)).getOrElse(
+      .orElse(versionDirs(f, rootP).reverse
+        .find { case (_, p) => f.exists(new Path(p, Committed)) }
+        .map(_._1))
+      .getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     spark.read.parquet(new Path(rootP, f"v=$v%08d").toString)
   }

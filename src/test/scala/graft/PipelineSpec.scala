@@ -37,6 +37,7 @@ class PipelineSpec extends SparkSpec {
     ).toDF("id", "no", "createdUtc", "expectedDeliveryDate", "budgetCode",
       "budgetName", "unitCode", "unitName", "divisionCode", "divisionName",
       "categoryCode", "categoryName", "isDeleted", "lastmodifiedutc")
+      .withColumn("createdBy", org.apache.spark.sql.functions.lit("staff"))
       .filter(org.apache.spark.sql.functions.col("lastmodifiedutc") <= ts(upTo))
     val ipos = Seq(
       (1L, 11L, "PO-1", "alice", ts("2020-01-04 00:00:00"), false, "PR-1",
