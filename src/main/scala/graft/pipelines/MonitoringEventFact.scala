@@ -38,8 +38,10 @@ object MonitoringEventFact extends Pipeline {
   override val watermarkInclusive = true
 
   def transform(t: Map[String, DataFrame]): DataFrame = {
-    val ev = relational.notInKeepNulls(t("monitoringEvents"),
-      col("createdBy"), Seq("dev", "unit-test"))
+    // SQL-source NOT IN (run.js:91): NULL createdBy fails the predicate
+    // under three-valued logic, unlike the Mongo-side keep-nulls dialect
+    val ev = t("monitoringEvents").filter(col("createdBy").isNotNull &&
+      !col("createdBy").isin("dev", "unit-test"))
 
     val machine = t("machines").select(col("id").as("m_id"),
       col("code").as("m_code"), col("condition").as("m_condition"),
@@ -134,10 +136,12 @@ object MonitoringEventFact extends Pipeline {
       when(ordered, col("po_order_qty").cast("string")).as("order_quantity"),
       when(ordered, col("po_uom")).as("uom"),
       business.nullIfFalsyStr(business.quoteSwap(col("remark"))).as("event_remark"),
-      when(col("me_name").isNotNull, business.quoteSwap(col("me_name")))
-        .as("machine_event_name"),
-      // T5+T1: `machineEvent.no.toString().replace(...)`
-      when(col("me_no").isNotNull,
+      // truthiness gate on the NAME itself (run.js:287): "" → NULL
+      when(business.nullIfFalsyStr(col("me_name")).isNotNull,
+        business.quoteSwap(col("me_name"))).as("machine_event_name"),
+      // T5+T1: `machineEvent.no.toString().replace(...)`, gated on the
+      // truthy NUMBER (run.js:289): 0 → NULL
+      when(business.nullIfFalsyNum(col("me_no")).isNotNull,
         business.quoteSwap(col("me_no").cast("string"))).as("machine_event_no"),
       // D10: range only when dateEnd is truthy (run.js:288)
       when(col("dateEnd").isNotNull,

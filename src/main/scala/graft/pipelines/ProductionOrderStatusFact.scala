@@ -93,6 +93,11 @@ object ProductionOrderStatusFact extends Pipeline {
       business.nullIfFalsyStr(col("po_no")).as("production_order_no"),
       when(business.nullIfFalsyNum(col("po_qty")).isNotNull,
         conv(col("po_uom"), col("po_qty"))).as("production_order_quantity"),
+      // run.js:270 — the PO's own contract number (= the join key when
+      // the PO matched), truthiness-gated, null when the PO is absent
+      when(col("po_no").isNotNull,
+        business.nullIfFalsyStr(col("salesContractNo")))
+        .as("production_sales_contract_no"),
       when(col("k_created").isNotNull,
         date_format(business.wibTimestamp(col("k_created")), "yyyy-MM-dd"))
         .as("kanban_date"),
@@ -106,6 +111,10 @@ object ProductionOrderStatusFact extends Pipeline {
       when(col("dop_code").isNotNull, col("dop_input"))
         .as("daily_operation_quantity"),
       business.nullIfFalsyStr(col("dop_code")).as("daily_operation_code"),
+      // run.js:278 — gated on DOP presence only, value is the KANBAN's
+      // contract number rewired through joinDailyOperation (run.js:185)
+      when(col("dop_code").isNotNull, col("k_sc_no"))
+        .as("daily_operation_sales_contract_no"),
       when(col("dop_created").isNotNull,
         date_format(business.wibTimestamp(col("dop_created")), "yyyy-MM-dd"))
         .as("daily_operation_date"),
@@ -123,6 +132,8 @@ object ProductionOrderStatusFact extends Pipeline {
       when(col("po_no").isNotNull,
         date_format(business.wibTimestamp(col("po_delivery")), "yyyy-MM-dd"))
         .as("production_order_delivery_date"),
+      // run.js:284 — order type name, truthiness-gated
+      business.nullIfFalsyStr(col("orderTypeName")).as("order_type"),
       col("isDeleted").cast("string").as("deleted"))
   }
 }

@@ -1421,7 +1421,473 @@ object PipelineQueries {
                THEN replace(action, '''', '"') END AS action
         FROM r JOIN d USING (d_id)"""),
       "the second staging table of the S12 dual sink: reasons INNER " +
-        "JOIN operations, quote swaps, M4 length default")
+        "JOIN operations, quote swaps, M4 length default"),
+
+    QuerySpec("q99_pipeline_monitoring_event",
+      (s, dir) => {
+        // MonitoringEvent's real transform: events from orders, the five
+        // correlated lookups (machine, division, production order, buyer,
+        // machine event) from range()-built dims with deliberate misses:
+        // machineId %50 vs 40 machines, poId %60 vs 45 orders, meId %30
+        // vs 25 events, unitDivisionId %12 vs 10 divisions; creators
+        // dev/unit-test/NULL dropped by the SQL NOT IN; ms 0 and ""
+        // exercise the C6 gates; D8/D9/D10 via the millis→time rebuild
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        val ev = o.select(
+          when(key % 4 === 0, lit("")).otherwise(concat(lit("CART-"), key))
+            .as("cartNumber"),
+          concat(lit("EV-"), key).as("code"),
+          col("o_orderdate").cast("timestamp").as("dateStart"),
+          when(key % 6 === 0, lit(0L))
+            .otherwise((key * 137 % 86400) * 1000).as("timeInMilisStart"),
+          ((key * 211 % 86400) * 1000).as("timeInMilisEnd"),
+          when(key % 9 === 0, lit(null).cast("timestamp"))
+            .when(key % 2 === 0, col("o_orderdate").cast("timestamp") +
+              make_dt_interval(lit(1), lit(0), lit(0), lit(0.0)))
+            .otherwise(col("o_orderdate").cast("timestamp")).as("dateEnd"),
+          (key % 60).as("productionOrderId"),
+          (key % 50).as("machineId"),
+          (key % 30).as("machineEventId"),
+          when(key % 8 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("rem'ark "), key % 10)).as("remark"),
+          when(key % 13 === 0, lit("dev"))
+            .when(key % 19 === 0, lit("unit-test"))
+            .when(key % 23 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("op"), key % 5)).as("createdBy"),
+          (key % 11 === 0).as("isDeleted"))
+        val m = s.range(0, 40).select(col("id"),
+          concat(lit("M-"), col("id")).as("code"),
+          when(col("id") % 3 === 0, lit("baik")).otherwise(lit("rusak"))
+            .as("condition"),
+          concat(lit("ACME-"), col("id")).as("manufacture"),
+          concat(lit("mach'"), col("id")).as("name"),
+          concat(lit("pro'ses"), col("id") % 6).as("process"),
+          when(col("id") % 7 === 0, lit(""))
+            .otherwise(concat(lit("U"), col("id") % 7)).as("unitCode"),
+          (col("id") % 12).as("unitDivisionId"),
+          concat(lit("Unit "), col("id") % 4).as("unitName"),
+          (lit(2000) + col("id")).as("year"))
+        val dv = s.range(0, 10).select(col("id"),
+          concat(lit("DV-"), col("id")).as("code"),
+          concat(lit("Divisi "), col("id")).as("name"))
+        val po = s.range(0, 45).select(col("id"),
+          (col("id") % 15).as("buyerId"),
+          concat(lit("ORD-"), col("id")).as("orderNo"),
+          concat(lit("SC'"), col("id")).as("salesContractNo"),
+          (to_timestamp(lit("2020-03-01 00:00:00")) +
+            make_dt_interval(col("id").cast("int"), lit(0), lit(0),
+              lit(0.0))).as("deliveryDate"),
+          concat(lit("type"), col("id") % 3).as("orderTypeName"),
+          concat(lit("proc"), col("id") % 4).as("processTypeName"),
+          concat(lit("mat"), col("id") % 5).as("materialName"),
+          when(col("id") % 10 === 0, lit(0.0))
+            .otherwise(col("id").cast("double") * 1.5).as("orderQuantity"),
+          when(col("id") % 2 === 0, lit("MTR")).otherwise(lit("YARD"))
+            .as("uomUnit"))
+        val by = s.range(0, 12).select(col("id"),
+          concat(lit("buy'er"), col("id")).as("name"),
+          concat(lit("B-"), col("id")).as("code"))
+        val me = s.range(0, 25).select(col("id"),
+          (col("id") * 3).as("no"),
+          when(col("id") % 5 === 0, lit(""))
+            .otherwise(concat(lit("ev'ent"), col("id"))).as("name"),
+          when(col("id") % 4 === 0, lit(""))
+            .otherwise(concat(lit("cat"), col("id") % 3)).as("category"))
+        graft.pipelines.MonitoringEventFact.transform(Map(
+          "monitoringEvents" -> ev, "machines" -> m, "divisions" -> dv,
+          "productionOrders" -> po, "buyers" -> by, "machineEvents" -> me))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT o_orderkey AS key,
+            CASE WHEN o_orderkey % 4 = 0 THEN ''
+                 ELSE 'CART-' || o_orderkey END AS cartNumber,
+            'EV-' || o_orderkey AS code,
+            CAST(o_orderdate AS TIMESTAMP) AS dateStart,
+            CASE WHEN o_orderkey % 6 = 0 THEN 0
+                 ELSE (o_orderkey * 137 % 86400) * 1000 END AS msStart,
+            (o_orderkey * 211 % 86400) * 1000 AS msEnd,
+            CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                 WHEN o_orderkey % 2 = 0
+                   THEN CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY
+                 ELSE CAST(o_orderdate AS TIMESTAMP) END AS dateEnd,
+            o_orderkey % 60 AS poId,
+            o_orderkey % 50 AS mId,
+            o_orderkey % 30 AS meId,
+            CASE WHEN o_orderkey % 8 = 0 THEN NULL
+                 ELSE 'rem''ark ' || (o_orderkey % 10) END AS remark,
+            CASE WHEN o_orderkey % 13 = 0 THEN 'dev'
+                 WHEN o_orderkey % 19 = 0 THEN 'unit-test'
+                 WHEN o_orderkey % 23 = 0 THEN NULL
+                 ELSE 'op' || (o_orderkey % 5) END AS createdBy,
+            o_orderkey % 11 = 0 AS isDeleted
+          FROM orders WHERE o_orderkey <= 3000),
+        m AS (SELECT t.range AS id, 'M-' || t.range AS code,
+            CASE WHEN t.range % 3 = 0 THEN 'baik' ELSE 'rusak' END AS condition,
+            'ACME-' || t.range AS manufacture,
+            'mach''' || t.range AS name,
+            'pro''ses' || (t.range % 6) AS process,
+            CASE WHEN t.range % 7 = 0 THEN ''
+                 ELSE 'U' || (t.range % 7) END AS unitCode,
+            t.range % 12 AS unitDivisionId,
+            'Unit ' || (t.range % 4) AS unitName,
+            2000 + t.range AS year
+          FROM range(0, 40) t),
+        dv AS (SELECT t.range AS id, 'DV-' || t.range AS code,
+            'Divisi ' || t.range AS name FROM range(0, 10) t),
+        po AS (SELECT t.range AS id, t.range % 15 AS buyerId,
+            'ORD-' || t.range AS orderNo, 'SC''' || t.range AS salesContractNo,
+            TIMESTAMP '2020-03-01 00:00:00' + t.range * INTERVAL 1 DAY
+              AS deliveryDate,
+            'type' || (t.range % 3) AS orderTypeName,
+            'proc' || (t.range % 4) AS processTypeName,
+            'mat' || (t.range % 5) AS materialName,
+            CASE WHEN t.range % 10 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(t.range AS DOUBLE) * 1.5 END AS orderQuantity,
+            CASE WHEN t.range % 2 = 0 THEN 'MTR' ELSE 'YARD' END AS uomUnit
+          FROM range(0, 45) t),
+        byr AS (SELECT t.range AS id, 'buy''er' || t.range AS name,
+            'B-' || t.range AS code FROM range(0, 12) t),
+        me AS (SELECT t.range AS id, t.range * 3 AS no,
+            CASE WHEN t.range % 5 = 0 THEN ''
+                 ELSE 'ev''ent' || t.range END AS name,
+            CASE WHEN t.range % 4 = 0 THEN ''
+                 ELSE 'cat' || (t.range % 3) END AS category
+          FROM range(0, 25) t),
+        j AS (
+          SELECT ev.*, m.code AS mCode, m.condition AS mCondition,
+            m.manufacture AS mManufacture, m.name AS mName,
+            m.process AS mProcess, m.unitCode AS mUnitCode,
+            m.unitName AS mUnitName, m.year AS mYear,
+            dv.code AS dCode, dv.name AS dName,
+            po.orderNo, po.salesContractNo, po.deliveryDate,
+            po.orderTypeName, po.processTypeName, po.materialName,
+            po.orderQuantity, po.uomUnit,
+            byr.name AS bName,
+            me.no AS meNo, me.name AS meName, me.category AS meCategory,
+            CAST(strftime(ev.dateStart, '%Y-%m-%d') || ' ' ||
+              strftime(epoch_ms(ev.msStart), '%H:%M:%S') AS TIMESTAMP)
+              AS startTs,
+            CAST(strftime(ev.dateEnd, '%Y-%m-%d') || ' ' ||
+              strftime(epoch_ms(ev.msEnd), '%H:%M:%S') AS TIMESTAMP)
+              AS endTs
+          FROM ev
+          LEFT JOIN m ON m.id = ev.mId
+          LEFT JOIN dv ON dv.id = m.unitDivisionId
+          LEFT JOIN po ON po.id = ev.poId
+          LEFT JOIN byr ON byr.id = po.buyerId
+          LEFT JOIN me ON me.id = ev.meId
+          WHERE ev.createdBy IS NOT NULL
+            AND ev.createdBy NOT IN ('dev', 'unit-test'))
+        SELECT
+          CASE WHEN cartNumber <> '' THEN cartNumber END AS cart_number,
+          CASE WHEN code <> '' THEN code END AS event_code,
+          CASE WHEN dateStart IS NOT NULL
+               THEN strftime(dateStart + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS event_started_date,
+          CASE WHEN msStart IS NOT NULL AND msStart <> 0
+               THEN strftime(epoch_ms(msStart + 25200000), '%H:%M:%S')
+          END AS event_start_time,
+          CASE WHEN msEnd IS NOT NULL AND msEnd <> 0
+               THEN strftime(epoch_ms(msEnd + 25200000), '%H:%M:%S')
+          END AS event_end_time,
+          CASE WHEN dateEnd IS NOT NULL
+               THEN strftime(dateEnd + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS event_end_date,
+          mCode AS machine_code,
+          mCondition AS machine_condition,
+          mManufacture AS machine_manufacture,
+          replace(mName, '''', '"') AS machine_name,
+          replace(mProcess, '''', '"') AS machine_process,
+          CASE WHEN mCode IS NOT NULL AND mUnitCode <> '' THEN mUnitCode
+          END AS unit_code,
+          CASE WHEN mCode IS NOT NULL THEN dCode END AS division_code,
+          CASE WHEN mCode IS NOT NULL THEN dName END AS division_name,
+          mUnitName AS unit_name,
+          mYear AS machine_year,
+          CASE WHEN orderNo IS NOT NULL THEN replace(bName, '''', '"')
+          END AS buyer_name,
+          orderNo AS production_order_no,
+          salesContractNo AS sales_contract_no,
+          CASE WHEN orderNo IS NOT NULL
+               THEN strftime(deliveryDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS production_order_delivery_date,
+          orderTypeName AS order_type,
+          processTypeName AS process_type,
+          materialName AS material,
+          CASE WHEN orderNo IS NOT NULL
+               THEN CAST(orderQuantity AS VARCHAR) END AS order_quantity,
+          uomUnit AS uom,
+          CASE WHEN remark IS NOT NULL AND remark <> ''
+               THEN replace(remark, '''', '"') END AS event_remark,
+          CASE WHEN meName IS NOT NULL AND meName <> ''
+               THEN replace(meName, '''', '"') END AS machine_event_name,
+          CASE WHEN meNo IS NOT NULL AND meNo <> 0
+               THEN replace(CAST(meNo AS VARCHAR), '''', '"')
+          END AS machine_event_no,
+          CASE WHEN dateEnd IS NOT NULL
+               THEN trunc(date_diff('second', startTs, endTs) / 60.0) / 60.0
+          END AS event_range,
+          createdBy AS created_by,
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CASE WHEN meCategory IS NOT NULL AND meCategory <> ''
+               THEN meCategory END AS event_category,
+          CAST(NULL AS VARCHAR) AS machine_step_process,
+          CAST(NULL AS VARCHAR) AS production_order_construction,
+          CAST(NULL AS VARCHAR) AS production_order_detail_code,
+          CAST(NULL AS VARCHAR) AS production_order_detail_color_request,
+          CAST(NULL AS VARCHAR) AS production_order_detail_color_template,
+          CAST(NULL AS VARCHAR) AS production_order_detail_color_type_name,
+          CAST(NULL AS VARCHAR) AS selected_production_order_detail_code,
+          CAST(NULL AS VARCHAR) AS selected_production_order_detail_color_request,
+          CAST(NULL AS VARCHAR) AS selected_production_order_detail_color_template,
+          CAST(NULL AS VARCHAR) AS selected_production_order_detail_color_type_name
+        FROM j"""),
+      "MonitoringEventFact.transform over fixture-shaped sources: five " +
+        "correlated lookups with misses, D8 millis→time, D9 string-" +
+        "rebuilt across-midnight duration, D10 minutes→hours, C6 gates, " +
+        "SQL NOT IN creator filter"),
+
+    QuerySpec("q100_pipeline_production_order_status",
+      (s, dir) => {
+        // ProductionOrderStatus's real transform: the 5-deep keep-first
+        // chain SC→PO→kanban→dailyOp→fabricQC and the grade-test
+        // fan-out. Chain breaks: no PO for key%4=0 or deleted %13=0 (a
+        // second PO for %10=0 exercises keep-first), no kanban %5=0 or
+        // deleted %19=0, no dailyOp %6=0 / null-input %14=0 / deleted
+        // %23=0 (two dops for %15=0), no QC %7=0 or deleted %29=0, QC
+        // with key%3=0 has ZERO tests → its contract rows vanish while
+        // QC-less contracts keep one null-QC row
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        def days(n: org.apache.spark.sql.Column) =
+          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
+        val ts0 = col("o_orderdate").cast("timestamp")
+        val scs = o.select(
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("FSC-"), key))
+            .as("salesContractNo"),
+          ts0.as("createdUtc"),
+          when(key % 3 === 0, lit("YDS")).when(key % 3 === 1, lit("MTR"))
+            .otherwise(lit("PCS")).as("uomUnit"),
+          when(key % 7 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("orderQuantity"),
+          when(key % 27 === 0, lit(""))
+            .otherwise(concat(lit("ot"), key % 4)).as("orderTypeName"),
+          (key % 11 === 0).as("isDeleted"),
+          (ts0 + days(lit(60))).as("deliverySchedule"))
+        val poBase = o.filter(key % 4 =!= 0)
+        val po1 = poBase.select(concat(lit("FSC-"), key).as("salesContractNo"),
+          key.as("id"), (ts0 + days(lit(2))).as("createdUtc"),
+          concat(lit("PO-"), key).as("orderNo"),
+          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 0.7)
+            .as("orderQuantity"),
+          when(key % 2 === 0, lit("YARD")).otherwise(lit("MET")).as("uomUnit"),
+          (ts0 + days(lit(45))).as("deliveryDate"),
+          (key % 13 === 0).as("isDeleted"))
+        val po2 = poBase.filter(key % 10 === 0).select(
+          concat(lit("FSC-"), key).as("salesContractNo"),
+          (key + 100000L).as("id"), (ts0 + days(lit(1))).as("createdUtc"),
+          concat(lit("PO2-"), key).as("orderNo"),
+          key.cast("double").as("orderQuantity"), lit("MTR").as("uomUnit"),
+          (ts0 + days(lit(44))).as("deliveryDate"), lit(false).as("isDeleted"))
+        val pos = po1.unionByName(po2)
+        val kanbans = o.filter(key % 5 =!= 0).select(
+          key.as("productionOrderId"), key.as("id"),
+          (ts0 + days(lit(3))).as("createdUtc"),
+          when(key % 21 === 0, lit("")).otherwise(concat(lit("K-"), key))
+            .as("code"),
+          when(key % 6 === 0, lit(0.0)).otherwise(key.cast("double") * 0.3)
+            .as("cartQty"),
+          when(key % 8 === 0, lit("")).otherwise(concat(lit("CART"), key))
+            .as("cartCartNumber"),
+          concat(lit("FSC-"), key).as("productionOrderSalesContractNo"),
+          (key % 19 === 0).as("isDeleted"))
+        val dopBase = o.filter(key % 6 =!= 0)
+        val dop1 = dopBase.select(key.as("kanbanId"),
+          (ts0 + days(lit(4))).as("createdUtc"),
+          concat(lit("DOP-"), key).as("code"),
+          when(key % 14 === 0, lit(null).cast("double"))
+            .otherwise(key.cast("double") * 0.9).as("input"),
+          (key % 23 === 0).as("isDeleted"))
+        val dop2 = dopBase.filter(key % 15 === 0).select(key.as("kanbanId"),
+          (ts0 + days(lit(5))).as("createdUtc"),
+          concat(lit("DOPB-"), key).as("code"),
+          (key.cast("double") * 0.9 + 0.5).as("input"),
+          lit(false).as("isDeleted"))
+        val dops = dop1.unionByName(dop2)
+        val fqcs = o.filter(key % 7 =!= 0).select(
+          concat(lit("K-"), key).as("kanbanCode"), key.as("id"),
+          (ts0 + days(lit(5))).as("dateIm"),
+          when(key % 25 === 0, lit("")).otherwise(concat(lit("FQC-"), key))
+            .as("code"),
+          (key % 29 === 0).as("isDeleted"))
+        val tests = o.select(key, explode(sequence(lit(1), lit(2))).as("t"))
+          .filter(col("t") <= key % 3)
+          .select(key.as("fabricQualityControlId"),
+            (key * 10 + col("t")).as("id"),
+            when(col("t") === 1 && key % 2 === 0, lit(0.0))
+              .otherwise(key.cast("double") * 1.1 + col("t"))
+              .as("initLength"))
+        graft.pipelines.ProductionOrderStatusFact.transform(Map(
+          "fpSalesContracts" -> scs, "productionOrders" -> pos,
+          "kanbans" -> kanbans, "dailyOperations" -> dops,
+          "fabricQCs" -> fqcs, "fabricGradeTests" -> tests))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
+        sc AS (
+          SELECT o_orderkey AS key,
+            CASE WHEN o_orderkey % 17 = 0 THEN ''
+                 ELSE 'FSC-' || o_orderkey END AS scNo,
+            CAST(o_orderdate AS TIMESTAMP) AS scCreated,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'YDS'
+                 WHEN o_orderkey % 3 = 1 THEN 'MTR'
+                 ELSE 'PCS' END AS scUom,
+            CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.5 END AS scQty,
+            CASE WHEN o_orderkey % 27 = 0 THEN ''
+                 ELSE 'ot' || (o_orderkey % 4) END AS orderTypeName,
+            o_orderkey % 11 = 0 AS scDeleted,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY AS deliverySchedule
+          FROM o),
+        po_all AS (
+          SELECT 'FSC-' || o_orderkey AS scNo, o_orderkey AS id,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY AS poCreated,
+            'PO-' || o_orderkey AS orderNo,
+            CASE WHEN o_orderkey % 9 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.7 END AS poQty,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'YARD' ELSE 'MET' END AS poUom,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 45 DAY AS poDelivery,
+            o_orderkey % 13 = 0 AS isDeleted
+          FROM o WHERE o_orderkey % 4 <> 0
+          UNION ALL
+          SELECT 'FSC-' || o_orderkey, o_orderkey + 100000,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY,
+            'PO2-' || o_orderkey, CAST(o_orderkey AS DOUBLE), 'MTR',
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 44 DAY, FALSE
+          FROM o WHERE o_orderkey % 4 <> 0 AND o_orderkey % 10 = 0),
+        po AS (
+          SELECT * FROM po_all WHERE NOT isDeleted
+          QUALIFY row_number() OVER (PARTITION BY scNo ORDER BY id) = 1),
+        k AS (
+          SELECT o_orderkey AS poId, o_orderkey AS id,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY AS kCreated,
+            CASE WHEN o_orderkey % 21 = 0 THEN ''
+                 ELSE 'K-' || o_orderkey END AS kCode,
+            CASE WHEN o_orderkey % 6 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.3 END AS cartQty,
+            CASE WHEN o_orderkey % 8 = 0 THEN ''
+                 ELSE 'CART' || o_orderkey END AS cartNumber,
+            'FSC-' || o_orderkey AS kScNo
+          FROM o WHERE o_orderkey % 5 <> 0 AND o_orderkey % 19 <> 0),
+        dop_all AS (
+          SELECT o_orderkey AS kanbanId,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 4 DAY AS dopCreated,
+            'DOP-' || o_orderkey AS dopCode,
+            CASE WHEN o_orderkey % 14 = 0 THEN NULL
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.9 END AS input,
+            o_orderkey % 23 = 0 AS isDeleted
+          FROM o WHERE o_orderkey % 6 <> 0
+          UNION ALL
+          SELECT o_orderkey,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY,
+            'DOPB-' || o_orderkey,
+            CAST(o_orderkey AS DOUBLE) * 0.9 + 0.5, FALSE
+          FROM o WHERE o_orderkey % 6 <> 0 AND o_orderkey % 15 = 0),
+        dop AS (
+          SELECT * FROM dop_all WHERE NOT isDeleted AND input IS NOT NULL
+          QUALIFY row_number()
+            OVER (PARTITION BY kanbanId ORDER BY dopCreated, dopCode) = 1),
+        fqc AS (
+          SELECT 'K-' || o_orderkey AS kanbanCode, o_orderkey AS id,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY AS fqcDate,
+            CASE WHEN o_orderkey % 25 = 0 THEN ''
+                 ELSE 'FQC-' || o_orderkey END AS fqcCode
+          FROM o WHERE o_orderkey % 7 <> 0 AND o_orderkey % 29 <> 0),
+        tst AS (
+          SELECT o_orderkey AS fqcId, o_orderkey * 10 + t.range AS id,
+            CASE WHEN t.range = 1 AND o_orderkey % 2 = 0
+                 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 1.1 + t.range
+            END AS initLength
+          FROM o, range(1, 3) t WHERE t.range <= o_orderkey % 3),
+        fanned AS (
+          SELECT sc.*, po.id AS poId, po.poCreated, po.orderNo, po.poQty,
+            po.poUom, po.poDelivery,
+            k.kCreated, k.kCode, k.cartQty, k.cartNumber, k.kScNo,
+            k.id AS kId,
+            dop.dopCreated, dop.dopCode, dop.input,
+            fqc.id AS fqcId, fqc.fqcDate, fqc.fqcCode,
+            tst.id AS testId, tst.initLength
+          FROM sc
+          LEFT JOIN po ON po.scNo = sc.scNo
+          LEFT JOIN k ON k.poId = po.id
+          LEFT JOIN dop ON dop.kanbanId = k.id
+          LEFT JOIN fqc ON fqc.kanbanCode = k.kCode
+          LEFT JOIN tst ON tst.fqcId = fqc.id
+          WHERE fqc.id IS NULL OR tst.id IS NOT NULL)
+        SELECT
+          CASE WHEN scCreated IS NOT NULL
+               THEN strftime(scCreated + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS sales_contract_date,
+          CASE WHEN scNo <> '' THEN scNo END AS sales_contract_no,
+          CASE WHEN scQty IS NOT NULL AND scQty <> 0
+               THEN CASE WHEN lower(scUom) IN ('yard', 'yds')
+                         THEN scQty * CAST(0.9144 AS DOUBLE) ELSE scQty END
+          END AS sales_contract_quantity,
+          CASE WHEN poCreated IS NOT NULL
+               THEN strftime(poCreated + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS production_order_date,
+          CASE WHEN orderNo <> '' THEN orderNo END AS production_order_no,
+          CASE WHEN poQty IS NOT NULL AND poQty <> 0
+               THEN CASE WHEN lower(poUom) IN ('yard', 'yds')
+                         THEN poQty * CAST(0.9144 AS DOUBLE) ELSE poQty END
+          END AS production_order_quantity,
+          CASE WHEN orderNo IS NOT NULL AND scNo <> '' THEN scNo
+          END AS production_sales_contract_no,
+          CASE WHEN kCreated IS NOT NULL
+               THEN strftime(kCreated + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS kanban_date,
+          CASE WHEN kCode <> '' THEN kCode END AS kanban_code,
+          CASE WHEN kScNo <> '' THEN kScNo END AS kanban_sales_contract_no,
+          CASE WHEN cartQty IS NOT NULL AND cartQty <> 0
+                AND poUom IS NOT NULL AND poUom <> ''
+               THEN CASE WHEN lower(poUom) IN ('yard', 'yds')
+                         THEN cartQty * CAST(0.9144 AS DOUBLE) ELSE cartQty END
+          END AS kanban_quantity,
+          CASE WHEN cartNumber <> '' THEN cartNumber END AS cart_number,
+          CASE WHEN dopCode IS NOT NULL THEN input
+          END AS daily_operation_quantity,
+          CASE WHEN dopCode <> '' THEN dopCode END AS daily_operation_code,
+          CASE WHEN dopCode IS NOT NULL THEN kScNo
+          END AS daily_operation_sales_contract_no,
+          CASE WHEN dopCreated IS NOT NULL
+               THEN strftime(dopCreated + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS daily_operation_date,
+          CASE WHEN fqcDate IS NOT NULL
+               THEN strftime(fqcDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS fabric_qc_date,
+          CASE WHEN fqcCode <> '' THEN fqcCode END AS fabric_qc_code,
+          CASE WHEN initLength IS NOT NULL AND initLength <> 0
+               THEN initLength END AS fabric_qc_quantity,
+          CASE WHEN fqcCode IS NOT NULL AND fqcCode <> ''
+               THEN CAST(row_number() OVER
+                 (PARTITION BY key ORDER BY testId) AS INTEGER)
+          END AS test_index,
+          CASE WHEN deliverySchedule IS NOT NULL
+               THEN strftime(deliverySchedule + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS sales_contract_delivery_date,
+          CASE WHEN orderNo IS NOT NULL
+               THEN strftime(poDelivery + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS production_order_delivery_date,
+          CASE WHEN orderTypeName <> '' THEN orderTypeName END AS order_type,
+          CAST(scDeleted AS VARCHAR) AS deleted
+        FROM fanned"""),
+      "ProductionOrderStatusFact.transform over fixture-shaped sources: " +
+        "5-deep keep-first chain with breaks at every hop, grade-test " +
+        "fan-out with zero-test drop vs missing-QC preserve, M2 with " +
+        "the PO's uom on kanban quantity, per-contract test index")
   )
 
   /** Fixture-shaped sources for the DailyOperation dual-fact pipeline,

@@ -97,6 +97,7 @@ class RoundTwoPipelinesSpec extends SparkSpec {
         ts("2020-06-03 00:00:00"), false)
     ).toDF("salesContractNo", "createdUtc", "orderQuantity", "uomUnit",
       "deliverySchedule", "isDeleted")
+      .withColumn("orderTypeName", org.apache.spark.sql.functions.lit("printing"))
     val pos = Seq(
       ("SC-1", 1L, ts("2020-01-05 00:00:00"), "PO-1", 90.0, "YDS",
         ts("2020-05-01 00:00:00"), false),
