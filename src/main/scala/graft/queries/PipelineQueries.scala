@@ -1887,7 +1887,369 @@ object PipelineQueries {
       "ProductionOrderStatusFact.transform over fixture-shaped sources: " +
         "5-deep keep-first chain with breaks at every hop, grade-test " +
         "fan-out with zero-test drop vs missing-QC preserve, M2 with " +
-        "the PO's uom on kanban quantity, per-contract test index")
+        "the PO's uom on kanban quantity, per-contract test index"),
+
+    QuerySpec("q101_pipeline_fabric_qc",
+      (s, dir) => {
+        // FabricQC's real transform: QC → grade tests (none for key%3=0)
+        // → criteria (none for (key+i)%3=0) double fan-out, both INNER;
+        // the numeric-gate dialects (>=0 keeps zero vs truthiness drops
+        // zero), negative values gated everywhere, and the A4 weighted
+        // score only when the test's point system is 10
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val qcs = o.select(key.as("id"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("QC'"), key))
+            .as("code"),
+          when(key % 5 === 0, lit(0L)).when(key % 3 === 0, lit(10L))
+            .otherwise(lit(5L)).as("pointSystem"),
+          col("o_orderdate").cast("timestamp").as("dateIm"),
+          when(key % 7 === 0, lit(""))
+            .otherwise(concat(lit("shift"), key % 3)).as("shiftIm"),
+          concat(lit("gr'p"), key % 4).as("group"),
+          concat(lit("op"), key % 6).as("operatorIm"),
+          concat(lit("MC"), key % 9).as("machineNoIm"),
+          concat(lit("PO'"), key).as("productionOrderNo"),
+          when(key % 13 === 0, lit(""))
+            .otherwise(concat(lit("type"), key % 3)).as("productionOrderType"),
+          concat(lit("K-"), key).as("kanbanCode"),
+          concat(lit("C"), key % 50).as("cartNo"),
+          concat(lit("buy'er"), key % 8).as("buyer"),
+          when(key % 11 === 0, lit(0.0)).otherwise(key.cast("double") * 0.5)
+            .as("orderQuantity"),
+          concat(lit("col"), key % 5).as("color"),
+          concat(lit("con'st"), key % 4).as("construction"),
+          when(key % 19 === 0, lit(""))
+            .otherwise(concat(lit("pack"), key % 3)).as("packingInstruction"),
+          lit("MTR").as("uom"),
+          (key % 23 === 0).as("isDeleted"), (key % 2 === 0).as("isUsed"))
+        val gtBase = o.select(key,
+          explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3)
+        val gts = gtBase.select(key.as("fabricQualityControlId"),
+          (key * 10 + col("i")).as("id"),
+          when(col("i") === 2 && key % 4 === 0, lit(""))
+            .otherwise(concat(lit("ty'pe"), col("i"))).as("type"),
+          concat(lit("PCS'"), key, lit("-"), col("i")).as("pcsNo"),
+          when(col("i") === 1, lit("A")).otherwise(lit("B")).as("grade"),
+          when(key % 8 === 0, lit(-1.0))
+            .when(key % 6 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.1 + col("i")).as("width"),
+          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 1.1)
+            .as("initLength"),
+          when(key % 10 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
+            .as("avalLength"),
+          (key.cast("double") * 0.3).as("finalLength"),
+          when(key % 12 === 0, lit(-0.5)).otherwise(key.cast("double") * 0.05)
+            .as("sampleLength"),
+          (key % 4).as("fabricGradeTest"),
+          (key % 5).as("finalGradeTest"),
+          when(key % 14 === 0, lit(0L)).otherwise(key % 90).as("score"),
+          (key % 80).as("finalScore"),
+          when(col("i") === 1, lit(10L))
+            .when(key % 2 === 0, lit(10L)).otherwise(lit(5L))
+            .as("pointSystem"),
+          when(key % 16 === 0, lit(0L)).otherwise(key % 30).as("pointLimit"))
+        val crs = gtBase
+          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
+          .filter(col("j") <= (key + col("i")) % 3)
+          .select((key * 10 + col("i")).as("fabricGradeTestId"),
+            when(key % 21 === 0, lit(""))
+              .otherwise(concat(lit("CR'"), key, lit("-"), col("j")))
+              .as("code"),
+            concat(lit("G"), col("j")).as("group"),
+            concat(lit("cri'teria"), col("j")).as("name"),
+            ((key + col("j")) % 7 - 1).as("scoreA"),
+            ((key * 2 + col("j")) % 6 - 1).as("scoreB"),
+            ((key * 3 + col("j")) % 5 - 1).as("scoreC"),
+            ((key + col("j") * 2) % 4 - 1).as("scoreD"))
+        graft.pipelines.FabricQCFact.transform(Map(
+          "fabricQCs" -> qcs, "fabricGradeTests" -> gts, "criteria" -> crs))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        qc AS (
+          SELECT o_orderkey AS key,
+            CASE WHEN o_orderkey % 17 = 0 THEN ''
+                 ELSE 'QC''' || o_orderkey END AS qcCode,
+            CASE WHEN o_orderkey % 5 = 0 THEN 0
+                 WHEN o_orderkey % 3 = 0 THEN 10 ELSE 5 END AS qcPs,
+            CAST(o_orderdate AS TIMESTAMP) AS dateIm,
+            CASE WHEN o_orderkey % 7 = 0 THEN ''
+                 ELSE 'shift' || (o_orderkey % 3) END AS shiftIm,
+            'gr''p' || (o_orderkey % 4) AS qcGroup,
+            'op' || (o_orderkey % 6) AS operatorIm,
+            'MC' || (o_orderkey % 9) AS machineNoIm,
+            'PO''' || o_orderkey AS poNo,
+            CASE WHEN o_orderkey % 13 = 0 THEN ''
+                 ELSE 'type' || (o_orderkey % 3) END AS poType,
+            'K-' || o_orderkey AS kanbanCode,
+            'C' || (o_orderkey % 50) AS cartNo,
+            'buy''er' || (o_orderkey % 8) AS buyer,
+            CASE WHEN o_orderkey % 11 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.5 END AS orderQty,
+            'col' || (o_orderkey % 5) AS color,
+            'con''st' || (o_orderkey % 4) AS construction,
+            CASE WHEN o_orderkey % 19 = 0 THEN ''
+                 ELSE 'pack' || (o_orderkey % 3) END AS packing,
+            'MTR' AS uom,
+            o_orderkey % 23 = 0 AS isDeleted,
+            o_orderkey % 2 = 0 AS isUsed
+          FROM o),
+        gt AS (
+          SELECT o_orderkey AS key, ti.range AS i,
+            o_orderkey * 10 + ti.range AS testId,
+            CASE WHEN ti.range = 2 AND o_orderkey % 4 = 0 THEN ''
+                 ELSE 'ty''pe' || ti.range END AS tType,
+            'PCS''' || o_orderkey || '-' || ti.range AS pcsNo,
+            CASE WHEN ti.range = 1 THEN 'A' ELSE 'B' END AS grade,
+            CASE WHEN o_orderkey % 8 = 0 THEN CAST(-1.0 AS DOUBLE)
+                 WHEN o_orderkey % 6 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.1 + ti.range
+            END AS width,
+            CASE WHEN o_orderkey % 9 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 1.1 END AS initLength,
+            CASE WHEN o_orderkey % 10 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.2 END AS avalLength,
+            CAST(o_orderkey AS DOUBLE) * 0.3 AS finalLength,
+            CASE WHEN o_orderkey % 12 = 0 THEN CAST(-0.5 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.05 END AS sampleLength,
+            o_orderkey % 4 AS fabricGradeTest,
+            o_orderkey % 5 AS finalGradeTest,
+            CASE WHEN o_orderkey % 14 = 0 THEN 0
+                 ELSE o_orderkey % 90 END AS score,
+            o_orderkey % 80 AS finalScore,
+            CASE WHEN ti.range = 1 THEN 10
+                 WHEN o_orderkey % 2 = 0 THEN 10 ELSE 5 END AS tPs,
+            CASE WHEN o_orderkey % 16 = 0 THEN 0
+                 ELSE o_orderkey % 30 END AS pointLimit
+          FROM o, range(1, 3) ti WHERE ti.range <= o_orderkey % 3),
+        cr AS (
+          SELECT o_orderkey * 10 + ti.range AS testId, tj.range AS j,
+            CASE WHEN o_orderkey % 21 = 0 THEN ''
+                 ELSE 'CR''' || o_orderkey || '-' || tj.range END AS cCode,
+            'G' || tj.range AS cGroup,
+            'cri''teria' || tj.range AS cName,
+            (o_orderkey + tj.range) % 7 - 1 AS sA,
+            (o_orderkey * 2 + tj.range) % 6 - 1 AS sB,
+            (o_orderkey * 3 + tj.range) % 5 - 1 AS sC,
+            (o_orderkey + tj.range * 2) % 4 - 1 AS sD
+          FROM o, range(1, 3) ti, range(1, 3) tj
+          WHERE ti.range <= o_orderkey % 3
+            AND tj.range <= (o_orderkey + ti.range) % 3),
+        fanned AS (
+          SELECT qc.*, gt.tType, gt.pcsNo, gt.grade, gt.width,
+            gt.initLength, gt.avalLength, gt.finalLength, gt.sampleLength,
+            gt.fabricGradeTest, gt.finalGradeTest, gt.score, gt.finalScore,
+            gt.tPs, gt.pointLimit,
+            cr.cCode, cr.cGroup, cr.cName, cr.sA, cr.sB, cr.sC, cr.sD
+          FROM qc
+          JOIN gt ON gt.key = qc.key
+          JOIN cr ON cr.testId = gt.testId)
+        SELECT
+          CASE WHEN qcCode <> '' THEN replace(qcCode, '''', '"')
+          END AS qc_code,
+          CASE WHEN qcPs >= 0 AND qcPs <> 0 THEN CAST(qcPs AS VARCHAR)
+          END AS qc_point_system,
+          CASE WHEN dateIm IS NOT NULL
+               THEN strftime(dateIm + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS date_im,
+          CASE WHEN shiftIm <> '' THEN replace(shiftIm, '''', '"')
+          END AS shift_im,
+          CASE WHEN qcGroup <> '' THEN replace(qcGroup, '''', '"')
+          END AS group_im,
+          CASE WHEN operatorIm <> '' THEN replace(operatorIm, '''', '"')
+          END AS operator_im,
+          CASE WHEN machineNoIm <> '' THEN replace(machineNoIm, '''', '"')
+          END AS machine_no_im,
+          CASE WHEN poNo <> '' THEN replace(poNo, '''', '"')
+          END AS production_order_no,
+          CASE WHEN poType <> '' THEN replace(poType, '''', '"')
+          END AS production_order_type,
+          CASE WHEN kanbanCode <> '' THEN replace(kanbanCode, '''', '"')
+          END AS kanban_code,
+          CASE WHEN cartNo <> '' THEN replace(cartNo, '''', '"')
+          END AS cart_no,
+          CASE WHEN buyer <> '' THEN replace(buyer, '''', '"') END AS buyer,
+          CASE WHEN orderQty >= 0 AND orderQty <> 0 THEN orderQty
+          END AS order_quantity,
+          CASE WHEN color <> '' THEN replace(color, '''', '"') END AS color,
+          CASE WHEN construction <> '' THEN replace(construction, '''', '"')
+          END AS construction,
+          CASE WHEN packing <> '' THEN replace(packing, '''', '"')
+          END AS packing_instruction,
+          CASE WHEN uom <> '' THEN replace(uom, '''', '"') END AS uom,
+          CASE WHEN tType <> '' THEN replace(tType, '''', '"')
+          END AS test_type,
+          CASE WHEN pcsNo <> '' THEN replace(pcsNo, '''', '"') END AS pcs_no,
+          CASE WHEN grade <> '' THEN replace(grade, '''', '"') END AS grade,
+          CASE WHEN width >= 0 THEN width END AS width,
+          CASE WHEN initLength >= 0 AND initLength <> 0 THEN initLength
+          END AS init_length,
+          CASE WHEN avalLength >= 0 THEN avalLength END AS aval_length,
+          CASE WHEN finalLength >= 0 THEN finalLength END AS final_length,
+          CASE WHEN sampleLength >= 0 THEN sampleLength END AS sample_length,
+          CASE WHEN fabricGradeTest >= 0 THEN fabricGradeTest
+          END AS fabric_grade_test,
+          CASE WHEN finalGradeTest >= 0 THEN finalGradeTest
+          END AS final_grade_test,
+          CASE WHEN score >= 0 THEN score END AS score,
+          CASE WHEN finalScore >= 0 THEN finalScore END AS final_score,
+          CASE WHEN tPs >= 0 THEN tPs END AS point_system,
+          CASE WHEN cCode <> '' THEN replace(cCode, '''', '"')
+          END AS criteria_code,
+          CASE WHEN cGroup <> '' THEN replace(cGroup, '''', '"')
+          END AS criteria_group,
+          CASE WHEN cName <> '' THEN replace(cName, '''', '"')
+          END AS criteria_name,
+          CASE WHEN sA >= 0 THEN sA END AS criteria_a,
+          CASE WHEN sB >= 0 THEN sB END AS criteria_b,
+          CASE WHEN sC >= 0 THEN sC END AS criteria_c,
+          CASE WHEN sD >= 0 THEN sD END AS criteria_d,
+          COALESCE(CASE WHEN sA >= 0 AND tPs = 10 THEN sA * 1 END, 0) +
+          COALESCE(CASE WHEN sB >= 0 AND tPs = 10 THEN sB * 3 END, 0) +
+          COALESCE(CASE WHEN sC >= 0 AND tPs = 10 THEN sC * 5 END, 0) +
+          COALESCE(CASE WHEN sD >= 0 AND tPs = 10 THEN sD * 10 END, 0)
+            AS total_score,
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CAST(isUsed AS VARCHAR) AS is_used,
+          CASE WHEN pointLimit >= 0 THEN pointLimit END AS point_limit
+        FROM fanned"""),
+      "FabricQCFact.transform over fixture-shaped sources: double inner " +
+        "fan-out QC→tests→criteria, the keep-zero vs drop-zero numeric " +
+        "gate dialects, negatives gated, A4 weighted score gated on " +
+        "point system 10"),
+
+    QuerySpec("q102_pipeline_shipment",
+      (s, dir) => {
+        // ShipmentDocument's real transform: the 4-level nesting
+        // flattened back out with the reference's inner loop semantics —
+        // no details for key%4=0, a detail with no items for i=2 &&
+        // key%5=0, an item with no PRIs for j=2 && key%6=0; the one
+        // UNSHIFTED date; != undefined numeric dialect (0 survives)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val ships = o.select(concat(lit("SH'"), key).as("shipmentCode"),
+          col("o_orderdate").cast("timestamp").as("deliveryDate"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("bu'yer"), key % 9))
+            .as("buyerName"),
+          concat(lit("B-"), key % 11).as("buyerCode"),
+          when(key % 2 === 0, lit("export")).otherwise(lit("lokal"))
+            .as("buyerType"),
+          (key % 13 === 0).as("isVoid"))
+        val detBase = o.filter(key % 4 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+        val dets = detBase.select(concat(lit("SH'"), key).as("shipmentCode"),
+          (key * 10 + col("i")).as("detailId"),
+          when(col("i") === 1 && key % 8 === 0, lit(""))
+            .otherwise(concat(lit("DC'"), key, lit("-"), col("i")))
+            .as("designCode"),
+          concat(lit("DN"), col("i")).as("designNumber"),
+          concat(lit("PO'"), key).as("productionOrderNo"),
+          when(key % 3 === 0, lit("printing")).otherwise(lit("dyeing"))
+            .as("productionOrderType"))
+        val itemBase = detBase.filter(!(col("i") === 2 && key % 5 === 0))
+          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
+        val items = itemBase.select((key * 10 + col("i")).as("detailId"),
+          (key * 100 + col("i") * 10 + col("j")).as("itemId"))
+        val priBase = itemBase.filter(!(col("j") === 2 && key % 6 === 0))
+        val pris = priBase.select(
+          (key * 100 + col("i") * 10 + col("j")).as("itemId"),
+          (key * 1000 + col("i") * 100 + col("j")).as("priId"),
+          when(key % 9 === 0, lit(""))
+            .otherwise(concat(lit("co'l"), key % 5)).as("colorType"),
+          when(key % 10 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.1 + col("j")).as("length"),
+          concat(lit("P-"), key % 40).as("productCode"),
+          concat(lit("pro'd"), key % 30).as("productName"),
+          when(key % 14 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("quantity"),
+          when(key % 2 === 0, lit("MTR")).otherwise(lit("YDS")).as("uomUnit"),
+          when(key % 15 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.02).as("weight"))
+        graft.pipelines.ShipmentFact.transform(Map(
+          "shipments" -> ships, "shipmentDetails" -> dets,
+          "shipmentItems" -> items, "packingReceiptItems" -> pris))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        chains AS (
+          SELECT o_orderkey AS key, ti.range AS i, tj.range AS j
+          FROM o, range(1, 3) ti, range(1, 3) tj
+          WHERE o_orderkey % 4 <> 0
+            AND NOT (ti.range = 2 AND o_orderkey % 5 = 0)
+            AND NOT (tj.range = 2 AND o_orderkey % 6 = 0)),
+        full_rows AS (
+          SELECT c.key, c.i, c.j,
+            'SH''' || c.key AS shipmentCode,
+            CAST(o.o_orderdate AS TIMESTAMP) AS deliveryDate,
+            CASE WHEN c.key % 7 = 0 THEN ''
+                 ELSE 'bu''yer' || (c.key % 9) END AS buyerName,
+            'B-' || (c.key % 11) AS buyerCode,
+            CASE WHEN c.key % 2 = 0 THEN 'export' ELSE 'lokal' END AS buyerType,
+            c.key % 13 = 0 AS isVoid,
+            CASE WHEN c.i = 1 AND c.key % 8 = 0 THEN ''
+                 ELSE 'DC''' || c.key || '-' || c.i END AS designCode,
+            'DN' || c.i AS designNumber,
+            'PO''' || c.key AS productionOrderNo,
+            CASE WHEN c.key % 3 = 0 THEN 'printing' ELSE 'dyeing'
+            END AS productionOrderType,
+            CASE WHEN c.key % 9 = 0 THEN ''
+                 ELSE 'co''l' || (c.key % 5) END AS colorType,
+            CASE WHEN c.key % 10 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(c.key AS DOUBLE) * 0.1 + c.j END AS length,
+            'P-' || (c.key % 40) AS productCode,
+            'pro''d' || (c.key % 30) AS productName,
+            CASE WHEN c.key % 14 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(c.key AS DOUBLE) * 0.5 END AS quantity,
+            CASE WHEN c.key % 2 = 0 THEN 'MTR' ELSE 'YDS' END AS uomUnit,
+            CASE WHEN c.key % 15 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(c.key AS DOUBLE) * 0.02 END AS weight,
+            c.key * 10 + c.i AS detailId,
+            c.key * 100 + c.i * 10 + c.j AS itemId,
+            c.key * 1000 + c.i * 100 + c.j AS priId
+          FROM chains c JOIN o ON o.o_orderkey = c.key)
+        SELECT
+          CASE WHEN buyerCode <> '' THEN replace(buyerCode, '''', '"')
+          END AS buyer_code,
+          CASE WHEN buyerName <> '' THEN replace(buyerName, '''', '"')
+          END AS buyer_name,
+          CASE WHEN buyerType <> '' THEN replace(buyerType, '''', '"')
+          END AS buyer_type,
+          CASE WHEN shipmentCode <> '' THEN replace(shipmentCode, '''', '"')
+          END AS shipment_code,
+          CASE WHEN deliveryDate IS NOT NULL
+               THEN strftime(deliveryDate, '%Y-%m-%d') END AS delivery_date,
+          CAST(isVoid AS VARCHAR) AS is_void,
+          CASE WHEN designCode <> '' THEN replace(designCode, '''', '"')
+          END AS design_code,
+          CASE WHEN designNumber <> '' THEN replace(designNumber, '''', '"')
+          END AS design_number,
+          CASE WHEN productionOrderNo <> ''
+               THEN replace(productionOrderNo, '''', '"')
+          END AS production_order_no,
+          CASE WHEN productionOrderType <> ''
+               THEN replace(productionOrderType, '''', '"')
+          END AS production_order_type,
+          CASE WHEN colorType <> '' THEN replace(colorType, '''', '"')
+          END AS color_type,
+          length AS length,
+          CASE WHEN productCode <> '' THEN replace(productCode, '''', '"')
+          END AS product_code,
+          CASE WHEN productName <> '' THEN replace(productName, '''', '"')
+          END AS product_name,
+          quantity AS quantity,
+          CASE WHEN uomUnit <> '' THEN replace(uomUnit, '''', '"')
+          END AS uom_unit,
+          weight AS weight,
+          detailId AS detail_id,
+          itemId AS item_id,
+          priId AS pri_id
+        FROM full_rows"""),
+      "ShipmentFact.transform over fixture-shaped sources: 4-level " +
+        "nesting flattened with the reference's inner loop semantics " +
+        "(missing children at any level drop the chain), unshifted " +
+        "delivery date, != undefined numeric dialect")
   )
 
   /** Fixture-shaped sources for the DailyOperation dual-fact pipeline,

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.lit
 
 import graft.control.WatermarkManager
 import graft.runner.{Main, Pipelines}
@@ -31,7 +32,8 @@ class RunnerSpec extends SparkSpec {
         "SPAREPART", false, ts("2020-01-06 00:00:00"))
     ).toDF("id", "no", "createdUtc", "expectedDeliveryDate", "budgetCode",
       "budgetName", "unitCode", "unitName", "divisionCode", "divisionName",
-      "categoryCode", "categoryName", "isDeleted", "lastmodifiedutc"),
+      "categoryCode", "categoryName", "isDeleted", "lastmodifiedutc")
+      .withColumn("createdBy", lit("staff")),
       "purchaserequests", SaveMode.Overwrite)
     lake.write(Seq(
       (1L, 11L, "PO-1", "alice", ts("2020-01-04 00:00:00"), false, "PR-1",
