@@ -42,15 +42,33 @@ object PackingFact extends Pipeline {
       g(col("salesContractNo")).as("sales_contract_no"),
       sw(col("designCode")).as("design_code"),
       sw(col("designNumber")).as("design_number"),
+      // run.js:131-134 — ids stringified, code/type unswapped
+      when(business.nullIfFalsyNum(col("buyerId")).isNotNull,
+        col("buyerId").cast("string")).as("buyer_id"),
+      g(col("buyerCode")).as("buyer_code"),
       sw(col("buyerName")).as("buyer_name"),
+      sw(col("buyerAddress")).as("buyer_address"),
       g(col("buyerType")).as("buyer_type"),
       when(col("date").isNotNull,
         date_format(business.wibTimestamp(col("date")), "yyyy-MM-dd"))
         .as("date"),
       g(col("packingUom")).as("packing_uom"),
+      sw(col("colorCode")).as("color_code"),
       sw(col("colorName")).as("color_name"),
       sw(col("colorType")).as("color_type"),
+      // run.js:141-146 — the material block
+      when(business.nullIfFalsyNum(col("materialConstructionFinishId"))
+        .isNotNull, col("materialConstructionFinishId").cast("string"))
+        .as("material_construction_finish_id"),
+      sw(col("materialConstructionFinishName"))
+        .as("material_construction_finish_name"),
+      when(business.nullIfFalsyNum(col("materialId")).isNotNull,
+        col("materialId").cast("string")).as("material_id"),
+      sw(col("material")).as("material"),
+      sw(col("materialWidthFinish")).as("material_width_finish"),
       sw(col("construction")).as("construction"),
+      sw(col("deliveryType")).as("delivery_type"),
+      sw(col("finishedProductType")).as("finished_product_type"),
       sw(col("motif")).as("motif"),
       sw(col("lot")).as("lot"),
       sw(col("grade")).as("grade"),

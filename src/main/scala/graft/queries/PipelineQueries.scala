@@ -2249,7 +2249,394 @@ object PipelineQueries {
       "ShipmentFact.transform over fixture-shaped sources: 4-level " +
         "nesting flattened with the reference's inner loop semantics " +
         "(missing children at any level drop the chain), unshifted " +
-        "delivery date, != undefined numeric dialect")
+        "delivery date, != undefined numeric dialect"),
+
+    QuerySpec("q103_pipeline_packing",
+      (s, dir) => {
+        // Packing's real transform: packings ⟕ details (key%3=0 has no
+        // details and still emits one row — LEFT), M4 zero defaults on
+        // weight/length/quantity, ids stringified behind truthy gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val packs = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("mk"), key % 5))
+            .as("createdBy"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("PCK-"), key).as("code"),
+          when(key % 9 === 0, lit(0L)).otherwise(key + 500).as("productionOrderId"),
+          concat(lit("ORD-"), key).as("productionOrderNo"),
+          when(key % 3 === 0, lit("print")).otherwise(lit("dye")).as("orderType"),
+          concat(lit("SC-"), key).as("salesContractNo"),
+          concat(lit("dc'"), key % 6).as("designCode"),
+          concat(lit("dn'"), key % 4).as("designNumber"),
+          when(key % 13 === 0, lit(0L)).otherwise(key % 40 + 1).as("buyerId"),
+          concat(lit("B"), key % 12).as("buyerCode"),
+          concat(lit("bu'yer"), key % 9).as("buyerName"),
+          concat(lit("jl. "), key % 5).as("buyerAddress"),
+          when(key % 2 === 0, lit("ex")).otherwise(lit("lo")).as("buyerType"),
+          expr("timestampadd(DAY, 3, CAST(o_orderdate AS TIMESTAMP))")
+            .as("date"),
+          lit("MTR").as("packingUom"),
+          concat(lit("cc'"), key % 7).as("colorCode"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("co'l"), key % 5))
+            .as("colorName"),
+          concat(lit("ct"), key % 3).as("colorType"),
+          when(key % 19 === 0, lit(0L)).otherwise(key % 25).as("materialConstructionFinishId"),
+          concat(lit("fin'"), key % 4).as("materialConstructionFinishName"),
+          (key % 30 + 1).as("materialId"),
+          concat(lit("cot'ton"), key % 3).as("material"),
+          concat(lit("w"), key % 3).as("materialWidthFinish"),
+          concat(lit("2/"), key % 2 + 1).as("construction"),
+          concat(lit("de'l"), key % 2).as("deliveryType"),
+          concat(lit("fp'"), key % 3).as("finishedProductType"),
+          concat(lit("mo'tif"), key % 8).as("motif"),
+          concat(lit("st'"), key % 4).as("status"),
+          (key % 2 === 0).as("accepted"), (key % 5 === 0).as("declined"))
+        val dets = o.filter(key % 3 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3)
+          .select(key.as("packingId"),
+            concat(lit("LOT'"), key, lit("-"), col("i")).as("lot"),
+            when(col("i") === 1, lit("A")).otherwise(lit("B'")).as("grade"),
+            when(key % 4 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.1).as("weight"),
+            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
+              .as("length"),
+            when(key % 6 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.3).as("quantity"),
+            when(key % 8 === 0, lit(""))
+              .otherwise(concat(lit("re'mark"), key % 5)).as("remark"))
+        graft.pipelines.PackingFact.transform(Map(
+          "packings" -> packs, "packingDetails" -> dets))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        p AS (
+          SELECT o_orderkey AS key,
+            o_orderkey % 11 = 0 AS isDeleted,
+            CASE WHEN o_orderkey % 7 = 0 THEN ''
+                 ELSE 'mk' || (o_orderkey % 5) END AS createdBy,
+            CAST(o_orderdate AS TIMESTAMP) AS createdUtc,
+            'PCK-' || o_orderkey AS code,
+            CASE WHEN o_orderkey % 9 = 0 THEN 0
+                 ELSE o_orderkey + 500 END AS poId,
+            'ORD-' || o_orderkey AS poNo,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'print' ELSE 'dye'
+            END AS orderType,
+            'SC-' || o_orderkey AS scNo,
+            'dc''' || (o_orderkey % 6) AS designCode,
+            'dn''' || (o_orderkey % 4) AS designNumber,
+            CASE WHEN o_orderkey % 13 = 0 THEN 0
+                 ELSE o_orderkey % 40 + 1 END AS buyerId,
+            'B' || (o_orderkey % 12) AS buyerCode,
+            'bu''yer' || (o_orderkey % 9) AS buyerName,
+            'jl. ' || (o_orderkey % 5) AS buyerAddress,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'ex' ELSE 'lo' END AS buyerType,
+            CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY AS pDate,
+            'MTR' AS packingUom,
+            'cc''' || (o_orderkey % 7) AS colorCode,
+            CASE WHEN o_orderkey % 17 = 0 THEN ''
+                 ELSE 'co''l' || (o_orderkey % 5) END AS colorName,
+            'ct' || (o_orderkey % 3) AS colorType,
+            CASE WHEN o_orderkey % 19 = 0 THEN 0
+                 ELSE o_orderkey % 25 END AS mcfId,
+            'fin''' || (o_orderkey % 4) AS mcfName,
+            o_orderkey % 30 + 1 AS materialId,
+            'cot''ton' || (o_orderkey % 3) AS material,
+            'w' || (o_orderkey % 3) AS mwf,
+            '2/' || (o_orderkey % 2 + 1) AS construction,
+            'de''l' || (o_orderkey % 2) AS deliveryType,
+            'fp''' || (o_orderkey % 3) AS fpType,
+            'mo''tif' || (o_orderkey % 8) AS motif,
+            'st''' || (o_orderkey % 4) AS status,
+            o_orderkey % 2 = 0 AS accepted,
+            o_orderkey % 5 = 0 AS declined
+          FROM o),
+        d AS (
+          SELECT o_orderkey AS key,
+            'LOT''' || o_orderkey || '-' || ti.range AS lot,
+            CASE WHEN ti.range = 1 THEN 'A' ELSE 'B''' END AS grade,
+            CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.1 END AS weight,
+            CASE WHEN o_orderkey % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.2 END AS length,
+            CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.3 END AS quantity,
+            CASE WHEN o_orderkey % 8 = 0 THEN ''
+                 ELSE 're''mark' || (o_orderkey % 5) END AS remark
+          FROM o, range(1, 3) ti
+          WHERE o_orderkey % 3 <> 0 AND ti.range <= o_orderkey % 3)
+        SELECT
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CASE WHEN createdBy <> '' THEN createdBy END AS created_by,
+          strftime(createdUtc + INTERVAL 7 HOUR, '%Y-%m-%d') AS created_date,
+          code AS code,
+          CASE WHEN poId <> 0 THEN CAST(poId AS VARCHAR)
+          END AS production_order_id,
+          poNo AS production_order_no,
+          orderType AS order_type,
+          scNo AS sales_contract_no,
+          replace(designCode, '''', '"') AS design_code,
+          replace(designNumber, '''', '"') AS design_number,
+          CASE WHEN buyerId <> 0 THEN CAST(buyerId AS VARCHAR) END AS buyer_id,
+          buyerCode AS buyer_code,
+          replace(buyerName, '''', '"') AS buyer_name,
+          replace(buyerAddress, '''', '"') AS buyer_address,
+          buyerType AS buyer_type,
+          strftime(pDate + INTERVAL 7 HOUR, '%Y-%m-%d') AS date,
+          packingUom AS packing_uom,
+          replace(colorCode, '''', '"') AS color_code,
+          CASE WHEN colorName <> '' THEN replace(colorName, '''', '"')
+          END AS color_name,
+          colorType AS color_type,
+          CASE WHEN mcfId <> 0 THEN CAST(mcfId AS VARCHAR)
+          END AS material_construction_finish_id,
+          replace(mcfName, '''', '"') AS material_construction_finish_name,
+          CAST(materialId AS VARCHAR) AS material_id,
+          replace(material, '''', '"') AS material,
+          mwf AS material_width_finish,
+          construction AS construction,
+          replace(deliveryType, '''', '"') AS delivery_type,
+          replace(fpType, '''', '"') AS finished_product_type,
+          replace(motif, '''', '"') AS motif,
+          replace(d.lot, '''', '"') AS lot,
+          replace(d.grade, '''', '"') AS grade,
+          COALESCE(CASE WHEN d.weight <> 0 THEN d.weight END, 0) AS weight,
+          COALESCE(CASE WHEN d.length <> 0 THEN d.length END, 0) AS length,
+          COALESCE(CASE WHEN d.quantity <> 0 THEN d.quantity END, 0)
+            AS quantity,
+          CASE WHEN d.remark <> '' THEN replace(d.remark, '''', '"')
+          END AS remark,
+          replace(status, '''', '"') AS status,
+          CAST(accepted AS VARCHAR) AS accepted,
+          CAST(declined AS VARCHAR) AS declined
+        FROM p LEFT JOIN d ON d.key = p.key"""),
+      "PackingFact.transform over fixture-shaped sources: detail " +
+        "fan-out preserved on detail-less packings, M4 zero defaults, " +
+        "stringified ids behind truthy gates, T1 per column"),
+
+    QuerySpec("q104_pipeline_packing_receipt",
+      (s, dir) => {
+        // PackingReceipt's real transform: INNER item join (key%4=0 has
+        // no items → dropped), T5 quoted numerics behind truthy gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val receipts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("PRC-"), key).as("code"),
+          when(key % 9 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate").cast("timestamp")).as("date"),
+          concat(lit("PCK-"), key).as("packingCode"),
+          (key % 2 === 0).as("accepted"), (key % 7 === 0).as("declined"),
+          when(key % 13 === 0, lit("")).otherwise(concat(lit("RN-"), key))
+            .as("referenceNo"),
+          lit("receipt").as("referenceType"),
+          concat(lit("ty'pe"), key % 3).as("type"),
+          concat(lit("ORD-"), key).as("productionOrderNo"),
+          concat(lit("bu'yer"), key % 9).as("buyer"),
+          concat(lit("co'l"), key % 5).as("colorName"),
+          concat(lit("2/"), key % 2 + 1).as("construction"),
+          lit("MTR").as("packingUom"),
+          when(key % 3 === 0, lit("print")).otherwise(lit("dye"))
+            .as("orderType"),
+          concat(lit("ct'"), key % 4).as("colorType"),
+          concat(lit("DC-"), key % 6).as("designCode"),
+          concat(lit("dn'"), key % 4).as("designNumber"))
+        val items = o.filter(key % 4 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3 + 1)
+          .select(key.as("packingReceiptId"),
+            concat(lit("pro'd"), key % 20, lit("-"), col("i")).as("product"),
+            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.4)
+              .as("quantity"),
+            when(key % 6 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.5).as("length"),
+            (key.cast("double") * 0.6).as("weight"))
+        graft.pipelines.PackingReceiptFact.transform(Map(
+          "packingReceipts" -> receipts, "packingReceiptItems" -> items))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
+        r AS (
+          SELECT o_orderkey AS key,
+            o_orderkey % 11 = 0 AS isDeleted,
+            'PRC-' || o_orderkey AS code,
+            CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                 ELSE CAST(o_orderdate AS TIMESTAMP) END AS rDate,
+            'PCK-' || o_orderkey AS packingCode,
+            o_orderkey % 2 = 0 AS accepted,
+            o_orderkey % 7 = 0 AS declined,
+            CASE WHEN o_orderkey % 13 = 0 THEN ''
+                 ELSE 'RN-' || o_orderkey END AS referenceNo,
+            'receipt' AS referenceType,
+            'ty''pe' || (o_orderkey % 3) AS rType,
+            'ORD-' || o_orderkey AS poNo,
+            'bu''yer' || (o_orderkey % 9) AS buyer,
+            'co''l' || (o_orderkey % 5) AS colorName,
+            '2/' || (o_orderkey % 2 + 1) AS construction,
+            'MTR' AS packingUom,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'print' ELSE 'dye'
+            END AS orderType,
+            'ct''' || (o_orderkey % 4) AS colorType,
+            'DC-' || (o_orderkey % 6) AS designCode,
+            'dn''' || (o_orderkey % 4) AS designNumber
+          FROM o),
+        it AS (
+          SELECT o_orderkey AS key,
+            'pro''d' || (o_orderkey % 20) || '-' || ti.range AS product,
+            CASE WHEN o_orderkey % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.4 END AS quantity,
+            CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.5 END AS length,
+            CAST(o_orderkey AS DOUBLE) * 0.6 AS weight
+          FROM o, range(1, 3) ti
+          WHERE o_orderkey % 4 <> 0 AND ti.range <= o_orderkey % 3 + 1)
+        SELECT
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          code AS code,
+          CASE WHEN rDate IS NOT NULL
+               THEN strftime(rDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS date,
+          packingCode AS packing_code,
+          CAST(accepted AS VARCHAR) AS accepted,
+          CAST(declined AS VARCHAR) AS declined,
+          CASE WHEN referenceNo <> '' THEN referenceNo END AS reference_no,
+          referenceType AS reference_type,
+          replace(rType, '''', '"') AS type,
+          poNo AS production_order_no,
+          replace(buyer, '''', '"') AS buyer,
+          replace(colorName, '''', '"') AS color_name,
+          replace(construction, '''', '"') AS construction,
+          replace(packingUom, '''', '"') AS packing_uom,
+          replace(orderType, '''', '"') AS order_type,
+          replace(colorType, '''', '"') AS color_type,
+          designCode AS design_code,
+          replace(designNumber, '''', '"') AS design_number,
+          replace(product, '''', '"') AS product,
+          CASE WHEN quantity IS NOT NULL AND quantity <> 0
+               THEN CAST(quantity AS VARCHAR) END AS quantity,
+          CASE WHEN length IS NOT NULL AND length <> 0
+               THEN CAST(length AS VARCHAR) END AS length,
+          CASE WHEN weight IS NOT NULL AND weight <> 0
+               THEN CAST(weight AS VARCHAR) END AS weight
+        FROM r JOIN it ON it.key = r.key"""),
+      "PackingReceiptFact.transform over fixture-shaped sources: " +
+        "inner item join drops item-less receipts, T5 quoted numerics " +
+        "behind truthy gates"),
+
+    QuerySpec("q105_pipeline_inventory_movement",
+      (s, dir) => {
+        // InventoryMovement's real transform: single-table scalar layer —
+        // quantity/before/after ride through UNGATED (0 survives)
+        val ev = Tables.events(s, dir).filter(col("event_id") <= 20000)
+        val key = col("event_id")
+        val src = ev.select(
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("ST'"), key % 12))
+            .as("storageCode"),
+          concat(lit("gud'ang "), key % 12).as("storageName"),
+          col("ts").as("date"),
+          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.25)
+            .as("quantity"),
+          when(key % 2 === 0, lit("IN")).otherwise(lit("OUT")).as("type"),
+          concat(lit("P-"), key % 40).as("productCode"),
+          concat(lit("pro'd"), key % 40).as("productName"),
+          when(key % 3 === 0, lit("MTR")).otherwise(lit("YDS")).as("uom"),
+          (key % 11 === 0).as("_deleted"),
+          concat(lit("IM-"), key).as("code"),
+          when(key % 13 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("RN'"), key)).as("referenceNo"),
+          lit("mo've").as("referenceType"),
+          (key % 100).cast("double").as("before"),
+          when(key % 9 === 0, lit(0.0)).otherwise((key % 100).cast("double") +
+            key.cast("double") * 0.25).as("after"),
+          when(key % 8 === 0, lit(""))
+            .otherwise(concat(lit("re'mark"), key % 6)).as("remark"))
+        graft.pipelines.InventoryMovementFact.transform(
+          Map("inventoryMovements" -> src))
+      },
+      Some("""
+        WITH e AS (SELECT * FROM events WHERE event_id <= 20000),
+        src AS (
+          SELECT event_id AS key, ts,
+            CASE WHEN event_id % 7 = 0 THEN ''
+                 ELSE 'ST''' || (event_id % 12) END AS storageCode,
+            'gud''ang ' || (event_id % 12) AS storageName,
+            CASE WHEN event_id % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(event_id AS DOUBLE) * 0.25 END AS quantity,
+            CASE WHEN event_id % 2 = 0 THEN 'IN' ELSE 'OUT' END AS mtype,
+            'P-' || (event_id % 40) AS productCode,
+            'pro''d' || (event_id % 40) AS productName,
+            CASE WHEN event_id % 3 = 0 THEN 'MTR' ELSE 'YDS' END AS uom,
+            event_id % 11 = 0 AS deleted,
+            'IM-' || event_id AS code,
+            CASE WHEN event_id % 13 = 0 THEN NULL
+                 ELSE 'RN''' || event_id END AS referenceNo,
+            'mo''ve' AS referenceType,
+            CAST(event_id % 100 AS DOUBLE) AS before,
+            CASE WHEN event_id % 9 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(event_id % 100 AS DOUBLE) +
+                      CAST(event_id AS DOUBLE) * 0.25 END AS after,
+            CASE WHEN event_id % 8 = 0 THEN ''
+                 ELSE 're''mark' || (event_id % 6) END AS remark
+          FROM e)
+        SELECT
+          CASE WHEN storageCode <> '' THEN replace(storageCode, '''', '"')
+          END AS storage_code,
+          replace(storageName, '''', '"') AS storage_name,
+          strftime(CAST(ts AS TIMESTAMP) + INTERVAL 7 HOUR, '%Y-%m-%d')
+            AS date,
+          quantity AS quantity,
+          mtype AS status,
+          replace(productCode, '''', '"') AS product_code,
+          replace(productName, '''', '"') AS product_name,
+          replace(uom, '''', '"') AS uom,
+          CAST(deleted AS VARCHAR) AS deleted,
+          replace(code, '''', '"') AS code,
+          CASE WHEN referenceNo IS NOT NULL
+               THEN replace(referenceNo, '''', '"') END AS reference_no,
+          replace(referenceType, '''', '"') AS reference_type,
+          before AS before,
+          after AS after,
+          CASE WHEN remark <> '' THEN replace(remark, '''', '"')
+          END AS remark
+        FROM src"""),
+      "InventoryMovementFact.transform over the events table: per-row " +
+        "scalar layer, ungated quantity/before/after, T1+C6"),
+
+    QuerySpec("q106_pipeline_inventory_summary",
+      (s, dir) => {
+        // InventorySummaries' real transform — the smallest pipeline
+        val p = Tables.load(s, dir, "part").filter(col("p_partkey") <= 4000)
+        val key = col("p_partkey")
+        val src = p.select(
+          concat(lit("ST'"), key % 15).as("storageCode"),
+          when(key % 7 === 0, lit(""))
+            .otherwise(concat(lit("gud'ang "), key % 15)).as("storageName"),
+          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 1.5)
+            .as("quantity"),
+          concat(lit("P'"), key % 50).as("productCode"),
+          col("p_name").as("productName"),
+          when(key % 3 === 0, lit("MTR")).otherwise(lit("PCS")).as("uom"),
+          (key % 11 === 0).as("_deleted"),
+          concat(lit("IS-"), key).as("code"))
+        graft.pipelines.InventorySummaryFact.transform(
+          Map("inventorySummaries" -> src))
+      },
+      Some("""
+        SELECT
+          replace('ST''' || (p_partkey % 15), '''', '"') AS storage_code,
+          CASE WHEN p_partkey % 7 = 0 THEN NULL
+               ELSE replace('gud''ang ' || (p_partkey % 15), '''', '"')
+          END AS storage_name,
+          CASE WHEN p_partkey % 5 = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(p_partkey AS DOUBLE) * 1.5 END AS quantity,
+          replace('P''' || (p_partkey % 50), '''', '"') AS product_code,
+          replace(p_name, '''', '"') AS product_name,
+          CASE WHEN p_partkey % 3 = 0 THEN 'MTR' ELSE 'PCS' END AS uom,
+          CAST(p_partkey % 11 = 0 AS VARCHAR) AS deleted,
+          'IS-' || p_partkey AS code
+        FROM part WHERE p_partkey <= 4000"""),
+      "InventorySummaryFact.transform over the part table: the " +
+        "smallest reference pipeline, T1+C6 per column")
   )
 
   /** Fixture-shaped sources for the DailyOperation dual-fact pipeline,

@@ -96,6 +96,17 @@ class RemainingPipelinesSpec extends SparkSpec {
       "salesContractNo", "designCode", "designNumber", "buyerName",
       "buyerType", "date", "packingUom", "colorName", "colorType",
       "construction", "motif", "status", "accepted", "declined")
+      .withColumn("buyerId", lit(3L))
+      .withColumn("buyerCode", lit("B-1"))
+      .withColumn("buyerAddress", lit("jl. ba'tik"))
+      .withColumn("colorCode", lit("C'1"))
+      .withColumn("materialConstructionFinishId", lit(0L))
+      .withColumn("materialConstructionFinishName", lit("fin'ish"))
+      .withColumn("materialId", lit(9L))
+      .withColumn("material", lit("cot'ton"))
+      .withColumn("materialWidthFinish", lit("1.5m"))
+      .withColumn("deliveryType", lit("de'liv"))
+      .withColumn("finishedProductType", lit("fp'type"))
     val details = Seq(
       (1L, "LOT'1", "A", Option(12.5), Option.empty[Double], Option(0.0),
         Option("rem'ark"))
