@@ -2636,7 +2636,312 @@ object PipelineQueries {
           'IS-' || p_partkey AS code
         FROM part WHERE p_partkey <= 4000"""),
       "InventorySummaryFact.transform over the part table: the " +
-        "smallest reference pipeline, T1+C6 per column")
+        "smallest reference pipeline, T1+C6 per column"),
+
+    QuerySpec("q107_pipeline_deal_tracking_deal",
+      (s, dir) => {
+        // DealTrackingDeal's real transform: deals ⟕ companies city
+        // lookup (misses for companyId >= 25), ungated id/amount/
+        // created_date, != undefined quantity (0 survives, NULL drops)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val deals = o.select(key.as("id"), (key % 30).as("companyId"),
+          (key % 11 === 0).as("isDeleted"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("DL'"), key))
+            .as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          concat(lit("de'al"), key % 9).as("name"),
+          ((key % 50).cast("double") * 10.5).as("amount"),
+          when(key % 13 === 0, lit("")).otherwise(concat(lit("CC'"), key % 9))
+            .as("companyCode"),
+          concat(lit("co'mp"), key % 7).as("companyName"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("ct"), key % 8))
+            .as("contactCode"),
+          when(key % 9 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("con'tact"), key % 8)).as("contactName"),
+          when(key % 5 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(DAY, 30, CAST(o_orderdate AS TIMESTAMP))"))
+            .as("closeDate"),
+          when(key % 8 === 0, lit("")).otherwise(concat(lit("des'c"), key % 4))
+            .as("description"),
+          when(key % 6 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("rea'son"), key % 3)).as("reason"),
+          when(key % 19 === 0, lit(null).cast("double"))
+            .when(key % 4 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("quantity"),
+          when(key % 2 === 0, lit("MTR")).otherwise(lit("PC'S")).as("uomUnit"))
+        val comps = s.range(0, 25).select(col("id"),
+          concat(lit("ci'ty"), col("id") % 6).as("city"))
+        graft.pipelines.DealTrackingDealFact.transform(Map(
+          "deals" -> deals, "companies" -> comps))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
+        d AS (
+          SELECT o_orderkey AS key, o_orderkey % 30 AS companyId,
+            o_orderkey % 11 = 0 AS isDeleted,
+            CASE WHEN o_orderkey % 17 = 0 THEN ''
+                 ELSE 'DL''' || o_orderkey END AS code,
+            CAST(o_orderdate AS TIMESTAMP) AS createdUtc,
+            'u' || (o_orderkey % 5) AS createdBy,
+            'de''al' || (o_orderkey % 9) AS name,
+            CAST(o_orderkey % 50 AS DOUBLE) * 10.5 AS amount,
+            CASE WHEN o_orderkey % 13 = 0 THEN ''
+                 ELSE 'CC''' || (o_orderkey % 9) END AS companyCode,
+            'co''mp' || (o_orderkey % 7) AS companyName,
+            CASE WHEN o_orderkey % 7 = 0 THEN ''
+                 ELSE 'ct' || (o_orderkey % 8) END AS contactCode,
+            CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                 ELSE 'con''tact' || (o_orderkey % 8) END AS contactName,
+            CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                 ELSE CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+            END AS closeDate,
+            CASE WHEN o_orderkey % 8 = 0 THEN ''
+                 ELSE 'des''c' || (o_orderkey % 4) END AS description,
+            CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                 ELSE 'rea''son' || (o_orderkey % 3) END AS reason,
+            CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                 WHEN o_orderkey % 4 = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(o_orderkey AS DOUBLE) * 0.5 END AS quantity,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'MTR' ELSE 'PC''S'
+            END AS uomUnit
+          FROM o),
+        c AS (SELECT t.range AS id, 'ci''ty' || (t.range % 6) AS city
+              FROM range(0, 25) t)
+        SELECT
+          CAST(isDeleted AS VARCHAR) AS deleted,
+          CAST(key AS VARCHAR) AS id,
+          CASE WHEN code <> '' THEN replace(code, '''', '"') END AS code,
+          strftime(createdUtc + INTERVAL 7 HOUR, '%Y-%m-%d') AS created_date,
+          createdBy AS created_by,
+          replace(name, '''', '"') AS name,
+          CAST(amount AS VARCHAR) AS amount,
+          CASE WHEN companyCode <> '' THEN replace(companyCode, '''', '"')
+          END AS company_code,
+          replace(companyName, '''', '"') AS company_name,
+          replace(c.city, '''', '"') AS company_city,
+          CASE WHEN contactCode <> '' THEN replace(contactCode, '''', '"')
+          END AS contact_code,
+          replace(contactName, '''', '"') AS contact_name,
+          CASE WHEN closeDate IS NOT NULL
+               THEN strftime(closeDate + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS close_date,
+          CASE WHEN description <> '' THEN replace(description, '''', '"')
+          END AS description,
+          replace(reason, '''', '"') AS reason,
+          CAST(NULL AS VARCHAR) AS product_code,
+          CAST(NULL AS VARCHAR) AS product_name,
+          CAST(quantity AS VARCHAR) AS quantity,
+          replace(uomUnit, '''', '"') AS uom
+        FROM d LEFT JOIN c ON c.id = d.companyId"""),
+      "DealTrackingDealFact.transform over fixture-shaped sources: " +
+        "company city lookup with misses, ungated id/amount dialect, " +
+        "!= undefined quantity"),
+
+    QuerySpec("q108_pipeline_deal_tracking_activity",
+      (s, dir) => {
+        // DealTrackingActivity's real transform: single-table scalar
+        // layer; created_date keeps its time component; stage ids
+        // stringified behind truthy-number gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val acts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("AC'"), key).as("code"),
+          expr("timestampadd(MINUTE, CAST(o_orderkey % 1440 AS INT), " +
+            "CAST(o_orderdate AS TIMESTAMP))").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          when(key % 9 === 0, lit(0L)).otherwise(key + 100).as("dealId"),
+          concat(lit("ty'pe"), key % 4).as("type"),
+          when(key % 6 === 0, lit("")).otherwise(concat(lit("no'te"), key % 5))
+            .as("notes"),
+          when(key % 8 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("ta'sk"), key % 7)).as("taskTitle"),
+          when(key % 5 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(DAY, 7, CAST(o_orderdate AS TIMESTAMP))"))
+            .as("dueDate"),
+          (key % 2 === 0).as("status"),
+          when(key % 7 === 0, lit(0L)).otherwise(key % 90 + 1)
+            .as("sourceStageId"),
+          when(key % 10 === 0, lit(0L)).otherwise(key % 80 + 1)
+            .as("targetStageId"),
+          concat(lit("as'g"), key % 6).as("assignedTo"))
+        graft.pipelines.DealTrackingActivityFact.transform(
+          Map("activities" -> acts))
+      },
+      Some("""
+        SELECT
+          CAST(o_orderkey % 11 = 0 AS VARCHAR) AS deleted,
+          CAST(o_orderkey AS VARCHAR) AS id,
+          replace('AC''' || o_orderkey, '''', '"') AS code,
+          strftime(CAST(o_orderdate AS TIMESTAMP)
+            + (o_orderkey % 1440) * INTERVAL 1 MINUTE + INTERVAL 7 HOUR,
+            '%Y-%m-%d %H:%M:%S') AS created_date,
+          'u' || (o_orderkey % 5) AS created_by,
+          CASE WHEN o_orderkey % 9 <> 0
+               THEN CAST(o_orderkey + 100 AS VARCHAR) END AS deal_id,
+          replace('ty''pe' || (o_orderkey % 4), '''', '"') AS type,
+          CASE WHEN o_orderkey % 6 <> 0
+               THEN replace('no''te' || (o_orderkey % 5), '''', '"')
+          END AS notes,
+          CASE WHEN o_orderkey % 8 <> 0
+               THEN replace('ta''sk' || (o_orderkey % 7), '''', '"')
+          END AS title,
+          CASE WHEN o_orderkey % 5 <> 0
+               THEN strftime(CAST(o_orderdate AS TIMESTAMP)
+                 + INTERVAL 7 DAY + INTERVAL 7 HOUR, '%Y-%m-%d')
+          END AS due_date,
+          CAST(o_orderkey % 2 = 0 AS VARCHAR) AS status,
+          CASE WHEN o_orderkey % 7 <> 0
+               THEN CAST(o_orderkey % 90 + 1 AS VARCHAR)
+          END AS source_stage_id,
+          CASE WHEN o_orderkey % 10 <> 0
+               THEN CAST(o_orderkey % 80 + 1 AS VARCHAR)
+          END AS target_stage_id,
+          replace('as''g' || (o_orderkey % 6), '''', '"') AS assigned_to
+        FROM orders WHERE o_orderkey <= 2500"""),
+      "DealTrackingActivityFact.transform over fixture-shaped sources: " +
+        "timestamped created_date, truthy-number stage id gates, " +
+        "!= undefined status"),
+
+    QuerySpec("q109_pipeline_deal_tracking_board",
+      (s, dir) => {
+        // DealTrackingBoard's real transform: J4 keep-first currency
+        // lookup (duplicate codes resolved by highest rate), a code
+        // whose rates are all zero (gated), and a code with no currency
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val boards = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("BD'"), key).as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          concat(lit("bo'ard"), key % 9).as("title"),
+          when(key % 7 === 0, lit("CX"))
+            .otherwise(concat(lit("C"), key % 5)).as("currencyCode"),
+          when(key % 2 === 0, lit("$")).otherwise(lit("Rp"))
+            .as("currencySymbol"))
+        import s.implicits._
+        val curr = (0 until 5).flatMap { c =>
+          val base = if (c == 1) 0.0 else c * 1000.0
+          Seq((s"C$c", base), (s"C$c", if (c == 1) 0.0 else base + 500))
+        }.toDF("code", "rate")
+        graft.pipelines.DealTrackingBoardFact.transform(Map(
+          "boards" -> boards, "currencies" -> curr))
+      },
+      Some("""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
+        cur AS (
+          SELECT 'C' || t.range AS code,
+            max(CASE WHEN t.range = 1 THEN CAST(0.0 AS DOUBLE)
+                     ELSE t.range * 1000.0 + 500 END) AS rate
+          FROM range(0, 5) t GROUP BY 1)
+        SELECT
+          CAST(o_orderkey % 11 = 0 AS VARCHAR) AS deleted,
+          CAST(o_orderkey AS VARCHAR) AS id,
+          replace('BD''' || o_orderkey, '''', '"') AS code,
+          strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 HOUR,
+            '%Y-%m-%d') AS created_date,
+          'u' || (o_orderkey % 5) AS created_by,
+          replace('bo''ard' || (o_orderkey % 9), '''', '"') AS title,
+          CASE WHEN o_orderkey % 7 = 0 THEN 'CX'
+               ELSE 'C' || (o_orderkey % 5) END AS currency_code,
+          CASE WHEN cur.rate IS NOT NULL AND cur.rate <> 0
+               THEN CAST(cur.rate AS VARCHAR) END AS currency_rate,
+          CASE WHEN o_orderkey % 2 = 0 THEN '$' ELSE 'Rp'
+          END AS currency_symbol
+        FROM o LEFT JOIN cur
+          ON cur.code = CASE WHEN o_orderkey % 7 = 0 THEN 'CX'
+                             ELSE 'C' || (o_orderkey % 5) END"""),
+      "DealTrackingBoardFact.transform over fixture-shaped sources: " +
+        "keep-first currency-rate lookup with duplicates, zero rate " +
+        "gated, missing currency"),
+
+    QuerySpec("q110_pipeline_deal_tracking_stage",
+      (s, dir) => {
+        // DealTrackingStage's real dual-sink transforms, first table
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val stages = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("SG'"), key))
+            .as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          (key % 20).as("boardId"),
+          concat(lit("sta'ge"), key % 6).as("name"))
+        graft.pipelines.DealTrackingStageFact.transform(Map(
+          "stages" -> stages, "stageDeals" -> stages.limit(0)))
+      },
+      Some("""
+        SELECT
+          CAST(o_orderkey % 11 = 0 AS VARCHAR) AS deleted,
+          CAST(o_orderkey AS VARCHAR) AS id,
+          CASE WHEN o_orderkey % 17 <> 0
+               THEN replace('SG''' || o_orderkey, '''', '"') END AS code,
+          strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 HOUR,
+            '%Y-%m-%d') AS created_date,
+          'u' || (o_orderkey % 5) AS created_by,
+          CAST(o_orderkey % 20 AS VARCHAR) AS board_id,
+          replace('sta''ge' || (o_orderkey % 6), '''', '"') AS name
+        FROM orders WHERE o_orderkey <= 2500"""),
+      "DealTrackingStageFact.transform (first staging table of the S12 " +
+        "dual sink): ungated board id toString, T1+C6"),
+
+    QuerySpec("q111_pipeline_deal_tracking_stage_map",
+      (s, dir) => {
+        // ...and the second staging table: the stage↔deal map with the
+        // reference's bare-variable bug resolved to item.stageId/item.id
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 1500)
+        val sd = li.select(
+          (col("l_orderkey") % 40).as("stageId"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id")).distinct()
+        graft.pipelines.DealTrackingStageFact.transformDeals(
+          Map("stages" -> sd.limit(0), "stageDeals" -> sd))
+      },
+      Some("""
+        SELECT DISTINCT
+          CAST(l_orderkey % 40 AS VARCHAR) AS stage_id,
+          CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS deal_id
+        FROM lineitem WHERE l_orderkey <= 1500"""),
+      "DealTrackingStageFact.transformDeals (second staging table): " +
+        "the stage↔deal map, dual-sink S12 under the oracle"),
+
+    QuerySpec("q112_pipeline_migration_log_sync",
+      (s, dir) => {
+        // MigrationLogFunc's Mongo argmax: latest successful run per
+        // pipeline description (both status dialects), ties impossible
+        // by construction (unique finish per row)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        val log = o.select(
+          concat(lit("fact-"), key % 7).as("description"),
+          col("o_orderdate").cast("timestamp").as("start"),
+          expr("timestampadd(MINUTE, CAST(o_orderkey % 500000 AS INT), " +
+            "timestamp'2015-01-01 00:00:00')").as("finish"),
+          concat((key % 90).cast("string"), lit(" minutes"))
+            .as("executionTime"),
+          when(key % 3 === 0, lit("Successful"))
+            .when(key % 3 === 1, lit("success"))
+            .otherwise(concat(lit("Failed: step "), key % 4)).as("status"))
+        graft.pipelines.MigrationLogSync.transform(Map("externalLog" -> log))
+      },
+      Some("""
+        WITH log AS (
+          SELECT 'fact-' || (o_orderkey % 7) AS description,
+            CAST(o_orderdate AS TIMESTAMP) AS start,
+            TIMESTAMP '2015-01-01 00:00:00'
+              + (o_orderkey % 500000) * INTERVAL 1 MINUTE AS finish,
+            CAST(o_orderkey % 90 AS VARCHAR) || ' minutes' AS executionTime,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'Successful'
+                 WHEN o_orderkey % 3 = 1 THEN 'success'
+                 ELSE 'Failed: step ' || (o_orderkey % 4) END AS status
+          FROM orders WHERE o_orderkey <= 3000)
+        SELECT description, start, finish, executionTime, status
+        FROM log WHERE status IN ('Successful', 'success')
+        QUALIFY row_number()
+          OVER (PARTITION BY description ORDER BY finish DESC, start DESC) = 1"""),
+      "MigrationLogSync.transform: the Mongo argmax-per-description " +
+        "control sync with both success-status dialects")
   )
 
   /** Fixture-shaped sources for the DailyOperation dual-fact pipeline,
