@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
  * The Spark-side plumbing is real — schema, partition-local batch
  * processing via `mapPartitions` (the JVM analog of `mapInPandas`
  * batching: one buffer per partition, streaming iterator, no
- * per-row setup cost), deterministic output shapes. The actual codec
- * work is STUBBED (`fakeDecode`) because no image/audio libraries exist
- * in this environment: the stub derives deterministic pseudo-features
- * from the content bytes, so every pipeline stage around the decode is
- * testable and the stub swaps for a real codec without touching plans.
+ * per-row setup cost), deterministic output shapes. IMAGE decode and
+ * resize are REAL — the JDK's built-in `javax.imageio` handles
+ * PNG/JPEG/GIF/BMP with zero added dependencies ([[decodeImage]],
+ * [[resizeImage]]). Audio/video codec work stays STUBBED
+ * (`fakeDecode`) because no such libraries exist in this environment:
+ * the stub derives deterministic pseudo-features from the content
+ * bytes, so every pipeline stage around the decode is testable and the
+ * stub swaps for a real codec without touching plans.
  */
 object Multimodal {
 
@@ -35,9 +38,84 @@ object Multimodal {
 
   val featureDim = 16
 
-  /** STUB decode — deterministic pseudo-features from the content bytes.
-    * A real deployment replaces this with an image/audio codec; the
-    * signature (bytes → fixed-dim float features) is the contract. */
+  /** REAL image decode via the JDK's built-in `javax.imageio` (PNG,
+    * JPEG, GIF, BMP — zero new dependencies): returns (width, height,
+    * 4×4 mean-luminance grid as the 16-dim feature vector), or None
+    * when the bytes are not a decodable image. Executor-side only. */
+  private[graft] def decodeImage(content: Array[Byte])
+      : Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val grid = 4
+        val out = new Array[Float](featureDim)
+        var gy = 0
+        while (gy < grid) {
+          var gx = 0
+          while (gx < grid) {
+            val x0 = gx * w / grid
+            val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+            val y0 = gy * h / grid
+            val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+            var sum = 0.0; var n = 0
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            out(gy * grid + gx) = if (n == 0) 0f else (sum / n).toFloat
+            gx += 1
+          }
+          gy += 1
+        }
+        Some((w, h, out))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** REAL image resize via `java.awt` bilinear scaling, re-encoded as
+    * PNG bytes. None when the input is not a decodable image. */
+  private[graft] def resizeImage(content: Array[Byte], maxSide: Int)
+      : Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val nw = math.max(1, (w * scale).toInt)
+        val nh = math.max(1, (h * scale).toInt)
+        val scaled = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = scaled.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, nw, nh, null)
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        Some((nw, nh, bos.toByteArray))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decode for audio/video (and non-image bytes) — deterministic
+    * pseudo-features from the content bytes. No audio/video codec
+    * exists in this environment; the signature (bytes → fixed-dim float
+    * features) is the swap-in contract. Image bytes take the REAL
+    * [[decodeImage]] path in [[extractFeatures]]. */
   private[operators] def fakeDecode(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
     var h = 1125899906842597L // deterministic seed
@@ -60,18 +138,49 @@ object Multimodal {
   /**
    * Batch feature extraction: one decode per media item, executed
    * partition-locally. Returns (media_id, kind, features float[16]).
-   * Rows with null content are dropped (a real pipeline would route them
-   * to a dead-letter sink).
+   * Image rows decode for REAL through `javax.imageio`
+   * ([[decodeImage]]); bytes that aren't a decodable image — and all
+   * audio/video rows — fall back to the deterministic stub, so
+   * synthetic fixtures keep their digests. Rows with null content are
+   * dropped (a real pipeline would route them to a dead-letter sink).
    */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featuresSchema)
     media.select("media_id", "kind", "content")
       .mapPartitions { rows =>
         rows.filter(!_.isNullAt(2)).map { r =>
-          Row(r.getLong(0), r.getString(1),
-            fakeDecode(r.getAs[Array[Byte]]("content")).toSeq)
+          val content = r.getAs[Array[Byte]]("content")
+          val feats =
+            if (r.getString(1) == "image")
+              decodeImage(content).map(_._3).getOrElse(fakeDecode(content))
+            else fakeDecode(content)
+          Row(r.getLong(0), r.getString(1), feats.toSeq)
         }
+      }(enc)
+  }
+
+  /**
+   * REAL image resize: for decodable image rows, re-encode at
+   * `maxSide` via bilinear AWT scaling and emit the new bytes +
+   * actual dimensions; undecodable/non-image rows are dropped.
+   * Compose with [[resizedMeta]] when only the bookkeeping is needed
+   * (that path never reads the blob).
+   */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "kind", "content")
+      .mapPartitions { rows =>
+        rows.filter(r => r.getString(1) == "image" && !r.isNullAt(2))
+          .flatMap { r =>
+            resizeImage(r.getAs[Array[Byte]]("content"), maxSide).map {
+              case (w, h, bytes) => Row(r.getLong(0), w, h, bytes)
+            }
+          }
       }(enc)
   }
 
