@@ -81,6 +81,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       var runs = Seq(once(), once())
+      // quick queries: min-of-3 — a single descheduling event in a
+      // 0.3 s query doubles its recorded time with min-of-2 (the one
+      // r3→r4 "regression", q43, was exactly this wobble)
+      if (runs.min <= 1.5) runs = runs :+ once()
       // expensive queries re-pay codegen/JIT warmup when 60 other plans
       // have rolled the code cache since their sf0.001 warmup — keep
       // re-running while the time is still dropping sharply (capped),

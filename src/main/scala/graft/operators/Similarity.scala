@@ -140,11 +140,15 @@ object Similarity {
       lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
     val exploded = base
       .select(col("id"), posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    // a pair can collide in up to nTables tables; verify FIRST and
+    // dedupe the SURVIVORS (≪ candidates at any tight threshold), so
+    // the global exchange carries verified pairs, not every duplicate
+    // candidate. The cosine is deterministic per pair, so the distinct
+    // collapses cross-table duplicates exactly.
     val candidates = exploded.as("x")
       .join(exploded.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     candidates
       .join(base.select(col("id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), "id_a")
@@ -153,6 +157,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 
   /**
