@@ -76,7 +76,17 @@ final case class JdbcConnector(url: String,
   def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
     val w = df.write.format("jdbc").option("url", url)
       .option("dbtable", table)
-    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+    // Derby's default StringType mapping is CLOB, which cannot take a
+    // pushed-down comparison (filter pushdown on a string key would
+    // then fail remotely) — land strings as VARCHAR instead
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+    val w2 =
+      if (url.startsWith("jdbc:derby") && stringCols.nonEmpty)
+        w.option("createTableColumnTypes",
+          stringCols.map(f => s"${f.name} VARCHAR(255)").mkString(", "))
+      else w
+    props.foldLeft(w2) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(mode).save()
   }
 }

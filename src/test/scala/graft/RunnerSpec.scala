@@ -19,10 +19,10 @@ class RunnerSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  test("runner: pembelian twice over parquet fixtures, idempotent via control table") {
+  /** The pembelian 11-table fixture set, landed through ANY connector —
+    * shared by the parquet and jdbc runner cases. */
+  private def writePembelianFixtures(lake: graft.sources.Connector): Unit = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-runner").toString
-    val lake = ParquetConnector(s"$dir/lake")
     lake.write(Seq(
       (1L, "PR-1", ts("2020-01-01 00:00:00"), ts("2020-01-10 00:00:00"),
         "B-1", "opex", "U-1", "weaving", "D-1", "textile", "C-1",
@@ -68,6 +68,11 @@ class RunnerSpec extends SparkSpec {
       .toDF("id", "upoNo", "date"), "unitPaymentOrders", SaveMode.Overwrite)
     lake.write(Seq((501L, "US Dollar")).toDF("id", "description"),
       "currencies", SaveMode.Overwrite)
+  }
+
+  test("runner: pembelian twice over parquet fixtures, idempotent via control table") {
+    val dir = Files.createTempDirectory("graft-runner").toString
+    writePembelianFixtures(ParquetConnector(s"$dir/lake"))
 
     def invoke(): Unit = Main.main(Array("pembelian",
       "--sources", s"$dir/lake", "--warehouse", s"$dir/dwh",
@@ -89,6 +94,37 @@ class RunnerSpec extends SparkSpec {
     val control = new WatermarkManager(spark, s"$dir/dwh/control")
     assert(control.log.filter("status = 'Successful'").count() === 2)
     assert(control.lastWatermark("purchasing-fact").after(control.epoch))
+  }
+
+  test("runner: pembelian through a jdbc: source, watermark pushed into the scan") {
+    val dir = Files.createTempDirectory("graft-runner-jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val jdbc = graft.sources.JdbcConnector(url)
+    // the reference's actual deployment shape: every source is a remote
+    // SQL database (Pembelian/run.js:120-170) — here embedded Derby
+    writePembelianFixtures(jdbc)
+
+    val failures = Main.run(Array("pembelian", "--sources", url,
+      "--warehouse", s"$dir/dwh", "--control", s"$dir/dwh/control"))
+    assert(failures === 0)
+    val fact = spark.read.parquet(s"$dir/dwh/purchasing-fact")
+    assert(fact.count() === 2)
+    assert(fact.filter("pr_no = 'PR-1'").collect().head
+      .getAs[Double]("total_price") === 10.0 * 2.5 * 14000.0)
+
+    // plan assert: the watermark predicate reaches the REMOTE scan as a
+    // pushed JDBC filter — the engine ships `WHERE lastmodifiedutc > ?`
+    // to the database exactly like the reference's extract SQL, instead
+    // of pulling the whole table and filtering in Spark
+    val scan = graft.ops.relational.incrementalScan(
+      jdbc.read(spark, "purchaserequests"),
+      org.apache.spark.sql.functions.col("lastmodifiedutc"),
+      org.apache.spark.sql.functions.lit(ts("2020-01-03 00:00:00")))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(lastmodifiedutc"), plan)
+    // and the pushed scan returns exactly the newer row
+    assert(scan.count() === 1)
   }
 
   test("runner: migration-log through the jsonl doc-store URI") {
