@@ -69,14 +69,23 @@ object GarmentPurchasingFact extends Pipeline {
   private def nullStr: Column = lit(null).cast("string")
   private def nullInt: Column = lit(null).cast("int")
 
+  /** SQL-side `CreatedBy not in ('dev','unit-test')` — applied to the
+    * PR extract (run.js:91) AND the PO lookup (run.js:327); NULL
+    * creators fail the predicate under three-valued logic. A PR whose
+    * PO was creator-filtered looks PO-less and takes the PR-item
+    * branch, exactly as the reference's empty lookup result does. */
+  private def creatorOk(df: DataFrame): DataFrame =
+    df.filter(col("createdBy").isNotNull &&
+      !col("createdBy").isin("dev", "unit-test"))
+
   def transform(t: Map[String, DataFrame]): DataFrame = {
-    val pr = t("garmentPurchaseRequests").select(col("id").as("pr_id"),
+    val pr = creatorOk(t("garmentPurchaseRequests")).select(col("id").as("pr_id"),
       col("no").as("prNo"), col("createdDate").as("prCreatedDate"),
       col("createdBy").as("prCreatedBy"),
       col("expectedDeliveryDate").as("prExpectedDeliveryDate"),
       col("unitCode"), col("unitName"), col("divisionCode"),
       col("divisionName"), col("deleted").as("prDeleted"))
-    val po = t("garmentPurchaseOrders").select(col("prId").as("pr_id"),
+    val po = creatorOk(t("garmentPurchaseOrders")).select(col("prId").as("pr_id"),
       col("id").as("po_id"), col("no").as("poNo"),
       col("createdDate").as("poCreatedDate"),
       col("createdBy").as("poCreatedBy"), col("deleted").as("poDeleted"))

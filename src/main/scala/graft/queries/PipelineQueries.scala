@@ -911,7 +911,11 @@ object PipelineQueries {
           make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
         val prs = o.select(key.as("id"), concat(lit("GPR'"), key).as("no"),
           col("o_orderdate").as("createdDate"),
-          concat(lit("mk'r"), key % 5).as("createdBy"),
+          // creator NOT IN: %37 dev, %41 NULL — both drop the PR from
+          // BOTH branches (run.js:91)
+          when(key % 37 === 0, lit("dev"))
+            .when(key % 41 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("mk'r"), key % 5)).as("createdBy"),
           (col("o_orderdate") + days(lit(9))).as("expectedDeliveryDate"),
           when(key % 13 === 0, lit(""))
             .otherwise(concat(lit("U"), key % 3)).as("unitCode"),
@@ -922,7 +926,11 @@ object PipelineQueries {
         val pos = o.filter(key % 3 =!= 0).select(key.as("prId"),
           (key + 1000000L).as("id"), concat(lit("GPO-"), key).as("no"),
           (col("o_orderdate") + days(key % 6)).as("createdDate"),
-          concat(lit("st'f"), key % 4).as("createdBy"),
+          // %43 unit-test: the PO vanishes and its PR anti-joins into
+          // the PR-item branch (which has no items for these orders —
+          // they emit nothing, run.js:327 + :758)
+          when(key % 43 === 0, lit("unit-test"))
+            .otherwise(concat(lit("st'f"), key % 4)).as("createdBy"),
           lit(false).as("deleted"))
         val itemBase = li.filter(col("l_orderkey") % 3 =!= 0)
         val itemId = col("l_orderkey") * 100 + col("l_linenumber")
@@ -1080,7 +1088,10 @@ object PipelineQueries {
           FROM ib
           JOIN o ON o.o_orderkey = ib.l_orderkey
           LEFT JOIN f ON f.poItemId = ib.item_id
-          LEFT JOIN lastdo ld ON ld.poItemId = ib.item_id)
+          LEFT JOIN lastdo ld ON ld.poItemId = ib.item_id
+          WHERE ib.l_orderkey % 37 <> 0  -- dev-created PR dropped
+            AND ib.l_orderkey % 41 <> 0  -- NULL-creator PR fails NOT IN
+            AND ib.l_orderkey % 43 <> 0) -- unit-test PO: chain emits nothing
         SELECT
           item_id AS po_item_id,
           replace(prNo, '''', '"') AS pr_no,
@@ -1287,7 +1298,9 @@ object PipelineQueries {
           NULL AS unit_payment_order_due_date,
           NULL AS unit_receipt_note_delivered_quantity
         FROM li JOIN o ON o.o_orderkey = li.l_orderkey
-        WHERE li.l_orderkey % 3 = 0"""),
+        WHERE li.l_orderkey % 3 = 0
+          AND li.l_orderkey % 37 <> 0   -- PR creator filter hits branch B
+          AND li.l_orderkey % 41 <> 0"""),
       "GarmentPembelian's full two-branch dataflow under the DuckDB " +
         "oracle: fulfillment fan-out with last-delivery on-time status, " +
         "literal-0 vs null day-count dialects, !==undefined gates, and " +
