@@ -76,7 +76,7 @@ object Pipelines {
  */
 object Main {
 
-  private def connectorFor(uri: String): Connector = uri match {
+  private[runner] def connectorFor(uri: String): Connector = uri match {
     case u if u.startsWith("jsonl:") => JsonLinesConnector(u.stripPrefix("jsonl:"))
     case u if u.startsWith("csv:") => CsvConnector(u.stripPrefix("csv:"))
     case u if u.startsWith("orc:") => OrcConnector(u.stripPrefix("orc:"))

@@ -1,0 +1,176 @@
+package graft.runner
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Executors, TimeUnit}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.control.WatermarkManager
+import graft.pipelines.PipelineRunner
+import graft.sources.Connector
+
+/**
+ * Server mode — the engine's analog of the reference's per-pipeline
+ * Azure Function triggers, on the JDK's built-in HTTP server (zero
+ * added dependencies):
+ *
+ *  - `GET|POST /api/<name>` runs the named pipeline immediately and
+ *    returns a JSON body, mirroring the reference's HTTP trigger
+ *    (`Pembelian/function.json:1-17`, `Pembelian/index.js:3-17` —
+ *    which also accepts both methods and answers with the run result);
+ *  - `GET /api` lists the addressable pipelines (names + aliases);
+ *  - `--every <seconds> <name...>` starts a fixed-interval timer loop
+ *    over the named pipelines, the engine's analog of the
+ *    `*Timer/function.json` `timerTrigger` schedule (`0 20 0 * * *` —
+ *    production cadence belongs to cron/k8s, the loop is for parity
+ *    and tests).
+ *
+ * Runs execute on a single worker thread: the reference's functions
+ * are independently scheduled but its DWH merge serializes on the
+ * stored-proc transaction anyway; one-at-a-time keeps watermark
+ * semantics identical to the CLI runner. Failures return HTTP 500
+ * with the error body and leave the watermark untouched — the failed
+ * run is still logged in the control table, exactly like the CLI.
+ *
+ *   runMain graft.runner.Serve --port 8980 --sources /data/lake \
+ *     --warehouse /data/dwh --control /data/dwh/control
+ */
+object Serve {
+
+  /** One running server; `stop()` for embedded callers (tests). */
+  final class Handle(server: HttpServer,
+                     timer: Option[java.util.concurrent.ScheduledExecutorService],
+                     val port: Int) {
+    def stop(): Unit = {
+      timer.foreach(_.shutdownNow())
+      server.stop(0)
+    }
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+    ex.close()
+  }
+
+  /** Start the server; embedded callers pass port 0 for an ephemeral
+    * bind and get the chosen port from the returned [[Handle]]. */
+  def start(spark: SparkSession, conn: Connector, warehouse: String,
+            controlPath: String, port: Int,
+            every: Option[(Long, Seq[String])] = None): Handle = {
+    val control = new WatermarkManager(spark, controlPath)
+    val runner = new PipelineRunner(spark, control, warehouse)
+    // one-at-a-time run semantics (see scaladoc); the lock covers the
+    // timer loop too, so a slow HTTP-triggered run delays — never
+    // overlaps — the scheduled one
+    val lock = new Object
+
+    def runOne(name: String): (Int, String) = {
+      val p = Pipelines.byName(name)
+      lock.synchronized {
+        try {
+          val rows = runner.run(p, t => conn.read(spark, t))
+          val wm = control.lastWatermark(p.name)
+          (200, s"""{"pipeline":"${p.name}","status":"Successful",""" +
+            s""""rows":$rows,"watermark":"$wm"}""")
+        } catch {
+          case e: Exception =>
+            (500, s"""{"pipeline":"${p.name}","status":"Failed",""" +
+              s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+        } finally graft.ops.materialize.releaseAll()
+      }
+    }
+
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api", (ex: HttpExchange) => {
+      try {
+        val path = ex.getRequestURI.getPath.stripPrefix("/api")
+          .stripPrefix("/").stripSuffix("/")
+        if (path.isEmpty) {
+          val names = (Pipelines.all.map(_.name) ++ Pipelines.aliases.keys)
+            .sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+          respond(ex, 200, s"""{"pipelines":$names}""")
+        } else if (!Set("GET", "POST").contains(ex.getRequestMethod)) {
+          respond(ex, 405, """{"error":"use GET or POST"}""")
+        } else {
+          try {
+            val (status, body) = runOne(path)
+            respond(ex, status, body)
+          } catch {
+            case e: IllegalArgumentException => // unknown pipeline name
+              respond(ex, 404,
+                s"""{"error":"${jsonEscape(e.getMessage)}"}""")
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(ex, 500, s"""{"error":"${jsonEscape(
+            String.valueOf(e.getMessage))}"}""")
+      }
+    })
+    server.setExecutor(Executors.newSingleThreadExecutor())
+    server.start()
+
+    val timer = every.map { case (seconds, names) =>
+      val sched = Executors.newSingleThreadScheduledExecutor()
+      sched.scheduleAtFixedRate(() =>
+        names.foreach { n =>
+          val (_, body) = runOne(n)
+          System.err.println(s"[serve:timer] $body")
+        }, seconds, seconds, TimeUnit.SECONDS)
+      sched
+    }
+    new Handle(server, timer, server.getAddress.getPort)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var port = 8980
+    var sources = "."
+    var warehouse = "warehouse"
+    var controlPath: Option[String] = None
+    var cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    var every: Option[(Long, Seq[String])] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--port" => port = args(i + 1).toInt; i += 2
+        case "--sources" => sources = args(i + 1); i += 2
+        case "--warehouse" => warehouse = args(i + 1); i += 2
+        case "--control" => controlPath = Some(args(i + 1)); i += 2
+        case "--cpus" => cpus = args(i + 1).toInt; i += 2
+        case "--every" =>
+          val secs = args(i + 1).toLong
+          val names = args.drop(i + 2).toSeq
+          require(names.nonEmpty, "--every <seconds> <pipeline ...>")
+          every = Some((secs, names)); i = args.length
+        case other => throw new IllegalArgumentException(
+          s"unknown argument '$other'; usage: graft.runner.Serve " +
+            "[--port N] [--sources <uri>] [--warehouse <dir>] " +
+            "[--control <path>] [--cpus N] [--every <seconds> <pipeline ...>]")
+      }
+    }
+    val active = SparkSession.getActiveSession
+    val spark = active.getOrElse(graft.core.Sessions.local(cpus, "graft-serve"))
+    val handle = start(spark, Main.connectorFor(sources), warehouse,
+      controlPath.getOrElse(s"$warehouse/control"), port, every)
+    System.err.println(s"[serve] listening on :${handle.port} " +
+      s"(${Pipelines.all.size} pipelines)")
+    Thread.currentThread.join() // foreground server; ^C to stop
+  }
+}

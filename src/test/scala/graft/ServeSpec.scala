@@ -1,0 +1,106 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.control.WatermarkManager
+import graft.runner.Serve
+import graft.sources.ParquetConnector
+
+/** The HTTP/timer trigger surface (`graft.runner.Serve`) driven over a
+  * real socket — the engine's analog of the reference's Azure Function
+  * HTTP trigger (`Pembelian/function.json`) and `*Timer` twins. */
+class ServeSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def post(port: Int, path: String): (Int, String) = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST /api/<alias> runs the pipeline; failures return 500 and log") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve").toString
+    // a one-table pipeline keeps the fixture small: migration-log
+    graft.sources.JsonLinesConnector(s"$dir/mongo").write(Seq(
+      ("fact-pembelian", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+
+    val h = Serve.start(spark,
+      graft.sources.JsonLinesConnector(s"$dir/mongo"),
+      s"$dir/dwh", s"$dir/dwh/control", port = 0)
+    try {
+      // discovery endpoint lists engine names AND reference aliases
+      val (ls, lb) = get(h.port, "/api")
+      assert(ls === 200 && lb.contains("\"pembelian\"") &&
+        lb.contains("\"migration-log-sync\""), lb)
+
+      // a successful run answers with rows + advanced watermark
+      val (s1, b1) = post(h.port, "/api/migration-log")
+      assert(s1 === 200, b1)
+      assert(b1.contains("\"status\":\"Successful\"") &&
+        b1.contains("\"rows\":1"), b1)
+      assert(spark.read.parquet(s"$dir/dwh/migration-log-sync").count() === 1)
+
+      // the reference's HTTP trigger accepts GET too (function.json);
+      // the empty incremental batch leaves the merged fact at 1 row
+      val (s2, b2) = get(h.port, "/api/migration-log")
+      assert(s2 === 200 && b2.contains("\"status\":\"Successful\""), b2)
+      assert(spark.read.parquet(s"$dir/dwh/migration-log-sync").count() === 1)
+
+      // unknown name → 404, not a server crash
+      val (s3, _) = post(h.port, "/api/nope")
+      assert(s3 === 404)
+
+      // a pipeline whose source is missing → 500 + Failed control row,
+      // watermark untouched (same contract as the CLI runner)
+      val (s4, b4) = post(h.port, "/api/pembelian")
+      assert(s4 === 500 && b4.contains("\"status\":\"Failed\""), b4)
+      val control = new WatermarkManager(spark, s"$dir/dwh/control")
+      assert(control.log.filter("status like 'Failed%'").count() === 1)
+      assert(control.lastWatermark("purchasing-fact") === control.epoch)
+    } finally h.stop()
+  }
+
+  test("--every timer loop reruns the named pipeline on its interval") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-timer").toString
+    graft.sources.JsonLinesConnector(s"$dir/mongo").write(Seq(
+      ("fact-kanban", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:09:00"),
+        "9.00 minutes", "success")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+
+    val h = Serve.start(spark,
+      graft.sources.JsonLinesConnector(s"$dir/mongo"),
+      s"$dir/dwh", s"$dir/dwh/control", port = 0,
+      every = Some((1L, Seq("migration-log"))))
+    try {
+      val control = new WatermarkManager(spark, s"$dir/dwh/control")
+      val deadline = System.currentTimeMillis() + 30000
+      var runs = 0L
+      while (runs < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        runs = control.log.filter("status = 'Successful'").count()
+      }
+      // at least two scheduled ticks completed — the timer loop is live
+      assert(runs >= 2, s"only $runs successful timer runs")
+      assert(spark.read.parquet(s"$dir/dwh/migration-log-sync").count() === 1)
+    } finally h.stop()
+  }
+}
