@@ -218,6 +218,10 @@ object Similarity {
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int, iters: Int = 8,
                    sampleSize: Int = 2048): Array[Array[Double]] = {
+    // NOTE: the farthest-point init below is O(sampleSize² · k) on the
+    // DRIVER — fine at the 2048 default (~4M dot products), but raise
+    // sampleSize past ~10⁴ and this needs a k-means|| style seeding
+    // before anything else does.
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
