@@ -57,6 +57,26 @@ object VectorQueries {
       None,
       "IVF cell-probed ANN — per-query work drops ~nCentroids/nProbe"),
 
+    QuerySpec("q113_pq_adc",
+      (s, dir) => {
+        // product quantization: 64-dim floats → 16 one-byte codes, then
+        // asymmetric-distance top-k over the CODES (the corpus never
+        // decompresses) — recall/monotonicity locked by ProductQuantSpec
+        val e = Tables.load(s, dir, "embeddings")
+        val model = graft.operators.ProductQuant.fit(
+          e, "embedding", dim = 64, m = 16, k = 16)
+        val encoded = e.select(col("vec_id"),
+          graft.operators.ProductQuant.encode(col("embedding"), model)
+            .as("codes"))
+        graft.operators.ProductQuant.adcTopK(encoded,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, model)
+      },
+      None,
+      "product-quantized ANN (Jégou et al. 2011): m×k driver-fit " +
+        "codebooks, per-row codegen encode, ADC table-lookup search " +
+        "over 16-byte codes — the 32× memory step past int8"),
+
     QuerySpec("q44b_approx_sketches",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
