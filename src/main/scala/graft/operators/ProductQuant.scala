@@ -44,14 +44,20 @@ object ProductQuant {
     * class as [[Similarity.fitCentroids]], same O(sample²·k) init
     * bound. Empty cells keep their previous centroid. */
   def fit(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
-          k: Int = 16, sampleSize: Int = 2048, iters: Int = 8): PqModel = {
+          k: Int = 16, sampleSize: Int = 2048, iters: Int = 8,
+          idCol: Option[String] = None): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     require(k >= 2 && k <= 256, s"need 2 <= k <= 256 codes, got $k")
     val subDim = dim / m
+    // deterministic hash-ordered sample; hashing a scalar id is far
+    // cheaper than JSON-serializing every vector — pass idCol when the
+    // corpus has one
+    val orderKey = idCol.map(c => xxhash64(col(c)))
+      .getOrElse(xxhash64(to_json(struct(col(vecCol)))))
     val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"))
+      .select(col(vecCol).cast("array<double>").as("v"), orderKey.as("__h"))
       .filter(size(col("v")) === dim)
-      .orderBy(xxhash64(to_json(struct(col("v")))))
+      .orderBy(col("__h"))
       .limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot fit PQ on an empty corpus")

@@ -64,7 +64,8 @@ object VectorQueries {
         // decompresses) — recall/monotonicity locked by ProductQuantSpec
         val e = Tables.load(s, dir, "embeddings")
         val model = graft.operators.ProductQuant.fit(
-          e, "embedding", dim = 64, m = 16, k = 16)
+          e, "embedding", dim = 64, m = 16, k = 16,
+          idCol = Some("vec_id"))
         val encoded = e.select(col("vec_id"),
           graft.operators.ProductQuant.encode(col("embedding"), model)
             .as("codes"))
