@@ -179,4 +179,74 @@ object ProductQuant {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), (-col("col.score")).as("sq_dist"))
   }
+
+  /**
+   * IVF + PQ — the canonical billion-scale composition (the FAISS
+   * `IVFx,PQy` index family): coarse Voronoi cells bound WHICH rows are
+   * scored (~nProbe/nCentroids of the corpus) while PQ codes bound the
+   * BYTES each scored row costs (m codes vs dim doubles). One corpus
+   * pass assigns cell + codes together; the probe join prunes on the
+   * cell id BEFORE any distance work.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, model: PqModel,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                centroidIters: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
+    val cents = Similarity.fitCentroids(corpus, idCol, vecCol,
+      nCentroids, centroidIters)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    val bestCell = greatest(cents.map { case (cid, v) =>
+      struct(Similarity.cosine(col("__v"), typedLit(v)).as("csim"),
+        lit(-cid).as("neg_id"))
+    }.toIndexedSeq: _*)
+    // ONE corpus pass: cell assignment + PQ encoding side by side
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("neighbor_id"),
+        (-bestCell.getField("neg_id")).as("centroid_id"),
+        encode(col("__v"), model).as("codes"))
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosArr(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
+    }
+    // probes + ADC tables are both tiny driver-side model derivations
+    val probeRows: Seq[(Long, Long, Seq[Seq[Double]])] = qRows.toSeq.flatMap {
+      case (qid, qv) =>
+        val tables = (0 until model.m).map { j =>
+          val sub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
+          model.codebooks(j).toSeq.map { c =>
+            var s = 0.0; var i = 0
+            while (i < sub.length) { val d = sub(i) - c(i); s += d * d; i += 1 }
+            s
+          }
+        }
+        cents.sortBy { case (cid, v) => (-cosArr(qv, v), cid) }
+          .take(nProbe).map { case (cid, _) => (qid, cid, tables) }
+    }
+    val probes = probeRows.toDF("query_id", "centroid_id", "tables")
+    val dist = (0 until model.m)
+      .map(j => element_at(element_at(col("tables"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), (-dist).as("neg_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("neg_dist"), col("neighbor_id"),
+        lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("sq_dist"))
+  }
 }

@@ -92,4 +92,28 @@ class ProductQuantSpec extends SparkSpec {
     val dists = one.map(_.getDouble(3)).toSeq
     assert(dists === dists.sorted)
   }
+
+  test("IVF+PQ composition: cell pruning bounds ADC's result set") {
+    val model = ProductQuant.fit(emb, "embedding", dim = 64, m = 16, k = 16,
+      idCol = Some("vec_id"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = ProductQuant.adcTopK(
+      emb.select(col("vec_id"),
+        ProductQuant.encode(col("embedding"), model).as("codes")),
+      queries, "vec_id", "embedding", k = 10, model)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val pruned = ProductQuant.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 10, model, nCentroids = 8, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // probing half the cells keeps most of the unpruned ADC answers —
+    // the composition trades a bounded recall loss for scanning ~half
+    // the corpus per query
+    val overlap = (0L until 10L).map(q => (pruned(q) & full(q)).size / 10.0)
+    assert(overlap.sum / overlap.size >= 0.5,
+      s"mean IVF-pruned overlap ${overlap.sum / overlap.size} ($overlap)")
+    // every query still gets a full k answers
+    assert(pruned.values.forall(_.size === 10))
+  }
 }
