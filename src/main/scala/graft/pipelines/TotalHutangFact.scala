@@ -1,7 +1,6 @@
 package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.business
@@ -61,18 +60,8 @@ object TotalHutangFact extends Pipeline {
       upo, Seq("urn_id"), Seq(col("upo_no")))
 
     val hasUpo = col("upo_no").isNotNull
-    // A contiguous global counter is inherently a single-reducer sort —
-    // fine for a nightly delta (the reference's actual workload), and the
-    // only faithful reading of `SELECT ${count}, ...`. For a backfill,
-    // swap in `relational.contiguousRowNumber` (range-partitioned, bit-
-    // identical result, no single reducer); if the surrogate only needs
-    // uniqueness, `monotonically_increasing_id()` is shuffle-free.
-    val rowOrder = Window.orderBy(col("urn_no"), col("i_product_code"),
-      col("i_price"))
 
-    joined.select(
-      // A5: the counter-as-first-column, deterministic ordering
-      row_number().over(rowOrder).cast("long").as("row_id"),
+    val projected = joined.select(
       when(hasUpo, col("upo_no")).as("upo_no"),
       when(hasUpo, date_format(business.wibTimestamp(col("upo_date")),
         "yyyy-MM-dd")).as("upo_date"),
@@ -95,5 +84,17 @@ object TotalHutangFact extends Pipeline {
       col("urn_no").as("urn_no"),
       business.quoteSwap(col("i_product_name")).as("product_name"),
       col("i_product_code").as("product_code"))
+
+    // A5: counter-as-first-column, deterministic ordering. The scale-safe
+    // range-partitioned counter (bit-parity with the single-reducer window
+    // proven in RelationalOpsSpec) is the DEFAULT — a backfill through this
+    // pipeline must not move every row to one reducer. The faithful-but-
+    // single-reducer `row_number().over(Window.orderBy(...))` form remains
+    // only as the documented nightly-delta shortcut; if the surrogate only
+    // needs uniqueness, `monotonically_increasing_id()` is shuffle-free.
+    relational.contiguousRowNumber(projected,
+        Seq(col("urn_no"), col("product_code"), col("invoice_price")),
+        "row_id")
+      .select(col("row_id") +: projected.columns.map(col): _*)
   }
 }

@@ -401,13 +401,13 @@ object MoreEtlQueries {
     // over an explicit total order ──
     QuerySpec("q59_row_counter",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        Tables.load(s, dir, "lineitem")
+        val base = Tables.load(s, dir, "lineitem")
           .filter(col("l_orderkey") <= 2000)
-          .select(
-            row_number().over(Window.orderBy(col("l_orderkey"),
-              col("l_linenumber"))).cast("long").as("row_id"),
-            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        graft.ops.relational.contiguousRowNumber(base,
+            Seq(col("l_orderkey"), col("l_linenumber")), "row_id")
+          .select(col("row_id"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
       },
       Some("""
         SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
@@ -415,7 +415,7 @@ object MoreEtlQueries {
                l_orderkey, l_linenumber, l_quantity
         FROM lineitem WHERE l_orderkey <= 2000"""),
       "A5 counter-as-column: contiguous surrogate key over an explicit " +
-        "total order (single-reducer by construction — nightly-delta scale)"),
+        "total order (range-partitioned counter — no single reducer)"),
 
     // ── SCD2: type-2 dimension history from a change log — the
     // warehouse-grade extension of the reference's type-1 dimension

@@ -1640,7 +1640,7 @@ object PipelineQueries {
                THEN replace(CAST(meNo AS VARCHAR), '''', '"')
           END AS machine_event_no,
           CASE WHEN dateEnd IS NOT NULL
-               THEN trunc(date_diff('second', startTs, endTs) / 60.0) / 60.0
+               THEN trunc(date_diff('second', startTs, endTs) / 60.0) / 60.0 + 0
           END AS event_range,
           createdBy AS created_by,
           CAST(isDeleted AS VARCHAR) AS deleted,

@@ -6,6 +6,7 @@ parquet tables, and diff (column names sorted, rows sorted, exact values).
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json, math, sys
+from decimal import Decimal
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
@@ -20,7 +21,15 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver hashes raw values, so -0.0 vs +0.0 is a mismatch even
+        # though Python's == treats them equal (r5 q99 lesson).
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
+    if isinstance(v, Decimal):
+        # Strict representation: trailing-zero / scale differences are
+        # driver-hash mismatches even when numerically equal.
+        return f"dec:{v}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
