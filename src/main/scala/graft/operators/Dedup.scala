@@ -301,24 +301,54 @@ object Dedup {
   // ───────────────────────── MinHash + LSH ─────────────────────────
 
   /** Universal-hash parameters (a·x + b mod p) for `k` permutations,
-    * deterministic from `seed`. p = 2^61 - 1 (Mersenne prime). */
+    * deterministic from `seed`. p = 2^61 - 1 (Mersenne prime).
+    *
+    * The schedule is two fixed-multiplier Weyl sequences rather than a
+    * JVM PRNG: every parameter is plain modular arithmetic, so an
+    * external engine (the driver's DuckDB oracle) can regenerate the
+    * exact values in SQL — `a_i = ((seed+i+1)·2654435761) mod (2³¹−2) + 1`,
+    * `b_i = ((seed+i+1)·1229782938247303441) mod (2⁶¹−1)` (the b product
+    * needs 128-bit arithmetic: BigInt here, HUGEINT in SQL). */
   private val P: Long = (1L << 61) - 1
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1,
-                 math.abs(rnd.nextLong()) % P))
-  }
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] =
+    Seq.tabulate(k) { i =>
+      val j = BigInt(seed) + i + 1
+      val a = ((j * 2654435761L).mod(BigInt(Int.MaxValue.toLong - 1))).toLong + 1
+      val b = ((j * BigInt("1229782938247303441")).mod(BigInt(P))).toLong
+      (a, b)
+    }
+
+  /** SQL-portable 60-bit content hash: the first 15 hex digits of the
+    * md5 digest as a non-negative long. ~6× slower than xxhash64, but
+    * bit-replicable by any engine with an md5 (the DuckDB oracle parses
+    * the same hex prefix), which turns the MinHash/SimHash family from
+    * "trust the recall spec" into driver-hash-verified. Production
+    * paths keep the fused xxhash64 kernel; the driver-oracled registry
+    * entries pass this as `baseHash`. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of
     * the signature aggregates below the 2^63 overflow budget. The pmod
     * runs AFTER the explode (codegen'd, per row) rather than inside an
-    * interpreted array transform. */
+    * interpreted array transform. `baseHash = None` uses the fused
+    * xxhash64 kernel (production default); `Some(f)` hashes each raw
+    * shingle string with `f` (e.g. [[md5Hash60]] for oracle parity). */
   private def explodedShingleHashes(docs: DataFrame, idCol: String,
-                                    textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(sortedShingleHashes(split(col(textCol), " "), n)).as("h"))
-      .select(col("doc_id"),
-        pmod(col("h"), lit(Int.MaxValue.toLong)).as("x"))
+                                    textCol: String, n: Int,
+                                    baseHash: Option[Column => Column]): DataFrame =
+    baseHash match {
+      case None =>
+        docs.select(col(idCol).as("doc_id"),
+            explode(sortedShingleHashes(split(col(textCol), " "), n)).as("h"))
+          .select(col("doc_id"),
+            pmod(col("h"), lit(Int.MaxValue.toLong)).as("x"))
+      case Some(f) =>
+        docs.select(col(idCol).as("doc_id"),
+            explode(shingles(col(textCol), n)).as("s"))
+          .select(col("doc_id"),
+            pmod(f(col("s")), lit(Int.MaxValue.toLong)).as("x"))
+    }
 
   /**
    * MinHash signatures as a DataFrame: (doc_id, sig array<bigint>[k]).
@@ -332,9 +362,10 @@ object Dedup {
    * Docs with no shingles (shorter than n tokens) are dropped.
    */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, seed: Long = 42L): DataFrame = {
+                        n: Int, k: Int, seed: Long = 42L,
+                        baseHash: Option[Column => Column] = None): DataFrame = {
     val params = hashParams(k, seed)
-    val ex = explodedShingleHashes(docs, idCol, textCol, n)
+    val ex = explodedShingleHashes(docs, idCol, textCol, n, baseHash)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a % Int.MaxValue) + lit(b), lit(P))).as(s"m$i")
     }
@@ -352,8 +383,8 @@ object Dedup {
    * the estimated Jaccard (signature agreement rate) for post-filtering.
    */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int,
-                        seed: Long = 42L): DataFrame = {
+                        n: Int, k: Int, bands: Int, seed: Long = 42L,
+                        baseHash: Option[Column => Column] = None): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     // The signature aggregation (explode + k min-aggregates — the
@@ -362,7 +393,7 @@ object Dedup {
     // runs 3× (measured 12.9 s vs 2.9 s at sf0.1); an eager persist
     // guarantees exactly one run (see [[graft.ops.materialize]]).
     val sig = graft.ops.materialize(
-      minHashSignatures(docs, idCol, textCol, n, k, seed))
+      minHashSignatures(docs, idCol, textCol, n, k, seed, baseHash))
     // bare (doc, band, hash) rows only — signatures rejoin *after* the
     // distinct, so the shuffle carries ids, not 8-byte×k arrays
     val banded = bandedSigs(sig, bands, rows)
@@ -445,14 +476,15 @@ object Dedup {
    */
   def incrementalNearDedup(batch: DataFrame, idCol: String, textCol: String,
                            seenSigs: Option[DataFrame], n: Int, k: Int,
-                           bands: Int, threshold: Double,
-                           seed: Long = 42L): (DataFrame, DataFrame) = {
+                           bands: Int, threshold: Double, seed: Long = 42L,
+                           baseHash: Option[Column => Column] = None)
+      : (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     // the batch signatures feed banding, the verify rejoin, and the
     // state union — pin once (same reasoning as minHashCandidates)
     val batchSigs = graft.ops.materialize(
-      minHashSignatures(batch, idCol, textCol, n, k, seed))
+      minHashSignatures(batch, idCol, textCol, n, k, seed, baseHash))
     val all = seenSigs.map(_.unionByName(batchSigs)).getOrElse(batchSigs)
     // candidate side x ranges over the WHOLE state, y only over the
     // batch: the join output is bounded by the batch's collisions, not

@@ -190,11 +190,22 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("v")))
 
   /** Deterministic pseudo-random hyperplanes: `planes(i)(d)` in [-1, 1),
-    * derived from a fixed seed so plans are reproducible. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes, dim)(rnd.nextDouble() * 2 - 1)
-  }
+    * derived from a fixed seed so plans are reproducible.
+    *
+    * The generator is pure modular arithmetic (two fixed-multiplier
+    * mixes, then an exact division by 2¹⁹) rather than a JVM PRNG:
+    * every component is `(((seed + i·dim + d)·2654435761 + 1013904223)
+    * mod (2³¹−1) · 1597334677 mod 2²⁰) / 2¹⁹ − 1`, which an external
+    * engine can regenerate bit-exactly in SQL (all intermediates fit
+    * 63 bits; the division by a power of two and the −1 are exact in
+    * IEEE doubles). That makes LSH bucket ids — and therefore the q41/
+    * q61 candidate sets — replayable by the driver's DuckDB oracle. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    Seq.tabulate(nPlanes, dim) { (i, d) =>
+      val x = ((BigInt(seed) + i.toLong * dim + d) * 2654435761L + 1013904223L)
+        .mod(BigInt(2147483647L))
+      ((x * 1597334677L).mod(BigInt(1048576L))).toDouble / 524288.0 - 1.0
+    }
 
   /** Sign-signature bucket id (0 .. 2^nPlanes-1) of a vector column. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =

@@ -195,11 +195,14 @@ object TextAnalysis {
     * over per-token xxhash64 reduced mod 1e9+7). Order-sensitive — unlike
     * [[fingerprint]] it distinguishes permuted documents. Arithmetic stays
     * below 2^63 so it is overflow-free. */
-  def rollingHash(text: Column): Column = {
+  /** `hashFn` defaults to xxhash64 (fast path); pass
+    * [[Dedup.md5Hash60]] for a basis the DuckDB oracle can replay. */
+  def rollingHash(text: Column,
+                  hashFn: Column => Column = xxhash64(_)): Column = {
     val p = lit(1000000007L)
     aggregate(
       tokens(text),
       lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+      (acc, t) => pmod(acc * 31L + pmod(hashFn(t), p), p))
   }
 }

@@ -15,6 +15,13 @@ import graft.operators.{Dedup, TextAnalysis}
  */
 object TextQueries {
 
+  /** DuckDB replay of [[Dedup.md5Hash60]]: parse the first 15 hex digits
+    * of md5(`c`) into a BIGINT (both engines hash the same UTF-8 bytes,
+    * so the values are bit-identical). */
+  private def md5Hash60Sql(c: String): String =
+    s"list_reduce([CAST(strpos('0123456789abcdef', substr(md5($c), j, 1)) - 1" +
+      s" AS BIGINT) for j in generate_series(1, 15)], (acc, d) -> acc*16 + d)"
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q30_dedup_exact",
@@ -121,13 +128,49 @@ object TextQueries {
         WHERE doc_id NOT IN (SELECT doc_b FROM drops)"""),
       "near-dedup survivors: drop higher-id member of each ≥0.9 pair"),
 
-    // sketch-based — no SQL oracle; validated against exact Jaccard in tests
+    // driver-oracled: md5-based base hash + the SQL-portable parameter
+    // schedule let DuckDB regenerate the exact signatures; band collision
+    // is replayed as slice equality (engine band hashes are injective up
+    // to 2^-64 xxhash collisions on 8-long slices)
     QuerySpec("q36_minhash_candidates",
       (s, dir) => Dedup.minHashCandidates(
         Tables.load(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 8)
+        n = 3, k = 64, bands = 8, baseHash = Some(Dedup.md5Hash60))
         .filter(col("est_jaccard") >= 0.5),
-      None,
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        hx AS (
+          SELECT doc_id, ${md5Hash60Sql("s")} % 2147483647 AS x FROM sh),
+        params AS (
+          SELECT i,
+            ((i + 43) * 2654435761) % 2147483646 + 1 AS a,
+            CAST(((i + 43)::HUGEINT * 1229782938247303441)
+                 % 2305843009213693951 AS BIGINT) AS b
+          FROM generate_series(0, 63) t(i)),
+        mins AS (
+          SELECT doc_id, i, min((x * a + b) % 2305843009213693951) AS m
+          FROM hx CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, band, sg[band*8+1 : band*8+8] AS slc
+          FROM sig CROSS JOIN generate_series(0, 7) g(band)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.slc = y.slc AND x.doc_id < y.doc_id),
+        est AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+                                  for i in generate_series(1, 64)],
+                                 z -> z)) AS DOUBLE) / 64 AS est_jaccard
+          FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+                    JOIN sig sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, est_jaccard FROM est
+        WHERE est_jaccard >= CAST(0.5 AS DOUBLE)"""),
       "MinHash(64)+LSH(8 bands of 8) candidates — the 100 TB near-dup path. " +
         "8-row bands keep hot-bucket collisions at J^8, which survives " +
         "skewed corpora where 4-row bands explode."),
@@ -168,16 +211,47 @@ object TextQueries {
     QuerySpec("q37_simhash",
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          transform(TextAnalysis.tokens(col("text")), t => xxhash64(t))
+          transform(TextAnalysis.tokens(col("text")), t => Dedup.md5Hash60(t))
             .as("th"))
         .select(col("doc_id"), Dedup.simHash64OfHashes(col("th")).as("simhash")),
-      None,
+      // bits 60-63 of a 60-bit base hash always vote negative, so the
+      // oracle only materializes votes for bits 0-59
+      Some(s"""
+        WITH th AS (
+          SELECT doc_id, ${md5Hash60Sql("t")} AS hv
+          FROM (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+                FROM documents)),
+        votes AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN generate_series(0, 59) g(i)
+          GROUP BY doc_id, i),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                   AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.simhash,
+                 CASE WHEN d.text IS NOT NULL THEN CAST(0 AS BIGINT) END)
+                 AS simhash
+        FROM documents d LEFT JOIN sigs s ON s.doc_id = d.doc_id"""),
       "64-bit SimHash signatures for Hamming-distance near-dup"),
 
     QuerySpec("q38_rolling_fingerprint",
       (s, dir) => Tables.load(s, dir, "documents").select(
-        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_hash")),
-      None,
+        col("doc_id"),
+        TextAnalysis.rollingHash(col("text"), Dedup.md5Hash60)
+          .as("rolling_hash")),
+      Some(s"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              [ ${md5Hash60Sql("t")} % 1000000007
+                for t in list_filter(string_split(text, ' '), x -> x <> '') ]),
+            (acc, hv) -> (acc * 31 + hv) % 1000000007) AS rolling_hash
+        FROM documents"""),
       "order-sensitive rolling token hash"),
 
     QuerySpec("q64_quality_signals",
@@ -723,13 +797,52 @@ object TextQueries {
         // table; today's batch dedups against it without re-reading text
         val (_, state) = graft.operators.Dedup.incrementalNearDedup(
           docs.filter(col("doc_id") < 250), "doc_id", "text",
-          None, n = 3, k = 64, bands = 8, threshold = 0.5)
+          None, n = 3, k = 64, bands = 8, threshold = 0.5,
+          baseHash = Some(Dedup.md5Hash60))
         val (survivors, _) = graft.operators.Dedup.incrementalNearDedup(
           docs.filter(col("doc_id") >= 250), "doc_id", "text",
-          Some(state), n = 3, k = 64, bands = 8, threshold = 0.5)
+          Some(state), n = 3, k = 64, bands = 8, threshold = 0.5,
+          baseHash = Some(Dedup.md5Hash60))
         survivors.select(col("doc_id"), col("source"))
       },
-      None,
+      // the oracle replays the ONE-SHOT formulation over the union —
+      // the incremental ≡ one-shot bit-parity this relies on is proven
+      // in DedupSpec; a batch doc b ≥ 250 is dropped iff ANY a < b
+      // shares a band slice at signature agreement ≥ 0.5
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        hx AS (
+          SELECT doc_id, ${md5Hash60Sql("s")} % 2147483647 AS x FROM sh),
+        params AS (
+          SELECT i,
+            ((i + 43) * 2654435761) % 2147483646 + 1 AS a,
+            CAST(((i + 43)::HUGEINT * 1229782938247303441)
+                 % 2305843009213693951 AS BIGINT) AS b
+          FROM generate_series(0, 63) t(i)),
+        mins AS (
+          SELECT doc_id, i, min((x * a + b) % 2305843009213693951) AS m
+          FROM hx CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, band, sg[band*8+1 : band*8+8] AS slc
+          FROM sig CROSS JOIN generate_series(0, 7) g(band)),
+        drops AS (
+          SELECT DISTINCT y.doc_id AS doc_b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.slc = y.slc AND x.doc_id < y.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = y.doc_id
+          WHERE y.doc_id >= 250
+            AND CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+                                      for i in generate_series(1, 64)],
+                                     z -> z)) AS DOUBLE) / 64
+                  >= CAST(0.5 AS DOUBLE))
+        SELECT doc_id, source FROM documents
+        WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM drops)"""),
       "incremental MinHash near-dedup: a new batch against the stored " +
         "signature state (k longs/doc) — bit-identical to one-shot " +
         "dedup of the union, proven in DedupSpec")

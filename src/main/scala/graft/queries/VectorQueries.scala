@@ -39,13 +39,46 @@ object VectorQueries {
         FROM r WHERE rn <= 5"""),
       "exact top-5 cosine neighbors, broadcast query set"),
 
+    // the deterministic integer-formula hyperplanes let DuckDB replay
+    // bucket assignment bit-exactly (the projection is a sequential
+    // double fold over exact 2^-19-grid components); ranks only, like
+    // q40, so the output is immune to last-bit float noise
     QuerySpec("q41_knn_lsh",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.lshTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+            "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
       },
-      None,
+      Some("""
+        WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        proj AS (
+          SELECT e.id, e.v, gi.i,
+            list_reduce([ e.v[d] *
+                (CAST((((42 + gi.i*64 + (d-1)) * 2654435761 + 1013904223)
+                       % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
+                 / 524288.0 - 1.0)
+              for d in generate_series(1, 64)], (a, x) -> a + x) AS p
+          FROM e CROSS JOIN generate_series(0, 3) gi(i)),
+        b AS (
+          SELECT id, v,
+            CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM proj GROUP BY id, v),
+        scored AS (
+          SELECT q.id AS query_id, c.id AS neighbor_id,
+                 list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))) AS cosine
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.id <> c.id
+          WHERE q.id < 20),
+        r AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id
+        FROM r WHERE rn <= 5"""),
       "hyperplane-LSH bucketed ANN (recall vs brute force in tests)"),
 
     QuerySpec("q43b_knn_ivf",
@@ -110,6 +143,10 @@ object VectorQueries {
                 >= CAST(0.4 AS DOUBLE)"""),
       "embedding-cosine near-dup pairs, exact all-pairs baseline"),
 
+    // 8 tables × 6 planes: table t uses seed 42+t, so plane component
+    // (t, i, d) mixes (42 + t + i·64 + d); candidates = same (table,
+    // bucket), survivors verified with the exact cosine (q60-proven to
+    // agree across engines)
     QuerySpec("q61_cosine_neardup_lsh",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -117,7 +154,37 @@ object VectorQueries {
             threshold = 0.4, nTables = 8, nPlanes = 6)
           .select(col("id_a"), col("id_b"))
       },
-      None,
+      Some("""
+        WITH e AS (
+          SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        proj AS (
+          SELECT e.id, g.t, gi.i,
+            list_reduce([ e.v[d] *
+                (CAST((((42 + g.t + gi.i*64 + (d-1)) * 2654435761 + 1013904223)
+                       % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
+                 / 524288.0 - 1.0)
+              for d in generate_series(1, 64)], (a, x) -> a + x) AS p
+          FROM e
+          CROSS JOIN generate_series(0, 7) g(t)
+          CROSS JOIN generate_series(0, 5) gi(i)),
+        buck AS (
+          SELECT id, t,
+            CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM proj GROUP BY id, t),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM buck a JOIN buck b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+        SELECT DISTINCT c.id_a, c.id_b
+        FROM cand c
+        JOIN e ea ON ea.id = c.id_a
+        JOIN e eb ON eb.id = c.id_b
+        WHERE list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+                >= CAST(0.4 AS DOUBLE)"""),
       "embedding-cosine near-dup via multi-table hyperplane LSH — " +
         "bucket-join candidates, exact verify (recall vs q60 in tests)"),
 
