@@ -81,7 +81,11 @@ object Multimodal {
         }
         Some((w, h, out))
       }
-    } catch { case _: java.io.IOException => None }
+      // ImageIO plugins throw RuntimeExceptions (ArrayIndexOutOfBounds,
+      // IllegalArgument) on malformed bytes, not just IOException — any
+      // undecodable row must take the documented fallback, never fail
+      // the Spark task
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL image resize via `java.awt` bilinear scaling, re-encoded as
     * PNG bytes. None when the input is not a decodable image. */
@@ -109,7 +113,8 @@ object Multimodal {
         javax.imageio.ImageIO.write(scaled, "png", bos)
         Some((nw, nh, bos.toByteArray))
       }
-    } catch { case _: java.io.IOException => None }
+      // same reasoning as decodeImage: malformed bytes → fallback path
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode for audio/video (and non-image bytes) — deterministic
     * pseudo-features from the content bytes. No audio/video codec

@@ -70,10 +70,23 @@ object Serve {
   }
 
   /** Start the server; embedded callers pass port 0 for an ephemeral
-    * bind and get the chosen port from the returned [[Handle]]. */
+    * bind and get the chosen port from the returned [[Handle]].
+    * `crons` are (NCRONTAB expression, pipeline names) pairs — the
+    * reference's `*Timer/function.json` schedule table loads directly
+    * as one pair per timer function. */
   def start(spark: SparkSession, conn: Connector, warehouse: String,
             controlPath: String, port: Int,
-            every: Option[(Long, Seq[String])] = None): Handle = {
+            every: Option[(Long, Seq[String])] = None,
+            crons: Seq[(String, Seq[String])] = Nil): Handle = {
+    // validate every scheduled name AND cron expression up front —
+    // BEFORE the socket binds: a typo must fail at startup (not throw
+    // inside a Runnable, where the scheduler would silently cancel all
+    // future ticks), and a failed start must not leak the server
+    every.foreach { case (_, names) => names.foreach(Pipelines.byName) }
+    val parsedCrons = crons.map { case (expr, names) =>
+      names.foreach(Pipelines.byName)
+      (Cron.parse(expr), names)
+    }
     val control = new WatermarkManager(spark, controlPath)
     val runner = new PipelineRunner(spark, control, warehouse)
     // one-at-a-time run semantics (see scaladoc); the lock covers the
@@ -127,15 +140,45 @@ object Serve {
     server.setExecutor(Executors.newSingleThreadExecutor())
     server.start()
 
-    val timer = every.map { case (seconds, names) =>
-      val sched = Executors.newSingleThreadScheduledExecutor()
-      sched.scheduleAtFixedRate(() =>
-        names.foreach { n =>
+    // one tick body, shared by the fixed-interval and cron schedules;
+    // runOne catches run failures, but anything unexpected (OOM
+    // wrappers, interrupted Spark context) must not kill the schedule
+    // or abort the remaining names in this tick
+    def tick(names: Seq[String]): Unit =
+      names.foreach { n =>
+        try {
           val (_, body) = runOne(n)
           System.err.println(s"[serve:timer] $body")
-        }, seconds, seconds, TimeUnit.SECONDS)
-      sched
-    }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[serve:timer] {\"pipeline\":\"$n\"," +
+              s""""status":"Failed","error":"${jsonEscape(
+                String.valueOf(e.getMessage))}"}""")
+        }
+      }
+
+    val timer =
+      if (every.isEmpty && parsedCrons.isEmpty) None
+      else {
+        val sched = Executors.newSingleThreadScheduledExecutor()
+        every.foreach { case (seconds, names) =>
+          sched.scheduleAtFixedRate(() => tick(names),
+            seconds, seconds, TimeUnit.SECONDS)
+        }
+        // cron fires are irregular, so each run self-schedules the next
+        // one from the wall clock (an NCRONTAB schedule is a point
+        // series, not a fixed rate)
+        parsedCrons.foreach { case (cron, names) =>
+          def arm(): Unit = {
+            val delay = cron.delaySeconds(java.time.LocalDateTime.now())
+            sched.schedule(new Runnable {
+              def run(): Unit = { tick(names); arm() }
+            }, delay, TimeUnit.SECONDS)
+          }
+          arm()
+        }
+        Some(sched)
+      }
     new Handle(server, timer, server.getAddress.getPort)
   }
 
@@ -146,6 +189,7 @@ object Serve {
     var controlPath: Option[String] = None
     var cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     var every: Option[(Long, Seq[String])] = None
+    var crons: Seq[(String, Seq[String])] = Nil
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -159,16 +203,26 @@ object Serve {
           val names = args.drop(i + 2).toSeq
           require(names.nonEmpty, "--every <seconds> <pipeline ...>")
           every = Some((secs, names)); i = args.length
+        // repeatable: --cron "0 20 0 * * *" pembelian --cron "0 30 0 * * *" ...
+        // (names run until the next --cron flag or end of args) — the
+        // reference's 22 timer schedules load as 22 flags
+        case "--cron" =>
+          val expr = args(i + 1)
+          val names = args.drop(i + 2).takeWhile(_ != "--cron").toSeq
+          require(names.nonEmpty, "--cron \"<6-field expr>\" <pipeline ...>")
+          crons = crons :+ ((expr, names))
+          i += 2 + names.length
         case other => throw new IllegalArgumentException(
           s"unknown argument '$other'; usage: graft.runner.Serve " +
             "[--port N] [--sources <uri>] [--warehouse <dir>] " +
-            "[--control <path>] [--cpus N] [--every <seconds> <pipeline ...>]")
+            "[--control <path>] [--cpus N] [--every <seconds> <pipeline ...>] " +
+            "[--cron \"<sec min hour dom month dow>\" <pipeline ...>]...")
       }
     }
     val active = SparkSession.getActiveSession
     val spark = active.getOrElse(graft.core.Sessions.local(cpus, "graft-serve"))
     val handle = start(spark, Main.connectorFor(sources), warehouse,
-      controlPath.getOrElse(s"$warehouse/control"), port, every)
+      controlPath.getOrElse(s"$warehouse/control"), port, every, crons)
     System.err.println(s"[serve] listening on :${handle.port} " +
       s"(${Pipelines.all.size} pipelines)")
     Thread.currentThread.join() // foreground server; ^C to stop

@@ -28,10 +28,71 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  * contract violation (the DB rejects the MERGE), same as the
  * reference's stored proc.
  *
- * Tested against embedded Derby (ANSI MERGE) in JdbcMergeSpec;
- * SQL Server's MERGE differs only in identifier quoting.
+ * Tested against embedded Derby (ANSI MERGE) in JdbcMergeSpec. The
+ * reference's production warehouse is SQL Server (Azure SQL —
+ * `Connection/DWH/dwh-connection.js:3-11` with `dialect: 'mssql'`);
+ * [[MergeDialect.SqlServer]] emits its bracket quoting, `SELECT INTO`
+ * staging DDL and semicolon-terminated `MERGE`, locked by
+ * statement-text golden tests (no server needed in this sandbox).
  */
 object JdbcMergeSink {
+
+  /** SQL-text dialect of the merge path: identifier quoting, staging
+    * DDL shape, and statement termination. Selected from the JDBC url;
+    * the statement builders are pure so tests can golden-check the
+    * exact text sent to the warehouse. */
+  sealed trait MergeDialect {
+    def quote(id: String): String
+    /** Create `staging` with `table`'s exact shape, empty. */
+    def createStaging(table: String, staging: String): String
+    /** T-SQL requires MERGE be semicolon-terminated; ANSI engines
+      * (Derby) reject a trailing semicolon inside executeUpdate. */
+    def terminator: String
+  }
+
+  object MergeDialect {
+    /** ANSI MERGE with the Spark JDBC dialect's identifier quoting
+      * (double quotes on Derby/Postgres). */
+    final case class Ansi(q: String => String) extends MergeDialect {
+      def quote(id: String): String = q(id)
+      def createStaging(table: String, staging: String): String =
+        s"CREATE TABLE $staging AS SELECT * FROM $table WITH NO DATA"
+      def terminator: String = ""
+    }
+
+    /** SQL Server / Azure SQL: bracket identifiers (`]` escaped by
+      * doubling), `SELECT INTO ... WHERE 1 = 0` staging DDL, and the
+      * mandatory terminating semicolon on MERGE. */
+    case object SqlServer extends MergeDialect {
+      def quote(id: String): String = "[" + id.replace("]", "]]") + "]"
+      def createStaging(table: String, staging: String): String =
+        s"SELECT * INTO $staging FROM $table WHERE 1 = 0"
+      def terminator: String = ";"
+    }
+
+    def forUrl(url: String): MergeDialect =
+      if (url.startsWith("jdbc:sqlserver")) SqlServer
+      else Ansi(org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier)
+  }
+
+  /** The MERGE statement text for `dialect` — pure, golden-testable.
+    * Table names pass through unquoted (caller-controlled, possibly
+    * schema-qualified); column identifiers are dialect-quoted. */
+  def mergeSql(dialect: MergeDialect, table: String, staging: String,
+               cols: Seq[String], keys: Seq[String]): String = {
+    val q = dialect.quote _
+    val nonKeys = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val matched =
+      if (nonKeys.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " + // SET columns are
+        nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " " // unqualified (ANSI+T-SQL)
+    val insert = s"WHEN NOT MATCHED THEN INSERT " +
+      s"(${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+    s"MERGE INTO $table t USING $staging s ON $on " +
+      matched + insert + dialect.terminator
+  }
 
   private def connect(url: String, props: Map[String, String]): Connection = {
     val p = new Properties()
@@ -57,11 +118,11 @@ object JdbcMergeSink {
   /** Create `staging` with the fact's exact shape if absent (the
     * reference's `*_Temp` tables pre-exist in the DWH), and clear it. */
   private def prepareStaging(url: String, props: Map[String, String],
-                             table: String, staging: String): Unit =
+                             table: String, staging: String,
+                             dialect: MergeDialect): Unit =
     inTransaction(url, props) { conn =>
       val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $staging AS SELECT * FROM $table WITH NO DATA")
+      try st.executeUpdate(dialect.createStaging(table, staging))
       catch { case _: java.sql.SQLException => () /* already exists */ }
       st.executeUpdate(s"DELETE FROM $staging")
     }
@@ -78,7 +139,8 @@ object JdbcMergeSink {
              stagingTable: Option[String] = None): Int = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val staging = stagingTable.getOrElse(s"${table}_TEMP")
-    prepareStaging(url, props, table, staging)
+    val dialect = MergeDialect.forUrl(url)
+    prepareStaging(url, props, table, staging, dialect)
 
     // executor-parallel staging load (S6/S7 — batching is the JDBC
     // writer's job now, not string-spliced INSERT chunks)
@@ -90,22 +152,10 @@ object JdbcMergeSink {
     // S11: merge + cleanup in one driver-side transaction. Column
     // identifiers are quoted with the target dialect (Spark's JDBC
     // writer creates tables with quoted, case-sensitive column names).
-    val q: String => String =
-      org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier
-    val cols = batch.columns.toSeq
-    val nonKeys = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val matched =
-      if (nonKeys.isEmpty) ""
-      else "WHEN MATCHED THEN UPDATE SET " + // SET columns are
-        nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") // unqualified (ANSI)
-    val insert = s"WHEN NOT MATCHED THEN INSERT " +
-      s"(${cols.map(q).mkString(", ")}) " +
-      s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
     inTransaction(url, props) { conn =>
       val st = conn.createStatement()
       val touched = st.executeUpdate(
-        s"MERGE INTO $table t USING $staging s ON $on $matched $insert")
+        mergeSql(dialect, table, staging, batch.columns.toSeq, keys))
       st.executeUpdate(s"DELETE FROM $staging")
       touched
     }

@@ -95,6 +95,10 @@ object SnapshotWriter {
       .orElse(versionDirs(f, rootP).reverse
         .find { case (_, p) => f.exists(new Path(p, Committed)) }
         .map(_._1))
+      // legacy roots: versions written before the `_COMMITTED` marker
+      // existed carry none — serve the newest directory rather than
+      // refusing a store that was readable before the marker change
+      .orElse(versionDirs(f, rootP).lastOption.map(_._1))
       .getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     spark.read.parquet(new Path(rootP, f"v=$v%08d").toString)

@@ -78,13 +78,15 @@ final case class JdbcConnector(url: String,
       .option("dbtable", table)
     // Derby's default StringType mapping is CLOB, which cannot take a
     // pushed-down comparison (filter pushdown on a string key would
-    // then fail remotely) — land strings as VARCHAR instead
+    // then fail remotely) — land strings as VARCHAR instead. Derby's
+    // VARCHAR ceiling is 32672; anything shorter would make the INSERT
+    // reject long document/text payloads a CLOB used to accept.
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
     val w2 =
       if (url.startsWith("jdbc:derby") && stringCols.nonEmpty)
         w.option("createTableColumnTypes",
-          stringCols.map(f => s"${f.name} VARCHAR(255)").mkString(", "))
+          stringCols.map(f => s"${f.name} VARCHAR(32672)").mkString(", "))
       else w
     props.foldLeft(w2) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(mode).save()

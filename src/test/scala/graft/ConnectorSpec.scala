@@ -30,6 +30,15 @@ class ConnectorSpec extends SparkSpec {
     assert(got.columns.map(_.toLowerCase).sorted === Array("amount", "id", "name"))
   }
 
+  test("Derby write accepts strings far beyond 255 chars (VARCHAR 32672)") {
+    import spark.implicits._
+    val long = "x" * 5000
+    val df = Seq((1L, long)).toDF("id", "body")
+    JdbcConnector(url).write(df, "long_strings", SaveMode.Overwrite)
+    val got = JdbcConnector(url).read(spark, "long_strings").collect()
+    assert(got.length === 1 && got.head.getString(1) === long)
+  }
+
   test("partitioned JDBC read slices by bounds and returns everything") {
     val got = JdbcConnector(url, partitionColumn = Some("id"),
       numPartitions = 4).read(spark, "items")

@@ -20,6 +20,52 @@ class JdbcMergeSpec extends SparkSpec {
     .collect().map(r => r.getAs[Long]("id") ->
       (r.getAs[String]("name"), r.getAs[Double]("amount"))).toMap
 
+  test("SQL Server dialect emits the reference warehouse's statement shapes") {
+    import JdbcMergeSink.MergeDialect
+    val d = MergeDialect.forUrl(
+      "jdbc:sqlserver://dwh.example.invalid;databaseName=DWH")
+    assert(d === MergeDialect.SqlServer)
+
+    // bracket quoting, ] escaped by doubling
+    assert(d.quote("Total Amount") === "[Total Amount]")
+    assert(d.quote("odd]name") === "[odd]]name]")
+
+    // T-SQL has no CREATE TABLE AS; staging is SELECT INTO with a
+    // false predicate
+    assert(d.createStaging("DL_Fact_Pembelian", "DL_Fact_Pembelian_TEMP") ===
+      "SELECT * INTO DL_Fact_Pembelian_TEMP FROM DL_Fact_Pembelian WHERE 1 = 0")
+
+    // the full MERGE text, semicolon-terminated as T-SQL requires
+    assert(JdbcMergeSink.mergeSql(d, "fact", "fact_TEMP",
+      Seq("id", "name", "amount"), Seq("id")) ===
+      "MERGE INTO fact t USING fact_TEMP s ON t.[id] = s.[id] " +
+        "WHEN MATCHED THEN UPDATE SET [name] = s.[name], [amount] = s.[amount] " +
+        "WHEN NOT MATCHED THEN INSERT ([id], [name], [amount]) " +
+        "VALUES (s.[id], s.[name], s.[amount]);")
+
+    // composite keys land in the ON conjunction, not the UPDATE SET
+    assert(JdbcMergeSink.mergeSql(d, "f", "f_TEMP",
+      Seq("k1", "k2", "v"), Seq("k1", "k2")) ===
+      "MERGE INTO f t USING f_TEMP s ON t.[k1] = s.[k1] AND t.[k2] = s.[k2] " +
+        "WHEN MATCHED THEN UPDATE SET [v] = s.[v] " +
+        "WHEN NOT MATCHED THEN INSERT ([k1], [k2], [v]) " +
+        "VALUES (s.[k1], s.[k2], s.[v]);")
+
+    // all-key tables degrade to insert-only (no UPDATE SET clause)
+    assert(JdbcMergeSink.mergeSql(d, "f", "f_TEMP", Seq("k"), Seq("k")) ===
+      "MERGE INTO f t USING f_TEMP s ON t.[k] = s.[k] " +
+        "WHEN NOT MATCHED THEN INSERT ([k]) VALUES (s.[k]);")
+
+    // the ANSI dialect (Derby here) keeps double quoting and NO
+    // terminator — Derby rejects a trailing semicolon in executeUpdate
+    val ansi = MergeDialect.forUrl(url)
+    assert(JdbcMergeSink.mergeSql(ansi, "f", "f_TEMP",
+      Seq("k", "v"), Seq("k")) ===
+      "MERGE INTO f t USING f_TEMP s ON t.\"k\" = s.\"k\" " +
+        "WHEN MATCHED THEN UPDATE SET \"v\" = s.\"v\" " +
+        "WHEN NOT MATCHED THEN INSERT (\"k\", \"v\") VALUES (s.\"k\", s.\"v\")")
+  }
+
   test("JDBC MERGE: keyed replace + insert semantics, idempotent") {
     import spark.implicits._
     val v1 = Seq((1L, "one", 10.0), (2L, "two", 20.0)).toDF("id", "name", "amount")

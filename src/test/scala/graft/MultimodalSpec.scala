@@ -123,6 +123,20 @@ class MultimodalSpec extends SparkSpec {
     assert(sr.getInt(1) === 20 && sr.getInt(2) === 10)
   }
 
+  test("truncated/corrupt image bytes take the fallback, whatever ImageIO throws") {
+    // a real PNG signature with a corrupted body drives ImageIO into its
+    // plugin decode path, where malformed data can surface as runtime
+    // exceptions rather than IOException — both must yield None
+    val png = realPng(64, 32)
+    val truncated = png.take(30)
+    val corrupted = png.clone()
+    java.util.Arrays.fill(corrupted, 20, corrupted.length, 0x7f.toByte)
+    for (bytes <- Seq(truncated, corrupted)) {
+      assert(Multimodal.decodeImage(bytes).isEmpty)
+      assert(Multimodal.resizeImage(bytes, 50).isEmpty)
+    }
+  }
+
   test("metadata-only ops never read the content blob (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(s"$dir/media")

@@ -103,4 +103,54 @@ class ServeSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/dwh/migration-log-sync").count() === 1)
     } finally h.stop()
   }
+
+  test("--cron schedules a pipeline off an NCRONTAB expression") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-cron").toString
+    graft.sources.JsonLinesConnector(s"$dir/mongo").write(Seq(
+      ("fact-kanban", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:09:00"),
+        "9.00 minutes", "success")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+
+    // a bad pipeline name in the schedule table must fail at startup
+    intercept[IllegalArgumentException] {
+      Serve.start(spark, graft.sources.JsonLinesConnector(s"$dir/mongo"),
+        s"$dir/dwh", s"$dir/dwh/control", port = 0,
+        crons = Seq(("0 20 0 * * *", Seq("no-such-pipeline"))))
+    }
+    // ...and so must a malformed expression
+    intercept[IllegalArgumentException] {
+      Serve.start(spark, graft.sources.JsonLinesConnector(s"$dir/mongo"),
+        s"$dir/dwh", s"$dir/dwh/control", port = 0,
+        crons = Seq(("0 20 0 * *", Seq("migration-log"))))
+    }
+
+    // every-second cron: the reference shape with * in the time fields
+    val h = Serve.start(spark,
+      graft.sources.JsonLinesConnector(s"$dir/mongo"),
+      s"$dir/dwh", s"$dir/dwh/control", port = 0,
+      crons = Seq(("* * * * * *", Seq("migration-log"))))
+    try {
+      val control = new WatermarkManager(spark, s"$dir/dwh/control")
+      val deadline = System.currentTimeMillis() + 30000
+      var runs = 0L
+      while (runs < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        runs = control.log.filter("status = 'Successful'").count()
+      }
+      assert(runs >= 2, s"only $runs successful cron runs")
+    } finally h.stop()
+    // read only after stop(); a tick already in flight at stop() may
+    // still be swapping the fact directory for a few hundred ms, so
+    // tolerate transient vanishing-part-file reads
+    val deadline2 = System.currentTimeMillis() + 10000
+    var count = -1L
+    while (count < 0 && System.currentTimeMillis() < deadline2) {
+      try count = spark.read.parquet(s"$dir/dwh/migration-log-sync").count()
+      catch { case scala.util.control.NonFatal(_) => Thread.sleep(250) }
+    }
+    assert(count === 1)
+  }
 }

@@ -50,6 +50,27 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("v1"))
   }
 
+  test("read serves a legacy store with neither pointer nor _COMMITTED markers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap3")
+      .toString + "/fact"
+    SnapshotWriter.write(spark, Seq((1L, "v0")).toDF("k", "tag"), root)
+    SnapshotWriter.write(spark, Seq((1L, "v1"), (2L, "v1")).toDF("k", "tag"),
+      root)
+    // versions written before the marker existed: no _COMMITTED anywhere
+    // and (mid-flip on a non-atomic store) no pointer either — the
+    // newest version directory must still be served, as it was before
+    // the marker was introduced
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_LATEST"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=00000000", "_COMMITTED"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=00000001", "_COMMITTED"))
+    assert(SnapshotWriter.read(spark, root).count() === 2)
+    assert(SnapshotWriter.read(spark, root).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+  }
+
   test("parquet connector mergeSchema reconciles evolved table schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
