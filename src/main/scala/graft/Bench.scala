@@ -72,8 +72,19 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // isolated re-measure mode: SPARK_GRAFT_BENCH_ONLY="q23,q24" limits
+    // the run to those short ids and SPARK_GRAFT_BENCH_RUNS=5 forces a
+    // min-of-N — for pinning down a driver-recorded regression without
+    // the other 100 plans rolling the code cache in between
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val minRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+    val selected = qmap.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.contains(name.takeWhile(_ != '_')))
+    }
+
     waitForIdle()
-    val results = qmap.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -81,6 +92,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       var runs = Seq(once(), once())
+      minRuns.foreach { n => while (runs.size < n) runs = runs :+ once() }
       // quick queries: min-of-3 — a single descheduling event in a
       // 0.3 s query doubles its recorded time with min-of-2 (the one
       // r3→r4 "regression", q43, was exactly this wobble)
@@ -119,8 +131,11 @@ object Bench {
     val total = results.map(_._2).sum
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // a filtered run must not overwrite the full-run driver artifact
+    val detailPath =
+      if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}""" + "\n")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
