@@ -21,6 +21,10 @@ import graft.sources.Connector
  *    (`Pembelian/function.json:1-17`, `Pembelian/index.js:3-17` —
  *    which also accepts both methods and answers with the run result);
  *  - `GET /api` lists the addressable pipelines (names + aliases);
+ *  - with `--key` (or `GRAFT_FUNCTION_KEYS`) the API requires a
+ *    function key via `x-functions-key` header or `?code=` query param —
+ *    the contract behind the reference's `authLevel: function`
+ *    (`Pembelian/function.json:4`); without keys it is anonymous;
  *  - `--every <seconds> <name...>` starts a fixed-interval timer loop
  *    over the named pipelines, the engine's analog of the
  *    `*Timer/function.json` `timerTrigger` schedule (`0 20 0 * * *` —
@@ -74,10 +78,38 @@ object Serve {
     * `crons` are (NCRONTAB expression, pipeline names) pairs — the
     * reference's `*Timer/function.json` schedule table loads directly
     * as one pair per timer function. */
+  /** Constant-time membership test — key comparison must not leak a
+    * prefix-length timing signal. */
+  private def keyMatches(keys: Set[String], presented: String): Boolean = {
+    val p = presented.getBytes(StandardCharsets.UTF_8)
+    // fold over ALL keys (no short-circuit) so timing is key-set-shaped,
+    // not match-position-shaped
+    keys.foldLeft(false) { (acc, k) =>
+      java.security.MessageDigest.isEqual(
+        k.getBytes(StandardCharsets.UTF_8), p) || acc
+    }
+  }
+
+  /** The presented key, per the Azure Functions contract the reference
+    * relies on (`authLevel: function` in each trigger's function.json): the
+    * `x-functions-key` header, else the `code` query parameter. */
+  private def presentedKey(ex: HttpExchange): Option[String] = {
+    Option(ex.getRequestHeaders.getFirst("x-functions-key")).orElse {
+      Option(ex.getRequestURI.getRawQuery).flatMap {
+        _.split("&").collectFirst {
+          case kv if kv.startsWith("code=") =>
+            java.net.URLDecoder.decode(
+              kv.stripPrefix("code="), StandardCharsets.UTF_8)
+        }
+      }
+    }
+  }
+
   def start(spark: SparkSession, conn: Connector, warehouse: String,
             controlPath: String, port: Int,
             every: Option[(Long, Seq[String])] = None,
-            crons: Seq[(String, Seq[String])] = Nil): Handle = {
+            crons: Seq[(String, Seq[String])] = Nil,
+            keys: Set[String] = Set.empty): Handle = {
     // validate every scheduled name AND cron expression up front —
     // BEFORE the socket binds: a typo must fail at startup (not throw
     // inside a Runnable, where the scheduler would silently cancel all
@@ -115,7 +147,10 @@ object Serve {
       try {
         val path = ex.getRequestURI.getPath.stripPrefix("/api")
           .stripPrefix("/").stripSuffix("/")
-        if (path.isEmpty) {
+        if (keys.nonEmpty &&
+            !presentedKey(ex).exists(keyMatches(keys, _))) {
+          respond(ex, 401, """{"error":"missing or invalid function key"}""")
+        } else if (path.isEmpty) {
           val names = (Pipelines.all.map(_.name) ++ Pipelines.aliases.keys)
             .sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
           respond(ex, 200, s"""{"pipelines":$names}""")
@@ -190,6 +225,13 @@ object Serve {
     var cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     var every: Option[(Long, Seq[String])] = None
     var crons: Seq[(String, Seq[String])] = Nil
+    // the analog of Azure's function keys: any --key (repeatable) or
+    // GRAFT_FUNCTION_KEYS (comma-separated) switches the API from
+    // anonymous to authLevel=function; no keys = anonymous, like a
+    // local func-host run
+    var keys: Set[String] = sys.env.get("GRAFT_FUNCTION_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -198,6 +240,7 @@ object Serve {
         case "--warehouse" => warehouse = args(i + 1); i += 2
         case "--control" => controlPath = Some(args(i + 1)); i += 2
         case "--cpus" => cpus = args(i + 1).toInt; i += 2
+        case "--key" => keys = keys + args(i + 1); i += 2
         case "--every" =>
           val secs = args(i + 1).toLong
           val names = args.drop(i + 2).toSeq
@@ -215,14 +258,15 @@ object Serve {
         case other => throw new IllegalArgumentException(
           s"unknown argument '$other'; usage: graft.runner.Serve " +
             "[--port N] [--sources <uri>] [--warehouse <dir>] " +
-            "[--control <path>] [--cpus N] [--every <seconds> <pipeline ...>] " +
+            "[--control <path>] [--cpus N] [--key <secret>]... " +
+            "[--every <seconds> <pipeline ...>] " +
             "[--cron \"<sec min hour dom month dow>\" <pipeline ...>]...")
       }
     }
     val active = SparkSession.getActiveSession
     val spark = active.getOrElse(graft.core.Sessions.local(cpus, "graft-serve"))
     val handle = start(spark, Main.connectorFor(sources), warehouse,
-      controlPath.getOrElse(s"$warehouse/control"), port, every, crons)
+      controlPath.getOrElse(s"$warehouse/control"), port, every, crons, keys)
     System.err.println(s"[serve] listening on :${handle.port} " +
       s"(${Pipelines.all.size} pipelines)")
     Thread.currentThread.join() // foreground server; ^C to stop

@@ -153,4 +153,51 @@ class ServeSpec extends SparkSpec {
     }
     assert(count === 1)
   }
+
+  test("function keys gate the API like the reference's authLevel:function") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-auth").toString
+    graft.sources.JsonLinesConnector(s"$dir/mongo").write(Seq(
+      ("fact-pembelian", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+
+    val h = Serve.start(spark,
+      graft.sources.JsonLinesConnector(s"$dir/mongo"),
+      s"$dir/dwh", s"$dir/dwh/control", port = 0,
+      keys = Set("sekrit-1", "sekrit-2"))
+    try {
+      // no key → 401, nothing runs
+      val (s0, b0) = post(h.port, "/api/migration-log")
+      assert(s0 === 401 && b0.contains("function key"), b0)
+      // wrong key → 401 (header path)
+      val rWrong = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.port}/api/migration-log"))
+          .header("x-functions-key", "nope")
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rWrong.statusCode() === 401)
+      // rejected requests never reached the runner
+      assert(!new java.io.File(s"$dir/dwh/migration-log-sync").exists())
+      // valid key in the x-functions-key header → runs
+      val rHdr = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.port}/api/migration-log"))
+          .header("x-functions-key", "sekrit-2")
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rHdr.statusCode() === 200 &&
+        rHdr.body().contains("\"status\":\"Successful\""), rHdr.body())
+      // valid key as ?code= query param (the Azure portal URL shape),
+      // URL-encoded characters included
+      val (s1, b1) = get(h.port, "/api/migration-log?code=sekrit%2D1")
+      assert(s1 === 200 && b1.contains("\"status\":\"Successful\""), b1)
+      // the discovery listing is gated too
+      assert(get(h.port, "/api")._1 === 401)
+      assert(get(h.port, "/api?code=sekrit-1")._1 === 200)
+    } finally h.stop()
+  }
 }
