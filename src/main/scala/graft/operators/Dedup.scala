@@ -508,4 +508,69 @@ object Dedup {
       .join(drop, col(idCol) === col("__drop_id"), "left_anti")
     (survivors, all)
   }
+
+  /**
+   * Corpus-global repeated token spans — the distributed shape of
+   * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+   * Makes Language Models Better", which removes any 50-token span that
+   * appears verbatim elsewhere in the corpus; their suffix-array build
+   * is single-machine, this is the shuffle formulation). Every
+   * `window`-token sliding span of every document is hashed; spans
+   * whose hash occurs in at least `minDocs` DISTINCT documents come
+   * back with their positions: (doc_id, span_pos, span_hash, n_docs).
+   *
+   * Scale shape: the gram table is linear in corpus tokens and carries
+   * only (id, pos, hash) — never the span text — through the one
+   * hash-keyed shuffle; the hot-span table after the HAVING filter
+   * scales with the DUPLICATED content, not the corpus, so AQE turns
+   * the join back into a broadcast in the common case.
+   *
+   * `baseHash`: None = fused xxhash64 (production); [[md5Hash60]] for
+   * the driver-oracle entries (DuckDB replays the exact hashes).
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, minDocs: Int = 2,
+                    baseHash: Option[Column => Column] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val h = baseHash.getOrElse((c: Column) => xxhash64(c))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.ngrams(
+          TextAnalysis.tokens(col(textCol)), window)))
+      .select(col("doc_id"), col("pos").as("span_pos"),
+        h(col("col")).as("span_hash"))
+    val hot = grams.groupBy("span_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    grams.join(hot, Seq("span_hash"))
+      .select("doc_id", "span_pos", "span_hash", "n_docs")
+  }
+
+  /**
+   * ExactSubstr's per-document deliverable: what fraction of each
+   * document's tokens is covered by some corpus-duplicated
+   * `window`-token span ([[repeatedSpans]]). A pipeline drops or trims
+   * documents above a coverage threshold instead of substring-editing
+   * them (the conservative variant of Lee et al.'s span removal).
+   *
+   * The position expansion (`sequence` + explode, a `window`× blowup)
+   * runs AFTER the hot-span filter, so it scales with the duplicated
+   * content only.
+   */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int, minDocs: Int = 2,
+                      baseHash: Option[Column => Column] = None): DataFrame = {
+    val covered = repeatedSpans(docs, idCol, textCol, window, minDocs, baseHash)
+      .select(col("doc_id"), explode(
+        sequence(col("span_pos"), col("span_pos") + (window - 1))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).as("total_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("total_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("total_tokens")).as("dup_coverage"))
+  }
 }

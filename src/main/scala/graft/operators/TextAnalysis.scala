@@ -205,4 +205,45 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(hashFn(t), p), p))
   }
+
+  /**
+   * Corpus-GLOBAL line dedup — the boilerplate-removal step of
+   * C4 (Raffel et al. 2020 deduplicate three-sentence spans corpus-wide)
+   * and RefinedWeb/CCNet (line-frequency filtering): a line whose exact
+   * content appears in more than `maxDocs` distinct documents (nav
+   * menus, cookie banners, legal footers) is removed from EVERY
+   * document; surviving lines are reassembled in original order.
+   * Documents whose every line is boilerplate come back with empty
+   * text, not dropped — the caller decides their fate.
+   *
+   * Unlike [[c4KeptLines]] (per-row heuristics, no shuffle) this needs
+   * corpus state: one line-hash-keyed aggregation. The shuffle carries
+   * (hash, doc_id) — never the line text — and the boilerplate set
+   * after the HAVING filter is tiny relative to the corpus, so the
+   * removal join is a broadcast anti-join in practice. Reassembly
+   * groups each document's own surviving lines: bounded by document
+   * size, no global ordering anywhere.
+   */
+  def globalLineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, maxDocs: Int,
+                      hashFn: Column => Column = xxhash64(_))
+      : org.apache.spark.sql.DataFrame = {
+    val others = docs.columns.filter(c => c != idCol && c != textCol).toSeq
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos"), col("col").as("line"),
+        hashFn(col("col")).as("line_hash"))
+    val boilerplate = lines.groupBy("line_hash")
+      .agg(countDistinct(idCol).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("line_hash")
+    val rebuilt = lines.join(boilerplate, Seq("line_hash"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("__clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .select((col(idCol) +: others.map(col) :+
+        coalesce(col("__clean"), lit("")).as(textCol)): _*)
+  }
 }

@@ -845,6 +845,68 @@ object TextQueries {
         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM drops)"""),
       "incremental MinHash near-dedup: a new batch against the stored " +
         "signature state (k longs/doc) — bit-identical to one-shot " +
-        "dedup of the union, proven in DedupSpec")
+        "dedup of the union, proven in DedupSpec"),
+
+    QuerySpec("q115_repeated_spans",
+      (s, dir) => Dedup.repeatedSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 8, minDocs = 2,
+        baseHash = Some(Dedup.md5Hash60)),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest([{'p': j, 's': array_to_string(t[j:j+7], ' ')}
+                                 for j in generate_series(1, len(t) - 7)],
+                                recursive := true)
+          FROM toks),
+        hashed AS (
+          SELECT doc_id, CAST(p - 1 AS INTEGER) AS span_pos,
+                 ${md5Hash60Sql("s")} AS span_hash
+          FROM grams),
+        hot AS (
+          SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM hashed GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        SELECT h.doc_id, h.span_pos, h.span_hash, hot.n_docs
+        FROM hashed h JOIN hot USING (span_hash)"""),
+      "ExactSubstr-shaped corpus-global duplicate spans (Lee et al. " +
+        "2022): 8-token sliding windows shared by >=2 documents; one " +
+        "hash-keyed shuffle, hot-span join back is broadcast-sized"),
+
+    QuerySpec("q116_dup_span_coverage",
+      (s, dir) => Dedup.dupSpanCoverage(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 8, minDocs = 2,
+        baseHash = Some(Dedup.md5Hash60)),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest([{'p': j, 's': array_to_string(t[j:j+7], ' ')}
+                                 for j in generate_series(1, len(t) - 7)],
+                                recursive := true)
+          FROM toks),
+        hashed AS (
+          SELECT doc_id, CAST(p - 1 AS INTEGER) AS span_pos,
+                 ${md5Hash60Sql("s")} AS span_hash
+          FROM grams),
+        hot AS (
+          SELECT span_hash FROM hashed
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens FROM (
+            SELECT DISTINCT h.doc_id, h.span_pos + k AS tp
+            FROM hashed h JOIN hot USING (span_hash)
+            CROSS JOIN generate_series(0, 7) g(k)) GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS total_tokens,
+               coalesce(cov.covered_tokens, 0) AS covered_tokens,
+               CASE WHEN len(t.t) > 0 THEN
+                 CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / len(t.t)
+               END AS dup_coverage
+        FROM toks t LEFT JOIN cov USING (doc_id)"""),
+      "fraction of each document's tokens covered by a corpus-" +
+        "duplicated span — the ExactSubstr drop/trim signal; position " +
+        "expansion runs after the hot-span filter so it scales with " +
+        "duplicated content only")
   )
 }

@@ -219,4 +219,42 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getLong(0) !== rows(1).getLong(0)) // order matters
     assert(rows(0).getString(1) === rows(2).getString(1)) // whitespace collapsed
   }
+
+  test("repeatedSpans finds exactly the corpus-duplicated windows") {
+    import spark.implicits._
+    // docs 10 and 11 share the 4-token span "one two three four" at
+    // different positions; doc 12 shares nothing 4 tokens long
+    val docs = Seq(
+      (10L, "alpha one two three four beta gamma"),
+      (11L, "one two three four delta epsilon zeta"),
+      (12L, "one two three gamma four five six")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(got === Set((10L, 1, 2L), (11L, 0, 2L)))
+    // the oracle-basis hash returns the same (doc, pos, count) set
+    val md5 = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4,
+        baseHash = Some(Dedup.md5Hash60))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(md5 === got)
+  }
+
+  test("dupSpanCoverage counts overlap-covered tokens once") {
+    import spark.implicits._
+    // two docs share a 5-token run = two overlapping 4-token dup spans
+    // in each; their union covers 5 tokens, not 8
+    val docs = Seq(
+      (20L, "one two three four five tail1 tail2"),
+      (21L, "head one two three four five tailx"),
+      (22L, "nothing shared with anyone here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text", window = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(20L) === ((7, 5L)) && got(21L) === ((7, 5L)))
+    assert(got(22L) === ((7, 0L)))
+    val cov = Dedup.dupSpanCoverage(docs, "doc_id", "text", window = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(cov(20L) - 5.0 / 7) < 1e-12 && cov(22L) === 0.0)
+  }
 }

@@ -154,4 +154,17 @@ class PlanSpec extends SparkSpec {
     assert(!formatted("q92_pipeline_sales_contract").contains("Exchange"),
       "branch union + scalar transform must not shuffle")
   }
+
+  test("q115 repeated spans: shuffle keys on the span hash, combines " +
+      "map-side, and never carries the span text") {
+    val p = formatted("q115_repeated_spans")
+    // the dup-count aggregation exchanges on the 64-bit hash...
+    assert(p.contains("hashpartitioning(span_hash"), p)
+    // ...with a partial aggregate below it (map-side combine)
+    assert(p.contains("partial_count(distinct"), p)
+    // the gram STRING never reaches an exchange: every Exchange's
+    // argument list is hash/id/pos columns only
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+    exchanges.foreach(l => assert(!l.contains("span#") || l.contains("span_hash"), l))
+  }
 }

@@ -359,4 +359,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
     assert(math.abs(out(3L)._2 - math.log(9.0)) < 1e-5)
   }
+
+  test("globalLineDedup removes corpus-wide boilerplate lines, keeps order") {
+    import spark.implicits._
+    val boiler = "accept our cookies to continue"
+    val docs = Seq(
+      (1L, s"unique first line\n$boiler\nunique last line", "a"),
+      (2L, s"$boiler\nanother document body", "b"),
+      (3L, s"third doc text\n$boiler", "c"),
+      (4L, boiler, "d"),                       // all-boilerplate doc
+      (5L, "rare line\nrare line", "e")        // repeats WITHIN one doc only
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis
+      .globalLineDedup(docs, "doc_id", "text", maxDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[String]("source")))).toMap
+    // the 4-doc line is gone everywhere, order within docs preserved
+    assert(out(1L)._1 === "unique first line\nunique last line")
+    assert(out(2L)._1 === "another document body")
+    assert(out(3L)._1 === "third doc text")
+    // fully-boilerplate doc survives with empty text, other cols intact
+    assert(out(4L) === (("", "d")))
+    // per-doc repetition is NOT corpus frequency: 1 distinct doc ≤ maxDocs
+    assert(out(5L)._1 === "rare line\nrare line")
+  }
 }
