@@ -115,6 +115,46 @@ object CorpusStats {
   }
 
   /**
+   * Temperature-scaled domain mixture — the multilingual sampling rule
+   * of Lample & Conneau 2019 (XLM §3.1) that every large-corpus
+   * assembly since (GPT-3, PaLM) uses to rebalance domains: sample
+   * domain d with probability p_d ∝ n_d^alpha, so alpha < 1 flattens
+   * the mixture (rare languages/sources are over-represented relative
+   * to their raw share). Given a total budget of
+   * `budgetFraction · N` rows, domain d keeps
+   * `r_d = min(1, budgetFraction · N · p_d / n_d)` of its rows.
+   *
+   * The per-domain count table is a bounded driver-side model artifact
+   * (one row per language/source — same standing as the IVF
+   * centroids), computed with a deterministic sorted fold so the rates
+   * are engine-reproducible; `alpha = 0.5` uses `sqrt` (IEEE
+   * correctly-rounded, so an external oracle regenerates the exact
+   * doubles — `pow` carries no such guarantee). The data path is
+   * [[weightedSample]]: one pushable md5-threshold predicate per row,
+   * no shuffle, no RNG state.
+   */
+  def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
+                         alpha: Double, budgetFraction: Double,
+                         salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val counts = df.groupBy(col(domainCol)).count()
+      .collect() // bounded: one row per domain
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val za = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    val rates = counts.map { case (d, n) =>
+      d -> math.min(1.0, budgetFraction * total * w(n) / za / n)
+    }.toMap
+    weightedSample(df, keyCol, domainCol, rates,
+      defaultFraction = 0.0, salt = salt)
+  }
+
+  /**
    * Stratified exact-N sample: the `n` rows per stratum with the
    * smallest salted key hash — "give me 1000 eval documents per
    * language/source" with deterministic, engine-independent membership

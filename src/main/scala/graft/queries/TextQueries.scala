@@ -907,6 +907,42 @@ object TextQueries {
       "fraction of each document's tokens covered by a corpus-" +
         "duplicated span — the ExactSubstr drop/trim signal; position " +
         "expansion runs after the hot-span filter so it scales with " +
-        "duplicated content only")
+        "duplicated content only"),
+
+    QuerySpec("q117_temperature_mixture",
+      (s, dir) => graft.operators.CorpusStats.temperatureMixture(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5, budgetFraction = 0.5, salt = "mix")
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""
+        WITH counts AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        agg AS (
+          SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
+                 CAST(sum(n) AS DOUBLE) AS nt FROM counts),
+        za AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [sqrt(x) for x in ns]), (a, b) -> a + b) AS sa, nt
+          FROM agg),
+        rates AS (
+          SELECT c.lang,
+                 least(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE) * z.nt * sqrt(CAST(c.n AS DOUBLE))
+                     / z.sa / c.n) AS r
+          FROM counts c CROSS JOIN za z),
+        thresholds AS (
+          SELECT lang,
+            CASE WHEN r >= 1.0 THEN 'g'
+                 ELSE printf('%08x', CAST(least(round(r * 4294967296.0),
+                        4294967295.0) AS BIGINT)) || repeat('f', 24)
+            END AS th
+          FROM rates)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thresholds t USING (lang)
+        WHERE md5(CAST(d.doc_id AS VARCHAR) || 'mix') < t.th"""),
+      "temperature-scaled multilingual mixture (XLM alpha=0.5, half " +
+        "budget): per-domain keep rates from a sorted sqrt fold, " +
+        "applied as pushable md5-threshold predicates — no shuffle on " +
+        "the data path")
   )
 }

@@ -383,4 +383,29 @@ class TextAnalysisSpec extends SparkSpec {
     // per-doc repetition is NOT corpus frequency: 1 distinct doc ≤ maxDocs
     assert(out(5L)._1 === "rare line\nrare line")
   }
+
+  test("temperatureMixture flattens a skewed domain mix deterministically") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // 100 'big' rows vs 4 'rare' rows; alpha=0.5, budget=0.5:
+    // za = sqrt(100)+sqrt(4) = 12; r_big = 52*10/12/100 ≈ 0.433,
+    // r_rare = 52*2/12/4 ≈ 2.17 → capped at 1.0 (keep everything)
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 104L).map(i => (i, "rare"))).toDF("doc_id", "domain")
+    val kept = CorpusStats.temperatureMixture(
+      docs, "doc_id", "domain", alpha = 0.5, budgetFraction = 0.5)
+    val byDomain = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rare domain hit the cap: every row kept
+    assert(byDomain("rare") === 4L)
+    // the big domain is thinned to ~43% (md5-uniform; loose bounds)
+    assert(byDomain("big") >= 25L && byDomain("big") <= 62L, byDomain)
+    // deterministic: the same call selects the same rows
+    val again = CorpusStats.temperatureMixture(
+      docs, "doc_id", "domain", alpha = 0.5, budgetFraction = 0.5)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.count() === kept.count())
+    // flattening: the rare domain's keep RATE is >= the big domain's
+    assert(byDomain("rare") / 4.0 >= byDomain("big") / 100.0)
+  }
 }
