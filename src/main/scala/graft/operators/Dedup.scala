@@ -510,6 +510,91 @@ object Dedup {
   }
 
   /**
+   * Persist near-dedup signature state in the pre-shuffled layout the
+   * nightly ingest wants at warehouse scale — two bucketed tables:
+   *
+   *   `<base>_sigs`  (doc_id, sig)             bucketed+sorted by doc_id
+   *   `<base>_bands` (doc_id, band, band_hash) bucketed+sorted by (band, band_hash)
+   *
+   * Every state-side join of [[incrementalNearDedupBucketed]] (the
+   * banded candidate join AND the verify rejoin) then reads data
+   * already partitioned on its join keys: the only thing shuffled each
+   * night is the NEW batch, orders of magnitude smaller than the
+   * accumulated corpus. Append-only — each batch adds its own bucket
+   * files (Spark appends per-bucket), history is never rewritten. The
+   * first call creates the tables.
+   */
+  def writeDedupState(state: DataFrame, base: String, k: Int, bands: Int,
+                      buckets: Int = 64): Unit = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    import org.apache.spark.sql.SaveMode
+    state.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").mode(SaveMode.Append).saveAsTable(s"${base}_sigs")
+    bandedSigs(state, bands, k / bands).write
+      .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
+      .format("parquet").mode(SaveMode.Append).saveAsTable(s"${base}_bands")
+  }
+
+  /**
+   * [[incrementalNearDedup]] against [[writeDedupState]] tables — the
+   * same keep-first drop rule with the same bit-identical-survivors
+   * guarantee (DedupSpec), re-planned so nothing state-sized moves:
+   *
+   *  - state×batch candidates join the bucketed band table on exactly
+   *    its bucket keys — the state side plans NO Exchange, only the
+   *    batch's bands shuffle (to the bucket count);
+   *  - batch×batch candidates (same-night duplicates) never touch the
+   *    state;
+   *  - the verify rejoin reads `_sigs` bucketed on doc_id — again only
+   *    the candidate pairs move, and the batch's own signatures
+   *    broadcast.
+   *
+   * Returns (survivors, batchSigs); after the survivors are committed
+   * downstream, append the batch with
+   * `writeDedupState(batchSigs, base, k, bands, buckets)`.
+   */
+  def incrementalNearDedupBucketed(spark: org.apache.spark.sql.SparkSession,
+                                   batch: DataFrame, idCol: String,
+                                   textCol: String, base: String,
+                                   n: Int, k: Int, bands: Int,
+                                   threshold: Double, seed: Long = 42L,
+                                   baseHash: Option[Column => Column] = None)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val batchSigs = graft.ops.materialize(
+      minHashSignatures(batch, idCol, textCol, n, k, seed, baseHash))
+    val batchBands = bandedSigs(batchSigs, bands, rows)
+    val stateBands = spark.table(s"${base}_bands")
+    val stateSigs = spark.table(s"${base}_sigs")
+    def pairs(x: DataFrame, y: DataFrame): DataFrame =
+      x.as("x").join(y.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val cand = pairs(stateBands, batchBands)
+      .union(pairs(batchBands, batchBands)).distinct()
+    // sig_a lives in the state OR the batch (ids are disjoint); the
+    // state lookup is the bucketed join, the batch lookup broadcasts
+    val drop = cand
+      .join(stateSigs.select(col("doc_id").as("id_a"),
+        col("sig").as("sig_state")), Seq("id_a"), "left")
+      .join(broadcast(batchSigs.select(col("doc_id").as("id_a"),
+        col("sig").as("sig_batch"))), Seq("id_a"), "left")
+      .select(col("id_b"),
+        coalesce(col("sig_state"), col("sig_batch")).as("sig_a"))
+      .join(broadcast(batchSigs.select(col("doc_id").as("id_b"),
+        col("sig").as("sig_b"))), Seq("id_b"))
+      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => a === b), x => x)).cast("double") / k) >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    val survivors = batch
+      .join(drop, col(idCol) === col("__drop_id"), "left_anti")
+    (survivors, batchSigs)
+  }
+
+  /**
    * Corpus-global repeated token spans — the distributed shape of
    * ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
    * Makes Language Models Better", which removes any 50-token span that

@@ -220,6 +220,88 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getString(1) === rows(2).getString(1)) // whitespace collapsed
   }
 
+  test("bucketed dedup state: survivors bit-identical, state never shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.catalog.clearCache()
+    for (t <- Seq("dstate_sigs", "dstate_bands")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val (n, k, bands, t) = (3, 64, 8, 0.5)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    // night 1 seeds the state; night 2 runs against the bucketed tables
+    val (s1, state1) = Dedup.incrementalNearDedup(b1, "doc_id", "text",
+      None, n, k, bands, t)
+    Dedup.writeDedupState(state1, "dstate", k, bands, buckets = 8)
+    val (s2, sigs2) = Dedup.incrementalNearDedupBucketed(spark, b2,
+      "doc_id", "text", "dstate", n, k, bands, t)
+    val (oneShot, _) = Dedup.incrementalNearDedup(docs, "doc_id", "text",
+      None, n, k, bands, t)
+    assert(ids(s1) ++ ids(s2) === ids(oneShot),
+      "bucketed-state survivors must equal the one-shot survivors")
+    // appending the batch completes the state for night 3
+    Dedup.writeDedupState(sigs2, "dstate", k, bands, buckets = 8)
+    assert(spark.table("dstate_sigs").count() === docs.count())
+
+    // plan contract: with broadcast off, every state-table scan is
+    // bucketed and NO shuffle sits above one — only the batch moves
+    val (prevAqe, prevBc) = (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.incrementalNearDedupBucketed(spark, b2,
+        "doc_id", "text", "dstate", n, k, bands, t)
+        ._1.queryExecution.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("dstate")) => f
+      }
+      assert(stateScans.nonEmpty && stateScans.forall(_.bucketedScan),
+        stateScans.map(s => s.tableIdentifier -> s.bucketedScan))
+      // for every shuffle-family join touching a state table, the
+      // state SIDE must reach the join with no Exchange in between —
+      // downstream exchanges (candidate-pair distinct etc.) move pair
+      // rows, not state rows, and are fine
+      def hasStateScan(p: org.apache.spark.sql.execution.SparkPlan) = {
+        val leaves = p.collectLeaves()
+        // the side that IS the state read: all leaves are state scans
+        // (a side merely containing one via the candidate pairs has
+        // batch leaves too)
+        leaves.nonEmpty && leaves.forall {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.startsWith("dstate"))
+          case _ => false
+        }
+      }
+      def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }.nonEmpty
+      val joinSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Seq(j.left, j.right)
+      }.flatten
+      val stateSides = joinSides.filter(hasStateScan)
+      assert(stateSides.nonEmpty, "expected joins against the state tables")
+      stateSides.foreach(s => assert(!hasShuffle(s),
+        s"state side of a join must not shuffle:\n$s"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      graft.ops.materialize.releaseAll()
+    }
+  }
+
   test("repeatedSpans finds exactly the corpus-duplicated windows") {
     import spark.implicits._
     // docs 10 and 11 share the 4-token span "one two three four" at
