@@ -21,6 +21,9 @@ import graft.sources.Connector
  *    (`Pembelian/function.json:1-17`, `Pembelian/index.js:3-17` —
  *    which also accepts both methods and answers with the run result);
  *  - `GET /api` lists the addressable pipelines (names + aliases);
+ *  - `GET /api/status` reports each pipeline's latest control-table
+ *    run and current watermark — the monitoring view the reference
+ *    keeps in its synced migration log (`MigrationLogFunc/index.js`);
  *  - with `--key` (or `GRAFT_FUNCTION_KEYS`) the API requires a
  *    function key via `x-functions-key` header or `?code=` query param —
  *    the contract behind the reference's `authLevel: function`
@@ -154,6 +157,23 @@ object Serve {
           val names = (Pipelines.all.map(_.name) ++ Pipelines.aliases.keys)
             .sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
           respond(ex, 200, s"""{"pipelines":$names}""")
+        } else if (path == "status") {
+          // the control table is rows-per-run tiny (WatermarkManager
+          // scaladoc) — collecting it is not a data-path collect
+          val runs = control.log
+            .orderBy(org.apache.spark.sql.functions.col("finish").desc)
+            .collect()
+          val entries = runs.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+            .map { case (name, rs) =>
+              val r = rs.head // newest finish first
+              s"""{"pipeline":"${jsonEscape(name)}",""" +
+                s""""lastStart":"${r.getTimestamp(1)}",""" +
+                s""""lastFinish":"${r.getTimestamp(2)}",""" +
+                s""""executionTime":"${jsonEscape(r.getString(3))}",""" +
+                s""""status":"${jsonEscape(r.getString(4))}",""" +
+                s""""watermark":"${control.lastWatermark(name)}"}"""
+            }
+          respond(ex, 200, entries.mkString("[", ",", "]"))
         } else if (!Set("GET", "POST").contains(ex.getRequestMethod)) {
           respond(ex, 405, """{"error":"use GET or POST"}""")
         } else {

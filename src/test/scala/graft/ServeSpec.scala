@@ -73,6 +73,16 @@ class ServeSpec extends SparkSpec {
       val control = new WatermarkManager(spark, s"$dir/dwh/control")
       assert(control.log.filter("status like 'Failed%'").count() === 1)
       assert(control.lastWatermark("purchasing-fact") === control.epoch)
+
+      // the status endpoint surfaces both runs: latest row per pipeline
+      // with its watermark (epoch for the failed one)
+      val (s5, b5) = get(h.port, "/api/status")
+      assert(s5 === 200, b5)
+      assert(b5.contains("\"pipeline\":\"migration-log-sync\"") &&
+        b5.contains("\"status\":\"Successful\""), b5)
+      assert(b5.contains("\"pipeline\":\"purchasing-fact\"") &&
+        b5.contains("\"status\":\"Failed") &&
+        b5.contains(s""""watermark":"${control.epoch}""""), b5)
     } finally h.stop()
   }
 
