@@ -943,6 +943,78 @@ object TextQueries {
       "temperature-scaled multilingual mixture (XLM alpha=0.5, half " +
         "budget): per-domain keep rates from a sorted sqrt fold, " +
         "applied as pushable md5-threshold predicates — no shuffle on " +
-        "the data path")
+        "the data path"),
+
+    QuerySpec("q118_curation_v2",
+      (s, dir) => {
+        // the round-6 assembly flow: ExactSubstr-style span-coverage
+        // gate (drop docs that are mostly corpus-duplicated spans) →
+        // temperature-rebalanced language mixture over the survivors
+        val docs = Tables.load(s, dir, "documents")
+        val keepIds = Dedup.dupSpanCoverage(docs, "doc_id", "text",
+            window = 8, minDocs = 2, baseHash = Some(Dedup.md5Hash60))
+          .filter(col("total_tokens") > 0 && col("dup_coverage") < 0.8)
+          .select("doc_id")
+        val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        graft.operators.CorpusStats.temperatureMixture(kept, "doc_id",
+            "lang", alpha = 0.5, budgetFraction = 0.5, salt = "curate")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, unnest([{'p': j, 's': array_to_string(t[j:j+7], ' ')}
+                                 for j in generate_series(1, len(t) - 7)],
+                                recursive := true)
+          FROM toks),
+        hashed AS (
+          SELECT doc_id, CAST(p - 1 AS INTEGER) AS span_pos,
+                 ${md5Hash60Sql("s")} AS span_hash
+          FROM grams),
+        hot AS (
+          SELECT span_hash FROM hashed
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT DISTINCT h.doc_id, h.span_pos + k AS tp
+            FROM hashed h JOIN hot USING (span_hash)
+            CROSS JOIN generate_series(0, 7) g(k)) GROUP BY 1),
+        keptdocs AS (
+          SELECT d.doc_id, d.lang, d.source
+          FROM toks tk JOIN documents d USING (doc_id)
+          LEFT JOIN cov USING (doc_id)
+          WHERE len(tk.t) > 0
+            AND CAST(coalesce(cov.c, 0) AS DOUBLE) / len(tk.t)
+                  < CAST(0.8 AS DOUBLE)),
+        counts AS (
+          SELECT lang, count(*) AS n FROM keptdocs GROUP BY 1),
+        agg AS (
+          SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
+                 CAST(sum(n) AS DOUBLE) AS nt FROM counts),
+        za AS (
+          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [sqrt(x) for x in ns]), (a, b) -> a + b) AS sa, nt
+          FROM agg),
+        rates AS (
+          SELECT c.lang,
+                 least(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE) * z.nt * sqrt(CAST(c.n AS DOUBLE))
+                     / z.sa / c.n) AS r
+          FROM counts c CROSS JOIN za z),
+        thresholds AS (
+          SELECT lang,
+            CASE WHEN r >= 1.0 THEN 'g'
+                 ELSE printf('%08x', CAST(least(round(r * 4294967296.0),
+                        4294967295.0) AS BIGINT)) || repeat('f', 24)
+            END AS th
+          FROM rates)
+        SELECT k.doc_id, k.lang, k.source
+        FROM keptdocs k JOIN thresholds t USING (lang)
+        WHERE md5(CAST(k.doc_id AS VARCHAR) || 'curate') < t.th"""),
+      "curation v2: span-coverage dedup gate (ExactSubstr signal) " +
+        "feeding a temperature-rebalanced language mixture — the " +
+        "round-6 operators composed end-to-end under one oracle")
   )
 }
