@@ -281,6 +281,56 @@ object CorpusStats {
           count(lit(1)).cast("double") / lit(1e6)).as("avg_nll"))
   }
 
+  /**
+   * Interpolated Kneser–Ney bigram scoring — the actual shape of the
+   * CCNet/KenLM perplexity filter ([[unigramCrossEntropy]] is its
+   * order-1 reduction): per-document mean negative log-likelihood
+   * under the corpus's own KN-smoothed bigram model,
+   *
+   *   P(w2|w1) = (c(w1,w2) − D)/c(w1) + D·N1+(w1,·)/c(w1) · P_cont(w2)
+   *   P_cont(w2) = N1+(·,w2) / N1+(·,·)
+   *
+   * (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form). Scoring
+   * the corpus against itself means every bigram was counted, so no
+   * OOV/backoff-to-unigram branch is needed and with D < 1 every
+   * probability is positive.
+   *
+   * Scale shape: counts are two bigram-keyed aggregations (map-side
+   * combined) over a vocab²-bounded type table; scoring joins the pair
+   * stream back on (w1,w2) — the model tables are corpus-statistics
+   * small, so AQE broadcasts them. Determinism: same micro-nat
+   * quantization as [[unigramCrossEntropy]] (the only transcendental,
+   * `ln`, is floored to integer micro-nats which sum exactly).
+   */
+  def bigramKnScore(docs: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1), got $discount")
+    def t = TextAnalysis.tokens(col(textCol))
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode(filter(zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+          p => p.getField("w2").isNotNull)).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val types = bc.agg(count(lit(1)).as("tbig"))
+    val p =
+      (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
+        lit(discount) * col("t1").cast("double") / col("c1").cast("double") *
+          (col("r2").cast("double") / col("tbig").cast("double"))
+    pairs.join(bc, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(cont, Seq("w2")).crossJoin(types)
+      .select(col("doc_id"),
+        floor((-log(p)) * lit(1e6) + lit(0.5)).cast("long").as("nll_micros"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams_scored"),
+        (sum(col("nll_micros")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6)).as("avg_nll"))
+  }
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

@@ -1015,6 +1015,41 @@ object TextQueries {
         WHERE md5(CAST(k.doc_id AS VARCHAR) || 'curate') < t.th"""),
       "curation v2: span-coverage dedup gate (ExactSubstr signal) " +
         "feeding a temperature-rebalanced language mixture — the " +
-        "round-6 operators composed end-to-end under one oracle")
+        "round-6 operators composed end-to-end under one oracle"),
+
+    QuerySpec("q119_bigram_kn",
+      (s, dir) => graft.operators.CorpusStats.bigramKnScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, unnest([{'w1': t[j], 'w2': t[j+1]}
+                                 for j in generate_series(1, len(t) - 1)],
+                                recursive := true)
+          FROM toks),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM bc GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS r2 FROM bc GROUP BY 1),
+        tt AS (SELECT count(*) AS tbig FROM bc),
+        scored AS (
+          SELECT p.doc_id,
+            CAST(floor(-ln(
+              (CAST(c12 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                / CAST(c1 AS DOUBLE) +
+              CAST(0.75 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                * (CAST(r2 AS DOUBLE) / CAST(tbig AS DOUBLE))
+            ) * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nll
+          FROM pairs p
+          JOIN bc USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+          CROSS JOIN tt)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams_scored,
+               CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll
+        FROM scored GROUP BY doc_id"""),
+      "interpolated Kneser-Ney bigram NLL (the CCNet/KenLM perplexity " +
+        "filter shape): corpus-as-its-own-LM, micro-nat quantized for " +
+        "engine-independent determinism; model tables are vocab-bounded " +
+        "broadcast joins")
   )
 }

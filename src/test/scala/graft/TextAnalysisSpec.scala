@@ -408,4 +408,25 @@ class TextAnalysisSpec extends SparkSpec {
     // flattening: the rare domain's keep RATE is >= the big domain's
     assert(byDomain("rare") / 4.0 >= byDomain("big") / 100.0)
   }
+
+  test("bigramKnScore: hand-checked KN probabilities; rare continuations " +
+      "cost more") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // corpus bigrams: (a,b) twice, (a,c) once →
+    //   P(b|a) = (2-.75)/3 + .75·2/3·(1/2) = 2/3
+    //   P(c|a) = (1-.75)/3 + .75·2/3·(1/2) = 1/3   (sums to 1)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramKnScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - (-math.log(2.0 / 3))) < 1e-5)
+    assert(math.abs(out(3L)._2 - (-math.log(1.0 / 3))) < 1e-5)
+    // the rarer continuation is the more surprising document
+    assert(out(3L)._2 > out(1L)._2)
+    // sub-bigram docs are unscorable, not zero-scored
+    assert(!out.contains(4L))
+  }
 }
