@@ -955,7 +955,10 @@ object TextQueries {
             window = 8, minDocs = 2, baseHash = Some(Dedup.md5Hash60))
           .filter(col("total_tokens") > 0 && col("dup_coverage") < 0.8)
           .select("doc_id")
-        val kept = docs.join(keepIds, Seq("doc_id"), "left_semi")
+        // pinned: temperatureMixture's count collect AND the final
+        // result both read the coverage pass, which must run once
+        val kept = graft.ops.materialize(
+          docs.join(keepIds, Seq("doc_id"), "left_semi"))
         graft.operators.CorpusStats.temperatureMixture(kept, "doc_id",
             "lang", alpha = 0.5, budgetFraction = 0.5, salt = "curate")
           .select(col("doc_id"), col("lang"), col("source"))
