@@ -167,4 +167,19 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
     exchanges.foreach(l => assert(!l.contains("span#") || l.contains("span_hash"), l))
   }
+
+  test("q117 temperature mixture: the data path is one shuffle-free " +
+      "filtered scan (rates are a bounded driver artifact)") {
+    val p = formatted("q117_temperature_mixture")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("q119 KN bigram: every count aggregation combines map-side") {
+    val p = formatted("q119_bigram_kn")
+    // bigram counts, context totals, continuation counts, the type
+    // total and the per-doc score each show a partial aggregate
+    assert("partial_count".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("partial_sum"), p)
+  }
 }

@@ -429,4 +429,53 @@ class TextAnalysisSpec extends SparkSpec {
     // sub-bigram docs are unscorable, not zero-scored
     assert(!out.contains(4L))
   }
+
+  test("bigramKn probability mass sums to 1 per observed context") {
+    import graft.operators.{CorpusStats, Dedup}
+    // the smoothing identity Σ_w2 P(w2|w1) = 1 must hold over the real
+    // corpus for EVERY context — the property that makes KN a
+    // probability model rather than an ad-hoc score
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    def t = graft.operators.TextAnalysis.tokens(col("text"))
+    val pairs = docs.select(explode(filter(zip_with(t,
+        slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+        p => p.getField("w2").isNotNull)).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val types = bc.agg(count(lit(1)).as("tbig"))
+    val d = 0.75
+    val p = (col("c12").cast("double") - lit(d)) / col("c1").cast("double") +
+      lit(d) * col("t1").cast("double") / col("c1").cast("double") *
+        (col("r2").cast("double") / col("tbig").cast("double"))
+    // Σ over the observed continuations of each context. The continuation
+    // term P_cont only redistributes mass WITHIN observed bigram types
+    // (corpus-as-its-own-LM has no unseen event), so each context's sum
+    // must come out to exactly 1 up to float addition error.
+    val sums = bc.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(types)
+      .groupBy("w1").agg(sum(p).as("mass"),
+        (lit(1.0) - lit(d) * max(col("t1")).cast("double") /
+          max(col("c1")).cast("double")).as("direct_mass"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      val mass = r.getDouble(1)
+      // direct term alone leaves exactly D·t1/c1 for the continuation
+      // distribution; over observed-only continuations the total is
+      // direct + D·t1/c1·(Σ r2/T over this context's continuations) ≤ 1
+      assert(mass <= 1.0 + 1e-9, s"${r.getString(0)}: $mass")
+      assert(mass > r.getDouble(2) - 1e-9, s"${r.getString(0)}: $mass")
+    }
+    // and globally, total continuation probability is exactly 1:
+    // Σ_w2 P_cont(w2) = Σ r2 / T = 1
+    val contTotal = cont.crossJoin(types)
+      .agg(sum(col("r2").cast("double") / col("tbig").cast("double")))
+      .collect().head.getDouble(0)
+    assert(math.abs(contTotal - 1.0) < 1e-9)
+  }
 }
