@@ -263,12 +263,18 @@ object VectorQueries {
         val e = Tables.load(s, dir, "embeddings")
         val queries20 = e.filter(col("vec_id") < 20)
 
+        // hits and total in ONE pass over the exact side (left join +
+        // conditional count) — a semi-join + separate count would
+        // evaluate the expensive exact baseline twice per digest
         def digest(op: String, approx: org.apache.spark.sql.DataFrame,
                    exact: org.apache.spark.sql.DataFrame,
                    joinCols: Seq[String]): org.apache.spark.sql.DataFrame =
-          exact.join(approx, joinCols, "left_semi")
-            .agg(count(lit(1)).as("hits"))
-            .crossJoin(exact.agg(count(lit(1)).as("total")))
+          exact.join(
+              approx.select(joinCols.map(col): _*).dropDuplicates(joinCols)
+                .withColumn("__hit", lit(1L)),
+              joinCols, "left")
+            .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+              count(lit(1)).as("total"))
             .select(lit(op).as("operator"), col("hits"), col("total"),
               when(col("total") > 0,
                 col("hits").cast("double") / col("total")).as("recall"))
