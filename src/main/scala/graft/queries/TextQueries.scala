@@ -1053,6 +1053,70 @@ object TextQueries {
       "interpolated Kneser-Ney bigram NLL (the CCNet/KenLM perplexity " +
         "filter shape): corpus-as-its-own-LM, micro-nat quantized for " +
         "engine-independent determinism; model tables are vocab-bounded " +
-        "broadcast joins")
+        "broadcast joins"),
+
+    QuerySpec("q120_cluster_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // cluster-level dedup resolution with a QUALITY policy: within
+        // each near-dup cluster keep the longest member (doc_id
+        // tiebreak), not the smallest id — the curation rule real
+        // assemblies use so boilerplate-trimmed copies lose to the
+        // fullest one
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+            .select(col("doc_a"), col("doc_b")))
+        val scored = clusters.join(docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")), Seq("doc_id"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_tok").desc, col("doc_id"))
+        val best = scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select("doc_id")
+        docs.join(clusters, Seq("doc_id"), "left_anti").select(col("doc_id"))
+          .unionByName(best)
+          .join(docs.select(col("doc_id"), col("lang"), col("source")),
+            Seq("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                  for i in generate_series(1, len(tokens)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= CAST(0.8 AS DOUBLE)),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk(node, reach) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+        clusters AS (
+          SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node),
+        scored AS (
+          SELECT c.doc_id, c.cluster_id,
+                 len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tok
+          FROM clusters c JOIN documents d USING (doc_id)),
+        best AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_tok DESC, doc_id) AS rn FROM scored)
+          WHERE rn = 1),
+        survivors AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+          UNION ALL SELECT doc_id FROM best)
+        SELECT s.doc_id, d.lang, d.source
+        FROM survivors s JOIN documents d USING (doc_id)"""),
+      "near-dup cluster resolution keeping the best-quality (longest) " +
+        "member per cluster — quality-policy dedup, not min-id dedup")
   )
 }
