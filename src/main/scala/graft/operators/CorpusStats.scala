@@ -343,6 +343,36 @@ object CorpusStats {
       Seq(idCol), "left_anti")
 
   /**
+   * Training-shard manifest — the "write the corpus as shards of
+   * ~`tokensPerShard` tokens" accounting step of every export (a
+   * WebDataset/TFRecord-style layout keeps docs whole and rolls to the
+   * next shard when the budget fills). Greedy sequential fill over a
+   * deterministic total order: doc d lands in shard
+   * ⌊exclusive-prefix-tokens(d) / tokensPerShard⌋. Returns one row per
+   * shard: (shard_id, n_docs, n_tokens, first_doc, last_doc).
+   *
+   * The global prefix sum uses [[graft.ops.relational.contiguousPrefixSum]]
+   * — range partition + offset map, NO single-reducer window — so the
+   * manifest of a 100 TB corpus plans the same as the 60 k-row test.
+   */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be > 0")
+    val sized = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    graft.ops.relational.contiguousPrefixSum(sized,
+        Seq(col("doc_id")), col("n_tok"), "cum")
+      // integral DIV: double division would lose exactness past 2^53
+      // cumulative tokens — reachable at the 100 TB design point
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"CAST((cum - n_tok) DIV $tokensPerShard AS BIGINT)")
+          .as("shard_id"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /**
    * Sliding-window chunking with overlap — the context-window
    * preprocessing step for training/retrieval corpora: each document
    * becomes ⌈n_tok/stride⌉ chunks of up to `chunkTokens` tokens whose

@@ -161,4 +161,37 @@ object relational {
         .cast("long"))
       .drop("__pid", "__rn")
   }
+
+  /**
+   * The [[contiguousRowNumber]] pattern generalized to a running SUM:
+   * inclusive prefix sum of `value` over a unique total `order`,
+   * without `sum().over(Window.orderBy)`'s single reducer. Same shape
+   * — range partition, window WITHIN each partition, per-partition
+   * totals as a driver-side prefix-summed offset map — and the same
+   * bit-parity guarantee (integer values sum associatively; double
+   * values would not reassociate identically, so `value` must be
+   * integral).
+   */
+  def contiguousPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+                          as: String,
+                          numPartitions: Option[Int] = None): DataFrame = {
+    val parted = numPartitions
+      .map(n => df.repartitionByRange(n, order: _*))
+      .getOrElse(df.repartitionByRange(order: _*))
+    val local = graft.ops.materialize(
+      parted.withColumn("__v", value.cast("long"))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__ps", sum(col("__v")).over(
+          Window.partitionBy(col("__pid")).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val totals = local.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals
+      .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), (p, t)) => (p, cum, cum + t) }
+      .drop(1).map { case (p, off, _) => p -> off }.toMap
+    local
+      .withColumn(as, (col("__ps") + element_at(typedLit(offsets), col("__pid")))
+        .cast("long"))
+      .drop("__pid", "__ps", "__v")
+  }
 }

@@ -1117,6 +1117,30 @@ object TextQueries {
         SELECT s.doc_id, d.lang, d.source
         FROM survivors s JOIN documents d USING (doc_id)"""),
       "near-dup cluster resolution keeping the best-quality (longest) " +
-        "member per cluster — quality-policy dedup, not min-id dedup")
+        "member per cluster — quality-policy dedup, not min-id dedup"),
+
+    QuerySpec("q121_shard_manifest",
+      (s, dir) => graft.operators.CorpusStats.shardManifest(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        tokensPerShard = 2048L),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tok AS excl
+          FROM t)
+        SELECT CAST(excl // 2048 AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1"""),
+      "training-shard manifest (~2048 tokens/shard, docs kept whole): " +
+        "greedy fill over the global token prefix sum — range-partition " +
+        "+ offset map, no single-reducer window")
   )
 }

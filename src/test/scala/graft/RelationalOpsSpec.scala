@@ -86,6 +86,54 @@ class RelationalOpsSpec extends SparkSpec {
     assert(key(scalable) === key(window))
   }
 
+  test("contiguousPrefixSum matches the single-reducer window bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 1000).map(i => (i * 7919 % 1000, s"k$i", (i % 97).toLong))
+      .toDF("sort_key", "payload", "v").repartition(13)
+    val scalable = relational.contiguousPrefixSum(df,
+      Seq(col("sort_key"), col("payload")), col("v"), "cum",
+      numPartitions = Some(7))
+    assert(scalable.rdd.getNumPartitions > 1)
+    val window = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("sort_key"), col("payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("cum"), r.getAs[Int]("sort_key"),
+        r.getAs[String]("payload"), r.getAs[Long]("v"))).toSet
+    assert(key(scalable) === key(window))
+    graft.ops.materialize.releaseAll()
+  }
+
+  test("shardManifest: greedy fill conserves tokens, shards are contiguous") {
+    import graft.operators.CorpusStats
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val m = CorpusStats.shardManifest(docs, "doc_id", "text", 2048L)
+      .orderBy("shard_id").collect()
+    val totalTok = docs.select(
+      sum(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .collect().head.getLong(0)
+    // conservation + every doc in exactly one shard
+    assert(m.map(_.getAs[Long]("n_tokens")).sum === totalTok)
+    assert(m.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    // shard ids are 0..max contiguous, doc ranges non-overlapping & ordered
+    assert(m.map(_.getAs[Long]("shard_id")).toSeq ===
+      (0L until m.length.toLong))
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // greedy fill: every non-final shard crosses the budget only via its
+    // final doc — removing that doc would leave it under budget
+    m.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= 2048L - 99,
+        s"shard ${r.getAs[Long]("shard_id")} underfull: $r")
+    }
+    graft.ops.materialize.releaseAll()
+  }
+
   test("explodePreservingParent keeps parents with null/empty children (J5/U3)") {
     import spark.implicits._
     val df = Seq((1, Seq("a", "b")), (2, Seq.empty[String]))
