@@ -181,6 +181,11 @@ object EventStreams {
    *
    * Doc ids must be monotone across batches (the natural arrival
    * order) for keep-first to mean keep-oldest.
+   *
+   * `gate` is the curation hook (quality predicates, PII scrub, span
+   * gates — anything per-batch): it runs BEFORE dedup, and rejected
+   * documents enter neither the corpus nor the signature state — a
+   * rejected doc must not shadow a later acceptable near-copy.
    */
   def microBatchNearDedup(spark: org.apache.spark.sql.SparkSession,
                           sourceDir: String,
@@ -189,7 +194,10 @@ object EventStreams {
                           targetPath: String, statePath: String,
                           checkpoint: String,
                           n: Int = 3, k: Int = 64, bands: Int = 8,
-                          threshold: Double = 0.5): Unit = {
+                          threshold: Double = 0.5,
+                          gate: org.apache.spark.sql.DataFrame =>
+                            org.apache.spark.sql.DataFrame = identity)
+      : Unit = {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     val q = spark.readStream.schema(schema).parquet(sourceDir)
@@ -197,19 +205,20 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val gated = gate(batch.toDF())
         val seen =
           if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
             Some(spark.read.parquet(statePath))
           else None
         val (survivors, state) = graft.operators.Dedup.incrementalNearDedup(
-          batch.toDF(), idCol, textCol, seen, n, k, bands, threshold)
+          gated, idCol, textCol, seen, n, k, bands, threshold)
         graft.sink.UpsertWriter.upsert(spark, survivors, targetPath,
           Seq(idCol)): Unit
         // append ONLY this batch's signatures (the state grows by the
         // batch, it is never rewritten) through the staged atomic
         // promote, so a crash mid-swap cannot lose the state either
         val newSigs = state.join(
-          batch.toDF().select(col(idCol).as("doc_id")),
+          gated.select(col(idCol).as("doc_id")),
           Seq("doc_id"), "left_semi")
         graft.sink.UpsertWriter.upsert(spark, newSigs, statePath,
           Seq("doc_id")): Unit

@@ -119,6 +119,40 @@ class StreamingSpec extends SparkSpec {
     graft.ops.materialize.releaseAll()
   }
 
+  test("microBatchNearDedup gate: rejected docs enter neither corpus nor " +
+    "state; streamed result equals one-shot gate-then-dedup") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbcur").toString
+    val src = s"$dir/src"; val fact = s"$dir/fact"
+    val state = s"$dir/state"; val ckp = s"$dir/ckp"
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text", "source")
+    // a real quality predicate: lexical diversity
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(TextAnalysis.typeTokenRatio(col("text")) >= 0.5)
+    def run(): Unit = graft.streaming.EventStreams.microBatchNearDedup(
+      spark, src, docs.schema, "doc_id", "text", fact, state, ckp,
+      n = 3, k = 64, bands = 8, threshold = 0.5, gate = gate)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(src)
+    run()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(src)
+    run()
+
+    val gatedAll = gate(docs)
+    assert(gatedAll.count() < docs.count(), "gate must actually reject")
+    val (oneShot, _) = graft.operators.Dedup.incrementalNearDedup(
+      gatedAll, "doc_id", "text", None, 3, 64, 8, 0.5)
+    assert(ids(spark.read.parquet(fact)) === ids(oneShot),
+      "streamed curation must equal one-shot gate-then-dedup")
+    // rejected docs never reached the signature state either
+    assert(spark.read.parquet(state).count() === gatedAll.count())
+    assert(ids(spark.read.parquet(state)).subsetOf(ids(gatedAll)))
+    graft.ops.materialize.releaseAll()
+  }
+
   test("microBatchUpsert with a partitioned fact leaves untouched " +
     "partitions' files alone across batches") {
     import spark.implicits._
