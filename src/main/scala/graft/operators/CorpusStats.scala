@@ -141,7 +141,11 @@ object CorpusStats {
       s"budgetFraction must be in (0,1], got $budgetFraction")
     def w(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
-    val counts = df.groupBy(col(domainCol)).count()
+    // null-domain rows are excluded from BOTH the budget math and the
+    // output (weightedSample's equality match can never select them);
+    // counting them would silently inflate every other domain's rate
+    val domained = df.filter(col(domainCol).isNotNull)
+    val counts = domained.groupBy(col(domainCol)).count()
       .collect() // bounded: one row per domain
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
       .sortBy(_._1)
@@ -150,7 +154,7 @@ object CorpusStats {
     val rates = counts.map { case (d, n) =>
       d -> math.min(1.0, budgetFraction * total * w(n) / za / n)
     }.toMap
-    weightedSample(df, keyCol, domainCol, rates,
+    weightedSample(domained, keyCol, domainCol, rates,
       defaultFraction = 0.0, salt = salt)
   }
 

@@ -42,9 +42,11 @@ final case class Cron(expr: String, seconds: Set[Int], minutes: Set[Int],
   /** The first instant strictly after `from` matching the expression. */
   def next(from: LocalDateTime): LocalDateTime = {
     var t = from.truncatedTo(ChronoUnit.SECONDS).plusSeconds(1)
-    // bound: any satisfiable expression fires within 4 years (the
-    // leap-day case); past that the day/month combination is impossible
-    val limit = from.plusYears(4).plusDays(1)
+    // bound: any satisfiable expression fires within 8 years — the
+    // worst case is a Feb-29 schedule evaluated just after a leap day
+    // adjacent to a non-leap CENTURY year (2096 → 2104 is 8 years);
+    // past that the day/month combination is impossible
+    val limit = from.plusYears(8).plusDays(1)
     while (t.isBefore(limit)) {
       if (!months(t.getMonthValue))
         t = t.plusMonths(1).withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
@@ -63,9 +65,14 @@ final case class Cron(expr: String, seconds: Set[Int], minutes: Set[Int],
       s"cron '$expr' never fires (impossible day/month combination)")
   }
 
-  /** Seconds from `from` until the next fire (for scheduler delays). */
-  def delaySeconds(from: LocalDateTime): Long =
-    ChronoUnit.SECONDS.between(from, next(from))
+  /** Seconds from `from` until the next fire (for scheduler delays),
+    * rounded UP: truncation would fire early when `from` sits off a
+    * whole second, and an early tick re-arms with another zero delay —
+    * duplicate runs until the clock passes the scheduled second. */
+  def delaySeconds(from: LocalDateTime): Long = {
+    val ms = ChronoUnit.MILLIS.between(from, next(from))
+    (ms + 999) / 1000
+  }
 }
 
 object Cron {

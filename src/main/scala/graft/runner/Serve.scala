@@ -120,7 +120,12 @@ object Serve {
     every.foreach { case (_, names) => names.foreach(Pipelines.byName) }
     val parsedCrons = crons.map { case (expr, names) =>
       names.foreach(Pipelines.byName)
-      (Cron.parse(expr), names)
+      val c = Cron.parse(expr)
+      // a parseable-but-unsatisfiable expression (e.g. Feb 30) throws
+      // from next(); force that HERE so it cannot escape from arm()
+      // after the socket is bound and leak the server
+      c.next(java.time.LocalDateTime.now()): Unit
+      (c, names)
     }
     val control = new WatermarkManager(spark, controlPath)
     val runner = new PipelineRunner(spark, control, warehouse)
@@ -153,29 +158,34 @@ object Serve {
         if (keys.nonEmpty &&
             !presentedKey(ex).exists(keyMatches(keys, _))) {
           respond(ex, 401, """{"error":"missing or invalid function key"}""")
+        } else if (!Set("GET", "POST").contains(ex.getRequestMethod)) {
+          respond(ex, 405, """{"error":"use GET or POST"}""")
         } else if (path.isEmpty) {
           val names = (Pipelines.all.map(_.name) ++ Pipelines.aliases.keys)
             .sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
           respond(ex, 200, s"""{"pipelines":$names}""")
         } else if (path == "status") {
           // the control table is rows-per-run tiny (WatermarkManager
-          // scaladoc) — collecting it is not a data-path collect
+          // scaladoc) — ONE collect serves both the latest row and the
+          // watermark per pipeline (no per-pipeline re-read)
           val runs = control.log
             .orderBy(org.apache.spark.sql.functions.col("finish").desc)
             .collect()
           val entries = runs.groupBy(_.getString(0)).toSeq.sortBy(_._1)
             .map { case (name, rs) =>
               val r = rs.head // newest finish first
+              // watermark rule = WatermarkManager.lastWatermark: start
+              // of the latest Successful run, epoch when none exists
+              val wm = rs.find(_.getString(4) == "Successful")
+                .map(_.getTimestamp(1)).getOrElse(control.epoch)
               s"""{"pipeline":"${jsonEscape(name)}",""" +
                 s""""lastStart":"${r.getTimestamp(1)}",""" +
                 s""""lastFinish":"${r.getTimestamp(2)}",""" +
                 s""""executionTime":"${jsonEscape(r.getString(3))}",""" +
                 s""""status":"${jsonEscape(r.getString(4))}",""" +
-                s""""watermark":"${control.lastWatermark(name)}"}"""
+                s""""watermark":"$wm"}"""
             }
           respond(ex, 200, entries.mkString("[", ",", "]"))
-        } else if (!Set("GET", "POST").contains(ex.getRequestMethod)) {
-          respond(ex, 405, """{"error":"use GET or POST"}""")
         } else {
           try {
             val (status, body) = runOne(path)
@@ -260,18 +270,21 @@ object Serve {
         case "--warehouse" => warehouse = args(i + 1); i += 2
         case "--control" => controlPath = Some(args(i + 1)); i += 2
         case "--cpus" => cpus = args(i + 1).toInt; i += 2
-        case "--key" => keys = keys + args(i + 1); i += 2
+        case "--key" =>
+          require(args(i + 1).nonEmpty, "--key must not be empty")
+          keys = keys + args(i + 1); i += 2
         case "--every" =>
           val secs = args(i + 1).toLong
           val names = args.drop(i + 2).toSeq
           require(names.nonEmpty, "--every <seconds> <pipeline ...>")
           every = Some((secs, names)); i = args.length
         // repeatable: --cron "0 20 0 * * *" pembelian --cron "0 30 0 * * *" ...
-        // (names run until the next --cron flag or end of args) — the
+        // (names run until the next flag — any "--…" — or end of args,
+        // so --key/--port may still follow a --cron group) — the
         // reference's 22 timer schedules load as 22 flags
         case "--cron" =>
           val expr = args(i + 1)
-          val names = args.drop(i + 2).takeWhile(_ != "--cron").toSeq
+          val names = args.drop(i + 2).takeWhile(!_.startsWith("--")).toSeq
           require(names.nonEmpty, "--cron \"<6-field expr>\" <pipeline ...>")
           crons = crons :+ ((expr, names))
           i += 2 + names.length

@@ -96,9 +96,13 @@ object SnapshotWriter {
         .find { case (_, p) => f.exists(new Path(p, Committed)) }
         .map(_._1))
       // legacy roots: versions written before the `_COMMITTED` marker
-      // existed carry none — serve the newest directory rather than
-      // refusing a store that was readable before the marker change
-      .orElse(versionDirs(f, rootP).lastOption.map(_._1))
+      // existed carry none — serve the newest directory that at least
+      // finished its parquet job (Spark's own `_SUCCESS`), so a
+      // first-ever write that crashed mid-parquet (no pointer, no
+      // marker, no _SUCCESS) is still refused rather than served torn
+      .orElse(versionDirs(f, rootP).reverse
+        .find { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
+        .map(_._1))
       .getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     spark.read.parquet(new Path(rootP, f"v=$v%08d").toString)

@@ -68,6 +68,20 @@ class CronSpec extends AnyFunSuite {
     assert(leap.next(t("2026-01-01T00:00:00")) === t("2028-02-29T00:00:00"))
     intercept[IllegalArgumentException](
       Cron.parse("0 0 0 30 2 *").next(t("2026-01-01T00:00:00")))
+    // the century boundary: after 2096-02-29 the next leap day is
+    // 2104-02-29 (2100 is NOT a leap year) — an 8-year gap the search
+    // bound must cover
+    assert(leap.next(t("2096-03-01T00:00:00")) === t("2104-02-29T00:00:00"))
+  }
+
+  test("delaySeconds rounds up: an off-second now never fires early") {
+    val everySecond = Cron.parse("* * * * * *")
+    // from 300ms past the second, next fire is 700ms away — truncation
+    // would say 0 and fire (then re-arm at 0) before the scheduled
+    // second; ceil says 1
+    assert(everySecond.delaySeconds(t("2026-01-01T12:00:00").plusNanos(
+      300000000L)) === 1L)
+    assert(everySecond.delaySeconds(t("2026-01-01T12:00:00")) === 1L)
   }
 
   test("malformed expressions fail at parse time") {

@@ -74,6 +74,14 @@ class ServeSpec extends SparkSpec {
       assert(control.log.filter("status like 'Failed%'").count() === 1)
       assert(control.lastWatermark("purchasing-fact") === control.epoch)
 
+      // non-GET/POST verbs are rejected everywhere, status included
+      val rDel = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${h.port}/api/status"))
+          .DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rDel.statusCode() === 405)
+
       // the status endpoint surfaces both runs: latest row per pipeline
       // with its watermark (epoch for the failed one)
       val (s5, b5) = get(h.port, "/api/status")
@@ -135,6 +143,13 @@ class ServeSpec extends SparkSpec {
       Serve.start(spark, graft.sources.JsonLinesConnector(s"$dir/mongo"),
         s"$dir/dwh", s"$dir/dwh/control", port = 0,
         crons = Seq(("0 20 0 * *", Seq("migration-log"))))
+    }
+    // ...and a parseable-but-unsatisfiable one (Feb 30) — BEFORE the
+    // socket binds, not from inside the scheduler
+    intercept[IllegalArgumentException] {
+      Serve.start(spark, graft.sources.JsonLinesConnector(s"$dir/mongo"),
+        s"$dir/dwh", s"$dir/dwh/control", port = 0,
+        crons = Seq(("0 0 0 30 2 *", Seq("migration-log"))))
     }
 
     // every-second cron: the reference shape with * in the time fields

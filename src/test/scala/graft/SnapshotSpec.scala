@@ -71,6 +71,19 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq === Seq("v1"))
   }
 
+  test("read refuses a torn first-ever write (no pointer, no markers)") {
+    // a writer that crashed mid-parquet on a fresh root: version dir
+    // with partial files but no _SUCCESS, no _COMMITTED, no _LATEST —
+    // the legacy fallback must NOT serve it
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-torn")
+      .toString + "/fact"
+    val torn = java.nio.file.Paths.get(root, "v=00000000")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    intercept[IllegalStateException](SnapshotWriter.read(spark, root))
+  }
+
   test("parquet connector mergeSchema reconciles evolved table schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString

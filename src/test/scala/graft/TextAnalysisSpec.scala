@@ -407,6 +407,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.count() === kept.count())
     // flattening: the rare domain's keep RATE is >= the big domain's
     assert(byDomain("rare") / 4.0 >= byDomain("big") / 100.0)
+
+    // null-domain rows are excluded from BOTH the output and the budget
+    // math: rates over docs+nulls must equal rates over docs alone
+    val withNulls = docs.unionByName(
+      (900L to 949L).map(i => (i, null.asInstanceOf[String]))
+        .toDF("doc_id", "domain"))
+    val keptN = CorpusStats.temperatureMixture(
+      withNulls, "doc_id", "domain", alpha = 0.5, budgetFraction = 0.5)
+    assert(keptN.filter(col("domain").isNull).count() === 0)
+    assert(keptN.select("doc_id").except(kept.select("doc_id")).count() === 0
+      && kept.select("doc_id").except(keptN.select("doc_id")).count() === 0)
   }
 
   test("bigramKnScore: hand-checked KN probabilities; rare continuations " +
