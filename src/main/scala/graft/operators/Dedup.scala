@@ -617,12 +617,27 @@ object Dedup {
                     window: Int, minDocs: Int = 2,
                     baseHash: Option[Column => Column] = None): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val h = baseHash.getOrElse((c: Column) => xxhash64(c))
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.ngrams(
-          TextAnalysis.tokens(col(textCol)), window)))
-      .select(col("doc_id"), col("pos").as("span_pos"),
-        h(col("col")).as("span_hash"))
+    // production path: the fused positional-window-hash kernel (one
+    // long[] per document, no interpreted HOF chain) — bit-identical
+    // to posexplode(ngrams)+xxhash64 (WindowHashesParity in DedupSpec);
+    // a custom baseHash (the md5 oracle basis) keeps the declarative
+    // form
+    val grams = baseHash match {
+      case None =>
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .foreach(graft.plans.GraftExtensions.ensureRegistered)
+        docs.select(col(idCol).as("doc_id"),
+            posexplode(call_function("graft_window_hashes",
+              TextAnalysis.tokens(col(textCol)), lit(window))))
+          .select(col("doc_id"), col("pos").as("span_pos"),
+            col("col").as("span_hash"))
+      case Some(h) =>
+        docs.select(col(idCol).as("doc_id"),
+            posexplode(TextAnalysis.ngrams(
+              TextAnalysis.tokens(col(textCol)), window)))
+          .select(col("doc_id"), col("pos").as("span_pos"),
+            h(col("col")).as("span_hash"))
+    }
     val hot = grams.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)

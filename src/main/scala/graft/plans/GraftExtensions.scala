@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedShingleHashes(children.head, children(1))))
     ext.injectFunction((FunctionIdentifier("graft_nfc"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      WindowHashes.info,
+      (children: Seq[Expression]) =>
+        WindowHashes(children.head, children(1))))
   }
 }
 
@@ -54,5 +58,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_nfc"), NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_window_hashes"), WindowHashes.info,
+      (children: Seq[Expression]) =>
+        WindowHashes(children.head, children(1)))
   }
 }

@@ -302,6 +302,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("WindowHashes kernel ≡ the declarative ngrams+xxhash64 chain") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    for (n <- Seq(1, 4, 8)) {
+      def t = TextAnalysis.tokens(col("text"))
+      val kernel = docs.select(col("doc_id"),
+          posexplode(call_function("graft_window_hashes", t, lit(n))))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val declarative = docs.select(col("doc_id"),
+          posexplode(TextAnalysis.ngrams(t, n)))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(kernel === declarative, s"n=$n")
+    }
+    // null-bearing arrays: null grams drop and positions compact, like
+    // the declarative chain's filter(isNotNull)
+    import spark.implicits._
+    val holes = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("t"))
+    val k = holes.select(
+        posexplode(call_function("graft_window_hashes", col("t"), lit(2))))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val d = holes.select(posexplode(filter(
+        TextAnalysis.ngrams(col("t"), 2), x => x.isNotNull)))
+      .select(col("pos"), xxhash64(col("col")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(k === d && k.length === 1) // only "b c" survives
+  }
+
   test("repeatedSpans finds exactly the corpus-duplicated windows") {
     import spark.implicits._
     // docs 10 and 11 share the 4-token span "one two three four" at

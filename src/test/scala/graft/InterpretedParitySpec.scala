@@ -67,4 +67,15 @@ class InterpretedParitySpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(run() === interpreted(run()))
   }
+
+  test("graft_window_hashes: codegen ≡ interpreted on the corpus") {
+    import graft.operators.TextAnalysis
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run() = docs.select(col("doc_id"),
+        call_function("graft_window_hashes",
+          TextAnalysis.tokens(col("text")), lit(8)).as("wh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(run() === interpreted(run()))
+  }
 }
