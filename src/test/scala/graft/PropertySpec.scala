@@ -140,4 +140,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Cron.next on random expressions: strictly later, matching, and " +
+      "first within the scan horizon") {
+    import graft.runner.Cron
+    import java.time.LocalDateTime
+    def field(max: Int, seed: Long): String =
+      sample(Gen.oneOf(
+        Gen.const("*"),
+        Gen.chooseNum(0, max).map(_.toString),
+        Gen.zip(Gen.chooseNum(0, max / 2), Gen.chooseNum(1, max / 3 + 1))
+          .map { case (a, s) => s"$a-${a + max / 2}/$s" },
+        Gen.listOfN(3, Gen.chooseNum(0, max)).map(_.distinct.mkString(","))
+      ), seed)
+    val base = LocalDateTime.of(2026, 3, 14, 9, 26, 53, 123456789)
+    for (s <- 1L to 40L) {
+      // time-restricted, date-free exprs: the next fire is within 24h,
+      // so a brute-force per-second scan can confirm FIRSTNESS
+      val expr = s"${field(59, s)} ${field(59, s + 100)} ${field(23, s + 200)} * * *"
+      val cron = Cron.parse(expr)
+      val from = base.plusSeconds(s * 7919)
+      val n = cron.next(from)
+      assert(n.isAfter(from), s"$expr: $n !after $from")
+      assert(cron.matches(n), s"$expr: next does not match itself")
+      // nothing earlier matches (scan at second granularity)
+      var t = from.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .plusSeconds(1)
+      var steps = 0
+      while (t.isBefore(n) && steps < 90000) {
+        assert(!cron.matches(t), s"$expr: $t matches before next=$n")
+        t = t.plusSeconds(1); steps += 1
+      }
+      assert(steps < 90000, s"$expr: next=$n more than a day out")
+    }
+  }
+
+  test("WindowHashes ≡ declarative chain on random arrays with holes") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val tokGen = Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.alphaStr.map(_.take(5)), Gen.const("a b")) // even sep-bearing toks
+    val arrays = sample(Gen.listOfN(120,
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen))), 23L)
+    val df = arrays.map(Tuple1(_)).toDF("t")
+    for (n <- Seq(1, 2, 5)) {
+      val kernel = df.select(
+          call_function("graft_window_hashes", col("t"), lit(n)).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val decl = df.select(transform(filter(
+          graft.operators.TextAnalysis.ngrams(col("t"), n),
+          x => x.isNotNull), g => xxhash64(g)).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(kernel === decl, s"n=$n")
+    }
+  }
 }
