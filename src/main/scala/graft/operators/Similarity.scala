@@ -59,6 +59,27 @@ object Similarity {
     topK(scoredPairs(corpus, queries, idCol, vecCol), k)
   }
 
+  /** Exact L2 nearest neighbours — the metric twin of [[cosineTopK]]
+    * and the baseline the PQ/ADC family approximates. Scores each pair
+    * by `2·q·c − |c|²` (the `|q|²` term is constant per query, so the
+    * descending ranking equals ascending squared L2); same broadcast
+    * scan + mergeable top-k aggregate, no global window. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) -
+          call_function("graft_dot", col("cv"), col("cv"))).as("cosine"))
+    topK(scored, k).withColumnRenamed("cosine", "neg_l2_score")
+  }
+
   /** The window formulation of the same top-k — the reference semantics
     * [[cosineTopK]] is asserted bit-identical to in tests. Shuffles every
     * scored row; do not use on a large query set. */

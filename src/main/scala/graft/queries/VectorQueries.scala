@@ -306,6 +306,20 @@ object VectorQueries {
           dim = 64, threshold = 0.4, nTables = 8, nPlanes = 6)
           .select("id_a", "id_b")
 
+        // PQ/ADC (q113 config) recall@5 vs exact L2 — the metric ADC
+        // approximates (cosine would mis-state it)
+        val pqModel = graft.operators.ProductQuant.fit(
+          e, "embedding", dim = 64, m = 16, k = 16, idCol = Some("vec_id"))
+        val encoded = e.select(col("vec_id"),
+          graft.operators.ProductQuant.encode(col("embedding"), pqModel)
+            .as("codes"))
+        val adcK = graft.operators.ProductQuant.adcTopK(encoded, queries20,
+          "vec_id", "embedding", k = 5, pqModel)
+          .select("query_id", "neighbor_id")
+        val exactL2K = graft.ops.materialize(
+          Similarity.l2TopK(e, queries20, "vec_id", "embedding", 5)
+            .select("query_id", "neighbor_id"))
+
         // SemDeDup (q91 config): dropped ids vs the exact droppable set
         val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
           eps = 0.4, nCentroids = 8).select(col("vec_id").cast("long")
@@ -338,6 +352,8 @@ object VectorQueries {
             Seq("query_id", "neighbor_id")),
           digest("cosine_lsh_neardup", lshPairs, exactPairs,
             Seq("id_a", "id_b")),
+          digest("pq_adc_topk@5", adcK, exactL2K,
+            Seq("query_id", "neighbor_id")),
           digest("semantic_dedup_drops", dropped, droppable, Seq("vec_id")),
           digest("incremental_neardedup_parity",
             incSurv.select(col("doc_id")),

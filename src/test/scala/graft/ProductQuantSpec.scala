@@ -71,6 +71,16 @@ class ProductQuantSpec extends SparkSpec {
       .sortBy { case (id, v) => (sq(v, all(qid)), id) }
       .take(10).map(_._1).toSet
 
+    // the distributed exact-L2 operator (the q114 digest baseline)
+    // agrees with this driver-side reference exactly
+    val distTop = graft.operators.Similarity
+      .l2TopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    (0L until 10L).foreach { q =>
+      assert(distTop(q) === exactTop(q), s"l2TopK mismatch for query $q")
+    }
+
     // direct recall@10 must beat random chance (10/499 ≈ 0.02) by a
     // wide, stable margin even on these near-random synthetic vectors
     val top10 = approxTop(10)
