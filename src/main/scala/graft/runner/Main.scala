@@ -80,6 +80,8 @@ object Main {
     case u if u.startsWith("jsonl:") => JsonLinesConnector(u.stripPrefix("jsonl:"))
     case u if u.startsWith("csv:") => CsvConnector(u.stripPrefix("csv:"))
     case u if u.startsWith("orc:") => OrcConnector(u.stripPrefix("orc:"))
+    case u if u.startsWith("binary:") =>
+      graft.sources.BinaryFileConnector(u.stripPrefix("binary:"))
     case u if u.startsWith("jdbc:") => JdbcConnector(u)
     case dir => ParquetConnector(dir)
   }

@@ -120,6 +120,35 @@ final case class OrcConnector(dir: String) extends Connector {
 }
 
 /**
+ * Raw-media connector — Spark's built-in `binaryFile` source over a
+ * directory tree of image/audio/video files: one row per file with
+ * (path, modificationTime, length, content), the ingestion front door
+ * of the [[graft.operators.Multimodal]] family (decode/resize/
+ * feature-extract run on the `content` bytes). Read-only by design —
+ * binaryFile has no writer; media blobs leave the engine through the
+ * parquet/ORC lake as binary columns, not as loose files — so write()
+ * refuses loudly instead of corrupting expectations. `pathGlob`
+ * filters at the LISTING level (e.g. `*.png`), before any bytes are
+ * read; `maxBytes` guards executors against a single runaway blob.
+ */
+final case class BinaryFileConnector(dir: String,
+                                     pathGlob: Option[String] = None,
+                                     maxBytes: Option[Long] = None)
+    extends Connector {
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    val g = pathGlob.fold(r)(p => r.option("pathGlobFilter", p))
+    val df = g.load(s"$dir/$table")
+    maxBytes.fold(df)(m =>
+      df.filter(org.apache.spark.sql.functions.col("length") <= m))
+  }
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    throw new UnsupportedOperationException(
+      "binaryFile is a read-only source; write media as binary columns " +
+        "through the parquet/ORC lake connectors")
+}
+
+/**
  * Document-store connector — S5, the reference's one MongoDB source
  * (`MigrationLogFunc/index.js:16-48` reads the `migration-log`
  * collection via Mongoose). Backed by JSON-lines files, one per

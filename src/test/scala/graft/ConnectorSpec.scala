@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.sources.{ConnectorRegistry, CsvConnector, JdbcConnector, JsonLinesConnector, OrcConnector, ParquetConnector}
+import graft.sources.{BinaryFileConnector, ConnectorRegistry, CsvConnector, JdbcConnector, JsonLinesConnector, OrcConnector, ParquetConnector}
 
 /** Exercises the real JDBC code path against embedded Derby (the same
   * engine Spark ships for its metastore) — write, plain read,
@@ -133,5 +133,47 @@ class ConnectorSpec extends SparkSpec {
     assert(reg.read(spark, "purchasing", "items").count() === 100)
     assert(reg.read(spark, "lake", "region").count() === 5)
     intercept[IllegalArgumentException](reg.read(spark, "nope", "x"))
+  }
+
+  test("binaryFile connector: media directory → rows, glob + size guard, " +
+    "decode composes") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-binconn")
+    val media = dir.resolve("media"); java.nio.file.Files.createDirectories(media)
+    // one real PNG (the Multimodal decode fixture shape) + one other file
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    java.nio.file.Files.write(media.resolve("a.png"), bos.toByteArray)
+    java.nio.file.Files.write(media.resolve("b.txt"),
+      "not an image".getBytes("UTF-8"))
+
+    val conn = BinaryFileConnector(dir.toString)
+    val rows = conn.read(spark, "media")
+    assert(rows.count() === 2)
+    assert(rows.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+
+    // listing-level glob: only the png is even read
+    val pngs = BinaryFileConnector(dir.toString, pathGlob = Some("*.png"))
+      .read(spark, "media")
+    assert(pngs.count() === 1)
+    // size guard drops the larger file
+    val small = BinaryFileConnector(dir.toString,
+      maxBytes = Some(20L)).read(spark, "media")
+    assert(small.count() === 1 &&
+      small.head().getAs[String]("path").endsWith("b.txt"))
+    // the content column feeds the Multimodal decode path directly:
+    // binaryFile rows → (media_id, kind, content) → real PNG decode
+    val asMedia = pngs.select(
+      org.apache.spark.sql.functions.xxhash64(col("path")).as("media_id"),
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      col("content"))
+    val feats = graft.operators.Multimodal.extractFeatures(asMedia).head()
+    assert(feats.getSeq[Float](2).length === 16)
+    // read-only by design
+    intercept[UnsupportedOperationException](
+      conn.write(rows, "media", org.apache.spark.sql.SaveMode.Overwrite))
   }
 }
