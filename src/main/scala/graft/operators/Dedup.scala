@@ -624,8 +624,10 @@ object Dedup {
     // form
     val grams = baseHash match {
       case None =>
-        org.apache.spark.sql.SparkSession.getActiveSession
-          .foreach(graft.plans.GraftExtensions.ensureRegistered)
+        // register on the frame's OWN session — getActiveSession is None
+        // on foreign threads, and this path must not silently lose the
+        // function while the md5 path keeps working
+        graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
         docs.select(col(idCol).as("doc_id"),
             posexplode(call_function("graft_window_hashes",
               TextAnalysis.tokens(col(textCol)), lit(window))))

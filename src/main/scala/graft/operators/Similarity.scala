@@ -60,24 +60,26 @@ object Similarity {
   }
 
   /** Exact L2 nearest neighbours — the metric twin of [[cosineTopK]]
-    * and the baseline the PQ/ADC family approximates. Scores each pair
-    * by `2·q·c − |c|²` (the `|q|²` term is constant per query, so the
-    * descending ranking equals ascending squared L2); same broadcast
-    * scan + mergeable top-k aggregate, no global window. */
+    * and the baseline the PQ/ADC family approximates. The score IS
+    * `−‖q−c‖²` (a real value a caller may threshold or compare across
+    * queries), expanded as `2·q·c − |c|² − |q|²` with both norms
+    * computed once per ROW on their own side of the join — the pair
+    * loop pays exactly one dot product; same broadcast scan +
+    * mergeable top-k aggregate as the cosine twin, no global window. */
   def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int): DataFrame = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("c2", dot(col("cv"), col("cv")))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("q2", dot(col("qv"), col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (lit(2.0) * call_function("graft_dot", col("qv"), col("cv")) -
-          call_function("graft_dot", col("cv"), col("cv"))).as("cosine"))
-    topK(scored, k).withColumnRenamed("cosine", "neg_l2_score")
+        (lit(2.0) * dot(col("qv"), col("cv")) - col("c2") - col("q2"))
+          .as("cosine"))
+    topK(scored, k).withColumnRenamed("cosine", "neg_sq_l2")
   }
 
   /** The window formulation of the same top-k — the reference semantics

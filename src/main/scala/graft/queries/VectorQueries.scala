@@ -316,9 +316,8 @@ object VectorQueries {
         val adcK = graft.operators.ProductQuant.adcTopK(encoded, queries20,
           "vec_id", "embedding", k = 5, pqModel)
           .select("query_id", "neighbor_id")
-        val exactL2K = graft.ops.materialize(
-          Similarity.l2TopK(e, queries20, "vec_id", "embedding", 5)
-            .select("query_id", "neighbor_id"))
+        val exactL2K = Similarity.l2TopK(e, queries20,
+          "vec_id", "embedding", 5).select("query_id", "neighbor_id")
 
         // SemDeDup (q91 config): dropped ids vs the exact droppable set
         val kept = Similarity.semanticDedup(e, "vec_id", "embedding",

@@ -58,17 +58,21 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     spark.catalog.clearCache()
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // scope the pin accounting to THIS test's RDDs — suites share one
+    // SparkContext and may pin concurrently
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // localEdgeLimit=0 forces the distributed loop (the fast path pins
     // nothing at all — asserted in the equivalence test below)
     val clusters = Dedup.duplicateClusters(pairs, localEdgeLimit = 0)
     assert(clusters.count() === 5)
     // the edge list and per-iteration label tables were released as the
     // loop advanced; only the final (returned) label table stays pinned
-    assert(spark.sparkContext.getPersistentRDDs.size === 1,
-      "exactly the output may remain pinned")
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.size === 1, s"exactly the output may remain pinned: $mine")
     // the long-lived-session hook clears that too
     graft.ops.materialize.releaseAll()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(mine).isEmpty)
   }
 
   test("duplicateClusters: union-find fast path ≡ distributed loop") {
