@@ -916,7 +916,10 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("source")),
       Some("""
         WITH counts AS (
-          SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          -- temperatureMixture excludes null domains from both the
+          -- budget math and the output; mirror that here
+          SELECT lang, count(*) AS n FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1),
         agg AS (
           SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
                  CAST(sum(n) AS DOUBLE) AS nt FROM counts),
@@ -992,7 +995,9 @@ object TextQueries {
             AND CAST(coalesce(cov.c, 0) AS DOUBLE) / len(tk.t)
                   < CAST(0.8 AS DOUBLE)),
         counts AS (
-          SELECT lang, count(*) AS n FROM keptdocs GROUP BY 1),
+          -- mirror temperatureMixture's null-domain exclusion
+          SELECT lang, count(*) AS n FROM keptdocs
+          WHERE lang IS NOT NULL GROUP BY 1),
         agg AS (
           SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
                  CAST(sum(n) AS DOUBLE) AS nt FROM counts),

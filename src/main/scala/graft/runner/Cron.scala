@@ -22,10 +22,15 @@ import java.time.temporal.ChronoUnit
  */
 final case class Cron(expr: String, seconds: Set[Int], minutes: Set[Int],
                       hours: Set[Int], days: Set[Int], months: Set[Int],
-                      dows: Set[Int]) {
+                      dows: Set[Int], domIsStar: Boolean = false,
+                      dowIsStar: Boolean = false) {
 
-  private val dayRestricted = days.size < 31
-  private val dowRestricted = dows.size < 7
+  // the union rule keys on the LITERAL `*` token (Vixie/NCRONTAB), not
+  // on set cardinality: an explicitly full field like `1-31` or `0-6`
+  // counts as restricted, so `0 0 0 1-31 * 1` means dom AND dow
+  // (Mondays), while `0 0 0 * * 1` with the same value set means dow only
+  private val dayRestricted = !domIsStar
+  private val dowRestricted = !dowIsStar
 
   private def dateMatches(t: LocalDateTime): Boolean = {
     if (!months(t.getMonthValue)) return false
@@ -92,7 +97,12 @@ object Cron {
       field(expr, fields(2), 0, 23, Nil),
       field(expr, fields(3), 1, 31, Nil),
       field(expr, fields(4), 1, 12, MonthNames),
-      field(expr, fields(5), 0, 7, DowNames).map(d => d % 7)) // 7 ≡ SUN
+      field(expr, fields(5), 0, 7, DowNames).map(d => d % 7), // 7 ≡ SUN
+      // the dom/dow union rule needs the LITERAL token shape: `*` and
+      // `*/n` are unrestricted; everything else (even an explicitly
+      // full `1-31` or `0-6`) is a restriction
+      domIsStar = fields(3).startsWith("*"),
+      dowIsStar = fields(5).startsWith("*"))
   }
 
   private def field(expr: String, s: String, lo: Int, hi: Int,

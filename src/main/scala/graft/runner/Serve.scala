@@ -76,11 +76,6 @@ object Serve {
     ex.close()
   }
 
-  /** Start the server; embedded callers pass port 0 for an ephemeral
-    * bind and get the chosen port from the returned [[Handle]].
-    * `crons` are (NCRONTAB expression, pipeline names) pairs — the
-    * reference's `*Timer/function.json` schedule table loads directly
-    * as one pair per timer function. */
   /** Constant-time membership test — key comparison must not leak a
     * prefix-length timing signal. */
   private def keyMatches(keys: Set[String], presented: String): Boolean = {
@@ -108,6 +103,11 @@ object Serve {
     }
   }
 
+  /** Start the server; embedded callers pass port 0 for an ephemeral
+    * bind and get the chosen port from the returned [[Handle]].
+    * `crons` are (NCRONTAB expression, pipeline names) pairs — the
+    * reference's `*Timer/function.json` schedule table loads directly
+    * as one pair per timer function. */
   def start(spark: SparkSession, conn: Connector, warehouse: String,
             controlPath: String, port: Int,
             every: Option[(Long, Seq[String])] = None,

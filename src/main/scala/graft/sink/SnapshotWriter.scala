@@ -90,19 +90,25 @@ object SnapshotWriter {
     // stores without atomic replace), fall back to the highest version
     // carrying a `_COMMITTED` marker — the marker is written after the
     // pointer flip, so a writer that crashed after fully writing its
-    // directory but before its first flip can never be served here
+    // directory but before its first flip is never served by THIS
+    // fallback (the weaker legacy fallback below has its own gate)
+    val dirs = versionDirs(f, rootP)
     val v = version.orElse(readPointer(f, rootP))
-      .orElse(versionDirs(f, rootP).reverse
+      .orElse(dirs.reverse
         .find { case (_, p) => f.exists(new Path(p, Committed)) }
         .map(_._1))
       // legacy roots: versions written before the `_COMMITTED` marker
-      // existed carry none — serve the newest directory that at least
-      // finished its parquet job (Spark's own `_SUCCESS`), so a
-      // first-ever write that crashed mid-parquet (no pointer, no
-      // marker, no _SUCCESS) is still refused rather than served torn
-      .orElse(versionDirs(f, rootP).reverse
+      // existed carry none — serve the newest directory that finished
+      // its parquet job (Spark's own `_SUCCESS`). Gated to roots with
+      // MORE THAN ONE version directory: a pre-marker store in real use
+      // has accumulated history, whereas a fresh root whose only dir is
+      // a fully-written-but-never-committed first write (crash between
+      // the parquet job and the pointer flip) must be refused — with a
+      // single dir, _SUCCESS alone cannot distinguish the two
+      .orElse(if (dirs.length > 1) dirs.reverse
         .find { case (_, p) => f.exists(new Path(p, "_SUCCESS")) }
-        .map(_._1))
+        .map(_._1)
+      else None)
       .getOrElse(
         throw new IllegalStateException(s"no snapshot at $root"))
     spark.read.parquet(new Path(rootP, f"v=$v%08d").toString)

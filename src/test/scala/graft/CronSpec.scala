@@ -63,6 +63,25 @@ class CronSpec extends AnyFunSuite {
     assert(c.next(t("2026-03-15T00:00:00")) === t("2026-03-16T00:00:00")) // then the Monday
   }
 
+  test("union rule keys on the literal * token, not on set cardinality") {
+    // an explicitly full dom `1-31` is a RESTRICTION under Vixie/
+    // NCRONTAB: with dow also restricted the union rule applies, and
+    // since 1-31 matches every day the schedule fires daily — whereas
+    // cardinality-based detection would AND the fields (Mondays only)
+    val full = Cron.parse("0 0 0 1-31 * 1")
+    assert(full.next(t("2026-03-10T00:00:00")) === t("2026-03-11T00:00:00"))
+    // same value sets written with literal stars: dow-only (Mondays)
+    val star = Cron.parse("0 0 0 * * 1")
+    assert(star.next(t("2026-03-10T00:00:00")) === t("2026-03-16T00:00:00"))
+    // an explicitly full dow 0-6 with a restricted dom: union → daily,
+    // not "day 15 only"
+    assert(Cron.parse("0 0 0 15 * 0-6").next(t("2026-03-10T00:00:00")) ===
+      t("2026-03-11T00:00:00"))
+    // */n counts as star for the union rule (literal token starts with *)
+    assert(Cron.parse("0 0 0 */1 * 1").next(t("2026-03-10T00:00:00")) ===
+      t("2026-03-16T00:00:00"))
+  }
+
   test("leap day and rejection of impossible dates") {
     val leap = Cron.parse("0 0 0 29 2 *")
     assert(leap.next(t("2026-01-01T00:00:00")) === t("2028-02-29T00:00:00"))

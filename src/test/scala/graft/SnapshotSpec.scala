@@ -84,6 +84,22 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalStateException](SnapshotWriter.read(spark, root))
   }
 
+  test("read refuses a fresh root whose only version was never committed") {
+    import spark.implicits._
+    // a writer on a FRESH root that crashed after the parquet job
+    // (_SUCCESS present) but before the pointer flip / _COMMITTED
+    // marker: the single version dir is fully written yet was never
+    // committed, and the legacy _SUCCESS fallback (gated to >1 version
+    // dirs) must refuse it rather than serve a never-committed version
+    val root = java.nio.file.Files.createTempDirectory("graft-snap4")
+      .toString + "/fact"
+    SnapshotWriter.write(spark, Seq((1L, "v0")).toDF("k", "tag"), root)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_LATEST"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "v=00000000", "_COMMITTED"))
+    intercept[IllegalStateException](SnapshotWriter.read(spark, root))
+  }
+
   test("parquet connector mergeSchema reconciles evolved table schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
