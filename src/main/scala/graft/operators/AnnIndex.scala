@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuant.PqModel
+
+/**
+ * Persisted IVF+PQ index state — the `writeDedupState` pattern
+ * ([[Dedup.writeDedupState]]) applied to similarity search. The
+ * per-call [[Similarity.ivfTopK]]/[[ProductQuant.ivfPqTopK]] re-fit
+ * the model and re-assign the whole corpus on every query run, which
+ * is the right plan per call but dies at warehouse scale under a
+ * nightly query load. Here the fit is a one-time (or periodic) BUILD,
+ * and searches move only the queries:
+ *
+ *   `<base>_centroids` (centroid_id, v)       — IVF coarse quantizer
+ *   `<base>_codebooks` (subspace, code, v)    — PQ codebooks (m × k)
+ *   `<base>_codes`     (neighbor_id, centroid_id, codes)
+ *                       bucketed+sorted by centroid_id
+ *
+ * The model tables are a few KB (model artifacts, same class as a
+ * control-table read); the codes table carries `m` ints per corpus row
+ * — the 32× PQ memory cut — pre-partitioned on exactly the key every
+ * search joins on. [[ivfPqTopKBucketed]] plans NO Exchange and NO
+ * re-fit on the state side: probed cells prune the bucketed scan, the
+ * probe set broadcasts, and only k·|Q| aggregate rows ever shuffle.
+ * New corpus rows append through [[appendToAnnIndex]] using the
+ * persisted model — encode-and-append, never re-fit, mirroring the
+ * incremental near-dedup ingest.
+ *
+ * Build determinism: both fits are hash-ordered-sample + fixed-
+ * iteration Lloyd, so a rebuild over the same corpus is bit-identical
+ * — and the ADC search over the persisted state is replayable by an
+ * external SQL engine reading the model tables back as data (the
+ * driver oracle does exactly that).
+ */
+object AnnIndex {
+
+  /** Cell-assignment argmax over literal centroids — ties to the
+    * smaller centroid id (same expression as [[Similarity.ivfTopK]]). */
+  private def cellExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
+    val best = greatest(cents.map { case (cid, cv) =>
+      struct(Similarity.cosine(v, typedLit(cv)).as("csim"),
+        lit(-cid).as("neg_id"))
+    }.toIndexedSeq: _*)
+    -best.getField("neg_id")
+  }
+
+  /** One corpus pass: cell assignment + PQ encoding side by side, both
+    * pure codegen'd per-row expressions — the exact rows the codes
+    * table stores (public so state parity is assertable). */
+  def encodeCorpus(rows: DataFrame, idCol: String, vecCol: String,
+                   cents: Seq[(Long, Seq[Double])],
+                   model: PqModel): DataFrame =
+    rows.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("neighbor_id"),
+        cellExpr(cents, col("__v")).as("centroid_id"),
+        ProductQuant.encode(col("__v"), model).as("codes"))
+
+  /** Drop a managed table AND its warehouse location: a location left
+    * by a previous session is invisible to a fresh in-memory catalog,
+    * so Overwrite alone would refuse the "orphaned directory" case. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /**
+   * Fit and persist the index over `corpus`. A build is a full refresh
+   * (drop + rewrite) — the fits are deterministic, so rebuilding over
+   * an unchanged corpus is idempotent; rows that arrive AFTER a build
+   * go through [[appendToAnnIndex]].
+   */
+  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    base: String, dim: Int, nCentroids: Int = 16,
+                    m: Int = 16, pqK: Int = 16, buckets: Int = 16,
+                    centroidIters: Int = 8, sampleSize: Int = 2048): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
+    for (t <- Seq("centroids", "codebooks", "codes"))
+      dropStale(spark, s"${base}_$t")
+    val cents = Similarity.fitCentroids(corpus, idCol, vecCol, nCentroids,
+        centroidIters, sampleSize)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    val model = ProductQuant.fit(corpus, vecCol, dim, m, pqK, sampleSize,
+      idCol = Some(idCol))
+    // model tables: single-file artifacts, coalesce(1) by design
+    cents.toDF("centroid_id", "v").coalesce(1)
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"${base}_centroids")
+    val cbRows = for {
+      j <- 0 until model.m; c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    cbRows.toDF("subspace", "code", "v").coalesce(1)
+      .write.mode(SaveMode.Overwrite).saveAsTable(s"${base}_codebooks")
+    encodeCorpus(corpus, idCol, vecCol, cents, model)
+      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").mode(SaveMode.Overwrite)
+      .saveAsTable(s"${base}_codes")
+  }
+
+  /** Read the persisted model back (centroids ordered by id; PqModel
+    * dimensions derived from the codebook table itself). */
+  def readModel(spark: SparkSession,
+                base: String): (Seq[(Long, Seq[Double])], PqModel) = {
+    val cents = spark.table(s"${base}_centroids")
+      .orderBy(col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val cb = spark.table(s"${base}_codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(cb.nonEmpty, s"empty codebook table ${base}_codebooks")
+    val m = cb.map(_._1).max + 1
+    val subDim = cb.head._3.length
+    val codebooks = Array.tabulate(m) { j =>
+      cb.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    (cents, PqModel(m * subDim, m, codebooks.map(_.length).max, codebooks))
+  }
+
+  /**
+   * Encode new corpus rows with the PERSISTED model — no re-fit, no
+   * touch of existing state — and append them to the bucketed codes
+   * table (Spark appends per-bucket files; `buckets` must match the
+   * build). The nightly ingest shape: only the batch is scanned,
+   * assigned, and written.
+   */
+  def appendToAnnIndex(spark: SparkSession, rows: DataFrame, idCol: String,
+                       vecCol: String, base: String,
+                       buckets: Int = 16): Unit = {
+    val (cents, model) = readModel(spark, base)
+    encodeCorpus(rows, idCol, vecCol, cents, model)
+      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").mode(SaveMode.Append)
+      .saveAsTable(s"${base}_codes")
+  }
+
+  /**
+   * IVF+PQ search against the persisted index. The state side is
+   * exactly one bucketed scan of `<base>_codes`: the probed-cell
+   * `isin` predicate prunes buckets/row-groups at the scan, the probe
+   * set (query_id, centroid_id, ADC tables) broadcasts, and the
+   * mergeable `graft_topk` aggregate bounds the one exchange at
+   * k·|Q| rows per map task. Nothing corpus-sized moves, and nothing
+   * is fitted — with the same build parameters the result is
+   * bit-identical to the per-call [[ProductQuant.ivfPqTopK]]
+   * (asserted in AnnIndexSpec).
+   */
+  def ivfPqTopKBucketed(spark: SparkSession, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, base: String,
+                        nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val (cents, model) = readModel(spark, base)
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows: Seq[(Long, Long, Seq[Seq[Double]])] = qRows.toSeq.flatMap {
+      case (qid, qv) =>
+        val tables = ProductQuant.distTables(qv, model)
+        cents.sortBy { case (cid, v) => (-ProductQuant.cosArr(qv, v), cid) }
+          .take(nProbe).map { case (cid, _) => (qid, cid, tables) }
+    }
+    val probes = probeRows.toDF("query_id", "centroid_id", "tables")
+    val probedCells = probeRows.map(_._2).distinct
+    // the isin predicate is driver-known, so the bucketed scan prunes
+    // to the probed cells' buckets — the disk-level IVF win
+    val state = spark.table(s"${base}_codes")
+      .filter(col("centroid_id").isin(probedCells: _*))
+    val scored = state.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-ProductQuant.adcDist(model)).as("neg_dist"))
+    ProductQuant.pqTopK(scored, k)
+  }
+}

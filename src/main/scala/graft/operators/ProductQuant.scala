@@ -135,6 +135,40 @@ object ProductQuant {
     concat(parts: _*)
   }
 
+  /** Per-query ADC distance tables: `tables(j)(c)` is the squared L2
+    * distance between the query's j-th subvector and codebook centroid
+    * `c` — the sequential-fold accumulation order is part of the
+    * contract (the driver oracle replays it bit-exactly in SQL). */
+  private[operators] def distTables(qv: Array[Double],
+                                    model: PqModel): Seq[Seq[Double]] =
+    (0 until model.m).map { j =>
+      val sub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
+      model.codebooks(j).toSeq.map { c =>
+        var s = 0.0; var i = 0
+        while (i < sub.length) { val d = sub(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+    }
+
+  /** The `m`-lookup ADC distance of a `codes` row against the
+    * broadcast `tables` column — a fixed left-to-right addition chain,
+    * never reassociated (oracle replay depends on it). */
+  private[operators] def adcDist(model: PqModel): Column =
+    (0 until model.m)
+      .map(j => element_at(element_at(col("tables"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+
+  /** Collapse (query_id, neighbor_id, neg_dist) to per-query nearest-k
+    * via the mergeable `graft_topk` aggregate; ties to the smaller id. */
+  private[operators] def pqTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("graft_topk", col("neg_dist"), col("neighbor_id"),
+        lit(k)).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), (-col("col.score")).as("sq_dist"))
+
   /**
    * ADC top-k: score every encoded corpus row against every query via
    * per-query distance tables. The corpus side carries ONLY (id, codes)
@@ -152,32 +186,16 @@ object ProductQuant {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val tables: Seq[(Long, Seq[Seq[Double]])] = qRows.toSeq.map {
-      case (qid, qv) =>
-        qid -> (0 until model.m).map { j =>
-          val sub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
-          model.codebooks(j).toSeq.map { c =>
-            var s = 0.0; var i = 0
-            while (i < sub.length) { val d = sub(i) - c(i); s += d * d; i += 1 }
-            s
-          }
-        }
+      case (qid, qv) => qid -> distTables(qv, model)
     }
     val tblDf = tables.toDF("query_id", "tables")
-    val dist = (0 until model.m)
-      .map(j => element_at(element_at(col("tables"), j + 1),
-        element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val scored = encoded
       .select(col(idCol).cast("long").as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(tblDf))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), (-dist).as("neg_dist"))
-    scored.groupBy(col("query_id"))
-      .agg(call_function("graft_topk", col("neg_dist"), col("neighbor_id"),
-        lit(k)).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), (-col("col.score")).as("sq_dist"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-adcDist(model)).as("neg_dist"))
+    pqTopK(scored, k)
   }
 
   /**
@@ -213,40 +231,29 @@ object ProductQuant {
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def cosArr(a: Array[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
-    }
     // probes + ADC tables are both tiny driver-side model derivations
     val probeRows: Seq[(Long, Long, Seq[Seq[Double]])] = qRows.toSeq.flatMap {
       case (qid, qv) =>
-        val tables = (0 until model.m).map { j =>
-          val sub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
-          model.codebooks(j).toSeq.map { c =>
-            var s = 0.0; var i = 0
-            while (i < sub.length) { val d = sub(i) - c(i); s += d * d; i += 1 }
-            s
-          }
-        }
+        val tables = distTables(qv, model)
         cents.sortBy { case (cid, v) => (-cosArr(qv, v), cid) }
           .take(nProbe).map { case (cid, _) => (qid, cid, tables) }
     }
     val probes = probeRows.toDF("query_id", "centroid_id", "tables")
-    val dist = (0 until model.m)
-      .map(j => element_at(element_at(col("tables"), j + 1),
-        element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val scored = assigned.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), (-dist).as("neg_dist"))
-    scored.groupBy(col("query_id"))
-      .agg(call_function("graft_topk", col("neg_dist"), col("neighbor_id"),
-        lit(k)).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), (-col("col.score")).as("sq_dist"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-adcDist(model)).as("neg_dist"))
+    pqTopK(scored, k)
+  }
+
+  /** Driver-side cosine with the interleaved single-pass accumulation
+    * the probe-selection oracle mirrors (`s / sqrt(na·nb)` — ONE sqrt
+    * of the product, not a product of sqrts). */
+  private[operators] def cosArr(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else s / math.sqrt(na * nb)
   }
 }

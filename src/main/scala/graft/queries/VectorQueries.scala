@@ -111,6 +111,90 @@ object VectorQueries {
         "codebooks, per-row codegen encode, ADC table-lookup search " +
         "over 16-byte codes — the 32× memory step past int8"),
 
+    // the ADC arithmetic is all fixed-order sequential folds (subspace
+    // distance: left fold over subDim components; row distance: left
+    // fold over m lookups), so once the centroids/codebooks/codes are
+    // READ BACK AS DATA the whole search is engine-reproducible — the
+    // query dumps the persisted model tables keyed by corpus size
+    // (|embeddings| differs per SF, so one static SQL string finds its
+    // own SF's dump), and the oracle replays probe selection + ADC
+    // bit-exactly
+    QuerySpec("q122_ivfpq_persisted",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        graft.operators.AnnIndex.writeAnnIndex(e, "vec_id", "embedding",
+          base = "graft_ann_q122", dim = 64, nCentroids = 16, m = 16,
+          pqK = 16, buckets = 8)
+        val n = e.count()
+        for (t <- Seq("centroids", "codebooks", "codes"))
+          s.table(s"graft_ann_q122_$t").write.mode("overwrite")
+            .parquet(s"/tmp/graft_ann_oracle/$t/n=$n")
+        graft.operators.AnnIndex.ivfPqTopKBucketed(s,
+          e.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, base = "graft_ann_q122", nProbe = 4)
+      },
+      Some("""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        cent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        cb AS (
+          SELECT subspace, code, v
+          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        codes AS (
+          SELECT neighbor_id, centroid_id, codes
+          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 20),
+        psim AS (
+          SELECT q.query_id, q.qv, c.centroid_id,
+                 list_inner_product(q.qv, c.v) /
+                   sqrt(list_inner_product(q.qv, q.qv) *
+                        list_inner_product(c.v, c.v)) AS csim
+          FROM q CROSS JOIN cent c),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM psim) WHERE rn <= 4),
+        sub AS (
+          SELECT q.query_id, cb.subspace, cb.code,
+                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
+                              (q.qv[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM q CROSS JOIN cb),
+        scored AS (
+          SELECT p.query_id, cd.neighbor_id,
+                 list_reduce(list(s.sd ORDER BY s.subspace),
+                             (a, b) -> a + b) AS dist
+          FROM probes p
+          JOIN codes cd USING (centroid_id)
+          JOIN sub s ON s.query_id = p.query_id
+                    AND s.code = cd.codes[s.subspace + 1]
+          WHERE cd.neighbor_id <> p.query_id
+          GROUP BY p.query_id, cd.neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+               dist AS sq_dist
+        FROM r WHERE rn <= 10"""),
+      "IVF+PQ search over PERSISTED index state (centroids/codebooks " +
+        "model tables + centroid_id-bucketed codes): no re-fit, no " +
+        "state-side Exchange, bucket-pruned scan — the full ADC replay " +
+        "verified by the driver oracle from the state read back as data"),
+
     QuerySpec("q44b_approx_sketches",
       (s, dir) => Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, ProductQuant, Similarity}
+
+/** Persisted IVF+PQ index state: search parity with the per-call
+  * operator, Exchange-free state side, bucket pruning to the probed
+  * cells, and encode-and-append ingest with no re-fit — the ANN twin
+  * of DedupSpec's bucketed-state contract. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val Base = "astate"
+  private val (dim, nCent, m, pqK, buckets, nProbe, k) =
+    (64, 8, 8, 8, 4, 3, 5)
+
+  private def freshTables(): Unit = {
+    spark.catalog.clearCache()
+    for (t <- Seq(s"${Base}_centroids", s"${Base}_codebooks",
+        s"${Base}_codes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+
+  private def embeddings =
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("bucketed search over persisted state ≡ per-call ivfPqTopK, bit-identical") {
+    freshTables()
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val persisted = rows(AnnIndex.ivfPqTopKBucketed(spark, q,
+      "vec_id", "embedding", k, Base, nProbe))
+    // same deterministic fits → the per-call operator must agree on
+    // every bit, sq_dist included (the state round-trips through
+    // parquet, which is exact for doubles)
+    val model = ProductQuant.fit(e, "embedding", dim, m, pqK,
+      idCol = Some("vec_id"))
+    val perCall = rows(ProductQuant.ivfPqTopK(e, q, "vec_id", "embedding",
+      k, model, nCentroids = nCent, nProbe = nProbe))
+    assert(persisted === perCall)
+    assert(persisted.nonEmpty)
+  }
+
+  test("state side plans no Exchange and prunes to the probed buckets") {
+    freshTables()
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val q = e.filter(col("vec_id") < 10)
+    // force the shuffle-family join (the broadcast plan trivially has
+    // no state-side exchange; the contract must hold when the probe
+    // set is too big to broadcast) and keep the bucketed scan on
+    val conf = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+    val prev = conf.map { case (kk, _) => kk -> spark.conf.get(kk) }
+    conf.foreach { case (kk, v) => spark.conf.set(kk, v) }
+    try {
+      val plan = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id", "embedding",
+        k, Base, nProbe).queryExecution.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == s"${Base}_codes") => f
+      }
+      assert(stateScans.nonEmpty)
+      stateScans.foreach { f =>
+        assert(f.bucketedScan, "codes scan must be bucketed")
+        // the isin(probedCells) predicate must prune buckets: with
+        // nProbe=3 of 8 cells over 4 buckets, strictly fewer than all
+        // buckets can match
+        val selected = f.optionalBucketSet.map(_.cardinality())
+        assert(selected.exists(_ < buckets),
+          s"expected bucket pruning, selected=$selected of $buckets")
+      }
+      // no shuffle may sit between the state scan and its join: any
+      // join side whose leaves are ALL state scans is Exchange-free
+      def isStateSide(p: org.apache.spark.sql.execution.SparkPlan) = {
+        val leaves = p.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table == s"${Base}_codes")
+          case _ => false
+        }
+      }
+      val joinSides = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          Seq(j.left, j.right)
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          // the streamed side: whichever child is not the broadcast build
+          Seq(if (j.buildSide == org.apache.spark.sql.catalyst.optimizer
+            .BuildLeft) j.right else j.left)
+      }.flatten
+      val stateSides = joinSides.filter(isStateSide)
+      assert(stateSides.nonEmpty, "expected a join against the codes table")
+      stateSides.foreach(s => assert(
+        s.collect { case ex: ShuffleExchangeExec => ex }.isEmpty,
+        s"state side of the probe join must not shuffle:\n$s"))
+    } finally prev.foreach { case (kk, v) => spark.conf.set(kk, v) }
+  }
+
+  test("append encodes with the persisted model and never re-fits") {
+    freshTables()
+    val e = embeddings
+    val e1 = e.filter(col("vec_id") % 5 =!= 0)
+    val e2 = e.filter(col("vec_id") % 5 === 0)
+    AnnIndex.writeAnnIndex(e1, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val (cents, model) = AnnIndex.readModel(spark, Base)
+    AnnIndex.appendToAnnIndex(spark, e2, "vec_id", "embedding", Base,
+      buckets = buckets)
+    // the table now holds exactly the e1-fit encoding of the FULL
+    // corpus: the append used the persisted model (a re-fit over
+    // e1 ∪ e2 would assign differently), and no e1 row was rewritten
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val stored = enc(spark.table(s"${Base}_codes")
+      .select("neighbor_id", "centroid_id", "codes"))
+    val expected = enc(AnnIndex.encodeCorpus(e, "vec_id", "embedding",
+      cents, model))
+    assert(stored === expected)
+    // and the appended rows are immediately searchable
+    val hits = AnnIndex.ivfPqTopKBucketed(spark, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k, Base, nProbe)
+    assert(hits.count() > 0)
+  }
+
+  test("rebuild over the same corpus is bit-identical (deterministic fits)") {
+    freshTables()
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val (c1, m1) = AnnIndex.readModel(spark, Base)
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val (c2, m2) = AnnIndex.readModel(spark, Base)
+    assert(c1 === c2)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("recall@k of the persisted index vs exact L2 is usable") {
+    freshTables()
+    val e = embeddings
+    // the q113/q122 production shape (16 subspaces, 16 codes), with a
+    // wider probe — the coarse m=8/pqK=8 used by the plan tests above
+    // trades too much recall to clear a meaningful bar on the tiny
+    // fixture corpus
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = 16, pqK = 16, buckets = buckets)
+    val q = e.filter(col("vec_id") < 10)
+    val approx = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id", "embedding",
+      k, Base, nProbe = 6).select("query_id", "neighbor_id")
+    val exact = Similarity.l2TopK(e, q, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    val total = exact.count()
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    assert(total > 0)
+    // the bar documents "well above the ~k/n random-chance floor", not
+    // "exact" (ProductQuantSpec's direct-recall bar) — the digest query
+    // reports the real number as driver-visible data. Deterministic:
+    // same fixture + same fits measure 0.34 every run.
+    assert(hits.toDouble / total >= 0.3,
+      s"recall ${hits.toDouble / total} below floor")
+  }
+}
