@@ -329,13 +329,17 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4, centroidIters: Int = 8): DataFrame = {
+              nProbe: Int = 4, centroidIters: Int = 8,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
     // the one driver action here, inherent to IVF (centroids are model
     // parameters, same class as a control-table read) — NOT a per-row
-    // collect
+    // collect. `centroids` (a persisted model read back, or the
+    // caller's own fit — the q43b oracle dumps exactly these) skips it.
     val cents: Array[(Long, Seq[Double])] =
-      if (centroidIters <= 0)
+      if (centroids.isDefined)
+        centroids.get.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      else if (centroidIters <= 0)
         corpus.orderBy(col(idCol)).limit(nCentroids)
           .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -420,10 +424,16 @@ object Similarity {
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     eps: Double, nCentroids: Int = 16,
-                    centroidIters: Int = 8): DataFrame = {
+                    centroidIters: Int = 8,
+                    centroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     // fitCentroids needs >= 2, and greatest() needs >= 2 struct args
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
-    val cents = fitCentroids(df, idCol, vecCol, nCentroids, centroidIters)
+    // precomputed centroids (a persisted model table read back, or the
+    // caller's own deterministic fit — the q91 oracle dumps exactly
+    // these as data) skip the internal fit
+    val cents = centroids
+      .getOrElse(fitCentroids(df, idCol, vecCol, nCentroids, centroidIters))
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
     val bestCell = greatest(cents.map { case (cid, v) =>
       struct(cosine(col("v"), typedLit(v)).as("csim"),

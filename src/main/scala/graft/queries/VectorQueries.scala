@@ -81,17 +81,80 @@ object VectorQueries {
         FROM r WHERE rn <= 5"""),
       "hyperplane-LSH bucketed ANN (recall vs brute force in tests)"),
 
+    // full oracle (r7, same mechanism as q91/q122): the deterministic
+    // k-means centroids are dumped as data; cell argmax, probe top-4
+    // and cosine scoring are then plain arithmetic in DuckDB. Ranks
+    // only, like q40/q41.
     QuerySpec("q43b_knn_ivf",
       (s, dir) => {
+        import s.implicits._
         val e = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
+          nCentroids = 16, iters = 8)
+        val n = e.count()
+        cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+          .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_ann_oracle/ivf_cents/n=$n")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+            centroids = Some(cents))
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
       },
-      None,
-      "IVF cell-probed ANN — per-query work drops ~nCentroids/nProbe"),
+      Some("""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        cent AS (
+          SELECT centroid_id, v,
+                 sqrt(list_inner_product(v, v)) AS cnrm
+          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        asim AS (
+          SELECT e.id, c.centroid_id,
+                 list_inner_product(e.v, c.v) / (e.nrm * c.cnrm) AS csim
+          FROM e CROSS JOIN cent c),
+        cell AS (
+          SELECT id, centroid_id AS cell FROM (
+            SELECT id, centroid_id,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM asim) WHERE rn = 1),
+        probes AS (
+          SELECT id AS query_id, centroid_id FROM (
+            SELECT a.id, a.centroid_id,
+                   row_number() OVER (PARTITION BY a.id
+                                      ORDER BY a.csim DESC, a.centroid_id) AS rn
+            FROM asim a WHERE a.id < 20) WHERE rn <= 4),
+        scored AS (
+          SELECT p.query_id, n2.id AS neighbor_id,
+                 list_inner_product(q.v, n2.v) / (q.nrm * n2.nrm) AS cosine
+          FROM probes p
+          JOIN e q ON q.id = p.query_id
+          JOIN cell cl ON cl.cell = p.centroid_id
+          JOIN e n2 ON n2.id = cl.id
+          WHERE n2.id <> p.query_id),
+        r AS (SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id
+        FROM r WHERE rn <= 5"""),
+      "IVF cell-probed ANN — per-query work drops ~nCentroids/nProbe; " +
+        "full oracle replays cell argmax + probe selection + scoring " +
+        "from the dumped deterministic centroids"),
 
+    // full oracle (r7): the deterministic PQ fit's codebooks are
+    // dumped as data; the oracle then replays the ENCODE argmax
+    // (score = dot(sub, c) − |c|²/2, both sequential folds, ties to
+    // the smaller code) and the fixed-order ADC distance — the same
+    // arithmetic q122 proved engine-reproducible
     QuerySpec("q113_pq_adc",
       (s, dir) => {
+        import s.implicits._
         // product quantization: 64-dim floats → 16 one-byte codes, then
         // asymmetric-distance top-k over the CODES (the corpus never
         // decompresses) — recall/monotonicity locked by ProductQuantSpec
@@ -99,6 +162,11 @@ object VectorQueries {
         val model = graft.operators.ProductQuant.fit(
           e, "embedding", dim = 64, m = 16, k = 16,
           idCol = Some("vec_id"))
+        val n = e.count()
+        (for { j <- 0 until model.m; c <- model.codebooks(j).indices }
+          yield (j, c, model.codebooks(j)(c).toSeq))
+          .toDF("subspace", "code", "v").coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=$n")
         val encoded = e.select(col("vec_id"),
           graft.operators.ProductQuant.encode(col("embedding"), model)
             .as("codes"))
@@ -106,10 +174,55 @@ object VectorQueries {
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 10, model)
       },
-      None,
+      Some("""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        cb AS (
+          SELECT subspace, code, v,
+                 list_inner_product(v, v) / 2 AS half
+          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        escore AS (
+          SELECT e.id, cb.subspace, cb.code,
+                 list_inner_product(e.v[4*cb.subspace+1 : 4*cb.subspace+4],
+                                    cb.v) - cb.half AS sc
+          FROM e CROSS JOIN cb),
+        enc AS (
+          SELECT id, subspace, code FROM (
+            SELECT id, subspace, code,
+                   row_number() OVER (PARTITION BY id, subspace
+                                      ORDER BY sc DESC, code ASC) AS rn
+            FROM escore) WHERE rn = 1),
+        sub AS (
+          SELECT q.id AS query_id, cb.subspace, cb.code,
+                 list_reduce([(q.v[4*cb.subspace + i] - cb.v[i]) *
+                              (q.v[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM e q CROSS JOIN cb WHERE q.id < 20),
+        scored AS (
+          SELECT s.query_id, c.id AS neighbor_id,
+                 list_reduce(list(s.sd ORDER BY s.subspace),
+                             (a, b) -> a + b) AS dist
+          FROM enc c
+          JOIN sub s ON s.subspace = c.subspace AND s.code = c.code
+          WHERE c.id <> s.query_id
+          GROUP BY s.query_id, c.id),
+        r AS (
+          SELECT query_id, neighbor_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+               dist AS sq_dist
+        FROM r WHERE rn <= 10"""),
       "product-quantized ANN (Jégou et al. 2011): m×k driver-fit " +
         "codebooks, per-row codegen encode, ADC table-lookup search " +
-        "over 16-byte codes — the 32× memory step past int8"),
+        "over 16-byte codes — the 32× memory step past int8; full " +
+        "oracle replays encode argmax + ADC from the dumped codebooks"),
 
     // the ADC arithmetic is all fixed-order sequential folds (subspace
     // distance: left fold over subDim components; row distance: left
@@ -322,17 +435,66 @@ object VectorQueries {
       "symmetric int8 embedding quantization (4x storage/shuffle cut): " +
         "per-vector scale + codes, reconstruction error surfaced per row"),
 
+    // full oracle (r7): the k-means fit is deterministic (hash-ordered
+    // sample, farthest-point init, fixed iterations), so the fitted
+    // centroids are a reproducible MODEL ARTIFACT — dumped as data
+    // keyed by corpus size, after which cell assignment (argmax of
+    // cosine over 8 centroids, ties to the smaller id) and the
+    // within-cell pairwise cosine gate are plain arithmetic DuckDB
+    // replays with the exact same float formulas (product-of-sqrts
+    // norms, q60-proven cross-engine)
     QuerySpec("q91_semantic_dedup",
       (s, dir) => {
+        import s.implicits._
         val e = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
+          nCentroids = 8, iters = 8)
+        val n = e.count()
+        cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+          .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_ann_oracle/semdedup_cents/n=$n")
         Similarity.semanticDedup(e, "vec_id", "embedding", eps = 0.4,
-            nCentroids = 8)
+            nCentroids = 8, centroids = Some(cents))
           .select(col("vec_id"))
       },
-      None,
+      Some("""
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        cent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        sim AS (
+          SELECT e.id, c.centroid_id,
+                 list_inner_product(e.v, c.v) /
+                   (e.nrm * sqrt(list_inner_product(c.v, c.v))) AS csim
+          FROM e CROSS JOIN cent c),
+        cell AS (
+          SELECT id, centroid_id AS cell FROM (
+            SELECT id, centroid_id,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM sim) WHERE rn = 1),
+        drop_ids AS (
+          SELECT DISTINCT b.id AS id
+          FROM cell ca JOIN e a ON a.id = ca.id
+          JOIN cell cb ON ca.cell = cb.cell
+          JOIN e b ON b.id = cb.id
+          WHERE a.id < b.id
+            AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= CAST(0.4 AS DOUBLE))
+        SELECT e0.vec_id
+        FROM embeddings e0
+        WHERE CAST(e0.vec_id AS BIGINT) NOT IN (SELECT id FROM drop_ids)"""),
       "SemDeDup: k-means cells bound the pairwise cosine pass " +
         "(n²/k, one cell-keyed shuffle); survivors keep the smallest id " +
-        "per near-dup group — soundness + recall vs exact q60 in tests"),
+        "per near-dup group — full oracle replays cell argmax + pair " +
+        "gate from the dumped deterministic centroids"),
 
     // the judge-facing quality trail: every approximate operator's
     // recall against its exact baseline, as DATA in the driver's
