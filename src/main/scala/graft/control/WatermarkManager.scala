@@ -51,12 +51,16 @@ class WatermarkManager(spark: SparkSession, path: String) {
   }
 
   /** Append one run-outcome row (success or stringified failure — the
-    * reference logs both, `Pembelian/run.js:14-37`). */
+    * reference logs both, `Pembelian/run.js:14-37`). `note` rides in
+    * the free-text executionTime column (e.g. the late-fire flag a
+    * reference timer logs when `IsPastDue`, `PembelianTimer/index.js:
+    * 6-9`) — never in `status`, which the watermark rule keys on. */
   def logRun(pipeline: String, start: Timestamp, finish: Timestamp,
-             status: String): Unit = {
+             status: String, note: Option[String] = None): Unit = {
     import spark.implicits._
     val minutes = (finish.getTime - start.getTime) / 60000.0
-    Seq((pipeline, start, finish, f"$minutes%.2f minutes", status))
+    val exec = f"$minutes%.2f minutes" + note.map(", " + _).getOrElse("")
+    Seq((pipeline, start, finish, exec, status))
       .toDF("description", "start", "finish", "executionTime", "status")
       .write.mode(SaveMode.Append).parquet(path)
   }

@@ -66,9 +66,19 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
     * @param startAt logical run-start override (this run's future
     *                watermark); defaults to wall clock, exactly like the
     *                reference's `timestamp()` step. Tests inject it to
-    *                replay deterministic nightly windows. */
+    *                replay deterministic nightly windows.
+    * @param failureStatus maps a run failure to its control-row status —
+    *                the server's deadline watchdog uses it to record
+    *                `Failed-timeout` instead of the raw cancellation
+    *                message (the reference host kills a run at
+    *                `functionTimeout`, host.json:3)
+    * @param runNote free-text note for the control row (e.g. the
+    *                late-fire flag of a past-due timer tick) */
   def run(p: Pipeline, loadTable: String => DataFrame,
-          startAt: Option[Timestamp] = None): Long = {
+          startAt: Option[Timestamp] = None,
+          failureStatus: Exception => String =
+            e => s"Failed: ${e.getMessage}",
+          runNote: Option[String] = None): Long = {
     val start = startAt.getOrElse(new Timestamp(System.currentTimeMillis()))
     try {
       val wm = control.lastWatermark(p.name)
@@ -98,13 +108,13 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
           finally fact.unpersist()
         }
       control.logRun(p.name, start,
-        new Timestamp(System.currentTimeMillis()), "Successful")
+        new Timestamp(System.currentTimeMillis()), "Successful", runNote)
       n
     } catch {
       case e: Exception =>
         control.logRun(p.name, start,
           new Timestamp(System.currentTimeMillis()),
-          s"Failed: ${e.getMessage}")
+          failureStatus(e), runNote)
         throw e
     }
   }

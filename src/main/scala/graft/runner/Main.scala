@@ -46,11 +46,27 @@ object Pipelines {
     "garment-total-hutang" -> "garment-total-hutang-fact",
     "migration-log" -> "migration-log-sync")
 
+  /** User-registered pipelines beyond the built-in reference set — the
+    * extension seam for a deployment's own facts (and the hook specs
+    * use to inject deliberately slow/failing pipelines). */
+  @volatile private var registered: Seq[Pipeline] = Nil
+
+  def register(p: Pipeline): Unit = synchronized {
+    registered = registered.filterNot(_.name == p.name) :+ p
+  }
+
+  def unregister(name: String): Unit = synchronized {
+    registered = registered.filterNot(_.name == name)
+  }
+
+  def allWithRegistered: Seq[Pipeline] = all ++ registered
+
   def byName(n: String): Pipeline = {
     val canonical = aliases.getOrElse(n, n)
-    all.find(_.name == canonical).getOrElse(
+    allWithRegistered.find(_.name == canonical).getOrElse(
       throw new IllegalArgumentException(
-        s"unknown pipeline '$n'; known: ${all.map(_.name).mkString(", ")}"))
+        s"unknown pipeline '$n'; known: " +
+          allWithRegistered.map(_.name).mkString(", ")))
   }
 }
 

@@ -49,12 +49,19 @@ object Serve {
   /** One running server; `stop()` for embedded callers (tests). */
   final class Handle(server: HttpServer,
                      timer: Option[java.util.concurrent.ScheduledExecutorService],
+                     watchdog: Option[java.util.concurrent.ScheduledExecutorService],
                      val port: Int) {
     def stop(): Unit = {
       timer.foreach(_.shutdownNow())
+      watchdog.foreach(_.shutdownNow())
       server.stop(0)
     }
   }
+
+  /** The reference host bounds every function run at 9 min 59 s
+    * (`host.json:3`, `functionTimeout 00:09:59`) — the default run
+    * deadline here. */
+  val DefaultTimeoutSeconds: Long = 599L
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -107,12 +114,18 @@ object Serve {
     * bind and get the chosen port from the returned [[Handle]].
     * `crons` are (NCRONTAB expression, pipeline names) pairs — the
     * reference's `*Timer/function.json` schedule table loads directly
-    * as one pair per timer function. */
+    * as one pair per timer function. `timeoutSeconds` is the per-run
+    * deadline (None = unbounded; default = the reference host's 9:59);
+    * `probeTable` overrides the `/api/InitialTest` connectivity-probe
+    * table (default: the kanban pipeline's driving source, matching
+    * the reference's `SELECT Top(1) * From Kanbans`). */
   def start(spark: SparkSession, conn: Connector, warehouse: String,
             controlPath: String, port: Int,
             every: Option[(Long, Seq[String])] = None,
             crons: Seq[(String, Seq[String])] = Nil,
-            keys: Set[String] = Set.empty): Handle = {
+            keys: Set[String] = Set.empty,
+            timeoutSeconds: Option[Long] = Some(DefaultTimeoutSeconds),
+            probeTable: Option[String] = None): Handle = {
     // validate every scheduled name AND cron expression up front —
     // BEFORE the socket binds: a typo must fail at startup (not throw
     // inside a Runnable, where the scheduler would silently cancel all
@@ -133,20 +146,54 @@ object Serve {
     // timer loop too, so a slow HTTP-triggered run delays — never
     // overlaps — the scheduled one
     val lock = new Object
+    // the deadline watchdog needs its own thread: the timer executor is
+    // single-threaded and busy with the very tick being bounded
+    val watchdogExec = timeoutSeconds.map { _ =>
+      Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
+        val t = new Thread(r, "graft-run-watchdog"); t.setDaemon(true); t
+      })
+    }
 
-    def runOne(name: String): (Int, String) = {
+    def runOne(name: String, note: Option[String] = None): (Int, String) = {
       val p = Pipelines.byName(name)
       lock.synchronized {
+        // per-run job group so the deadline watchdog can cancel exactly
+        // this run's Spark jobs (interruptOnCancel reaches a task stuck
+        // in a blocking read); the reference host enforces the same
+        // bound on every function run (host.json:3)
+        val groupId = s"graft-run-${p.name}-${System.nanoTime()}"
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val cancel = for (secs <- timeoutSeconds; ex <- watchdogExec) yield
+          ex.schedule(new Runnable {
+            def run(): Unit = {
+              timedOut.set(true)
+              spark.sparkContext.cancelJobGroup(groupId)
+            }
+          }, secs, TimeUnit.SECONDS)
+        spark.sparkContext.setJobGroup(groupId, s"pipeline ${p.name}",
+          interruptOnCancel = true)
         try {
-          val rows = runner.run(p, t => conn.read(spark, t))
+          val rows = runner.run(p, t => conn.read(spark, t),
+            failureStatus = e =>
+              if (timedOut.get) "Failed-timeout"
+              else s"Failed: ${e.getMessage}",
+            runNote = note)
           val wm = control.lastWatermark(p.name)
           (200, s"""{"pipeline":"${p.name}","status":"Successful",""" +
             s""""rows":$rows,"watermark":"$wm"}""")
         } catch {
+          case e: Exception if timedOut.get =>
+            (500, s"""{"pipeline":"${p.name}","status":"Failed-timeout",""" +
+              s""""timeoutSeconds":${timeoutSeconds.getOrElse(0L)},""" +
+              s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
           case e: Exception =>
             (500, s"""{"pipeline":"${p.name}","status":"Failed",""" +
               s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
-        } finally graft.ops.materialize.releaseAll()
+        } finally {
+          cancel.foreach(_.cancel(false))
+          spark.sparkContext.clearJobGroup()
+          graft.ops.materialize.releaseAll()
+        }
       }
     }
 
@@ -161,9 +208,31 @@ object Serve {
         } else if (!Set("GET", "POST").contains(ex.getRequestMethod)) {
           respond(ex, 405, """{"error":"use GET or POST"}""")
         } else if (path.isEmpty) {
-          val names = (Pipelines.all.map(_.name) ++ Pipelines.aliases.keys)
+          val names = (Pipelines.allWithRegistered.map(_.name) ++
+            Pipelines.aliases.keys)
             .sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")
           respond(ex, 200, s"""{"pipelines":$names}""")
+        } else if (path == "InitialTest" || path == "initial-test") {
+          // connectivity smoke probe — the reference's InitialTest
+          // function (`InitialTest/index.js:9-13`, `SELECT Top(1) *
+          // From Kanbans`): read ONE row from the probe table through
+          // the configured connector and answer with it (or the error),
+          // proving the source connection before the nightly window
+          val table = probeTable.getOrElse(
+            Pipelines.byName("kanban-fact").sources.head)
+          try {
+            val row = conn.read(spark, table).limit(1).toJSON
+              .collect().headOption.getOrElse("null")
+            respond(ex, 200,
+              s"""{"status":"ok","table":"${jsonEscape(table)}",""" +
+                s""""row":$row}""")
+          } catch {
+            case e: Exception =>
+              respond(ex, 500,
+                s"""{"status":"error","table":"${jsonEscape(table)}",""" +
+                  s""""error":"${jsonEscape(
+                    String.valueOf(e.getMessage))}"}""")
+          }
         } else if (path == "status") {
           // the control table is rows-per-run tiny (WatermarkManager
           // scaladoc) — ONE collect serves both the latest row and the
@@ -208,11 +277,22 @@ object Serve {
     // one tick body, shared by the fixed-interval and cron schedules;
     // runOne catches run failures, but anything unexpected (OOM
     // wrappers, interrupted Spark context) must not kill the schedule
-    // or abort the remaining names in this tick
-    def tick(names: Seq[String]): Unit =
+    // or abort the remaining names in this tick. `scheduled` is the
+    // instant the tick was armed for: a tick that begins ≥2 s past it
+    // is flagged past-due — the engine's IsPastDue, which every
+    // reference timer logs when it fires late
+    // (`PembelianTimer/index.js:6-9`) — on the stderr line AND in the
+    // control rows of the runs it triggers (visible via /api/status)
+    def tick(names: Seq[String],
+             scheduled: Option[java.time.LocalDateTime] = None): Unit = {
+      val lateSecs = scheduled.map(s => java.time.temporal.ChronoUnit.SECONDS
+        .between(s, java.time.LocalDateTime.now())).filter(_ >= 2)
+      val note = lateSecs.map(l => s"fired ${l}s past due")
+      lateSecs.foreach(l => System.err.println(
+        s"[serve:timer] tick is running late (${l}s past due)"))
       names.foreach { n =>
         try {
-          val (_, body) = runOne(n)
+          val (_, body) = runOne(n, note)
           System.err.println(s"[serve:timer] $body")
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -221,6 +301,7 @@ object Serve {
                 String.valueOf(e.getMessage))}"}""")
         }
       }
+    }
 
     val timer =
       if (every.isEmpty && parsedCrons.isEmpty) None
@@ -232,19 +313,21 @@ object Serve {
         }
         // cron fires are irregular, so each run self-schedules the next
         // one from the wall clock (an NCRONTAB schedule is a point
-        // series, not a fixed rate)
+        // series, not a fixed rate); the armed-for instant rides along
+        // so the tick can flag itself past-due
         parsedCrons.foreach { case (cron, names) =>
           def arm(): Unit = {
-            val delay = cron.delaySeconds(java.time.LocalDateTime.now())
+            val now = java.time.LocalDateTime.now()
+            val fireAt = cron.next(now)
             sched.schedule(new Runnable {
-              def run(): Unit = { tick(names); arm() }
-            }, delay, TimeUnit.SECONDS)
+              def run(): Unit = { tick(names, Some(fireAt)); arm() }
+            }, cron.delaySeconds(now), TimeUnit.SECONDS)
           }
           arm()
         }
         Some(sched)
       }
-    new Handle(server, timer, server.getAddress.getPort)
+    new Handle(server, timer, watchdogExec, server.getAddress.getPort)
   }
 
   def main(args: Array[String]): Unit = {
@@ -262,6 +345,10 @@ object Serve {
     var keys: Set[String] = sys.env.get("GRAFT_FUNCTION_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // per-run deadline, reference host parity (host.json functionTimeout
+    // 00:09:59); `--timeout 0` disables the bound
+    var timeoutSeconds: Option[Long] = Some(DefaultTimeoutSeconds)
+    var probeTable: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -270,6 +357,10 @@ object Serve {
         case "--warehouse" => warehouse = args(i + 1); i += 2
         case "--control" => controlPath = Some(args(i + 1)); i += 2
         case "--cpus" => cpus = args(i + 1).toInt; i += 2
+        case "--timeout" =>
+          val secs = args(i + 1).toLong
+          timeoutSeconds = if (secs <= 0) None else Some(secs); i += 2
+        case "--probe-table" => probeTable = Some(args(i + 1)); i += 2
         case "--key" =>
           require(args(i + 1).nonEmpty, "--key must not be empty")
           keys = keys + args(i + 1); i += 2
@@ -291,7 +382,8 @@ object Serve {
         case other => throw new IllegalArgumentException(
           s"unknown argument '$other'; usage: graft.runner.Serve " +
             "[--port N] [--sources <uri>] [--warehouse <dir>] " +
-            "[--control <path>] [--cpus N] [--key <secret>]... " +
+            "[--control <path>] [--cpus N] [--timeout <seconds|0>] " +
+            "[--probe-table <name>] [--key <secret>]... " +
             "[--every <seconds> <pipeline ...>] " +
             "[--cron \"<sec min hour dom month dow>\" <pipeline ...>]...")
       }
@@ -299,7 +391,8 @@ object Serve {
     val active = SparkSession.getActiveSession
     val spark = active.getOrElse(graft.core.Sessions.local(cpus, "graft-serve"))
     val handle = start(spark, Main.connectorFor(sources), warehouse,
-      controlPath.getOrElse(s"$warehouse/control"), port, every, crons, keys)
+      controlPath.getOrElse(s"$warehouse/control"), port, every, crons, keys,
+      timeoutSeconds, probeTable)
     System.err.println(s"[serve] listening on :${handle.port} " +
       s"(${Pipelines.all.size} pipelines)")
     Thread.currentThread.join() // foreground server; ^C to stop

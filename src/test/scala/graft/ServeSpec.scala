@@ -225,4 +225,132 @@ class ServeSpec extends SparkSpec {
       assert(get(h.port, "/api?code=sekrit-1")._1 === 200)
     } finally h.stop()
   }
+
+  /** A pipeline whose merge job blocks for `sleepMs` per row — the
+    * deliberately-slow run the deadline watchdog must cancel. The sleep
+    * sits inside a Spark task so `cancelJobGroup(interruptOnCancel)`
+    * reaches it, exactly like a hung source read would be reached. */
+  private def slowPipeline(pname: String, sleepMs: Long) =
+    new graft.pipelines.Pipeline {
+      val name = pname
+      val sources = Seq("slowsrc")
+      val factKeys = Seq("id")
+      def transform(t: Map[String, org.apache.spark.sql.DataFrame]) = {
+        // capture the duration as a LOCAL so the udf closure stays a
+        // static lambda — referencing the field would serialize the
+        // anonymous Pipeline (and the spec's SparkSession) into the task
+        val ms = sleepMs
+        val sleep = org.apache.spark.sql.functions.udf { (id: Long) =>
+          Thread.sleep(ms); true
+        }
+        t("slowsrc").filter(sleep(org.apache.spark.sql.functions.col("id")))
+      }
+    }
+
+  test("per-run timeout cancels a hung run, logs Failed-timeout, frees the lock") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-timeout").toString
+    val conn = graft.sources.ParquetConnector(s"$dir/lake")
+    conn.write(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "lastmodifiedutc"), "slowsrc",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    conn.write(Seq(
+      ("fact-x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+    graft.runner.Pipelines.register(slowPipeline("slow-test-pipe", 60000L))
+    val h = Serve.start(spark, conn, s"$dir/dwh", s"$dir/dwh/control",
+      port = 0, timeoutSeconds = Some(2L))
+    try {
+      // the run hangs inside its merge job; the watchdog cancels the
+      // job group at the 2s deadline → 500 Failed-timeout, not a wedge
+      val t0 = System.currentTimeMillis()
+      val (s1, b1) = post(h.port, "/api/slow-test-pipe")
+      assert(s1 === 500 && b1.contains("\"status\":\"Failed-timeout\""), b1)
+      assert(System.currentTimeMillis() - t0 < 30000, "cancel was not prompt")
+      // the control row records the timeout; the watermark is untouched
+      val control = new WatermarkManager(spark, s"$dir/dwh/control")
+      assert(control.log.filter("status = 'Failed-timeout'").count() === 1)
+      assert(control.lastWatermark("slow-test-pipe") === control.epoch)
+      // the run lock was released: the next (fast) run proceeds
+      val (s2, b2) = post(h.port, "/api/migration-log")
+      assert(s2 === 200 && b2.contains("\"status\":\"Successful\""), b2)
+    } finally {
+      h.stop()
+      graft.runner.Pipelines.unregister("slow-test-pipe")
+    }
+  }
+
+  test("a cron tick delayed past its schedule is flagged IsPastDue") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-pastdue").toString
+    val conn = graft.sources.ParquetConnector(s"$dir/lake")
+    conn.write(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "lastmodifiedutc"), "slowsrc",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    conn.write(Seq(
+      ("fact-x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        "5.00 minutes", "Successful")
+    ).toDF("description", "start", "finish", "executionTime", "status"),
+      "externalLog", org.apache.spark.sql.SaveMode.Overwrite)
+    // the every-loop's slow tick (4s of sleep per run) occupies the
+    // single scheduler thread, so the every-second cron's tick executes
+    // seconds after the instant it was armed for — the engine's
+    // IsPastDue, which the reference timers log when they fire late
+    // (PembelianTimer/index.js:6-9)
+    graft.runner.Pipelines.register(slowPipeline("occupier-pipe", 4000L))
+    val h = Serve.start(spark, conn, s"$dir/dwh", s"$dir/dwh/control",
+      port = 0,
+      every = Some((1L, Seq("occupier-pipe"))),
+      crons = Seq(("* * * * * *", Seq("migration-log"))),
+      timeoutSeconds = None)
+    try {
+      val control = new WatermarkManager(spark, s"$dir/dwh/control")
+      val deadline = System.currentTimeMillis() + 60000
+      var late = 0L
+      while (late < 1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        late = control.log.filter(
+          "description = 'migration-log-sync' and " +
+            "executionTime like '%past due%'").count()
+      }
+      // the late tick's runs carry the past-due note in their control
+      // rows — which /api/status surfaces verbatim via executionTime
+      assert(late >= 1, "no cron run was flagged past due")
+      val (ss, sb) = get(h.port, "/api/status")
+      assert(ss === 200, sb)
+    } finally {
+      h.stop()
+      graft.runner.Pipelines.unregister("occupier-pipe")
+    }
+  }
+
+  test("GET /api/InitialTest probes source connectivity (success + failure)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-probe").toString
+    val conn = graft.sources.ParquetConnector(s"$dir/lake")
+    conn.write(Seq(("k-1", "open")).toDF("code", "state"), "kanbans",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // success: the probe reads ONE row through the configured connector
+    // (the reference's `SELECT Top(1) * From Kanbans`)
+    val h = Serve.start(spark, conn, s"$dir/dwh", s"$dir/dwh/control",
+      port = 0, probeTable = Some("kanbans"))
+    try {
+      val (s1, b1) = get(h.port, "/api/InitialTest")
+      assert(s1 === 200 && b1.contains("\"status\":\"ok\"") &&
+        b1.contains("\"k-1\""), b1)
+      // the hyphenated alias answers too
+      assert(get(h.port, "/api/initial-test")._1 === 200)
+    } finally h.stop()
+    // failure: a missing probe table reports the error, not a crash
+    val h2 = Serve.start(spark, conn, s"$dir/dwh", s"$dir/dwh/control",
+      port = 0, probeTable = Some("no-such-table"))
+    try {
+      val (s2, b2) = get(h2.port, "/api/InitialTest")
+      assert(s2 === 500 && b2.contains("\"status\":\"error\""), b2)
+    } finally h2.stop()
+  }
 }
