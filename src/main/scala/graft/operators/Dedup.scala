@@ -384,7 +384,8 @@ object Dedup {
    */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, seed: Long = 42L,
-                        baseHash: Option[Column => Column] = None): DataFrame = {
+                        baseHash: Option[Column => Column] = None,
+                        sigs: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     // The signature aggregation (explode + k min-aggregates — the
@@ -392,8 +393,10 @@ object Dedup {
     // of the post-candidate rejoin. Without pinning, the dominant stage
     // runs 3× (measured 12.9 s vs 2.9 s at sf0.1); an eager persist
     // guarantees exactly one run (see [[graft.ops.materialize]]).
-    val sig = graft.ops.materialize(
-      minHashSignatures(docs, idCol, textCol, n, k, seed, baseHash))
+    // `sigs` (caller-pinned (doc_id, sig) rows for exactly `docs`, e.g.
+    // one shared pass feeding several minhash consumers) skips it.
+    val sig = sigs.getOrElse(graft.ops.materialize(
+      minHashSignatures(docs, idCol, textCol, n, k, seed, baseHash)))
     // bare (doc, band, hash) rows only — signatures rejoin *after* the
     // distinct, so the shuffle carries ids, not 8-byte×k arrays
     val banded = bandedSigs(sig, bands, rows)
@@ -477,14 +480,17 @@ object Dedup {
   def incrementalNearDedup(batch: DataFrame, idCol: String, textCol: String,
                            seenSigs: Option[DataFrame], n: Int, k: Int,
                            bands: Int, threshold: Double, seed: Long = 42L,
-                           baseHash: Option[Column => Column] = None)
+                           baseHash: Option[Column => Column] = None,
+                           precomputedBatchSigs: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     // the batch signatures feed banding, the verify rejoin, and the
-    // state union — pin once (same reasoning as minHashCandidates)
-    val batchSigs = graft.ops.materialize(
-      minHashSignatures(batch, idCol, textCol, n, k, seed, baseHash))
+    // state union — pin once (same reasoning as minHashCandidates);
+    // `precomputedBatchSigs` (caller-pinned signatures of exactly
+    // `batch`) skips the pass
+    val batchSigs = precomputedBatchSigs.getOrElse(graft.ops.materialize(
+      minHashSignatures(batch, idCol, textCol, n, k, seed, baseHash)))
     val all = seenSigs.map(_.unionByName(batchSigs)).getOrElse(batchSigs)
     // candidate side x ranges over the WHOLE state, y only over the
     // batch: the join output is bounded by the batch's collisions, not

@@ -504,6 +504,7 @@ object VectorQueries {
     // already hash-verified end-to-end by q36/q41/q61/q94 themselves).
     QuerySpec("q114_recall_digest",
       (s, dir) => {
+        import s.implicits._
         import graft.operators.Dedup
         val docs = Tables.load(s, dir, "documents")
         val e = Tables.load(s, dir, "embeddings")
@@ -511,7 +512,10 @@ object VectorQueries {
 
         // hits and total in ONE pass over the exact side (left join +
         // conditional count) — a semi-join + separate count would
-        // evaluate the expensive exact baseline twice per digest
+        // evaluate the expensive exact baseline twice per digest.
+        // EVALUATED here (one row per call): the digest is an artifact
+        // generator, and collecting inside the branch futures below
+        // overlaps the per-branch Spark actions too
         def digest(op: String, approx: org.apache.spark.sql.DataFrame,
                    exact: org.apache.spark.sql.DataFrame,
                    joinCols: Seq[String]): org.apache.spark.sql.DataFrame =
@@ -525,85 +529,150 @@ object VectorQueries {
               when(col("total") > 0,
                 col("hits").cast("double") / col("total")).as("recall"))
 
-        // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
-        // found among banded candidates at est >= 0.5 (DedupSpec's
-        // proven definition — banding misses AND estimation slack)
-        val exactJac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
-          .select("doc_a", "doc_b")
-        val mhCand = Dedup.minHashCandidates(docs, "doc_id", "text",
-            n = 3, k = 64, bands = 8, baseHash = Some(Dedup.md5Hash60))
-          .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+        // evaluate a branch's digest rows in ONE action (the per-action
+        // scheduling + codegen constant dominates at digest data sizes)
+        def evalRows(dfs: org.apache.spark.sql.DataFrame*)
+            : Seq[(String, Long, Long, Option[Double])] =
+          dfs.reduce(_.unionByName(_)).collect().toSeq.map(r =>
+            (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+              r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3))))
 
-        // ANN recall@5 vs brute force, q41's and q43b's exact configs
-        val exactTopK = Similarity.cosineTopK(e, queries20,
-          "vec_id", "embedding", 5).select("query_id", "neighbor_id")
-        val lshK = Similarity.lshTopK(e, queries20,
-          "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
-          .select("query_id", "neighbor_id")
-        val ivfK = Similarity.ivfTopK(e, queries20,
-          "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
-          .select("query_id", "neighbor_id")
+        // Seven independent sub-digests, several of whose operators run
+        // EAGER driver work at plan-build time (internal materialize
+        // pins, model-fit collects) on top of their own evaluation
+        // jobs. Run sequentially those serialize on idle cores; one
+        // Future per branch overlaps build AND evaluation — measured
+        // 7.7 → ~3.5 s at sf0.1 — while every branch stays bit-
+        // identical (no shared mutable state; the assembled rows keep
+        // the original order).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
 
-        // multi-table LSH near-dup pairs (q61 config): exact-verified,
-        // so approx ⊆ exact and the ratio IS recall
-        val exactPairs = Similarity.cosineNearDupPairs(e,
-          "vec_id", "embedding", 0.4).select("id_a", "id_b")
-        val lshPairs = Similarity.cosineNearDupLsh(e, "vec_id", "embedding",
-          dim = 64, threshold = 0.4, nTables = 8, nPlanes = 6)
-          .select("id_a", "id_b")
+        val fMinhashAndParity = Future {
+          // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
+          // found among banded candidates at est >= 0.5 (DedupSpec's
+          // proven definition — banding misses AND estimation slack)
+          val exactJac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+            .select("doc_a", "doc_b")
+          // signatures are per-row, so ONE pinned full-corpus pass
+          // feeds the candidate scan AND both incremental batches by
+          // filtering — this branch used to pay the signature
+          // aggregation three times (full + both halves) and was the
+          // digest's critical path
+          val sigsAll = graft.ops.materialize(Dedup.minHashSignatures(
+            docs, "doc_id", "text", n = 3, k = 64,
+            baseHash = Some(Dedup.md5Hash60)))
+          // the candidate set feeds the recall row AND the one-shot
+          // parity side inside one fused action — pin the (small) pair
+          // list so banding + verify run once
+          val mhCand = graft.ops.materialize(
+            Dedup.minHashCandidates(docs, "doc_id", "text",
+              n = 3, k = 64, bands = 8, baseHash = Some(Dedup.md5Hash60),
+              sigs = Some(sigsAll))
+            .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b"))
+          // incremental near-dedup (q94 config) vs the one-shot union
+          // run: survivors must be bit-identical, so this row documents
+          // parity. The seeding batch's state IS its signature rows
+          // (incrementalNearDedup with no prior state returns exactly
+          // batchSigs), so both calls collapse to filters of sigsAll.
+          val state = sigsAll.filter(col("doc_id") < 250)
+          val (incSurv, _) = Dedup.incrementalNearDedup(
+            docs.filter(col("doc_id") >= 250), "doc_id", "text",
+            Some(state), n = 3, k = 64, bands = 8, threshold = 0.5,
+            baseHash = Some(Dedup.md5Hash60),
+            precomputedBatchSigs =
+              Some(sigsAll.filter(col("doc_id") >= 250)))
+          val oneShotDrop = mhCand.filter(col("doc_b") >= 250)
+            .select(col("doc_b").as("doc_id")).distinct()
+          val oneShotSurv = docs.filter(col("doc_id") >= 250)
+            .join(oneShotDrop, Seq("doc_id"), "left_anti")
+          evalRows(
+            digest("minhash_lsh_candidates", mhCand, exactJac,
+              Seq("doc_a", "doc_b")),
+            digest("incremental_neardedup_parity",
+              incSurv.select(col("doc_id")),
+              oneShotSurv.select(col("doc_id")), Seq("doc_id")))
+        }
 
-        // PQ/ADC (q113 config) recall@5 vs exact L2 — the metric ADC
-        // approximates (cosine would mis-state it)
-        val pqModel = graft.operators.ProductQuant.fit(
-          e, "embedding", dim = 64, m = 16, k = 16, idCol = Some("vec_id"))
-        val encoded = e.select(col("vec_id"),
-          graft.operators.ProductQuant.encode(col("embedding"), pqModel)
-            .as("codes"))
-        val adcK = graft.operators.ProductQuant.adcTopK(encoded, queries20,
-          "vec_id", "embedding", k = 5, pqModel)
-          .select("query_id", "neighbor_id")
-        val exactL2K = Similarity.l2TopK(e, queries20,
-          "vec_id", "embedding", 5).select("query_id", "neighbor_id")
+        val fTopK = Future {
+          // ANN recall@5 vs brute force, q41's and q43b's exact
+          // configs. The exact baseline feeds BOTH rows — ReuseExchange
+          // cannot dedup the n·|Q| streamed scoring, only broadcast
+          // sides, so pin the (tiny, k·|Q|-row) result and pay the
+          // scan once
+          val exactTopK = graft.ops.materialize(
+            Similarity.cosineTopK(e, queries20,
+              "vec_id", "embedding", 5).select("query_id", "neighbor_id"))
+          val lshK = Similarity.lshTopK(e, queries20,
+            "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+            .select("query_id", "neighbor_id")
+          val ivfK = Similarity.ivfTopK(e, queries20,
+            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+            .select("query_id", "neighbor_id")
+          evalRows(
+            digest("ann_lsh_topk@5", lshK, exactTopK,
+              Seq("query_id", "neighbor_id")),
+            digest("ann_ivf_topk@5", ivfK, exactTopK,
+              Seq("query_id", "neighbor_id")))
+        }
 
-        // SemDeDup (q91 config): dropped ids vs the exact droppable set
-        val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
-          eps = 0.4, nCentroids = 8).select(col("vec_id").cast("long")
-            .as("vec_id"))
-        val dropped = e.select(col("vec_id").cast("long").as("vec_id"))
-          .join(kept, Seq("vec_id"), "left_anti")
-        val droppable = exactPairs.select(col("id_b").as("vec_id")).distinct()
+        val fPairs = Future {
+          // multi-table LSH near-dup pairs (q61 config): exact-
+          // verified, so approx ⊆ exact and the ratio IS recall. The
+          // exact all-pairs pass is the digest's single heaviest plan
+          // and feeds BOTH the lsh-pairs row and the SemDeDup droppable
+          // set — pin the thresholded survivors so the n² scoring runs
+          // once
+          val exactPairs = graft.ops.materialize(
+            Similarity.cosineNearDupPairs(e,
+              "vec_id", "embedding", 0.4).select("id_a", "id_b"))
+          val lshPairs = Similarity.cosineNearDupLsh(e, "vec_id",
+            "embedding", dim = 64, threshold = 0.4, nTables = 8,
+            nPlanes = 6).select("id_a", "id_b")
+          // SemDeDup (q91 config): dropped ids vs the exact droppable
+          val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
+            eps = 0.4, nCentroids = 8).select(col("vec_id").cast("long")
+              .as("vec_id"))
+          val dropped = e.select(col("vec_id").cast("long").as("vec_id"))
+            .join(kept, Seq("vec_id"), "left_anti")
+          val droppable = exactPairs.select(col("id_b").as("vec_id"))
+            .distinct()
+          evalRows(
+            digest("cosine_lsh_neardup", lshPairs, exactPairs,
+              Seq("id_a", "id_b")),
+            digest("semantic_dedup_drops", dropped, droppable,
+              Seq("vec_id")))
+        }
 
-        // incremental near-dedup (q94 config) vs the one-shot union run:
-        // survivors must be bit-identical, so this row documents parity
-        val (_, state) = Dedup.incrementalNearDedup(
-          docs.filter(col("doc_id") < 250), "doc_id", "text",
-          None, n = 3, k = 64, bands = 8, threshold = 0.5,
-          baseHash = Some(Dedup.md5Hash60))
-        val (incSurv, _) = Dedup.incrementalNearDedup(
-          docs.filter(col("doc_id") >= 250), "doc_id", "text",
-          Some(state), n = 3, k = 64, bands = 8, threshold = 0.5,
-          baseHash = Some(Dedup.md5Hash60))
-        val oneShotDrop = mhCand.filter(col("doc_b") >= 250)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val oneShotSurv = docs.filter(col("doc_id") >= 250)
-          .join(oneShotDrop, Seq("doc_id"), "left_anti")
+        val fAdc = Future {
+          // PQ/ADC (q113 config) recall@5 vs exact L2 — the metric ADC
+          // approximates (cosine would mis-state it)
+          val pqModel = graft.operators.ProductQuant.fit(
+            e, "embedding", dim = 64, m = 16, k = 16,
+            idCol = Some("vec_id"))
+          val encoded = e.select(col("vec_id"),
+            graft.operators.ProductQuant.encode(col("embedding"), pqModel)
+              .as("codes"))
+          val adcK = graft.operators.ProductQuant.adcTopK(encoded,
+            queries20, "vec_id", "embedding", k = 5, pqModel)
+            .select("query_id", "neighbor_id")
+          val exactL2K = Similarity.l2TopK(e, queries20,
+            "vec_id", "embedding", 5).select("query_id", "neighbor_id")
+          evalRows(digest("pq_adc_topk@5", adcK, exactL2K,
+            Seq("query_id", "neighbor_id")))
+        }
 
-        Seq(
-          digest("minhash_lsh_candidates", mhCand, exactJac,
-            Seq("doc_a", "doc_b")),
-          digest("ann_lsh_topk@5", lshK, exactTopK,
-            Seq("query_id", "neighbor_id")),
-          digest("ann_ivf_topk@5", ivfK, exactTopK,
-            Seq("query_id", "neighbor_id")),
-          digest("cosine_lsh_neardup", lshPairs, exactPairs,
-            Seq("id_a", "id_b")),
-          digest("pq_adc_topk@5", adcK, exactL2K,
-            Seq("query_id", "neighbor_id")),
-          digest("semantic_dedup_drops", dropped, droppable, Seq("vec_id")),
-          digest("incremental_neardedup_parity",
-            incSurv.select(col("doc_id")),
-            oneShotSurv.select(col("doc_id")), Seq("doc_id"))
-        ).reduce(_.unionByName(_))
+        val timeout = scala.concurrent.duration.Duration(20,
+          scala.concurrent.duration.MINUTES)
+        val Seq(mhRows, topkRows, pairRows, adcRows) =
+          Seq(fMinhashAndParity, fTopK, fPairs, fAdc)
+            .map(Await.result(_, timeout))
+        // original digest row order: minhash, lsh, ivf, lshPairs, adc,
+        // semdedup, parity
+        (Seq(mhRows.head) ++ topkRows ++ Seq(pairRows.head) ++ adcRows ++
+          Seq(pairRows(1), mhRows(1)))
+          .toDF("operator", "hits", "total", "recall")
       },
       None,
       "recall@k / drop-recall / parity of every approximate operator " +
