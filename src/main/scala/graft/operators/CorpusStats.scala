@@ -377,6 +377,58 @@ object CorpusStats {
   }
 
   /**
+   * Materialize the actual training shards the manifest accounts for —
+   * the delivery step after [[shardManifest]]: documents land in
+   * `~tokensPerShard` shards IN EPOCH-SHUFFLE ORDER, one parquet file
+   * per shard under `path/shard_id=N/`, rows within a shard stored in
+   * ascending shuffle position (the order a trainer streams them).
+   *
+   * The pipeline is the manifest's own math applied to the shuffled
+   * total order: [[epochShuffle]] assigns contiguous positions (range
+   * partition + offsets, no RNG state, no single reducer), the global
+   * prefix sum over THAT order assigns `shard_id =
+   * ⌊exclusive-prefix-tokens / tokensPerShard⌋`, and the write hash-
+   * partitions by shard id so each shard is exactly one task's output
+   * file. Deterministic end to end — a re-run overwrites with
+   * bit-identical shards — and a different `epochSalt` delivers an
+   * independent permutation of the same corpus.
+   *
+   * @return the manifest of what was written, derived from the same
+   *         assignment: (shard_id, n_docs, n_tokens, first_pos,
+   *         last_pos) — positions, not doc ids, because the shuffled
+   *         order is the delivery contract (ShardWriterSpec asserts
+   *         files ≡ manifest and position contiguity)
+   */
+  def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
+                          tokensPerShard: Long, path: String,
+                          epochSalt: String = "epoch0"): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be > 0")
+    val shuffled = epochShuffle(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      "doc_id", epochSalt)
+      .withColumn("n_tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val assigned = graft.ops.relational.contiguousPrefixSum(shuffled,
+        Seq(col("shuffle_pos")), col("n_tok"), "cum")
+      .select(col("doc_id"), col("text"), col("n_tok"), col("shuffle_pos"),
+        expr(s"CAST((cum - n_tok) DIV $tokensPerShard AS BIGINT)")
+          .as("shard_id"))
+    // pin: the shard assignment feeds the file write AND the returned
+    // manifest; without it the prefix-sum pass (offset-map action
+    // included) runs twice
+    val pinned = graft.ops.materialize(assigned)
+    pinned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("shuffle_pos"))
+      .write.partitionBy("shard_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    pinned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("shuffle_pos")).as("first_pos"),
+        max(col("shuffle_pos")).as("last_pos"))
+  }
+
+  /**
    * Sliding-window chunking with overlap — the context-window
    * preprocessing step for training/retrieval corpora: each document
    * becomes ⌈n_tok/stride⌉ chunks of up to `chunkTokens` tokens whose
