@@ -149,21 +149,61 @@ final case class BinaryFileConnector(dir: String,
 }
 
 /**
- * Document-store connector — S5, the reference's one MongoDB source
- * (`MigrationLogFunc/index.js:16-48` reads the `migration-log`
- * collection via Mongoose). Backed by JSON-lines files, one per
- * collection: schema-on-read with timestamp inference — the
- * document-database shape (nested objects, sparse fields, no declared
- * schema) without a database driver this environment lacks. Swapping in
- * the real MongoDB Spark connector is a one-line rebinding in the
- * registry, which is the point of the abstraction: pipelines address
- * sources by name, never by storage technology.
+ * Document-store SPI — the seam a wire-protocol client (the real
+ * MongoDB driver behind the reference's one Mongo source,
+ * `MigrationLogFunc/index.js:16-48`) drops into without touching any
+ * pipeline: a store yields each collection as RAW JSON documents and
+ * accepts them back, nothing more. Everything Spark-side — schema-on-
+ * read inference, timestamp detection, nested/sparse fields — lives in
+ * [[DocumentStoreConnector]] and is therefore identical across
+ * backends, so "swap the stand-in for Mongo" changes ONE binding and
+ * zero semantics (ConnectorSpec proves it by running the migration-log
+ * pipeline over a second, in-memory store).
  */
-final case class JsonLinesConnector(dir: String) extends Connector {
+trait DocumentStore {
+  /** One collection as raw JSON texts, one document per element (what
+    * a driver's cursor yields). */
+  def documents(spark: SparkSession, collection: String)
+      : org.apache.spark.sql.Dataset[String]
+
+  /** Persist documents into a collection (stand-ins and tests; a
+    * read-only production binding may throw). */
+  def insert(spark: SparkSession,
+             docs: org.apache.spark.sql.Dataset[String],
+             collection: String, mode: SaveMode): Unit
+}
+
+/** [[Connector]] over any [[DocumentStore]]: the shared Spark-side
+  * half of every document source — schema-on-read with timestamp
+  * inference over the store's raw JSON (S5, the document-database
+  * shape: nested objects, sparse fields, no declared schema). */
+final case class DocumentStoreConnector(store: DocumentStore)
+    extends Connector {
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.option("inferTimestamp", "true").json(s"$dir/$table.jsonl")
+    spark.read.option("inferTimestamp", "true")
+      .json(store.documents(spark, table))
   def write(df: DataFrame, table: String, mode: SaveMode): Unit =
-    df.write.mode(mode).json(s"$dir/$table.jsonl")
+    store.insert(df.sparkSession, df.toJSON, table, mode)
+}
+
+/** JSON-lines file store, one `<collection>.jsonl` per collection —
+  * the driverless stand-in for the reference's MongoDB (this
+  * environment has no Mongo server). */
+final case class JsonLinesStore(dir: String) extends DocumentStore {
+  def documents(spark: SparkSession, collection: String)
+      : org.apache.spark.sql.Dataset[String] =
+    spark.read.textFile(s"$dir/$collection.jsonl")
+  def insert(spark: SparkSession,
+             docs: org.apache.spark.sql.Dataset[String],
+             collection: String, mode: SaveMode): Unit =
+    docs.write.mode(mode).text(s"$dir/$collection.jsonl")
+}
+
+/** The historical entry point: a JSON-lines document source routed
+  * through the [[DocumentStore]] seam. */
+object JsonLinesConnector {
+  def apply(dir: String): DocumentStoreConnector =
+    DocumentStoreConnector(JsonLinesStore(dir))
 }
 
 /** Name → connector bindings, one per logical source DB (the

@@ -89,6 +89,44 @@ class ConnectorSpec extends SparkSpec {
       "fact-packing" -> ts("2024-02-01 00:09:00")))
   }
 
+  test("a second document store drops into the SPI seam without touching the pipeline") {
+    import spark.implicits._
+    // an in-memory stand-in for a wire-protocol client: collections
+    // are just raw JSON documents, exactly what a driver's cursor
+    // yields — the store knows NOTHING of Spark schemas; all
+    // schema-on-read behavior comes from DocumentStoreConnector
+    object MemStore extends graft.sources.DocumentStore {
+      private val collections =
+        scala.collection.mutable.Map.empty[String, Seq[String]]
+      def seed(name: String, docs: Seq[String]): Unit =
+        collections(name) = docs
+      def documents(s: org.apache.spark.sql.SparkSession, c: String) = {
+        import s.implicits._
+        collections(c).toDS()
+      }
+      def insert(s: org.apache.spark.sql.SparkSession,
+                 docs: org.apache.spark.sql.Dataset[String],
+                 c: String, mode: SaveMode): Unit =
+        collections(c) = docs.collect().toSeq
+    }
+    MemStore.seed("externalLog", Seq(
+      """{"description":"fact-kanban","start":"2024-03-01T00:00:00.000Z","finish":"2024-03-01T00:05:00.000Z","executionTime":"5.00 minutes","status":"Successful"}""",
+      """{"description":"fact-kanban","start":"2024-03-02T00:00:00.000Z","finish":"2024-03-02T00:04:00.000Z","executionTime":"4.00 minutes","status":"Failed: x"}"""))
+    val conn = graft.sources.DocumentStoreConnector(MemStore)
+    val got = conn.read(spark, "externalLog")
+    // identical Spark-side semantics: timestamps inferred, same
+    // pipeline transform, zero MigrationLogSync changes
+    assert(got.schema("finish").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val out = graft.pipelines.MigrationLogSync.transform(
+        Map("externalLog" -> got))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(out === Map("fact-kanban" -> "Successful"))
+    // the write half round-trips through the same seam
+    conn.write(got.limit(1), "copy", SaveMode.Overwrite)
+    assert(conn.read(spark, "copy").count() === 1)
+  }
+
   test("CSV connector: roundtrip with declared schema beats inference") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
