@@ -37,26 +37,17 @@ import graft.operators.ProductQuant.PqModel
  */
 object AnnIndex {
 
-  /** Cell-assignment argmax over literal centroids — ties to the
-    * smaller centroid id (same expression as [[Similarity.ivfTopK]]). */
-  private def cellExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
-    val best = greatest(cents.map { case (cid, cv) =>
-      struct(Similarity.cosine(v, typedLit(cv)).as("csim"),
-        lit(-cid).as("neg_id"))
-    }.toIndexedSeq: _*)
-    -best.getField("neg_id")
-  }
-
-  /** One corpus pass: cell assignment + PQ encoding side by side, both
-    * pure codegen'd per-row expressions — the exact rows the codes
-    * table stores (public so state parity is assertable). */
+  /** One corpus pass: cell assignment ([[Similarity.cellArgmax]], the
+    * one shared argmax) + PQ encoding side by side, both pure
+    * codegen'd per-row expressions — the exact rows the codes table
+    * stores, and the pass `ProductQuant.ivfPqTopK` runs per call. */
   def encodeCorpus(rows: DataFrame, idCol: String, vecCol: String,
                    cents: Seq[(Long, Seq[Double])],
                    model: PqModel): DataFrame =
     rows.select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__v"))
       .select(col("neighbor_id"),
-        cellExpr(cents, col("__v")).as("centroid_id"),
+        Similarity.cellArgmax(cents, col("__v")).as("centroid_id"),
         ProductQuant.encode(col("__v"), model).as("codes"))
 
   /** Drop a managed table AND its warehouse location: a location left
@@ -93,10 +84,8 @@ object AnnIndex {
     // model tables: single-file artifacts, coalesce(1) by design
     cents.toDF("centroid_id", "v").coalesce(1)
       .write.mode(SaveMode.Overwrite).saveAsTable(s"${base}_centroids")
-    val cbRows = for {
-      j <- 0 until model.m; c <- model.codebooks(j).indices
-    } yield (j, c, model.codebooks(j)(c).toSeq)
-    cbRows.toDF("subspace", "code", "v").coalesce(1)
+    ProductQuant.codebookRows(model).toDF("subspace", "code", "v")
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).saveAsTable(s"${base}_codebooks")
     encodeCorpus(corpus, idCol, vecCol, cents, model)
       .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
@@ -111,6 +100,9 @@ object AnnIndex {
     val cents = spark.table(s"${base}_centroids")
       .orderBy(col("centroid_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.length >= 2, // a corrupt/truncated model table must
+      s"centroid table ${base}_centroids holds ${cents.length} rows; " +
+        "need >= 2") // fail here, not inside greatest()
     val cb = spark.table(s"${base}_codebooks")
       .orderBy(col("subspace"), col("code")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))

@@ -362,8 +362,11 @@ object CorpusStats {
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
                     tokensPerShard: Long): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be > 0")
+    // null text counts as an empty document (0 tokens), not a null
+    // that would poison the prefix sum and shard assignment
     val sized = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tok"))
     graft.ops.relational.contiguousPrefixSum(sized,
         Seq(col("doc_id")), col("n_tok"), "cum")
       // integral DIV: double division would lose exactness past 2^53
@@ -406,8 +409,12 @@ object CorpusStats {
     val shuffled = epochShuffle(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       "doc_id", epochSalt)
+      // null text = empty document: a null n_tok would null the prefix
+      // sum and shard_id, silently routing the row to the Hive default
+      // partition outside the manifest
       .withColumn("n_tok",
-        TextAnalysis.tokenCount(col("text")).cast("long"))
+        coalesce(TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(0L)))
     val assigned = graft.ops.relational.contiguousPrefixSum(shuffled,
         Seq(col("shuffle_pos")), col("n_tok"), "cum")
       .select(col("doc_id"), col("text"), col("n_tok"), col("shuffle_pos"),

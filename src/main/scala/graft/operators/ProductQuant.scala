@@ -135,6 +135,13 @@ object ProductQuant {
     concat(parts: _*)
   }
 
+  /** Codebook table rows (subspace, code, centroid) — the persisted
+    * model layout AND the driver-oracle dump share this flattening, so
+    * the two schemas cannot drift apart. */
+  def codebookRows(model: PqModel): Seq[(Int, Int, Seq[Double])] =
+    for { j <- 0 until model.m; c <- model.codebooks(j).indices }
+      yield (j, c, model.codebooks(j)(c).toSeq)
+
   /** Per-query ADC distance tables: `tables(j)(c)` is the squared L2
     * distance between the query's j-th subvector and codebook centroid
     * `c` — the sequential-fold accumulation order is part of the
@@ -217,17 +224,10 @@ object ProductQuant {
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol,
       nCentroids, centroidIters)
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
-    val bestCell = greatest(cents.map { case (cid, v) =>
-      struct(Similarity.cosine(col("__v"), typedLit(v)).as("csim"),
-        lit(-cid).as("neg_id"))
-    }.toIndexedSeq: _*)
-    // ONE corpus pass: cell assignment + PQ encoding side by side
-    val assigned = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .select(col("neighbor_id"),
-        (-bestCell.getField("neg_id")).as("centroid_id"),
-        encode(col("__v"), model).as("codes"))
+    // ONE corpus pass: cell assignment + PQ encoding side by side —
+    // the same pass the persisted index stores
+    val assigned = AnnIndex.encodeCorpus(corpus, idCol, vecCol,
+      cents.toSeq, model)
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

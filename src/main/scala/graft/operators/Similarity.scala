@@ -230,6 +230,21 @@ object Similarity {
       ((x * 1597334677L).mod(BigInt(1048576L))).toDouble / 524288.0 - 1.0
     }
 
+  /** Cell-assignment argmax over literal centroids — ties to the
+    * smaller centroid id. THE single definition behind IVF assignment,
+    * SemDeDup cells, and the persisted-index build ([[ivfTopK]],
+    * [[semanticDedup]], `ProductQuant.ivfPqTopK`,
+    * `AnnIndex.encodeCorpus`): the q43b/q91/q122 oracles replay this
+    * exact float form, so one shared expression keeps build, search
+    * and replay bit-aligned. */
+  private[operators] def cellArgmax(cents: Seq[(Long, Seq[Double])],
+                                    v: Column): Column = {
+    val best = greatest(cents.map { case (cid, cv) =>
+      struct(cosine(v, typedLit(cv)).as("csim"), lit(-cid).as("neg_id"))
+    }.toIndexedSeq: _*)
+    -best.getField("neg_id")
+  }
+
   /** Sign-signature bucket id (0 .. 2^nPlanes-1) of a vector column. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -346,13 +361,15 @@ object Similarity {
       else
         fitCentroids(corpus, idCol, vecCol, nCentroids, centroidIters)
           .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    // validate the RESOLVED set: with the `centroids` override the
+    // nCentroids check above cannot see a too-small model, and
+    // greatest() would otherwise fail deep in plan construction
+    require(cents.length >= 2,
+      s"need >= 2 resolved centroids, got ${cents.length}")
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val bestCell = greatest(cents.map { case (cid, v) =>
-      struct(cosine(col("cv"), typedLit(v)).as("csim"),
-        lit(-cid).as("neg_id"))
-    }: _*)
-    val assigned = c.withColumn("centroid_id", -bestCell.getField("neg_id"))
+    val assigned = c.withColumn("centroid_id",
+      cellArgmax(cents.toSeq, col("cv")))
     // query side: tiny (broadcast) set — explode the literal centroid
     // array, keep each query's nProbe best cells
     val centArr = typedLit(cents)
@@ -435,10 +452,8 @@ object Similarity {
     val cents = centroids
       .getOrElse(fitCentroids(df, idCol, vecCol, nCentroids, centroidIters))
       .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
-    val bestCell = greatest(cents.map { case (cid, v) =>
-      struct(cosine(col("v"), typedLit(v)).as("csim"),
-        lit(-cid).as("neg_id"))
-    }.toIndexedSeq: _*)
+    require(cents.length >= 2,
+      s"need >= 2 resolved centroids, got ${cents.length}")
     // normalized vectors + cell ids feed both sides of the pair join —
     // pin so normalization and assignment run once. The id rides RAW
     // (no long cast): non-numeric ids would cast to NULL and silently
@@ -447,7 +462,7 @@ object Similarity {
       df.select(col(idCol).as("id"),
           col(vecCol).cast("array<double>").as("v"))
         .withColumn("nrm", l2Norm(col("v")))
-        .withColumn("cell", -bestCell.getField("neg_id")))
+        .withColumn("cell", cellArgmax(cents.toSeq, col("v"))))
     val a = base.select(col("cell"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("cell"), col("id").as("id_b"),

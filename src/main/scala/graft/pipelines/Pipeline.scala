@@ -112,6 +112,10 @@ class PipelineRunner(spark: SparkSession, control: WatermarkManager,
       n
     } catch {
       case e: Exception =>
+        // a deadline watchdog cancels via job-group cancel + thread
+        // interrupt; the interrupt flag must not also kill this
+        // failure-row write (a small Spark job of its own)
+        Thread.interrupted(): Unit
         control.logRun(p.name, start,
           new Timestamp(System.currentTimeMillis()),
           failureStatus(e), runNote)

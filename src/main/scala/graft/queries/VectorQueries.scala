@@ -13,6 +13,18 @@ import graft.operators.Similarity
  */
 object VectorQueries {
 
+  /** Dump deterministically-fitted centroids as oracle-readable data,
+    * keyed by corpus size so one static SQL string finds its own SF's
+    * dump (the q43b/q91/q122 replay mechanism). */
+  private def dumpCentroids(s: org.apache.spark.sql.SparkSession,
+                            cents: Array[Array[Double]], n: Long,
+                            name: String): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(s"/tmp/graft_ann_oracle/$name/n=$n")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q40_knn_bruteforce",
@@ -87,14 +99,10 @@ object VectorQueries {
     // only, like q40/q41.
     QuerySpec("q43b_knn_ivf",
       (s, dir) => {
-        import s.implicits._
         val e = Tables.load(s, dir, "embeddings")
         val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
           nCentroids = 16, iters = 8)
-        val n = e.count()
-        cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-          .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
-          .parquet(s"/tmp/graft_ann_oracle/ivf_cents/n=$n")
+        dumpCentroids(s, cents, e.count(), "ivf_cents")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
             "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
             centroids = Some(cents))
@@ -162,11 +170,9 @@ object VectorQueries {
         val model = graft.operators.ProductQuant.fit(
           e, "embedding", dim = 64, m = 16, k = 16,
           idCol = Some("vec_id"))
-        val n = e.count()
-        (for { j <- 0 until model.m; c <- model.codebooks(j).indices }
-          yield (j, c, model.codebooks(j)(c).toSeq))
+        graft.operators.ProductQuant.codebookRows(model)
           .toDF("subspace", "code", "v").coalesce(1).write.mode("overwrite")
-          .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=$n")
+          .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=${e.count()}")
         val encoded = e.select(col("vec_id"),
           graft.operators.ProductQuant.encode(col("embedding"), model)
             .as("codes"))
@@ -445,14 +451,10 @@ object VectorQueries {
     // norms, q60-proven cross-engine)
     QuerySpec("q91_semantic_dedup",
       (s, dir) => {
-        import s.implicits._
         val e = Tables.load(s, dir, "embeddings")
         val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
           nCentroids = 8, iters = 8)
-        val n = e.count()
-        cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-          .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
-          .parquet(s"/tmp/graft_ann_oracle/semdedup_cents/n=$n")
+        dumpCentroids(s, cents, e.count(), "semdedup_cents")
         Similarity.semanticDedup(e, "vec_id", "embedding", eps = 0.4,
             nCentroids = 8, centroids = Some(cents))
           .select(col("vec_id"))

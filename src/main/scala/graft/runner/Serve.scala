@@ -154,35 +154,58 @@ object Serve {
       })
     }
 
+    /** Deadline enforcement around ONE unit of work on the calling
+      * thread: a per-run job group plus a watchdog that, once the
+      * deadline passes, REPEATEDLY cancels the group (cancelJobGroup
+      * only reaches jobs active at the instant of the call — a run is
+      * many jobs with driver-side gaps, and a job submitted after a
+      * one-shot cancel would escape) and interrupts the run's thread
+      * (for hangs with no Spark job at all, e.g. a JDBC driver stuck
+      * fetching schema at plan-build time). The guard object closes the
+      * finish/interrupt race so a completed run is never interrupted
+      * retroactively; any pending interrupt flag is cleared on release. */
+    final class Deadline(tag: String) {
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val groupId = s"graft-$tag-${System.nanoTime()}"
+      private val runThread = Thread.currentThread()
+      private val guard = new Object
+      private var finished = false
+      spark.sparkContext.setJobGroup(groupId, tag, interruptOnCancel = true)
+      private val task = for (secs <- timeoutSeconds; ex <- watchdogExec)
+        yield ex.scheduleAtFixedRate(new Runnable {
+          def run(): Unit = guard.synchronized {
+            if (!finished) {
+              timedOut.set(true)
+              spark.sparkContext.cancelJobGroup(groupId)
+              runThread.interrupt()
+            }
+          }
+        }, secs, 5L, TimeUnit.SECONDS)
+      def release(): Unit = {
+        guard.synchronized { finished = true }
+        task.foreach(_.cancel(false))
+        spark.sparkContext.clearJobGroup()
+        Thread.interrupted(): Unit // clear any flag the watchdog left
+      }
+    }
+
     def runOne(name: String, note: Option[String] = None): (Int, String) = {
       val p = Pipelines.byName(name)
       lock.synchronized {
-        // per-run job group so the deadline watchdog can cancel exactly
-        // this run's Spark jobs (interruptOnCancel reaches a task stuck
-        // in a blocking read); the reference host enforces the same
-        // bound on every function run (host.json:3)
-        val groupId = s"graft-run-${p.name}-${System.nanoTime()}"
-        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val cancel = for (secs <- timeoutSeconds; ex <- watchdogExec) yield
-          ex.schedule(new Runnable {
-            def run(): Unit = {
-              timedOut.set(true)
-              spark.sparkContext.cancelJobGroup(groupId)
-            }
-          }, secs, TimeUnit.SECONDS)
-        spark.sparkContext.setJobGroup(groupId, s"pipeline ${p.name}",
-          interruptOnCancel = true)
+        // the reference host enforces the same bound on every function
+        // run (host.json:3)
+        val deadline = new Deadline(s"run-${p.name}")
         try {
           val rows = runner.run(p, t => conn.read(spark, t),
             failureStatus = e =>
-              if (timedOut.get) "Failed-timeout"
+              if (deadline.timedOut.get) "Failed-timeout"
               else s"Failed: ${e.getMessage}",
             runNote = note)
           val wm = control.lastWatermark(p.name)
           (200, s"""{"pipeline":"${p.name}","status":"Successful",""" +
             s""""rows":$rows,"watermark":"$wm"}""")
         } catch {
-          case e: Exception if timedOut.get =>
+          case e: Exception if deadline.timedOut.get =>
             (500, s"""{"pipeline":"${p.name}","status":"Failed-timeout",""" +
               s""""timeoutSeconds":${timeoutSeconds.getOrElse(0L)},""" +
               s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
@@ -190,8 +213,7 @@ object Serve {
             (500, s"""{"pipeline":"${p.name}","status":"Failed",""" +
               s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
         } finally {
-          cancel.foreach(_.cancel(false))
-          spark.sparkContext.clearJobGroup()
+          deadline.release()
           graft.ops.materialize.releaseAll()
         }
       }
@@ -220,6 +242,11 @@ object Serve {
           // proving the source connection before the nightly window
           val table = probeTable.getOrElse(
             Pipelines.byName("kanban-fact").sources.head)
+          // the probe exists to detect an UNREACHABLE source — it gets
+          // the same deadline as a run, or a hung read would wedge the
+          // single HTTP thread forever (the reference host bounds
+          // InitialTest by the same functionTimeout)
+          val deadline = new Deadline("probe")
           try {
             val row = conn.read(spark, table).limit(1).toJSON
               .collect().headOption.getOrElse("null")
@@ -228,11 +255,13 @@ object Serve {
                 s""""row":$row}""")
           } catch {
             case e: Exception =>
+              val status =
+                if (deadline.timedOut.get) "timeout" else "error"
               respond(ex, 500,
-                s"""{"status":"error","table":"${jsonEscape(table)}",""" +
+                s"""{"status":"$status","table":"${jsonEscape(table)}",""" +
                   s""""error":"${jsonEscape(
                     String.valueOf(e.getMessage))}"}""")
-          }
+          } finally deadline.release()
         } else if (path == "status") {
           // the control table is rows-per-run tiny (WatermarkManager
           // scaladoc) — ONE collect serves both the latest row and the
@@ -308,8 +337,15 @@ object Serve {
       else {
         val sched = Executors.newSingleThreadScheduledExecutor()
         every.foreach { case (seconds, names) =>
-          sched.scheduleAtFixedRate(() => tick(names),
-            seconds, seconds, TimeUnit.SECONDS)
+          // fixed-rate ticks have a computable armed-for instant
+          // (start + n·period), so they carry the past-due flag exactly
+          // like cron ticks
+          val first = java.time.LocalDateTime.now().plusSeconds(seconds)
+          val n = new java.util.concurrent.atomic.AtomicLong(0L)
+          sched.scheduleAtFixedRate(() => {
+            val k = n.getAndIncrement()
+            tick(names, Some(first.plusSeconds(seconds * k)))
+          }, seconds, seconds, TimeUnit.SECONDS)
         }
         // cron fires are irregular, so each run self-schedules the next
         // one from the wall clock (an NCRONTAB schedule is a point

@@ -81,6 +81,25 @@ class ShardWriterSpec extends SparkSpec {
     }
   }
 
+  test("null text ships as an empty document, never to the default partition") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-shards-null")
+      .toString + "/corpus"
+    val mixed = Seq((1L, "alpha beta gamma"), (2L, null), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val manifest = CorpusStats.writeTrainingShards(mixed, "doc_id", "text",
+      1000L, path).collect()
+    // one shard, all three docs accounted — a null n_tok would have
+    // nulled the prefix sum and routed doc 2 to
+    // shard_id=__HIVE_DEFAULT_PARTITION__ outside the manifest
+    assert(manifest.map(_.getLong(1)).sum === 3L)
+    assert(!manifest.exists(_.isNullAt(0)))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!dirs.exists(_.contains("HIVE_DEFAULT")), dirs)
+    assert(readBack(path).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
   test("a re-run overwrites with identical shards; salts permute") {
     val path = java.nio.file.Files.createTempDirectory("graft-shards3")
       .toString + "/corpus"
