@@ -17,8 +17,9 @@ object TextQueries {
 
   /** DuckDB replay of [[Dedup.md5Hash60]]: parse the first 15 hex digits
     * of md5(`c`) into a BIGINT (both engines hash the same UTF-8 bytes,
-    * so the values are bit-identical). */
-  private def md5Hash60Sql(c: String): String =
+    * so the values are bit-identical). Shared with the q114 composite
+    * oracle in [[VectorQueries]]. */
+  private[queries] def md5Hash60Sql(c: String): String =
     s"list_reduce([CAST(strpos('0123456789abcdef', substr(md5($c), j, 1)) - 1" +
       s" AS BIGINT) for j in generate_series(1, 15)], (acc, d) -> acc*16 + d)"
 

@@ -676,9 +676,276 @@ object VectorQueries {
           Seq(pairRows(1), mhRows(1)))
           .toDF("operator", "hits", "total", "recall")
       },
-      None,
+      // composite oracle (r7): every branch's candidate math is the
+      // SAME formulation its own green oracle proved (q36 minhash,
+      // q39/q34 jaccard, q40/q41 topk, q43b IVF via the ivf_cents
+      // dump, q60/q61 pairs, q91 SemDeDup via semdedup_cents, q94
+      // incremental, q113 ADC via pq_cb — q114's internal fits use
+      // identical deterministic configs, so the dumps those queries
+      // write are bit-equal to the models this digest fits); the
+      // digest rows are then plain joins + counts
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  for i in generate_series(1, len(tk)-2)])) AS s
+          FROM toks),
+        hx AS (
+          SELECT doc_id, ${TextQueries.md5Hash60Sql("s")} % 2147483647 AS x
+          FROM sh),
+        params AS (
+          SELECT i,
+            ((i + 43) * 2654435761) % 2147483646 + 1 AS a,
+            CAST(((i + 43)::HUGEINT * 1229782938247303441)
+                 % 2305843009213693951 AS BIGINT) AS b
+          FROM generate_series(0, 63) t(i)),
+        mins AS (
+          SELECT doc_id, i, min((x * a + b) % 2305843009213693951) AS m
+          FROM hx CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, band, sg[band*8+1 : band*8+8] AS slc
+          FROM sig CROSS JOIN generate_series(0, 7) g(band)),
+        mh AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.slc = y.slc AND x.doc_id < y.doc_id) c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+          WHERE CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+                                      for i in generate_series(1, 64)],
+                                     z -> z)) AS DOUBLE) / 64
+                  >= CAST(0.5 AS DOUBLE)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        jac AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                  >= CAST(0.8 AS DOUBLE)),
+        surv94 AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id >= 250 AND doc_id NOT IN (
+            SELECT doc_b FROM mh WHERE doc_b >= 250)),
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings),
+        exact_topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.id AS query_id, c.id AS neighbor_id, row_number() OVER (
+              PARTITION BY q.id ORDER BY
+                list_inner_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.id) AS rn
+            FROM e q JOIN e c ON c.id <> q.id WHERE q.id < 20)
+          WHERE rn <= 5),
+        lsh_proj AS (
+          SELECT e.id, gi.i,
+            list_reduce([ e.v[d] *
+                (CAST((((42 + gi.i*64 + (d-1)) * 2654435761 + 1013904223)
+                       % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
+                 / 524288.0 - 1.0)
+              for d in generate_series(1, 64)], (a, x) -> a + x) AS p
+          FROM e CROSS JOIN generate_series(0, 3) gi(i)),
+        lsh_b AS (
+          SELECT id,
+            CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM lsh_proj GROUP BY id),
+        lsh_topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.id AS query_id, c.id AS neighbor_id, row_number() OVER (
+              PARTITION BY q.id ORDER BY
+                list_inner_product(qe.v, ce.v) / (qe.nrm * ce.nrm) DESC,
+                c.id) AS rn
+            FROM lsh_b q JOIN lsh_b c ON q.bucket = c.bucket AND q.id <> c.id
+            JOIN e qe ON qe.id = q.id JOIN e ce ON ce.id = c.id
+            WHERE q.id < 20)
+          WHERE rn <= 5),
+        icent AS (
+          SELECT centroid_id, v, sqrt(list_inner_product(v, v)) AS cnrm
+          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        iasim AS (
+          SELECT e.id, c.centroid_id,
+                 list_inner_product(e.v, c.v) / (e.nrm * c.cnrm) AS csim
+          FROM e CROSS JOIN icent c),
+        icell AS (
+          SELECT id, centroid_id AS cell FROM (
+            SELECT id, centroid_id, row_number() OVER (
+              PARTITION BY id ORDER BY csim DESC, centroid_id) AS rn
+            FROM iasim) WHERE rn = 1),
+        iprobes AS (
+          SELECT id AS query_id, centroid_id FROM (
+            SELECT a.id, a.centroid_id, row_number() OVER (
+              PARTITION BY a.id ORDER BY a.csim DESC, a.centroid_id) AS rn
+            FROM iasim a WHERE a.id < 20) WHERE rn <= 4),
+        ivf_topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, n2.id AS neighbor_id, row_number() OVER (
+              PARTITION BY p.query_id ORDER BY
+                list_inner_product(q.v, n2.v) / (q.nrm * n2.nrm) DESC,
+                n2.id) AS rn
+            FROM iprobes p
+            JOIN e q ON q.id = p.query_id
+            JOIN icell cl ON cl.cell = p.centroid_id
+            JOIN e n2 ON n2.id = cl.id
+            WHERE n2.id <> p.query_id)
+          WHERE rn <= 5),
+        pairs60 AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM e a JOIN e b ON a.id < b.id
+          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= CAST(0.4 AS DOUBLE)),
+        proj61 AS (
+          SELECT e.id, g.t, gi.i,
+            list_reduce([ e.v[d] *
+                (CAST((((42 + g.t + gi.i*64 + (d-1)) * 2654435761 + 1013904223)
+                       % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
+                 / 524288.0 - 1.0)
+              for d in generate_series(1, 64)], (a, x) -> a + x) AS p
+          FROM e
+          CROSS JOIN generate_series(0, 7) g(t)
+          CROSS JOIN generate_series(0, 5) gi(i)),
+        buck61 AS (
+          SELECT id, t,
+            CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM proj61 GROUP BY id, t),
+        lshp AS (
+          SELECT DISTINCT c.id_a, c.id_b
+          FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM buck61 a JOIN buck61 b
+                  ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id) c
+          JOIN e ea ON ea.id = c.id_a
+          JOIN e eb ON eb.id = c.id_b
+          WHERE list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+                  >= CAST(0.4 AS DOUBLE)),
+        cb AS (
+          SELECT subspace, code, v, list_inner_product(v, v) / 2 AS half
+          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        enc AS (
+          SELECT id, subspace, code FROM (
+            SELECT s2.id, s2.subspace, s2.code, row_number() OVER (
+              PARTITION BY s2.id, s2.subspace
+              ORDER BY s2.sc DESC, s2.code ASC) AS rn
+            FROM (
+              SELECT e.id, cb.subspace, cb.code,
+                     list_inner_product(
+                       e.v[4*cb.subspace+1 : 4*cb.subspace+4], cb.v)
+                       - cb.half AS sc
+              FROM e CROSS JOIN cb) s2) WHERE rn = 1),
+        subq AS (
+          SELECT q.id AS query_id, cb.subspace, cb.code,
+                 list_reduce([(q.v[4*cb.subspace + i] - cb.v[i]) *
+                              (q.v[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM e q CROSS JOIN cb WHERE q.id < 20),
+        adc_topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rn
+            FROM (
+              SELECT sq.query_id, c.id AS neighbor_id,
+                     list_reduce(list(sq.sd ORDER BY sq.subspace),
+                                 (a, b) -> a + b) AS dist
+              FROM enc c
+              JOIN subq sq ON sq.subspace = c.subspace AND sq.code = c.code
+              WHERE c.id <> sq.query_id
+              GROUP BY sq.query_id, c.id) d)
+          WHERE rn <= 5),
+        l2_topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.id AS query_id, c.id AS neighbor_id, row_number() OVER (
+              PARTITION BY q.id ORDER BY
+                CAST(2.0 AS DOUBLE) * list_inner_product(q.v, c.v)
+                  - list_inner_product(c.v, c.v)
+                  - list_inner_product(q.v, q.v) DESC, c.id) AS rn
+            FROM e q JOIN e c ON c.id <> q.id WHERE q.id < 20)
+          WHERE rn <= 5),
+        scent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn)),
+        scell AS (
+          SELECT id, centroid_id AS cell FROM (
+            SELECT e.id, c.centroid_id, row_number() OVER (
+              PARTITION BY e.id ORDER BY
+                list_inner_product(e.v, c.v) /
+                  (e.nrm * sqrt(list_inner_product(c.v, c.v))) DESC,
+                c.centroid_id) AS rn
+            FROM e CROSS JOIN scent c) WHERE rn = 1),
+        sdrops AS (
+          SELECT DISTINCT b.id AS id
+          FROM scell ca JOIN e a ON a.id = ca.id
+          JOIN scell cbl ON ca.cell = cbl.cell
+          JOIN e b ON b.id = cbl.id
+          WHERE a.id < b.id
+            AND list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= CAST(0.4 AS DOUBLE)),
+        droppable AS (SELECT DISTINCT id_b AS id FROM pairs60)
+        SELECT 'minhash_lsh_candidates' AS operator,
+               CAST(count(m.doc_a) AS BIGINT) AS hits,
+               CAST(count(*) AS BIGINT) AS total,
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(m.doc_a) AS DOUBLE) / count(*) END AS recall
+        FROM jac j LEFT JOIN mh m
+          ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b
+        UNION ALL
+        SELECT 'ann_lsh_topk@5',
+               CAST(count(a.query_id) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(a.query_id) AS DOUBLE) / count(*) END
+        FROM exact_topk x LEFT JOIN lsh_topk a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        UNION ALL
+        SELECT 'ann_ivf_topk@5',
+               CAST(count(a.query_id) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(a.query_id) AS DOUBLE) / count(*) END
+        FROM exact_topk x LEFT JOIN ivf_topk a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        UNION ALL
+        SELECT 'cosine_lsh_neardup',
+               CAST(count(a.id_a) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(a.id_a) AS DOUBLE) / count(*) END
+        FROM pairs60 x LEFT JOIN lshp a
+          ON a.id_a = x.id_a AND a.id_b = x.id_b
+        UNION ALL
+        SELECT 'pq_adc_topk@5',
+               CAST(count(a.query_id) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(a.query_id) AS DOUBLE) / count(*) END
+        FROM l2_topk x LEFT JOIN adc_topk a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        UNION ALL
+        SELECT 'semantic_dedup_drops',
+               CAST(count(a.id) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN
+                 CAST(count(a.id) AS DOUBLE) / count(*) END
+        FROM droppable x LEFT JOIN sdrops a ON a.id = x.id
+        UNION ALL
+        SELECT 'incremental_neardedup_parity',
+               CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+               CASE WHEN count(*) > 0 THEN CAST(1.0 AS DOUBLE) END
+        FROM surv94"""),
       "recall@k / drop-recall / parity of every approximate operator " +
         "against its exact baseline — the quality numbers as driver " +
-        "artifacts, not just green specs")
+        "artifacts, not just green specs; the composite oracle replays " +
+        "every branch from the proven per-operator formulations and " +
+        "the dumped deterministic models")
   )
 }
