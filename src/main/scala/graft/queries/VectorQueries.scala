@@ -609,8 +609,15 @@ object VectorQueries {
           val lshK = Similarity.lshTopK(e, queries20,
             "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
             .select("query_id", "neighbor_id")
+          // fit once, dump for the composite oracle (bit-identical to
+          // q43b's dump — same deterministic config — so either query
+          // alone leaves a valid model on disk), and search with it
+          val ivfCents = Similarity.fitCentroids(e, "vec_id", "embedding",
+            nCentroids = 16, iters = 8)
+          dumpCentroids(s, ivfCents, e.count(), "ivf_cents")
           val ivfK = Similarity.ivfTopK(e, queries20,
-            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+            centroids = Some(ivfCents))
             .select("query_id", "neighbor_id")
           evalRows(
             digest("ann_lsh_topk@5", lshK, exactTopK,
@@ -632,10 +639,14 @@ object VectorQueries {
           val lshPairs = Similarity.cosineNearDupLsh(e, "vec_id",
             "embedding", dim = 64, threshold = 0.4, nTables = 8,
             nPlanes = 6).select("id_a", "id_b")
-          // SemDeDup (q91 config): dropped ids vs the exact droppable
+          // SemDeDup (q91 config): dropped ids vs the exact droppable.
+          // Fit once, dump for the composite oracle (≡ q91's dump)
+          val semCents = Similarity.fitCentroids(e, "vec_id", "embedding",
+            nCentroids = 8, iters = 8)
+          dumpCentroids(s, semCents, e.count(), "semdedup_cents")
           val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
-            eps = 0.4, nCentroids = 8).select(col("vec_id").cast("long")
-              .as("vec_id"))
+            eps = 0.4, nCentroids = 8, centroids = Some(semCents))
+            .select(col("vec_id").cast("long").as("vec_id"))
           val dropped = e.select(col("vec_id").cast("long").as("vec_id"))
             .join(kept, Seq("vec_id"), "left_anti")
           val droppable = exactPairs.select(col("id_b").as("vec_id"))
@@ -653,6 +664,11 @@ object VectorQueries {
           val pqModel = graft.operators.ProductQuant.fit(
             e, "embedding", dim = 64, m = 16, k = 16,
             idCol = Some("vec_id"))
+          // dump for the composite oracle (≡ q113's dump, same fit)
+          graft.operators.ProductQuant.codebookRows(pqModel)
+            .toDF("subspace", "code", "v").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=${e.count()}")
           val encoded = e.select(col("vec_id"),
             graft.operators.ProductQuant.encode(col("embedding"), pqModel)
               .as("codes"))
