@@ -266,11 +266,15 @@ object Similarity {
    */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int, iters: Int = 8,
-                   sampleSize: Int = 2048): Array[Array[Double]] = {
-    // NOTE: the farthest-point init below is O(sampleSize² · k) on the
-    // DRIVER — fine at the 2048 default (~4M dot products), but raise
-    // sampleSize past ~10⁴ and this needs a k-means|| style seeding
-    // before anything else does.
+                   sampleSize: Int = 2048,
+                   init: String = "farthest"): Array[Array[Double]] = {
+    require(init == "farthest" || init == "kmeans||",
+      s"init must be 'farthest' or 'kmeans||', got '$init'")
+    // NOTE: the default farthest-point init is O(sampleSize² · k) on
+    // the DRIVER — fine at the 2048 default (~4M dot products) and
+    // kept as default because the q43b/q91/q122 oracles replay fits
+    // made with it; past ~10⁴ samples pass init = "kmeans||" (linear
+    // in the sample, deterministic — see [[kmeansParSeed]]).
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -291,18 +295,25 @@ object Similarity {
     // the sample regardless of its order — a naive first-k init
     // degenerates exactly when it matters (leading corpus rows sharing
     // a cluster, the common crawl-batch correlation)
-    val init = scala.collection.mutable.ArrayBuffer(sample.head)
-    while (init.length < math.min(nCentroids, sample.length)) {
-      var best: Array[Double] = null
-      var bestMaxSim = Double.MaxValue
-      sample.foreach { v =>
-        var maxSim = -2.0
-        init.foreach(c => maxSim = math.max(maxSim, dotArr(v, c)))
-        if (maxSim < bestMaxSim - 1e-12) { bestMaxSim = maxSim; best = v }
+    val init0 =
+      if (init == "kmeans||")
+        scala.collection.mutable.ArrayBuffer(
+          kmeansParSeed(sample, nCentroids): _*)
+      else {
+        val fp = scala.collection.mutable.ArrayBuffer(sample.head)
+        while (fp.length < math.min(nCentroids, sample.length)) {
+          var best: Array[Double] = null
+          var bestMaxSim = Double.MaxValue
+          sample.foreach { v =>
+            var maxSim = -2.0
+            fp.foreach(c => maxSim = math.max(maxSim, dotArr(v, c)))
+            if (maxSim < bestMaxSim - 1e-12) { bestMaxSim = maxSim; best = v }
+          }
+          if (best == null) fp += fp.head else fp += best
+        }
+        fp
       }
-      if (best == null) init += init.head else init += best
-    }
-    var cents = init.toArray
+    var cents = init0.toArray
     for (_ <- 0 until iters) {
       val dim = sample.head.length
       val sums = Array.fill(cents.length)(new Array[Double](dim))
@@ -324,6 +335,99 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /**
+   * Deterministic k-means‖ seeding (Bahmani et al., "Scalable
+   * k-means++", VLDB 2012) over a normalized sample — LINEAR in the
+   * sample where farthest-point is quadratic, so it is the init for
+   * large `sampleSize` fits. Five oversampling rounds draw ~2k
+   * candidates each with probability ∝ d²(x, C) (d² = 2·(1 − cos) on
+   * unit vectors); the draw replaces the paper's RNG with a pure
+   * integer hash of (point index, round) — same distributional intent,
+   * bit-reproducible everywhere. Candidates are weighted by how many
+   * sample points they win, and a weighted Lloyd over the tiny
+   * candidate set (top-k by weight as its own init) yields the k
+   * seeds.
+   */
+  private[operators] def kmeansParSeed(sample: Array[Array[Double]],
+                                       k: Int): Seq[Array[Double]] = {
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // hashFrac(i, r) in [0, 1): the deterministic stand-in for the
+    // paper's uniform draw (same mix family as [[hyperplanes]])
+    def hashFrac(i: Int, r: Int): Double = {
+      val x = ((BigInt(i.toLong) * 2654435761L + r.toLong * 1229782938L +
+        1013904223L).mod(BigInt(2147483647L)) * 1597334677L)
+        .mod(BigInt(1 << 30))
+      x.toDouble / (1 << 30).toDouble
+    }
+    def d2(v: Array[Double], cs: Seq[Array[Double]]): Double = {
+      var maxSim = -2.0
+      cs.foreach(c => maxSim = math.max(maxSim, dotArr(v, c)))
+      2.0 - 2.0 * maxSim
+    }
+    val kEff = math.min(k, sample.length)
+    var cand = Vector(sample.head)
+    val ell = 2.0 * kEff
+    for (r <- 1 to 5) {
+      // one pass: per-point distance to the current candidate set
+      val dists = sample.map(d2(_, cand))
+      val cost = dists.sum
+      if (cost > 0) {
+        val picked = sample.indices.filter(i =>
+          hashFrac(i, r) < ell * dists(i) / cost).map(sample)
+        cand = cand ++ picked
+      }
+    }
+    // weight candidates by the sample points they win (ties to the
+    // lower candidate index — deterministic)
+    val weights = new Array[Long](cand.length)
+    sample.foreach { v =>
+      var bi = 0; var bs = -2.0
+      var c = 0
+      while (c < cand.length) {
+        val s = dotArr(v, cand(c))
+        if (s > bs) { bs = s; bi = c }
+        c += 1
+      }
+      weights(bi) += 1
+    }
+    // weighted Lloyd over the candidate set: init = top-k by weight
+    // (index tiebreak), 8 fixed iterations, empty cells keep their seed
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var seeds = cand.indices.sortBy(i => (-weights(i), i)).take(kEff)
+      .map(cand).toArray
+    for (_ <- 0 until 8) {
+      val sums = Array.fill(seeds.length)(new Array[Double](dim))
+      val wsum = new Array[Double](seeds.length)
+      cand.indices.foreach { ci =>
+        val v = cand(ci); val w = weights(ci).toDouble
+        if (w > 0) {
+          var bi = 0; var bs = -2.0
+          var c = 0
+          while (c < seeds.length) {
+            val s = dotArr(v, seeds(c))
+            if (s > bs) { bs = s; bi = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(bi)(i) += w * v(i); i += 1 }
+          wsum(bi) += w
+        }
+      }
+      seeds = seeds.zipWithIndex.map { case (old, i) =>
+        if (wsum(i) == 0.0) old else normalize(sums(i))
+      }
+    }
+    seeds.toSeq
   }
 
   /**

@@ -227,4 +227,34 @@ object EventStreams {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Streaming ANN-index ingest — the persisted IVF+PQ state
+   * ([[graft.operators.AnnIndex]]) maintained by a stream: each
+   * micro-batch of new vectors is encoded with the PERSISTED model (no
+   * re-fit, the [[graft.operators.AnnIndex.appendToAnnIndex]]
+   * contract) and appended per-bucket to the codes table, so the index
+   * a nightly search reads is always current up to the last completed
+   * batch. The index must have been built once
+   * ([[graft.operators.AnnIndex.writeAnnIndex]]) before the stream
+   * starts — the model is a prerequisite, exactly like the dedup
+   * signature state's first batch.
+   */
+  def microBatchIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                            sourceDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            idCol: String, vecCol: String, base: String,
+                            checkpoint: String,
+                            buckets: Int = 16): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.AnnIndex.appendToAnnIndex(spark, batch.toDF(),
+          idCol, vecCol, base, buckets)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -59,6 +59,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("kmeans|| seeding: deterministic, linear-scale, usable recall") {
+    import org.apache.spark.sql.functions.col
+    // the large-sample fixture: 6k vectors, a sample size at which the
+    // default farthest-point init's O(sample²·k) driver cost is the
+    // documented trap — kmeans|| is linear in the sample and completes
+    // in seconds here
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.1",
+      "embeddings")
+    val big = e.count().toInt
+    def fit() = Similarity.fitCentroids(e, "vec_id", "embedding",
+      nCentroids = 16, iters = 8, sampleSize = big, init = "kmeans||")
+    val c1 = fit()
+    assert(c1.length === 16)
+    // pure hash-driven draw → bit-identical refits
+    assert(fit().map(_.toSeq).toSeq === c1.map(_.toSeq).toSeq)
+    // the seeds drive IVF to the same recall class as the default init
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, queries, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 4, centroids = Some(c1))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"kmeans||-seeded IVF recall $recall too low")
+    intercept[IllegalArgumentException](
+      Similarity.fitCentroids(e, "vec_id", "embedding", 8, init = "bogus"))
+  }
+
   test("k-means centroid fit beats the first-N stand-in at equal nProbe") {
     import org.apache.spark.sql.functions.col
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

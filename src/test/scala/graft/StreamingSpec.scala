@@ -265,4 +265,51 @@ class StreamingSpec extends SparkSpec {
       assert(got === Map(1L -> "first", 2L -> "other"))
     } finally q.stop()
   }
+
+  test("microBatchIndexAppend: streamed batches extend the persisted ANN " +
+    "index with the frozen model; searches see them immediately") {
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbann").toString
+    val src = s"$dir/src"; val ckp = s"$dir/ckp"
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val e1 = e.filter(col("vec_id") % 3 =!= 0)
+    val e2 = e.filter(col("vec_id") % 3 === 0)
+    // clean slate for the bucketed tables (shared warehouse across suites)
+    for (t <- Seq("sstate_centroids", "sstate_codebooks", "sstate_codes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val pth = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pth, true)
+    }
+    // one-time build over the seed corpus = the frozen model
+    AnnIndex.writeAnnIndex(e1, "vec_id", "embedding", "sstate", dim = 64,
+      nCentroids = 8, m = 8, pqK = 8, buckets = 4)
+    val (cents, model) = AnnIndex.readModel(spark, "sstate")
+    // stream the rest in two micro-batch waves
+    e2.filter(col("vec_id") < 300).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
+      e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
+    e2.filter(col("vec_id") >= 300).write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
+      e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
+    // the codes table now holds exactly the frozen-model encoding of
+    // the FULL corpus — streamed appends never re-fit or rewrite
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(enc(spark.table("sstate_codes")
+        .select("neighbor_id", "centroid_id", "codes")) ===
+      enc(AnnIndex.encodeCorpus(e, "vec_id", "embedding", cents, model)))
+    // a checkpointed rerun with no new files is a no-op
+    val n0 = spark.table("sstate_codes").count()
+    graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
+      e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
+    assert(spark.table("sstate_codes").count() === n0)
+    // appended vectors are immediately searchable
+    val hits = AnnIndex.ivfPqTopKBucketed(spark,
+        e2.filter(col("vec_id") < 30), "vec_id", "embedding", k = 5,
+        "sstate", nProbe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty)
+  }
 }
