@@ -130,6 +130,12 @@ object AnnIndex {
       .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
       .format("parquet").mode(SaveMode.Append)
       .saveAsTable(s"${base}_codes")
+    // the write invalidates only the WRITING session's relation cache
+    // (rows may live in a streaming foreachBatch clone); refresh the
+    // caller's session too, or its cached file-list snapshot keeps
+    // serving the pre-append table
+    spark.catalog.refreshTable(s"${base}_codes")
+    rows.sparkSession.catalog.refreshTable(s"${base}_codes")
   }
 
   /**

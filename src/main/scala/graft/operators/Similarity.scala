@@ -427,7 +427,15 @@ object Similarity {
         if (wsum(i) == 0.0) old else normalize(sums(i))
       }
     }
-    seeds.toSeq
+    // the count contract matches the farthest-point branch: exactly
+    // min(k, sample) seeds. A degenerate sample (all-identical vectors
+    // → zero cost, no oversampling draws) or hash-unlucky rounds can
+    // leave fewer candidates — pad with the head seed, the same
+    // degenerate behavior farthest-point has
+    val padded =
+      if (seeds.length >= kEff) seeds.toSeq
+      else seeds.toSeq ++ Seq.fill(kEff - seeds.length)(seeds.head)
+    padded
   }
 
   /**

@@ -25,6 +25,17 @@ object VectorQueries {
       .parquet(s"/tmp/graft_ann_oracle/$name/n=$n")
   }
 
+  /** Dump a PQ model's codebooks the same way (shared by q113 and the
+    * composite digest, so the path/schema cannot drift). */
+  private def dumpCodebooks(s: org.apache.spark.sql.SparkSession,
+                            model: graft.operators.ProductQuant.PqModel,
+                            n: Long): Unit = {
+    import s.implicits._
+    graft.operators.ProductQuant.codebookRows(model)
+      .toDF("subspace", "code", "v").coalesce(1).write.mode("overwrite")
+      .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=$n")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q40_knn_bruteforce",
@@ -170,9 +181,7 @@ object VectorQueries {
         val model = graft.operators.ProductQuant.fit(
           e, "embedding", dim = 64, m = 16, k = 16,
           idCol = Some("vec_id"))
-        graft.operators.ProductQuant.codebookRows(model)
-          .toDF("subspace", "code", "v").coalesce(1).write.mode("overwrite")
-          .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=${e.count()}")
+        dumpCodebooks(s, model, e.count())
         val encoded = e.select(col("vec_id"),
           graft.operators.ProductQuant.encode(col("embedding"), model)
             .as("codes"))
@@ -665,10 +674,7 @@ object VectorQueries {
             e, "embedding", dim = 64, m = 16, k = 16,
             idCol = Some("vec_id"))
           // dump for the composite oracle (≡ q113's dump, same fit)
-          graft.operators.ProductQuant.codebookRows(pqModel)
-            .toDF("subspace", "code", "v").coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=${e.count()}")
+          dumpCodebooks(s, pqModel, e.count())
           val encoded = e.select(col("vec_id"),
             graft.operators.ProductQuant.encode(col("embedding"), pqModel)
               .as("codes"))

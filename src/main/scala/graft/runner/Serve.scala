@@ -181,11 +181,20 @@ object Serve {
             }
           }
         }, secs, 5L, TimeUnit.SECONDS)
-      def release(): Unit = {
+      /** Stop the watchdog WITHOUT tearing down the job group — called
+        * (on the run thread) the moment the run's body has failed and
+        * bookkeeping begins: the failure-row write is a small Spark
+        * job of its own, and a watchdog tick landing during it would
+        * cancel the very record of the timeout. Idempotent; release()
+        * still does the full teardown. */
+      def disarm(): Unit = {
         guard.synchronized { finished = true }
         task.foreach(_.cancel(false))
-        spark.sparkContext.clearJobGroup()
         Thread.interrupted(): Unit // clear any flag the watchdog left
+      }
+      def release(): Unit = {
+        disarm()
+        spark.sparkContext.clearJobGroup()
       }
     }
 
@@ -197,9 +206,14 @@ object Serve {
         val deadline = new Deadline(s"run-${p.name}")
         try {
           val rows = runner.run(p, t => conn.read(spark, t),
-            failureStatus = e =>
+            // evaluated at catch entry, BEFORE the failure row is
+            // written — disarming here keeps the watchdog's repeating
+            // cancel/interrupt off the bookkeeping job
+            failureStatus = e => {
+              deadline.disarm()
               if (deadline.timedOut.get) "Failed-timeout"
-              else s"Failed: ${e.getMessage}",
+              else s"Failed: ${e.getMessage}"
+            },
             runNote = note)
           val wm = control.lastWatermark(p.name)
           (200, s"""{"pipeline":"${p.name}","status":"Successful",""" +
@@ -246,22 +260,27 @@ object Serve {
           // the same deadline as a run, or a hung read would wedge the
           // single HTTP thread forever (the reference host bounds
           // InitialTest by the same functionTimeout)
+          // respond only AFTER the deadline is released: the HTTP
+          // server writes through interruptible NIO channels, and a
+          // pending watchdog interrupt would close the connection
+          // instead of delivering the timeout body
           val deadline = new Deadline("probe")
-          try {
-            val row = conn.read(spark, table).limit(1).toJSON
-              .collect().headOption.getOrElse("null")
-            respond(ex, 200,
+          val outcome: Either[(String, String), String] =
+            try Right(conn.read(spark, table).limit(1).toJSON
+              .collect().headOption.getOrElse("null"))
+            catch {
+              case e: Exception =>
+                Left((if (deadline.timedOut.get) "timeout" else "error",
+                  String.valueOf(e.getMessage)))
+            } finally deadline.release()
+          outcome match {
+            case Right(row) => respond(ex, 200,
               s"""{"status":"ok","table":"${jsonEscape(table)}",""" +
                 s""""row":$row}""")
-          } catch {
-            case e: Exception =>
-              val status =
-                if (deadline.timedOut.get) "timeout" else "error"
-              respond(ex, 500,
-                s"""{"status":"$status","table":"${jsonEscape(table)}",""" +
-                  s""""error":"${jsonEscape(
-                    String.valueOf(e.getMessage))}"}""")
-          } finally deadline.release()
+            case Left((status, msg)) => respond(ex, 500,
+              s"""{"status":"$status","table":"${jsonEscape(table)}",""" +
+                s""""error":"${jsonEscape(msg)}"}""")
+          }
         } else if (path == "status") {
           // the control table is rows-per-run tiny (WatermarkManager
           // scaladoc) — ONE collect serves both the latest row and the
@@ -306,16 +325,15 @@ object Serve {
     // one tick body, shared by the fixed-interval and cron schedules;
     // runOne catches run failures, but anything unexpected (OOM
     // wrappers, interrupted Spark context) must not kill the schedule
-    // or abort the remaining names in this tick. `scheduled` is the
-    // instant the tick was armed for: a tick that begins ≥2 s past it
-    // is flagged past-due — the engine's IsPastDue, which every
-    // reference timer logs when it fires late
+    // or abort the remaining names in this tick. `lateSeconds` is how
+    // far past its armed-for instant the tick began (callers measure
+    // on the clock their schedule runs on — monotonic for fixed-rate,
+    // wall for cron): ≥2 s is flagged past-due — the engine's
+    // IsPastDue, which every reference timer logs when it fires late
     // (`PembelianTimer/index.js:6-9`) — on the stderr line AND in the
     // control rows of the runs it triggers (visible via /api/status)
-    def tick(names: Seq[String],
-             scheduled: Option[java.time.LocalDateTime] = None): Unit = {
-      val lateSecs = scheduled.map(s => java.time.temporal.ChronoUnit.SECONDS
-        .between(s, java.time.LocalDateTime.now())).filter(_ >= 2)
+    def tick(names: Seq[String], lateSeconds: Option[Long] = None): Unit = {
+      val lateSecs = lateSeconds.filter(_ >= 2)
       val note = lateSecs.map(l => s"fired ${l}s past due")
       lateSecs.foreach(l => System.err.println(
         s"[serve:timer] tick is running late (${l}s past due)"))
@@ -338,13 +356,17 @@ object Serve {
         val sched = Executors.newSingleThreadScheduledExecutor()
         every.foreach { case (seconds, names) =>
           // fixed-rate ticks have a computable armed-for instant
-          // (start + n·period), so they carry the past-due flag exactly
-          // like cron ticks
-          val first = java.time.LocalDateTime.now().plusSeconds(seconds)
+          // (start + n·period). scheduleAtFixedRate runs on MONOTONIC
+          // elapsed time, so lateness is measured on the same clock —
+          // a wall-clock projection would mislabel every tick after a
+          // DST shift or an ntp step
+          val t0 = System.nanoTime()
           val n = new java.util.concurrent.atomic.AtomicLong(0L)
           sched.scheduleAtFixedRate(() => {
             val k = n.getAndIncrement()
-            tick(names, Some(first.plusSeconds(seconds * k)))
+            val late = (System.nanoTime() - t0) / 1000000000L -
+              seconds * (k + 1)
+            tick(names, Some(late))
           }, seconds, seconds, TimeUnit.SECONDS)
         }
         // cron fires are irregular, so each run self-schedules the next
@@ -356,7 +378,13 @@ object Serve {
             val now = java.time.LocalDateTime.now()
             val fireAt = cron.next(now)
             sched.schedule(new Runnable {
-              def run(): Unit = { tick(names, Some(fireAt)); arm() }
+              def run(): Unit = {
+                // cron schedules ARE wall-clock points, so wall-clock
+                // lateness is the right measure here
+                tick(names, Some(java.time.temporal.ChronoUnit.SECONDS
+                  .between(fireAt, java.time.LocalDateTime.now())))
+                arm()
+              }
             }, cron.delaySeconds(now), TimeUnit.SECONDS)
           }
           arm()

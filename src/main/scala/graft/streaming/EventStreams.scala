@@ -251,10 +251,32 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.AnnIndex.appendToAnnIndex(spark, batch.toDF(),
+        // foreachBatch is at-least-once: a crash between the append
+        // commit and the checkpoint write re-delivers the batch on
+        // restart. Vector ids are unique in the corpus (the index's
+        // key contract), so appending only ids not already indexed
+        // makes re-delivery a no-op — an id-pruned column read of the
+        // codes table, not a rescan of its payload
+        // read + write through the BATCH's session (streaming runs
+        // foreachBatch in a cloned session): the clone can inherit a
+        // stale cached file-list snapshot of the codes table from the
+        // session that started the stream, so refresh before reading —
+        // a stale snapshot here would resurrect already-indexed ids
+        // into `fresh` or hide a prior wave's appends from the anti-join
+        val sess = batch.sparkSession
+        sess.catalog.refreshTable(s"${base}_codes")
+        val already = sess.table(s"${base}_codes")
+          .select(org.apache.spark.sql.functions.col("neighbor_id"))
+        val fresh = batch.toDF().join(already,
+          batch(idCol).cast("long") === already("neighbor_id"),
+          "left_anti")
+        graft.operators.AnnIndex.appendToAnnIndex(sess, fresh,
           idCol, vecCol, base, buckets)
       }
       .start()
     q.awaitTermination()
+    // every append ran in the stream's cloned session; drop the
+    // caller-session snapshot so its next read lists the new files
+    spark.catalog.refreshTable(s"${base}_codes")
   }
 }

@@ -305,6 +305,15 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
       e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
     assert(spark.table("sstate_codes").count() === n0)
+    // at-least-once redelivery (crash between append commit and
+    // checkpoint write): wiping the checkpoint replays EVERY source
+    // file as a fresh batch — the already-indexed anti-join must make
+    // the replay a no-op instead of duplicating the codes table
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckp))
+    graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
+      e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
+    assert(spark.table("sstate_codes").count() === n0,
+      "redelivered batches must not duplicate index rows")
     // appended vectors are immediately searchable
     val hits = AnnIndex.ivfPqTopKBucketed(spark,
         e2.filter(col("vec_id") < 30), "vec_id", "embedding", k = 5,
