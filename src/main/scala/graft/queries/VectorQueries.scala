@@ -560,17 +560,26 @@ object VectorQueries {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
 
+        // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
+        // found among banded candidates at est >= 0.5 (DedupSpec's
+        // proven definition — banding misses AND estimation slack).
+        // The exact-Jaccard chain (shingle-set pin + prefix-filter +
+        // verify) and the signature chain (sig pin + banding) are the
+        // two heaviest independent plans in the digest and used to run
+        // back-to-back inside this branch — its ~5 s made it the whole
+        // digest's critical path. Each gets its own future; the exact
+        // side is pinned so its n² verify work runs here, overlapped,
+        // instead of inside the final fused action
+        val fExactJac = Future {
+          graft.ops.materialize(
+            Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+              .select("doc_a", "doc_b"))
+        }
         val fMinhashAndParity = Future {
-          // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
-          // found among banded candidates at est >= 0.5 (DedupSpec's
-          // proven definition — banding misses AND estimation slack)
-          val exactJac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
-            .select("doc_a", "doc_b")
           // signatures are per-row, so ONE pinned full-corpus pass
           // feeds the candidate scan AND both incremental batches by
           // filtering — this branch used to pay the signature
-          // aggregation three times (full + both halves) and was the
-          // digest's critical path
+          // aggregation three times (full + both halves)
           val sigsAll = graft.ops.materialize(Dedup.minHashSignatures(
             docs, "doc_id", "text", n = 3, k = 64,
             baseHash = Some(Dedup.md5Hash60)))
@@ -598,6 +607,9 @@ object VectorQueries {
             .select(col("doc_b").as("doc_id")).distinct()
           val oneShotSurv = docs.filter(col("doc_id") >= 250)
             .join(oneShotDrop, Seq("doc_id"), "left_anti")
+          val exactJac = Await.result(fExactJac,
+            scala.concurrent.duration.Duration(20,
+              scala.concurrent.duration.MINUTES))
           evalRows(
             digest("minhash_lsh_candidates", mhCand, exactJac,
               Seq("doc_a", "doc_b")),
