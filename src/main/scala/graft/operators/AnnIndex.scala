@@ -54,10 +54,25 @@ object AnnIndex {
     * by a previous session is invisible to a fresh in-memory catalog,
     * so Overwrite alone would refuse the "orphaned directory" case. */
   private def dropStale(spark: SparkSession, table: String): Unit = {
+    // the warehouse/<name> orphan-path derivation below only holds for
+    // unqualified names in the default database; a qualified base would
+    // compute the wrong path (deleting a sibling, missing the orphan)
+    require(!table.contains("."),
+      s"index base must be an unqualified default-database table name, " +
+        s"got '$table'")
+    // if the table IS registered, trust the catalog for its location
+    val catalogLoc =
+      if (spark.catalog.tableExists(table))
+        scala.util.Try(new org.apache.hadoop.fs.Path(
+          new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+            .filter(col("col_name") === "Location")
+            .select("data_type").head().getString(0)))).toOption
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new org.apache.hadoop.fs.Path(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
-    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val p = catalogLoc.getOrElse(
+      new org.apache.hadoop.fs.Path(wh, table.toLowerCase))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 

@@ -13,27 +13,60 @@ import graft.operators.Similarity
  */
 object VectorQueries {
 
+  /** (row count, id-sum fingerprint) of the dump's corpus — the
+    * partition key of every model dump. Count alone let two corpora
+    * that coincide in size clobber each other's /tmp dumps (ADVICE r7);
+    * the id sum is exact integer arithmetic BOTH engines compute, so
+    * one static SQL string still selects its own corpus's dump. */
+  private[queries] def corpusKey(e: org.apache.spark.sql.DataFrame)
+      : (Long, Long) = {
+    val r = e.agg(count(lit(1)), sum(col("vec_id").cast("long"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Write one oracle model dump atomically: stage into a dot-dir the
+    * hive globs can't match, then rename over the (n, fp)-keyed
+    * partition — a concurrent reader sees the old dump or the new,
+    * never a half-written directory. Same-corpus concurrent writers
+    * race only between bit-identical dumps (the fits are
+    * deterministic), so either winner is correct. */
+  private[queries] def dumpOracle(df: org.apache.spark.sql.DataFrame,
+                                  name: String, n: Long, fp: Long): Unit = {
+    val spark = df.sparkSession
+    val fin = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_ann_oracle/$name/n=$n/fp=$fp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_ann_oracle/$name/.tmp-${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fin.getParent)
+    fs.delete(fin, true)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"oracle dump rename failed: $tmp -> $fin")
+  }
+
   /** Dump deterministically-fitted centroids as oracle-readable data,
-    * keyed by corpus size so one static SQL string finds its own SF's
-    * dump (the q43b/q91/q122 replay mechanism). */
+    * keyed by the corpus (n, fp) so one static SQL string finds its own
+    * SF's dump (the q43b/q91/q122 replay mechanism). */
   private def dumpCentroids(s: org.apache.spark.sql.SparkSession,
-                            cents: Array[Array[Double]], n: Long,
+                            cents: Array[Array[Double]],
+                            corpus: org.apache.spark.sql.DataFrame,
                             name: String): Unit = {
     import s.implicits._
-    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-      .toDF("centroid_id", "v").coalesce(1).write.mode("overwrite")
-      .parquet(s"/tmp/graft_ann_oracle/$name/n=$n")
+    val (n, fp) = corpusKey(corpus)
+    dumpOracle(cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("centroid_id", "v"), name, n, fp)
   }
 
   /** Dump a PQ model's codebooks the same way (shared by q113 and the
     * composite digest, so the path/schema cannot drift). */
   private def dumpCodebooks(s: org.apache.spark.sql.SparkSession,
                             model: graft.operators.ProductQuant.PqModel,
-                            n: Long): Unit = {
+                            corpus: org.apache.spark.sql.DataFrame): Unit = {
     import s.implicits._
-    graft.operators.ProductQuant.codebookRows(model)
-      .toDF("subspace", "code", "v").coalesce(1).write.mode("overwrite")
-      .parquet(s"/tmp/graft_ann_oracle/pq_cb/n=$n")
+    val (n, fp) = corpusKey(corpus)
+    dumpOracle(graft.operators.ProductQuant.codebookRows(model)
+      .toDF("subspace", "code", "v"), "pq_cb", n, fp)
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -113,20 +146,20 @@ object VectorQueries {
         val e = Tables.load(s, dir, "embeddings")
         val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
           nCentroids = 16, iters = 8)
-        dumpCentroids(s, cents, e.count(), "ivf_cents")
+        dumpCentroids(s, cents, e, "ivf_cents")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 20),
             "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
             centroids = Some(cents))
           .select(col("query_id"), col("rank"), col("neighbor_id"))
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v,
                  sqrt(list_inner_product(v, v)) AS cnrm
-          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         e AS (SELECT CAST(vec_id AS BIGINT) AS id,
                      CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -181,7 +214,7 @@ object VectorQueries {
         val model = graft.operators.ProductQuant.fit(
           e, "embedding", dim = 64, m = 16, k = 16,
           idCol = Some("vec_id"))
-        dumpCodebooks(s, model, e.count())
+        dumpCodebooks(s, model, e)
         val encoded = e.select(col("vec_id"),
           graft.operators.ProductQuant.encode(col("embedding"), model)
             .as("codes"))
@@ -190,13 +223,13 @@ object VectorQueries {
           k = 10, model)
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
         cb AS (
           SELECT subspace, code, v,
                  list_inner_product(v, v) / 2 AS half
-          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         e AS (SELECT CAST(vec_id AS BIGINT) AS id,
                      CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
@@ -253,31 +286,30 @@ object VectorQueries {
         graft.operators.AnnIndex.writeAnnIndex(e, "vec_id", "embedding",
           base = "graft_ann_q122", dim = 64, nCentroids = 16, m = 16,
           pqK = 16, buckets = 8)
-        val n = e.count()
+        val (n, fp) = corpusKey(e)
         for (t <- Seq("centroids", "codebooks", "codes"))
-          s.table(s"graft_ann_q122_$t").write.mode("overwrite")
-            .parquet(s"/tmp/graft_ann_oracle/$t/n=$n")
+          dumpOracle(s.table(s"graft_ann_q122_$t"), t, n, fp)
         graft.operators.AnnIndex.ivfPqTopKBucketed(s,
           e.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 10, base = "graft_ann_q122", nProbe = 4)
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v
-          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         cb AS (
           SELECT subspace, code, v
-          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         codes AS (
           SELECT neighbor_id, centroid_id, codes
-          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
                      CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 20),
@@ -463,18 +495,18 @@ object VectorQueries {
         val e = Tables.load(s, dir, "embeddings")
         val cents = Similarity.fitCentroids(e, "vec_id", "embedding",
           nCentroids = 8, iters = 8)
-        dumpCentroids(s, cents, e.count(), "semdedup_cents")
+        dumpCentroids(s, cents, e, "semdedup_cents")
         Similarity.semanticDedup(e, "vec_id", "embedding", eps = 0.4,
             nCentroids = 8, centroids = Some(cents))
           .select(col("vec_id"))
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v
-          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         e AS (SELECT CAST(vec_id AS BIGINT) AS id,
                      CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -557,8 +589,31 @@ object VectorQueries {
         // 7.7 → ~3.5 s at sf0.1 — while every branch stays bit-
         // identical (no shared mutable state; the assembled rows keep
         // the original order).
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        // size the branch pool from LIVE parallelism, not the static
+        // core count: four branches each driving Spark actions are the
+        // right call on an idle 32-core box, but on a contended machine
+        // they oversubscribe and multiply the external load (the r7
+        // driver run recorded 3.8× under exactly that). One branch per
+        // ~8 free cores, floor 1 — and submission order is FIFO, so the
+        // pool-of-1 case degrades to the sequential plan (fExactJac is
+        // submitted before the branch that awaits it; no deadlock).
+        val branchPool = {
+          val procs = Runtime.getRuntime.availableProcessors()
+          val load =
+            java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+              case os: com.sun.management.OperatingSystemMXBean => os.getCpuLoad
+              case _ => Double.NaN
+            }
+          val freeCores =
+            if (load.isNaN || load < 0) procs
+            else math.max(1, (procs * (1.0 - load)).toInt)
+          math.max(1, math.min(4, freeCores / 8))
+        }
+        val branchExecutor =
+          java.util.concurrent.Executors.newFixedThreadPool(branchPool)
+        implicit val branchEc: ExecutionContext =
+          ExecutionContext.fromExecutorService(branchExecutor)
 
         // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
         // found among banded candidates at est >= 0.5 (DedupSpec's
@@ -635,7 +690,7 @@ object VectorQueries {
           // alone leaves a valid model on disk), and search with it
           val ivfCents = Similarity.fitCentroids(e, "vec_id", "embedding",
             nCentroids = 16, iters = 8)
-          dumpCentroids(s, ivfCents, e.count(), "ivf_cents")
+          dumpCentroids(s, ivfCents, e, "ivf_cents")
           val ivfK = Similarity.ivfTopK(e, queries20,
             "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
             centroids = Some(ivfCents))
@@ -664,7 +719,7 @@ object VectorQueries {
           // Fit once, dump for the composite oracle (≡ q91's dump)
           val semCents = Similarity.fitCentroids(e, "vec_id", "embedding",
             nCentroids = 8, iters = 8)
-          dumpCentroids(s, semCents, e.count(), "semdedup_cents")
+          dumpCentroids(s, semCents, e, "semdedup_cents")
           val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
             eps = 0.4, nCentroids = 8, centroids = Some(semCents))
             .select(col("vec_id").cast("long").as("vec_id"))
@@ -686,7 +741,7 @@ object VectorQueries {
             e, "embedding", dim = 64, m = 16, k = 16,
             idCol = Some("vec_id"))
           // dump for the composite oracle (≡ q113's dump, same fit)
-          dumpCodebooks(s, pqModel, e.count())
+          dumpCodebooks(s, pqModel, e)
           val encoded = e.select(col("vec_id"),
             graft.operators.ProductQuant.encode(col("embedding"), pqModel)
               .as("codes"))
@@ -702,8 +757,9 @@ object VectorQueries {
         val timeout = scala.concurrent.duration.Duration(20,
           scala.concurrent.duration.MINUTES)
         val Seq(mhRows, topkRows, pairRows, adcRows) =
-          Seq(fMinhashAndParity, fTopK, fPairs, fAdc)
+          try Seq(fMinhashAndParity, fTopK, fPairs, fAdc)
             .map(Await.result(_, timeout))
+          finally branchExecutor.shutdown()
         // original digest row order: minhash, lsh, ivf, lshPairs, adc,
         // semdedup, parity
         (Seq(mhRows.head) ++ topkRows ++ Seq(pairRows.head) ++ adcRows ++
@@ -767,7 +823,7 @@ object VectorQueries {
           SELECT doc_id FROM documents
           WHERE doc_id >= 250 AND doc_id NOT IN (
             SELECT doc_b FROM mh WHERE doc_b >= 250)),
-        nn AS (SELECT count(*) AS n FROM embeddings),
+        nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
         e AS (SELECT CAST(vec_id AS BIGINT) AS id,
                      CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
@@ -805,9 +861,9 @@ object VectorQueries {
           WHERE rn <= 5),
         icent AS (
           SELECT centroid_id, v, sqrt(list_inner_product(v, v)) AS cnrm
-          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/ivf_cents/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         iasim AS (
           SELECT e.id, c.centroid_id,
                  list_inner_product(e.v, c.v) / (e.nrm * c.cnrm) AS csim
@@ -865,9 +921,9 @@ object VectorQueries {
                   >= CAST(0.4 AS DOUBLE)),
         cb AS (
           SELECT subspace, code, v, list_inner_product(v, v) / 2 AS half
-          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/pq_cb/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         enc AS (
           SELECT id, subspace, code FROM (
             SELECT s2.id, s2.subspace, s2.code, row_number() OVER (
@@ -910,9 +966,9 @@ object VectorQueries {
           WHERE rn <= 5),
         scent AS (
           SELECT centroid_id, v
-          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*.parquet',
+          FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*/*.parquet',
                             hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn)),
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
         scell AS (
           SELECT id, centroid_id AS cell FROM (
             SELECT e.id, c.centroid_id, row_number() OVER (

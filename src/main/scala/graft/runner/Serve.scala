@@ -215,6 +215,10 @@ object Serve {
               else s"Failed: ${e.getMessage}"
             },
             runNote = note)
+          // the run has committed; a deadline lapsing during the
+          // post-run watermark read must not convert success into a
+          // 500 Failed-timeout
+          deadline.disarm()
           val wm = control.lastWatermark(p.name)
           (200, s"""{"pipeline":"${p.name}","status":"Successful",""" +
             s""""rows":$rows,"watermark":"$wm"}""")

@@ -267,8 +267,13 @@ object EventStreams {
         sess.catalog.refreshTable(s"${base}_codes")
         val already = sess.table(s"${base}_codes")
           .select(org.apache.spark.sql.functions.col("neighbor_id"))
-        val fresh = batch.toDF().join(already,
-          batch(idCol).cast("long") === already("neighbor_id"),
+        // a null (or non-numeric) id can never match the anti-join
+        // condition, so it would be re-appended on EVERY redelivery —
+        // ids are the idempotency key and must be non-null longs
+        val keyed = batch.toDF()
+          .filter(batch(idCol).cast("long").isNotNull)
+        val fresh = keyed.join(already,
+          keyed(idCol).cast("long") === already("neighbor_id"),
           "left_anti")
         graft.operators.AnnIndex.appendToAnnIndex(sess, fresh,
           idCol, vecCol, base, buckets)
