@@ -114,6 +114,17 @@ object CorpusStats {
     df.filter(saltedHash(col(keyCol), salt) < threshold)
   }
 
+  /** [[hexThreshold]] as a column expression — the same formula built
+    * in the plan, so a keep-rate computed per ROW (unbounded domain
+    * cardinality) never becomes a per-domain string literal. */
+  private[graft] def hexThresholdCol(f: Column): Column =
+    when(f >= 1.0, lit("g"))
+      .when(f <= 0.0, lit(""))
+      .otherwise(concat(
+        lpad(lower(hex(least(round(f * 4294967296.0),
+          lit(4294967295.0)).cast("long"))), 8, "0"),
+        lit("f" * 24)))
+
   /**
    * Temperature-scaled domain mixture — the multilingual sampling rule
    * of Lample & Conneau 2019 (XLM §3.1) that every large-corpus
@@ -124,14 +135,24 @@ object CorpusStats {
    * `budgetFraction · N` rows, domain d keeps
    * `r_d = min(1, budgetFraction · N · p_d / n_d)` of its rows.
    *
-   * The per-domain count table is a bounded driver-side model artifact
-   * (one row per language/source — same standing as the IVF
-   * centroids), computed with a deterministic sorted fold so the rates
-   * are engine-reproducible; `alpha = 0.5` uses `sqrt` (IEEE
-   * correctly-rounded, so an external oracle regenerates the exact
-   * doubles — `pow` carries no such guarantee). The data path is
-   * [[weightedSample]]: one pushable md5-threshold predicate per row,
-   * no shuffle, no RNG state.
+   * Counts, weights, normalizer and rates all stay DataFrames end to
+   * end: at web scale "domain" is millions of hosts, so a driver-side
+   * collect (100s of MB) or a `when`-chain with one branch per domain
+   * (codegen blowup past the 64 KB method limit) is the wrong plan —
+   * this was r7's one flagged scale-killer. The temperature weight is
+   * quantized to an integer, `w_q = round(n^alpha · 1e6)`: BIGINT sums
+   * are exact and associative, so the normalizer `za = Σ w_q` needs NO
+   * ordering discipline to be engine-reproducible (the q83/q119
+   * integer-quantization pattern), unlike the old sorted float fold —
+   * and an external oracle replays it with a plain SUM. `alpha = 0.5`
+   * uses `sqrt` (IEEE correctly-rounded; `pow` carries no such
+   * guarantee). The ~1e-6 relative quantization error is a mixture-
+   * budget rounding far below any training-relevant signal; domains up
+   * to ~1e12 rows keep `za` safely inside BIGINT.
+   *
+   * The data path is scan → broadcast-join of the (domain, threshold)
+   * table → per-row md5 compare: the corpus itself never shuffles, and
+   * only the domain-count aggregation exchanges (keyed on the domain).
    */
   def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
                          alpha: Double, budgetFraction: Double,
@@ -139,23 +160,30 @@ object CorpusStats {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(budgetFraction > 0.0 && budgetFraction <= 1.0,
       s"budgetFraction must be in (0,1], got $budgetFraction")
-    def w(n: Long): Double =
-      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     // null-domain rows are excluded from BOTH the budget math and the
-    // output (weightedSample's equality match can never select them);
-    // counting them would silently inflate every other domain's rate
+    // output (the inner rate join can never select them); counting
+    // them would silently inflate every other domain's rate
     val domained = df.filter(col(domainCol).isNotNull)
-    val counts = domained.groupBy(col(domainCol)).count()
-      .collect() // bounded: one row per domain
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
-      .sortBy(_._1)
-    val total = counts.map(_._2).sum.toDouble
-    val za = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
-    val rates = counts.map { case (d, n) =>
-      d -> math.min(1.0, budgetFraction * total * w(n) / za / n)
-    }.toMap
-    weightedSample(domained, keyCol, domainCol, rates,
-      defaultFraction = 0.0, salt = salt)
+    val wq =
+      if (alpha == 0.5) round(sqrt(col("__n").cast("double")) * 1e6)
+        .cast("long")
+      else round(pow(col("__n").cast("double"), alpha) * 1e6).cast("long")
+    val weighted = domained.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq", wq)
+    val scalars = weighted.agg(sum(col("__n")).as("__total"),
+      sum(col("__wq")).as("__za"))
+    // r_d as a fixed left-to-right double-op sequence over exact
+    // integer scalars — bit-reproducible by any engine that mirrors it
+    val rates = weighted.crossJoin(broadcast(scalars))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetFraction) * col("__total").cast("double")
+          * col("__wq").cast("double") / col("__za").cast("double")
+          / col("__n").cast("double")))
+      .select(col("__dom"), hexThresholdCol(col("__rate")).as("__thr"))
+    domained.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(saltedHash(col(keyCol), salt) < col("__thr"))
+      .drop("__dom", "__thr")
   }
 
   /**

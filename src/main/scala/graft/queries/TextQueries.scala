@@ -921,19 +921,22 @@ object TextQueries {
           -- budget math and the output; mirror that here
           SELECT lang, count(*) AS n FROM documents
           WHERE lang IS NOT NULL GROUP BY 1),
+        wcounts AS (
+          -- integer-quantized temperature weight: BIGINT sums are
+          -- exact in any order, so the normalizer needs no fold
+          -- discipline (mirrors CorpusStats.temperatureMixture)
+          SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+          FROM counts),
         agg AS (
-          SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
-                 CAST(sum(n) AS DOUBLE) AS nt FROM counts),
-        za AS (
-          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   [sqrt(x) for x in ns]), (a, b) -> a + b) AS sa, nt
-          FROM agg),
+          SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                 CAST(sum(wq) AS DOUBLE) AS za FROM wcounts),
         rates AS (
           SELECT c.lang,
                  least(CAST(1.0 AS DOUBLE),
-                   CAST(0.5 AS DOUBLE) * z.nt * sqrt(CAST(c.n AS DOUBLE))
-                     / z.sa / c.n) AS r
-          FROM counts c CROSS JOIN za z),
+                   CAST(0.5 AS DOUBLE) * z.nt * CAST(c.wq AS DOUBLE)
+                     / z.za / CAST(c.n AS DOUBLE)) AS r
+          FROM wcounts c CROSS JOIN agg z),
         thresholds AS (
           SELECT lang,
             CASE WHEN r >= 1.0 THEN 'g'
@@ -945,9 +948,9 @@ object TextQueries {
         FROM documents d JOIN thresholds t USING (lang)
         WHERE md5(CAST(d.doc_id AS VARCHAR) || 'mix') < t.th"""),
       "temperature-scaled multilingual mixture (XLM alpha=0.5, half " +
-        "budget): per-domain keep rates from a sorted sqrt fold, " +
-        "applied as pushable md5-threshold predicates — no shuffle on " +
-        "the data path"),
+        "budget): per-domain keep rates from an exact integer-quantized " +
+        "normalizer, broadcast-joined as md5 thresholds — the corpus " +
+        "side never shuffles and no expression grows with domain count"),
 
     QuerySpec("q118_curation_v2",
       (s, dir) => {
@@ -959,8 +962,9 @@ object TextQueries {
             window = 8, minDocs = 2, baseHash = Some(Dedup.md5Hash60))
           .filter(col("total_tokens") > 0 && col("dup_coverage") < 0.8)
           .select("doc_id")
-        // pinned: temperatureMixture's count collect AND the final
-        // result both read the coverage pass, which must run once
+        // pinned: temperatureMixture's domain-count aggregation AND the
+        // final filtered join both scan the survivors of the (expensive)
+        // coverage pass, which must run once
         val kept = graft.ops.materialize(
           docs.join(keepIds, Seq("doc_id"), "left_semi"))
         graft.operators.CorpusStats.temperatureMixture(kept, "doc_id",
@@ -999,19 +1003,19 @@ object TextQueries {
           -- mirror temperatureMixture's null-domain exclusion
           SELECT lang, count(*) AS n FROM keptdocs
           WHERE lang IS NOT NULL GROUP BY 1),
+        wcounts AS (
+          SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+          FROM counts),
         agg AS (
-          SELECT list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
-                 CAST(sum(n) AS DOUBLE) AS nt FROM counts),
-        za AS (
-          SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                   [sqrt(x) for x in ns]), (a, b) -> a + b) AS sa, nt
-          FROM agg),
+          SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                 CAST(sum(wq) AS DOUBLE) AS za FROM wcounts),
         rates AS (
           SELECT c.lang,
                  least(CAST(1.0 AS DOUBLE),
-                   CAST(0.5 AS DOUBLE) * z.nt * sqrt(CAST(c.n AS DOUBLE))
-                     / z.sa / c.n) AS r
-          FROM counts c CROSS JOIN za z),
+                   CAST(0.5 AS DOUBLE) * z.nt * CAST(c.wq AS DOUBLE)
+                     / z.za / CAST(c.n AS DOUBLE)) AS r
+          FROM wcounts c CROSS JOIN agg z),
         thresholds AS (
           SELECT lang,
             CASE WHEN r >= 1.0 THEN 'g'

@@ -168,11 +168,19 @@ class PlanSpec extends SparkSpec {
     exchanges.foreach(l => assert(!l.contains("span#") || l.contains("span_hash"), l))
   }
 
-  test("q117 temperature mixture: the data path is one shuffle-free " +
-      "filtered scan (rates are a bounded driver artifact)") {
+  test("q117 temperature mixture: rates broadcast onto an unshuffled " +
+      "corpus scan; only the domain-keyed count agg exchanges") {
     val p = formatted("q117_temperature_mixture")
-    assert(!p.contains("Exchange"), p)
-    assert(p.contains("codegen id"), p)
+    // the (domain, threshold) table joins as a broadcast, never a sort-
+    // merge — the corpus side stays a filtered scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus rows are never hash-partitioned: every shuffle keys on the
+    // domain column (the counts side, bounded by domain cardinality)
+    // (no codegen-id assert: the plan is AQE-wrapped now that it has
+    // exchanges, and un-executed adaptive plans print no codegen ids)
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .foreach(l => assert(l.contains("lang"), l))
   }
 
   test("q119 KN bigram: every count aggregation combines map-side") {

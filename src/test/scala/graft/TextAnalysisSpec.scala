@@ -420,6 +420,29 @@ class TextAnalysisSpec extends SparkSpec {
       && kept.select("doc_id").except(keptN.select("doc_id")).count() === 0)
   }
 
+  test("temperatureMixture plan stays flat at 150k domains (no " +
+      "per-domain expression; corpus side never hash-partitioned)") {
+    import graft.operators.CorpusStats
+    // two rows per domain, 150k domains: the retired design collected
+    // every domain to the driver and built a when-chain with one branch
+    // per domain — at this cardinality that plan would blow the 64 KB
+    // codegen method limit before ever running
+    val docs = spark.range(300000L).select(col("id").as("doc_id"),
+      concat(lit("host-"), col("id") % 150000L).as("domain"))
+    val kept = CorpusStats.temperatureMixture(
+      docs, "doc_id", "domain", alpha = 0.5, budgetFraction = 0.5)
+    val plan = kept.queryExecution.executedPlan.toString
+    // flat in domain cardinality: no domain value is embedded in the
+    // plan, and the plan text is orders of magnitude below what 150k
+    // inlined branches would produce
+    assert(!plan.contains("host-1,"), "per-domain literal in plan")
+    assert(plan.length < 50000, s"plan grew with domain count: ${plan.length}")
+    // every n_d = 2 → r_d = budget = 0.5 exactly; the md5 carve keeps
+    // roughly half (loose bounds; determinism is covered above)
+    val n = kept.count()
+    assert(n > 120000L && n < 180000L, n)
+  }
+
   test("bigramKnScore: hand-checked KN probabilities; rare continuations " +
       "cost more") {
     import spark.implicits._
