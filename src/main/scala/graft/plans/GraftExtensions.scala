@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WindowHashes.info,
       (children: Seq[Expression]) =>
         WindowHashes(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv"), KmvSketch.info,
+      (children: Seq[Expression]) =>
+        KmvSketch(children.head, children(1))))
   }
 }
 
@@ -62,5 +65,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_window_hashes"), WindowHashes.info,
       (children: Seq[Expression]) =>
         WindowHashes(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_kmv"), KmvSketch.info,
+      (children: Seq[Expression]) =>
+        KmvSketch(children.head, children(1)))
   }
 }

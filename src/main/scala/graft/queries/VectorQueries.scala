@@ -355,16 +355,52 @@ object VectorQueries {
         "state-side Exchange, bucket-pruned scan — the full ADC replay " +
         "verified by the driver oracle from the state read back as data"),
 
-    QuerySpec("q44b_approx_sketches",
-      (s, dir) => Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts_hll"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_price_approx"),
-          count(lit(1)).as("n")),
-      None,
-      "HLL++ distinct + approximate percentile — the sketch aggregates " +
-        "that replace exact distincts at 100 TB (mergeable, one pass)"),
+    // successor to q44b (HLL++/quantile sketches, whose engine-internal
+    // state was never oracle-replayable): the KMV sketch keeps the same
+    // 100 TB shape — mergeable bounded per-group state, one exchange —
+    // while every piece of its estimate replays in plain SQL (min-k of
+    // md5 hashes + one divide). HLL++/percentile_approx stay covered by
+    // KmvSpec's parity asserts rather than a driver no_oracle row.
+    QuerySpec("q123_kmv_distinct",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            call_function("graft_kmv",
+              graft.operators.Dedup.md5Hash60(col("l_partkey").cast("string")),
+              lit(256)).as("nd_parts_kmv"),
+            countDistinct(col("l_partkey")).as("nd_parts_exact"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT DISTINCT l_returnflag,
+                 ${TextQueries.md5Hash60Sql("CAST(l_partkey AS VARCHAR)")} AS hv
+          FROM lineitem),
+        r AS (
+          SELECT l_returnflag, hv,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY hv) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS nd
+          FROM h),
+        est AS (
+          SELECT l_returnflag,
+                 CASE WHEN nd < 256 THEN nd
+                      ELSE CAST(floor(CAST(255 AS DOUBLE) *
+                             1152921504606846976.0 / CAST(hv AS DOUBLE))
+                           AS BIGINT) END AS nd_parts_kmv
+          FROM r WHERE rn = least(nd, 256)),
+        ex AS (
+          SELECT l_returnflag,
+                 CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts_exact,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1)
+        SELECT e.l_returnflag, est.nd_parts_kmv, e.nd_parts_exact, e.n
+        FROM ex e JOIN est USING (l_returnflag)"""),
+      "KMV distinct-count sketch (k-minimum-values, Bar-Yossef 2002): " +
+        "mergeable bounded state like HLL++, but the estimate — min-k " +
+        "md5 hashes + one divide — replays exactly in external SQL"),
 
     QuerySpec("q60_cosine_neardup",
       (s, dir) => {
