@@ -191,4 +191,57 @@ object AnnIndex {
         (-ProductQuant.adcDist(model)).as("neg_dist"))
     ProductQuant.pqTopK(scored, k)
   }
+
+  /**
+   * [[ivfPqTopKBucketed]] without the query-batch collect: probe cells
+   * and ADC tables are computed as per-row COLUMN expressions on the
+   * query DataFrame, so a million-query nightly batch never funnels
+   * through the driver. Only the MODEL is still read driver-side — a
+   * bounded artifact (nCentroids + m·k rows, a few KB) of the same
+   * standing as a control-table read.
+   *
+   * Bit-parity with the driver path (asserted in AnnIndexSpec): the
+   * probe cosine decomposes into three `graft_dot` sequential folds —
+   * `dot(q,c)/sqrt(dot(q,q)·dot(c,c))`, the exact accumulation order of
+   * the driver's `cosArr` — and probe ranking sorts (−cos, cid) structs,
+   * the driver's exact tiebreak; tables come from
+   * [[ProductQuant.distTablesCol]]. Probe selection is pure per-row
+   * expression work: NO shuffle anywhere before the final k·|Q| top-k
+   * exchange, and the state side is still one bucketed scan.
+   *
+   * Tradeoffs vs the driver path, which remains the default for small
+   * |Q|: the probed-cell set is not driver-known, so the codes scan
+   * cannot isin-prune to the probed buckets (at large |Q| most cells
+   * are probed anyway); and the broadcast carries |Q|·nProbe probe rows
+   * — chunk batches beyond the broadcast budget.
+   */
+  def ivfPqTopKBucketedDF(spark: SparkSession, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          base: String, nProbe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val (cents, model) = readModel(spark, base)
+    def cos(v: Column, cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      Similarity.dot(v, c) /
+        sqrt(Similarity.dot(v, v) * Similarity.dot(c, c))
+    }
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("tables", ProductQuant.distTablesCol(col("__qv"), model))
+      // rank centroids per row: ascending struct sort on (−cos, cid)
+      // ≡ the driver's sortBy(−cosArr, cid)
+      .withColumn("__probe", slice(array_sort(array(cents.map {
+        case (cid, cv) =>
+          struct((-cos(col("__qv"), cv)).as("negc"), lit(cid).as("cid"))
+      }: _*)), 1, nProbe))
+      .select(col("query_id"), col("tables"),
+        explode(col("__probe.cid")).as("centroid_id"))
+    val state = spark.table(s"${base}_codes")
+    val scored = state.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-ProductQuant.adcDist(model)).as("neg_dist"))
+    ProductQuant.pqTopK(scored, k)
+  }
 }

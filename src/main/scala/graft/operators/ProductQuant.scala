@@ -157,6 +157,22 @@ object ProductQuant {
       }
     }
 
+  /** [[distTables]] as a COLUMN over the query-vector column — the
+    * DF-native twin for query batches too large to collect. Each cell
+    * is a sequential `aggregate` fold over the subspace (acc + (x−y)²
+    * element by element), the exact addition order of the driver loop,
+    * so both paths produce bit-identical tables (asserted in
+    * AnnIndexSpec). Expression size is model-bounded (m·k cells), never
+    * query- or corpus-bounded. */
+  private[operators] def distTablesCol(v: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      val sub = slice(v, j * model.subDim + 1, model.subDim)
+      array(model.codebooks(j).toIndexedSeq.map { c =>
+        aggregate(zip_with(sub, typedLit(c.toSeq),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      }: _*)
+    }: _*)
+
   /** The `m`-lookup ADC distance of a `codes` row against the
     * broadcast `tables` column — a fixed left-to-right addition chain,
     * never reassociated (oracle replay depends on it). */

@@ -111,6 +111,43 @@ class AnnIndexSpec extends SparkSpec {
     } finally prev.foreach { case (kk, v) => spark.conf.set(kk, v) }
   }
 
+  test("DF-native probe path ≡ driver path bit-identical; one bounded " +
+      "exchange, state side unshuffled") {
+    freshTables()
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val driver = rows(AnnIndex.ivfPqTopKBucketed(spark, q,
+      "vec_id", "embedding", k, Base, nProbe))
+    // probe cosines, probe ranking, ADC tables and distances must all
+    // reproduce the driver path's doubles exactly — sq_dist included
+    val dfNative = rows(AnnIndex.ivfPqTopKBucketedDF(spark, q,
+      "vec_id", "embedding", k, Base, nProbe))
+    assert(dfNative === driver)
+    assert(driver.nonEmpty)
+    // plan shape: probe selection is pure per-row expression work, so
+    // the ONLY ShuffleExchange in the whole plan is the k·|Q|-bounded
+    // top-k aggregate; the codes side joins broadcast, never shuffled
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = AnnIndex.ivfPqTopKBucketedDF(spark, q, "vec_id",
+        "embedding", k, Base, nProbe).queryExecution.executedPlan
+      val shuffles = plan.collect { case ex: ShuffleExchangeExec => ex }
+      assert(shuffles.size == 1,
+        s"expected exactly the top-k exchange, got ${shuffles.size}:\n$plan")
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == s"${Base}_codes") => f
+      }
+      assert(stateScans.nonEmpty, s"expected a codes-table scan:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("append encodes with the persisted model and never re-fits") {
     freshTables()
     val e = embeddings
