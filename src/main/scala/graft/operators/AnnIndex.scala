@@ -89,7 +89,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
-    for (t <- Seq("centroids", "codebooks", "codes"))
+    for (t <- Seq("centroids", "codebooks", "codes", "stats"))
       dropStale(spark, s"${base}_$t")
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol, nCentroids,
         centroidIters, sampleSize)
@@ -106,6 +106,97 @@ object AnnIndex {
       .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
       .format("parquet").mode(SaveMode.Overwrite)
       .saveAsTable(s"${base}_codes")
+    // build-time model-fit baseline: appends encode with THIS frozen
+    // model, so recall decay under drift shows up as appended batches
+    // whose vectors the model reconstructs worse than the corpus it was
+    // fitted on. The rows are in hand during the build — no re-read.
+    writeFitStats(spark, corpus, vecCol, model, base,
+      generation = 0, overwrite = true)
+  }
+
+  /** Relative squared PQ reconstruction error
+    * `|v − decode(encode(v))|² / |v|²` — THE model-quality measure for
+    * a product quantizer (assignment-gap metrics are blind to drift on
+    * near-isotropic corpora, where any rotation leaves the cell-gap
+    * distribution unchanged; reconstruction error is not). Null (and
+    * excluded from stats) for zero vectors. */
+  private def reconErr(v: Column, model: PqModel): Column = {
+    val d = ProductQuant.decode(ProductQuant.encode(v, model), model)
+    val diff = zip_with(v, d, (a, b) => a - b)
+    val den = Similarity.dot(v, v)
+    when(den > 0.0, Similarity.dot(diff, diff) / den)
+  }
+
+  /** Append (or seed) one `<base>_stats` generation row: mean/p90 of
+    * [[reconErr]] over `rows`, computed while they are in hand. */
+  private def writeFitStats(spark: SparkSession, rows: DataFrame,
+                            vecCol: String, model: PqModel, base: String,
+                            generation: Int, overwrite: Boolean): Unit = {
+    import spark.implicits._
+    val r = rows
+      .select(reconErr(col(vecCol).cast("array<double>"), model).as("__e"))
+      .agg(avg(col("__e")), percentile_approx(col("__e"), lit(0.9),
+        lit(10000)), count(col("__e")))
+      .head()
+    val row = (generation,
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+      r.getLong(2))
+    Seq(row).toDF("generation", "mean_err", "p90_err", "n").coalesce(1)
+      .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .saveAsTable(s"${base}_stats")
+  }
+
+  /** Staleness of the persisted index: reconstruction error of the
+    * appended generations vs the build-time baseline. ~1.0 = appends
+    * still look like the corpus the model was fitted on. */
+  final case class Staleness(baselineMean: Double, baselineP90: Double,
+                             appendedMean: Double, appendedP90: Double,
+                             builtRows: Long, appendedRows: Long) {
+    /** Worse of the mean- and p90-error ratios; 1.0 with no appends. */
+    def ratio: Double = {
+      if (appendedRows == 0L) 1.0
+      else {
+        def r(c: Double, b: Double) =
+          if (b > 0.0) c / b
+          else if (c > 0.0) Double.PositiveInfinity else 1.0
+        math.max(r(appendedMean, baselineMean), r(appendedP90, baselineP90))
+      }
+    }
+  }
+
+  def staleness(spark: SparkSession, base: String): Staleness = {
+    val rows = spark.table(s"${base}_stats").collect() // one row per batch
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val Some((_, bMean, bP90, bN)) = rows.find(_._1 == 0): @unchecked
+    val app = rows.filter(t => t._1 > 0 && t._4 > 0)
+    val an = app.map(_._4).sum
+    val aMean = if (an == 0) 0.0
+      else app.map(t => t._2 * t._4).sum / an
+    // p90s of disjoint batches don't combine exactly; take the worst
+    // batch (conservative — a single drifted batch should raise alarms)
+    val aP90 = if (app.isEmpty) 0.0 else app.map(_._3).max
+    Staleness(bMean, bP90, aMean, aP90, bN, an)
+  }
+
+  /**
+   * Rebuild the index over `corpus` iff [[staleness]] exceeds
+   * `maxRatio` — the drift policy closing the append loop: appends
+   * encode with the frozen model ([[appendToAnnIndex]]), this notices
+   * when that model has stopped describing the data, and the rebuild
+   * (a fresh deterministic fit over the CURRENT corpus) restores the
+   * baseline. Returns true when a rebuild ran.
+   */
+  def rebuildIfStale(corpus: DataFrame, idCol: String, vecCol: String,
+                     base: String, dim: Int, maxRatio: Double = 1.25,
+                     nCentroids: Int = 16, m: Int = 16, pqK: Int = 16,
+                     buckets: Int = 16, centroidIters: Int = 8,
+                     sampleSize: Int = 2048): Boolean = {
+    val stale = staleness(corpus.sparkSession, base).ratio > maxRatio
+    if (stale)
+      writeAnnIndex(corpus, idCol, vecCol, base, dim, nCentroids, m, pqK,
+        buckets, centroidIters, sampleSize)
+    stale
   }
 
   /** Read the persisted model back (centroids ordered by id; PqModel
@@ -151,6 +242,12 @@ object AnnIndex {
     // serving the pre-append table
     spark.catalog.refreshTable(s"${base}_codes")
     rows.sparkSession.catalog.refreshTable(s"${base}_codes")
+    // record this batch's model-fit stats while the rows are in hand —
+    // the drift signal [[staleness]]/[[rebuildIfStale]] read later
+    writeFitStats(spark, rows, vecCol, model, base, generation = 1,
+      overwrite = false)
+    spark.catalog.refreshTable(s"${base}_stats")
+    rows.sparkSession.catalog.refreshTable(s"${base}_stats")
   }
 
   /**

@@ -19,7 +19,7 @@ class AnnIndexSpec extends SparkSpec {
   private def freshTables(): Unit = {
     spark.catalog.clearCache()
     for (t <- Seq(s"${Base}_centroids", s"${Base}_codebooks",
-        s"${Base}_codes")) {
+        s"${Base}_codes", s"${Base}_stats")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -186,6 +186,54 @@ class AnnIndexSpec extends SparkSpec {
     assert(c1 === c2)
     assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
       m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("staleness: drifted appends trip the metric, rebuild restores " +
+      "it and the recall floor") {
+    freshTables()
+    val e = embeddings
+    val e1 = e.filter(col("vec_id") % 5 =!= 0)
+    // production config (m=16) so a post-rebuild recall floor means
+    // something, as in the recall test below
+    AnnIndex.writeAnnIndex(e1, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = 16, pqK = 16, buckets = buckets)
+    // a fresh build has no appended generations: ratio is exactly 1
+    assert(AnnIndex.staleness(spark, Base).ratio === 1.0)
+    // drifted appends: rescaled + offset vectors — the embedding-model-
+    // swap shape of drift. The frozen codebooks were fitted on zero-
+    // centred components, so reconstruction error on the shifted batch
+    // jumps, exactly the decay the metric must see
+    val drifted = e.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.2) + lit(0.4))
+          .cast("array<float>"))
+    AnnIndex.appendToAnnIndex(spark, drifted, "vec_id", "embedding", Base,
+      buckets = buckets)
+    val after = AnnIndex.staleness(spark, Base)
+    assert(after.ratio > 1.25, s"drifted batch must trip: $after")
+    assert(after.appendedRows > 0 && after.builtRows > 0)
+    // the policy rebuilds over the current corpus and restores the
+    // baseline (fresh fit → fresh gen-0 stats; no appends → ratio 1)
+    val full = e1.unionByName(drifted)
+    assert(AnnIndex.rebuildIfStale(full, "vec_id", "embedding", Base, dim,
+      maxRatio = 1.25, nCentroids = nCent, m = 16, pqK = 16,
+      buckets = buckets))
+    assert(AnnIndex.staleness(spark, Base).ratio === 1.0)
+    // idempotent: a healthy index is left alone
+    assert(!AnnIndex.rebuildIfStale(full, "vec_id", "embedding", Base, dim,
+      maxRatio = 1.25, nCentroids = nCent, m = 16, pqK = 16,
+      buckets = buckets))
+    // recall floor re-asserted against exact L2 over the REBUILT state
+    val q = full.filter(col("vec_id") < 10)
+    val approx = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id", "embedding",
+      k, Base, nProbe = 6).select("query_id", "neighbor_id")
+    val exact = Similarity.l2TopK(full, q, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    val total = exact.count()
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    assert(total > 0 && hits.toDouble / total >= 0.3,
+      s"recall ${hits.toDouble / total} below floor after rebuild")
   }
 
   test("recall@k of the persisted index vs exact L2 is usable") {
