@@ -267,14 +267,16 @@ object Similarity {
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nCentroids: Int, iters: Int = 8,
                    sampleSize: Int = 2048,
-                   init: String = "farthest"): Array[Array[Double]] = {
-    require(init == "farthest" || init == "kmeans||",
-      s"init must be 'farthest' or 'kmeans||', got '$init'")
-    // NOTE: the default farthest-point init is O(sampleSize² · k) on
-    // the DRIVER — fine at the 2048 default (~4M dot products) and
-    // kept as default because the q43b/q91/q122 oracles replay fits
-    // made with it; past ~10⁴ samples pass init = "kmeans||" (linear
-    // in the sample, deterministic — see [[kmeansParSeed]]).
+                   init: String = "auto"): Array[Array[Double]] = {
+    require(init == "auto" || init == "farthest" || init == "kmeans||",
+      s"init must be 'auto', 'farthest' or 'kmeans||', got '$init'")
+    // Farthest-point init is O(sample² · k) on the DRIVER — fine at the
+    // 2048 default (~4M dot products) and the form the q43b/q91/q122
+    // oracles replay; "auto" switches to the linear deterministic
+    // kmeans|| seeding ([[kmeansParSeed]]) past 10⁴ ACTUAL samples so
+    // the default can never go quadratic on a big fit. Every shipped
+    // oracle config samples ≤ 2048, so "auto" ≡ "farthest" for them —
+    // an explicit init always wins.
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -291,12 +293,16 @@ object Similarity {
       .limit(sampleSize)
       .select("v").collect().map(r => normalize(r.getSeq[Double](0).toArray))
     require(sample.nonEmpty, "cannot fit centroids on an empty corpus")
+    val effectiveInit =
+      if (init == "auto") {
+        if (sample.length > 10000) "kmeans||" else "farthest"
+      } else init
     // farthest-point (k-center) init: deterministic and spread across
     // the sample regardless of its order — a naive first-k init
     // degenerates exactly when it matters (leading corpus rows sharing
     // a cluster, the common crawl-batch correlation)
     val init0 =
-      if (init == "kmeans||")
+      if (effectiveInit == "kmeans||")
         scala.collection.mutable.ArrayBuffer(
           kmeansParSeed(sample, nCentroids): _*)
       else {

@@ -89,6 +89,27 @@ class SimilaritySpec extends SparkSpec {
       Similarity.fitCentroids(e, "vec_id", "embedding", 8, init = "bogus"))
   }
 
+  test("auto init: farthest at oracle sample sizes, kmeans|| past 10k " +
+      "actual samples") {
+    import spark.implicits._
+    // >10⁴ deterministic vectors (8-dim, sin-formula components) — big
+    // enough to cross the auto threshold, cheap enough to fit twice
+    val dim = 8
+    val big = (0L until 12000L).map { i =>
+      (i, (0 until dim).map(d => math.sin((i + 1).toDouble * (d + 1) * 0.7)))
+    }.toDF("vec_id", "embedding")
+    def fit(sz: Int, how: String) = Similarity.fitCentroids(big,
+        "vec_id", "embedding", nCentroids = 8, iters = 2,
+        sampleSize = sz, init = how)
+      .map(_.toSeq).toSeq
+    // above the threshold the default resolves to kmeans|| — the
+    // quadratic farthest-point init can no longer sneak into a big fit
+    assert(fit(12000, "auto") === fit(12000, "kmeans||"))
+    // at the shipped oracle sample sizes the default still resolves to
+    // farthest-point, so every dumped model replays unchanged
+    assert(fit(2048, "auto") === fit(2048, "farthest"))
+  }
+
   test("k-means centroid fit beats the first-N stand-in at equal nProbe") {
     import org.apache.spark.sql.functions.col
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
