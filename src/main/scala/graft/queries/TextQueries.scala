@@ -1030,6 +1030,52 @@ object TextQueries {
         "feeding a temperature-rebalanced language mixture — the " +
         "round-6 operators composed end-to-end under one oracle"),
 
+    // the one corpus-state text operator that had no driver oracle:
+    // the raw fixture texts are single-line, so the query SYNTHESIZES a
+    // multi-line corpus deterministically (50 buckets of doc_id % 50,
+    // texts newline-joined in doc_id order, constant banner/footer on
+    // every bucket) — cross-bucket duplicated texts AND the injected
+    // constants both become boilerplate lines the dedup must strip,
+    // and DuckDB replays split → distinct-doc frequency → anti-join →
+    // in-order reassembly on the identical synthesized strings
+    QuerySpec("q124_global_line_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val synth = docs.groupBy((col("doc_id") % 50).as("gid"))
+          .agg(concat(lit("=== corpus banner ===\n"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")), "\n"),
+            lit("\n=== corpus footer ===")).as("text"))
+        graft.operators.TextAnalysis.globalLineDedup(
+            synth, "gid", "text", maxDocs = 2)
+          .select(col("gid"), col("text"))
+      },
+      Some("""
+        WITH synth AS (
+          SELECT CAST(doc_id % 50 AS BIGINT) AS gid,
+                 '=== corpus banner ===' || chr(10) ||
+                 string_agg(text, chr(10) ORDER BY doc_id) ||
+                 chr(10) || '=== corpus footer ===' AS text
+          FROM documents GROUP BY 1),
+        lines AS (
+          SELECT gid, unnest([{'p': i, 'l': ls[i]}
+                              for i in generate_series(1, len(ls))],
+                             recursive := true)
+          FROM (SELECT gid, string_split(text, chr(10)) AS ls FROM synth)),
+        boiler AS (
+          SELECT l FROM lines GROUP BY l HAVING count(DISTINCT gid) > 2),
+        rebuilt AS (
+          SELECT gid, string_agg(l, chr(10) ORDER BY p) AS cleaned
+          FROM lines WHERE l NOT IN (SELECT l FROM boiler)
+          GROUP BY gid)
+        SELECT s.gid, coalesce(r.cleaned, '') AS text
+        FROM synth s LEFT JOIN rebuilt r USING (gid)"""),
+      "corpus-global line dedup (C4/RefinedWeb boilerplate removal): " +
+        "line-hash frequency over distinct documents, anti-join, " +
+        "in-order reassembly — the shuffle carries (hash, doc, pos), " +
+        "never line text"),
+
     QuerySpec("q119_bigram_kn",
       (s, dir) => graft.operators.CorpusStats.bigramKnScore(
         Tables.load(s, dir, "documents"), "doc_id", "text"),
