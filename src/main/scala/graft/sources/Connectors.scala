@@ -206,6 +206,99 @@ object JsonLinesConnector {
     DocumentStoreConnector(JsonLinesStore(dir))
 }
 
+/**
+ * Wire-protocol document store client — the [[DocumentStore]] binding
+ * that exercises the seam the way a real driver does, with everything
+ * the file/in-memory stand-ins cannot: TCP connection config (host,
+ * port, connect/read timeouts), an authenticated handshake, CURSOR
+ * BATCHING (`batchSize` docs per exchange, `GETMORE` until the server
+ * says `END`), and failure paths — a refused handshake or a connection
+ * dropped mid-cursor surfaces as an `IOException`, which a pipeline
+ * run records as a failure WITHOUT advancing its watermark
+ * (ConnectorSpec proves both against an in-process fault-injecting
+ * server).
+ *
+ * Line-framed protocol, one UTF-8 line per message:
+ * {{{
+ *   C: HELLO <token>              S: OK | DENIED
+ *   C: QUERY <collection> <n>     S: n × "DOC <json>", then MORE <c> | END
+ *   C: GETMORE <c>                S: next batch
+ *   C: INSERT <collection> <mode>
+ *      "DOC <json>" ... COMMIT    S: OK <count>
+ * }}}
+ *
+ * The collection materializes driver-side (like [[JsonLinesStore]]'s
+ * read and the reference's own cursor loop): document sources here are
+ * control-plane collections — the reference's migration log — bounded
+ * by contract. Bulk corpora belong to the lake connectors.
+ */
+final case class SocketDocumentStore(host: String, port: Int,
+                                     authToken: String = "",
+                                     batchSize: Int = 64,
+                                     connectTimeoutMs: Int = 2000,
+                                     readTimeoutMs: Int = 10000)
+    extends DocumentStore {
+
+  private def connected[T](f: (java.io.BufferedReader,
+                               java.io.PrintWriter) => T): T = {
+    val sock = new java.net.Socket()
+    try {
+      sock.connect(new java.net.InetSocketAddress(host, port),
+        connectTimeoutMs)
+      sock.setSoTimeout(readTimeoutMs)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      out.println(s"HELLO $authToken")
+      val hello = in.readLine()
+      if (hello != "OK")
+        throw new java.io.IOException(
+          s"document store handshake refused: ${String.valueOf(hello)}")
+      f(in, out)
+    } finally sock.close()
+  }
+
+  def documents(spark: SparkSession, collection: String)
+      : org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val docs = connected { (in, out) =>
+      val buf = Vector.newBuilder[String]
+      out.println(s"QUERY $collection $batchSize")
+      var done = false
+      while (!done) {
+        val line = in.readLine()
+        if (line == null)
+          throw new java.io.IOException(
+            s"connection to $host:$port dropped mid-cursor " +
+              s"(collection '$collection')")
+        else if (line.startsWith("DOC ")) buf += line.substring(4)
+        else if (line.startsWith("MORE "))
+          out.println(s"GETMORE ${line.substring(5)}")
+        else if (line == "END") done = true
+        else throw new java.io.IOException(s"unexpected frame: $line")
+      }
+      buf.result()
+    }
+    spark.createDataset(docs)
+  }
+
+  def insert(spark: SparkSession,
+             docs: org.apache.spark.sql.Dataset[String],
+             collection: String, mode: SaveMode): Unit = {
+    val rows = docs.collect() // control-plane collections: bounded
+    connected { (in, out) =>
+      out.println(s"INSERT $collection $mode")
+      rows.foreach(d => out.println(s"DOC $d"))
+      out.println("COMMIT")
+      val ack = in.readLine()
+      if (ack == null || !ack.startsWith("OK"))
+        throw new java.io.IOException(
+          s"insert into '$collection' not acknowledged: ${String.valueOf(ack)}")
+    }
+  }
+}
+
 /** Name → connector bindings, one per logical source DB (the
   * reference's Core/Purchasing/Sales/FinishingPrinting/Inventory/Deal/
   * DWH set). */

@@ -127,6 +127,144 @@ class ConnectorSpec extends SparkSpec {
     assert(conn.read(spark, "copy").count() === 1)
   }
 
+  /** In-process server speaking the SocketDocumentStore line protocol,
+    * with fault injection: after serving `failAfterDocs` documents it
+    * hard-closes the TCP connection mid-cursor — the wire failure no
+    * file- or memory-backed store can produce. */
+  private final class DocServer(token: String,
+      data: scala.collection.mutable.Map[String, Vector[String]],
+      failAfterDocs: Int = Int.MaxValue) {
+    private val server = new java.net.ServerSocket(0) // ephemeral port
+    def port: Int = server.getLocalPort
+    @volatile private var servedDocs = 0
+    private val acceptor = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    def close(): Unit = server.close()
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+      try {
+        if (in.readLine() != s"HELLO $token") { out.println("DENIED"); return }
+        out.println("OK")
+        var cursor = Vector.empty[String]
+        var pos = 0
+        var batch = 64
+        def sendBatch(): Unit = {
+          val end = math.min(pos + batch, cursor.length)
+          while (pos < end) {
+            if (servedDocs >= failAfterDocs) { sock.close(); return }
+            servedDocs += 1
+            out.println("DOC " + cursor(pos)); pos += 1
+          }
+          out.println(if (pos < cursor.length) "MORE c0" else "END")
+        }
+        var line = in.readLine()
+        while (line != null) {
+          val p = line.split(" ")
+          p(0) match {
+            case "QUERY" =>
+              cursor = data.getOrElse(p(1), Vector.empty)
+              pos = 0; batch = p(2).toInt
+              sendBatch()
+            case "GETMORE" => sendBatch()
+            case "INSERT" =>
+              val buf = Vector.newBuilder[String]
+              var l = in.readLine()
+              while (l != null && l != "COMMIT") {
+                buf += l.stripPrefix("DOC "); l = in.readLine()
+              }
+              val docs = buf.result()
+              data(p(1)) =
+                if (p(2) == "Append") data.getOrElse(p(1), Vector.empty) ++ docs
+                else docs
+              out.println(s"OK ${docs.size}")
+            case _ => out.println("ERR")
+          }
+          line = in.readLine()
+        }
+      } catch { case _: Throwable => () }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    }
+  }
+
+  private val logDocs = Vector(
+    """{"description":"fact-kanban","start":"2024-03-01T00:00:00.000Z","finish":"2024-03-01T00:05:00.000Z","executionTime":"5.00 minutes","status":"Successful"}""",
+    """{"description":"fact-kanban","start":"2024-03-02T00:00:00.000Z","finish":"2024-03-02T00:04:00.000Z","executionTime":"4.00 minutes","status":"Failed: x"}""",
+    """{"description":"fact-kanban","start":"2024-03-03T00:00:00.000Z","finish":"2024-03-03T00:02:00.000Z","executionTime":"2.00 minutes","status":"success"}""",
+    """{"description":"fact-packing","start":"2024-04-01T00:00:00.000Z","finish":"2024-04-01T00:09:00.000Z","executionTime":"9.00 minutes","status":"Successful"}""",
+    """{"description":"fact-packing","start":"2024-04-02T00:00:00.000Z","finish":"2024-04-02T00:08:00.000Z","executionTime":"8.00 minutes","status":"Failed: y"}""")
+
+  test("socket doc store: authenticated, cursor-batched wire read runs " +
+      "MigrationLogSync; insert round-trips; bad token refused") {
+    val data = scala.collection.mutable.Map("externalLog" -> logDocs)
+    val srv = new DocServer("s3cret", data)
+    try {
+      // batchSize=2 over 5 docs → QUERY + two GETMOREs: the cursor loop
+      // is genuinely exercised, not just a single-frame read
+      val conn = graft.sources.DocumentStoreConnector(
+        graft.sources.SocketDocumentStore("127.0.0.1", srv.port,
+          authToken = "s3cret", batchSize = 2))
+      val got = conn.read(spark, "externalLog")
+      assert(got.count() === 5)
+      assert(got.schema("finish").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      // same pipeline, zero changes: latest SUCCESSFUL run per
+      // description ('success' counts, failures never win)
+      val out = graft.pipelines.MigrationLogSync.transform(
+          Map("externalLog" -> got))
+        .collect().map(r => r.getString(0) -> r.getAs[String]("status"))
+        .toMap
+      assert(out === Map("fact-kanban" -> "success",
+        "fact-packing" -> "Successful"))
+      // write half round-trips over the wire through the same seam
+      conn.write(got.limit(2), "copy", SaveMode.Overwrite)
+      assert(conn.read(spark, "copy").count() === 2)
+      // connection config is real: a wrong token is refused at handshake
+      val denied = graft.sources.SocketDocumentStore("127.0.0.1", srv.port,
+        authToken = "wrong")
+      val ex = intercept[java.io.IOException](
+        denied.documents(spark, "externalLog"))
+      assert(ex.getMessage.contains("handshake refused"))
+    } finally srv.close()
+  }
+
+  test("socket doc store: a connection dropped mid-cursor fails the run " +
+      "and leaves the watermark untouched") {
+    import graft.control.WatermarkManager
+    import graft.pipelines.PipelineRunner
+    val data = scala.collection.mutable.Map("externalLog" -> logDocs)
+    // the server hard-closes the socket after 3 of 5 docs — a partial
+    // batch must NEVER be mistaken for a complete collection
+    val srv = new DocServer("s3cret", data, failAfterDocs = 3)
+    try {
+      val conn = graft.sources.DocumentStoreConnector(
+        graft.sources.SocketDocumentStore("127.0.0.1", srv.port,
+          authToken = "s3cret", batchSize = 2, readTimeoutMs = 3000))
+      val dir = java.nio.file.Files.createTempDirectory("graft-sockfail")
+        .toString
+      val control = new WatermarkManager(spark, s"$dir/control")
+      val runner = new PipelineRunner(spark, control, s"$dir/warehouse")
+      intercept[Exception] {
+        runner.run(graft.pipelines.MigrationLogSync,
+          t => conn.read(spark, t))
+      }
+      // the transactional envelope held: failure row logged, watermark
+      // still at epoch, no partial fact rows promoted
+      assert(control.lastWatermark(
+        graft.pipelines.MigrationLogSync.name) === control.epoch)
+      assert(control.log.filter("status like 'Failed%'").count() === 1)
+    } finally srv.close()
+  }
+
   test("CSV connector: roundtrip with declared schema beats inference") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
