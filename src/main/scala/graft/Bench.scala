@@ -191,8 +191,7 @@ object Bench {
       // tainted samples get replacement attempts (bounded): the goal is
       // >= 2 clean samples per query so the recorded min never needs the
       // taint asterisk on a machine that is only transiently busy
-      while (runs.count(!_.tainted) < 2 && runs.size < runs.count(_.tainted) + 2
-             && runs.size < 8) {
+      while (runs.count(!_.tainted) < 2 && runs.size < 8) {
         runs = runs :+ take()
       }
       val sec = best

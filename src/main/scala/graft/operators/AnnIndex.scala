@@ -153,9 +153,11 @@ object AnnIndex {
   final case class Staleness(baselineMean: Double, baselineP90: Double,
                              appendedMean: Double, appendedP90: Double,
                              builtRows: Long, appendedRows: Long) {
-    /** Worse of the mean- and p90-error ratios; 1.0 with no appends. */
+    /** Worse of the mean- and p90-error ratios; 1.0 with no appends;
+      * +∞ when the index has NO build-time baseline (NaN sentinel). */
     def ratio: Double = {
-      if (appendedRows == 0L) 1.0
+      if (baselineMean.isNaN) Double.PositiveInfinity
+      else if (appendedRows == 0L) 1.0
       else {
         def r(c: Double, b: Double) =
           if (b > 0.0) c / b
@@ -166,9 +168,15 @@ object AnnIndex {
   }
 
   def staleness(spark: SparkSession, base: String): Staleness = {
-    val rows = spark.table(s"${base}_stats").collect() // one row per batch
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-    val Some((_, bMean, bP90, bN)) = rows.find(_._1 == 0): @unchecked
+    // an index persisted before fit-stats existed — no stats table, or
+    // stats holding only appended generations — has no baseline to
+    // compare against: report it infinitely stale (NaN baseline) so
+    // rebuildIfStale HEALS it by rebuilding (which seeds gen-0),
+    // instead of crashing on the missing row
+    val rows: Array[(Int, Double, Double, Long)] =
+      if (!spark.catalog.tableExists(s"${base}_stats")) Array.empty
+      else spark.table(s"${base}_stats").collect() // one row per batch
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
     val app = rows.filter(t => t._1 > 0 && t._4 > 0)
     val an = app.map(_._4).sum
     val aMean = if (an == 0) 0.0
@@ -176,7 +184,12 @@ object AnnIndex {
     // p90s of disjoint batches don't combine exactly; take the worst
     // batch (conservative — a single drifted batch should raise alarms)
     val aP90 = if (app.isEmpty) 0.0 else app.map(_._3).max
-    Staleness(bMean, bP90, aMean, aP90, bN, an)
+    rows.find(_._1 == 0) match {
+      case Some((_, bMean, bP90, bN)) =>
+        Staleness(bMean, bP90, aMean, aP90, bN, an)
+      case None =>
+        Staleness(Double.NaN, Double.NaN, aMean, aP90, 0L, an)
+    }
   }
 
   /**

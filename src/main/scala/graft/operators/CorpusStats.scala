@@ -147,8 +147,10 @@ object CorpusStats {
    * and an external oracle replays it with a plain SUM. `alpha = 0.5`
    * uses `sqrt` (IEEE correctly-rounded; `pow` carries no such
    * guarantee). The ~1e-6 relative quantization error is a mixture-
-   * budget rounding far below any training-relevant signal; domains up
-   * to ~1e12 rows keep `za` safely inside BIGINT.
+   * budget rounding far below any training-relevant signal. `za` fits
+   * BIGINT up to Σ n_d^alpha ≤ ~9.2e12 — for the sqrt branch that is
+   * ~8.5e25 total rows; near alpha = 1 it binds at ~9e12, and an
+   * overflow raises in-plan instead of silently emptying the mixture.
    *
    * The data path is scan → broadcast-join of the (domain, threshold)
    * table → per-row md5 compare: the corpus itself never shuffles, and
@@ -168,18 +170,32 @@ object CorpusStats {
       if (alpha == 0.5) round(sqrt(col("__n").cast("double")) * 1e6)
         .cast("long")
       else round(pow(col("__n").cast("double"), alpha) * 1e6).cast("long")
-    val weighted = domained.groupBy(col(domainCol).as("__dom"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__wq", wq)
+    // pinned: the counts aggregation (one full corpus pass) feeds BOTH
+    // the scalar normalizer and the per-domain rates — unpinned, Spark
+    // evaluates the whole corpus scan+agg once per consumer (measured:
+    // 3 parquet scans, no ReuseExchange). The pin holds one row per
+    // domain, the same bounded cardinality the rates broadcast carries.
+    val weighted = graft.ops.materialize(
+      domained.groupBy(col(domainCol).as("__dom"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__wq", wq))
     val scalars = weighted.agg(sum(col("__n")).as("__total"),
       sum(col("__wq")).as("__za"))
     // r_d as a fixed left-to-right double-op sequence over exact
-    // integer scalars — bit-reproducible by any engine that mirrors it
+    // integer scalars — bit-reproducible by any engine that mirrors it.
+    // za ≤ 0 means the BIGINT normalizer overflowed (possible near
+    // alpha=1 past ~9e12 total rows — the sqrt branch is safe to ~8e25):
+    // fail loudly instead of silently keeping zero rows everywhere.
     val rates = weighted.crossJoin(broadcast(scalars))
-      .withColumn("__rate", least(lit(1.0),
-        lit(budgetFraction) * col("__total").cast("double")
-          * col("__wq").cast("double") / col("__za").cast("double")
-          / col("__n").cast("double")))
+      .withColumn("__rate", when(col("__za") <= 0L,
+          raise_error(concat(lit("temperatureMixture: quantized " +
+            "normalizer overflowed BIGINT (za="),
+            col("__za").cast("string"),
+            lit("); reduce alpha or pre-aggregate domains"))))
+        .otherwise(least(lit(1.0),
+          lit(budgetFraction) * col("__total").cast("double")
+            * col("__wq").cast("double") / col("__za").cast("double")
+            / col("__n").cast("double"))))
       .select(col("__dom"), hexThresholdCol(col("__rate")).as("__thr"))
     domained.join(broadcast(rates), col(domainCol) === col("__dom"))
       .filter(saltedHash(col(keyCol), salt) < col("__thr"))

@@ -40,8 +40,20 @@ object VectorQueries {
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(fin.getParent)
-    fs.delete(fin, true)
-    if (!fs.rename(tmp, fin))
+    // refresh via rename-rename, never delete-then-write: the no-dump
+    // window is two metadata ops wide (local-FS renames), not a whole
+    // parquet write — and a stale dump from an older code version still
+    // gets replaced (first-writer-wins would keep it forever). The
+    // residual race between identical-content writers can at worst
+    // leave a hidden .old/.tmp dir the 3-level globs never match.
+    if (fs.exists(fin)) {
+      val trash = new org.apache.hadoop.fs.Path(fin.getParent,
+        s".old-${java.util.UUID.randomUUID()}")
+      fs.rename(fin, trash)
+      if (!fs.rename(tmp, fin) && !fs.exists(fin))
+        throw new java.io.IOException(s"oracle dump swap failed: $tmp -> $fin")
+      fs.delete(trash, true)
+    } else if (!fs.rename(tmp, fin) && !fs.exists(fin))
       throw new java.io.IOException(s"oracle dump rename failed: $tmp -> $fin")
   }
 

@@ -239,6 +239,13 @@ final case class SocketDocumentStore(host: String, port: Int,
                                      readTimeoutMs: Int = 10000)
     extends DocumentStore {
 
+  // batchSize = 0 would make a conformant server answer every QUERY/
+  // GETMORE with an empty batch + MORE — an infinite cursor loop the
+  // read timeout never breaks (frames keep arriving)
+  require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+  require(connectTimeoutMs > 0 && readTimeoutMs > 0,
+    "connect/read timeouts must be positive")
+
   private def connected[T](f: (java.io.BufferedReader,
                                java.io.PrintWriter) => T): T = {
     val sock = new java.net.Socket()

@@ -267,14 +267,24 @@ object EventStreams {
         sess.catalog.refreshTable(s"${base}_codes")
         val already = sess.table(s"${base}_codes")
           .select(org.apache.spark.sql.functions.col("neighbor_id"))
-        // a null (or non-numeric) id can never match the anti-join
-        // condition, so it would be re-appended on EVERY redelivery —
-        // ids are the idempotency key and must be non-null longs
-        val keyed = batch.toDF()
-          .filter(batch(idCol).cast("long").isNotNull)
+        // ids are the idempotency key: a null id can never match the
+        // anti-join, so it would re-append on EVERY redelivery — skip
+        // those rows. But a NON-NULL id that fails the long cast is a
+        // schema misconfiguration (UUID/string ids), and silently
+        // dropping those would build an empty index batch after batch
+        // while reporting success — fail the stream on batch 1 instead
+        val withKey = batch.toDF()
+          .withColumn("__long_id", batch(idCol).cast("long"))
+        val nonNumeric = withKey
+          .filter(batch(idCol).isNotNull && col("__long_id").isNull)
+        require(nonNumeric.isEmpty,
+          s"index append requires long-castable '$idCol' ids; found " +
+            s"non-numeric values (e.g. " +
+            s"${nonNumeric.select(idCol).head().get(0)})")
+        val keyed = withKey.filter(col("__long_id").isNotNull)
         val fresh = keyed.join(already,
-          keyed(idCol).cast("long") === already("neighbor_id"),
-          "left_anti")
+          keyed("__long_id") === already("neighbor_id"),
+          "left_anti").drop("__long_id")
         graft.operators.AnnIndex.appendToAnnIndex(sess, fresh,
           idCol, vecCol, base, buckets)
       }

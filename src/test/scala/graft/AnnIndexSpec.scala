@@ -223,6 +223,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(!AnnIndex.rebuildIfStale(full, "vec_id", "embedding", Base, dim,
       maxRatio = 1.25, nCentroids = nCent, m = 16, pqK = 16,
       buckets = buckets))
+    // a legacy index (persisted before fit-stats existed) has no
+    // baseline: staleness reports +∞ and the policy HEALS it by
+    // rebuilding, which seeds the missing gen-0 row
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_stats")
+    assert(AnnIndex.staleness(spark, Base).ratio.isPosInfinity)
+    assert(AnnIndex.rebuildIfStale(full, "vec_id", "embedding", Base, dim,
+      maxRatio = 1.25, nCentroids = nCent, m = 16, pqK = 16,
+      buckets = buckets))
+    assert(AnnIndex.staleness(spark, Base).ratio === 1.0)
     // recall floor re-asserted against exact L2 over the REBUILT state
     val q = full.filter(col("vec_id") < 10)
     val approx = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id", "embedding",
