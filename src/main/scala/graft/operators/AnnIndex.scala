@@ -61,12 +61,13 @@ object AnnIndex {
       s"index base must be an unqualified default-database table name, " +
         s"got '$table'")
     // if the table IS registered, trust the catalog for its location
+    // (metadata call, not a DESCRIBE command — this runs 4× per build)
     val catalogLoc =
       if (spark.catalog.tableExists(table))
         scala.util.Try(new org.apache.hadoop.fs.Path(
-          new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-            .filter(col("col_name") === "Location")
-            .select("data_type").head().getString(0)))).toOption
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
+          .toOption
       else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new org.apache.hadoop.fs.Path(
@@ -114,27 +115,35 @@ object AnnIndex {
       generation = 0, overwrite = true)
   }
 
-  /** Relative squared PQ reconstruction error
-    * `|v − decode(encode(v))|² / |v|²` — THE model-quality measure for
-    * a product quantizer (assignment-gap metrics are blind to drift on
-    * near-isotropic corpora, where any rotation leaves the cell-gap
-    * distribution unchanged; reconstruction error is not). Null (and
-    * excluded from stats) for zero vectors. */
-  private def reconErr(v: Column, model: PqModel): Column = {
-    val d = ProductQuant.decode(ProductQuant.encode(v, model), model)
-    val diff = zip_with(v, d, (a, b) => a - b)
-    val den = Similarity.dot(v, v)
-    when(den > 0.0, Similarity.dot(diff, diff) / den)
-  }
-
   /** Append (or seed) one `<base>_stats` generation row: mean/p90 of
-    * [[reconErr]] over `rows`, computed while they are in hand. */
+    * the relative squared PQ reconstruction error
+    * `|v − decode(encode(v))|² / |v|²` over `rows`, computed while they
+    * are in hand — THE model-quality measure for a product quantizer
+    * (assignment-gap metrics are blind to drift on near-isotropic
+    * corpora, where any rotation leaves the cell-gap distribution
+    * unchanged; reconstruction error is not). Zero vectors yield null
+    * and are excluded.
+    *
+    * Staged projections, deliberately: a single nested
+    * `decode(encode(v))` expression inlines one copy of the whole
+    * encode argmax per decode part (m copies), blows past the codegen
+    * method limit, and falls back to interpreted eval — measured 15× on
+    * the build pass. Each stage's alias is referenced by non-cheap
+    * expressions, so CollapseProject keeps them apart and every
+    * sub-expression evaluates once per row. */
   private def writeFitStats(spark: SparkSession, rows: DataFrame,
                             vecCol: String, model: PqModel, base: String,
                             generation: Int, overwrite: Boolean): Unit = {
     import spark.implicits._
     val r = rows
-      .select(reconErr(col(vecCol).cast("array<double>"), model).as("__e"))
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__v"), ProductQuant.encode(col("__v"), model).as("__codes"))
+      .select(col("__v"), ProductQuant.decode(col("__codes"), model).as("__dec"))
+      .select(col("__v"),
+        zip_with(col("__v"), col("__dec"), (a, b) => a - b).as("__diff"))
+      .select(Similarity.dot(col("__diff"), col("__diff")).as("__num"),
+        Similarity.dot(col("__v"), col("__v")).as("__den"))
+      .select(when(col("__den") > 0.0, col("__num") / col("__den")).as("__e"))
       .agg(avg(col("__e")), percentile_approx(col("__e"), lit(0.9),
         lit(10000)), count(col("__e")))
       .head()
