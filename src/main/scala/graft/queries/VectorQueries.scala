@@ -63,22 +63,32 @@ object VectorQueries {
   private def dumpCentroids(s: org.apache.spark.sql.SparkSession,
                             cents: Array[Array[Double]],
                             corpus: org.apache.spark.sql.DataFrame,
-                            name: String): Unit = {
+                            name: String): Unit =
+    dumpCentroids(s, cents, corpusKey(corpus), name)
+
+  /** Overload taking a precomputed corpus key — q114 dumps three models
+    * over ONE corpus and must not pay the (count, id-sum) agg per dump. */
+  private def dumpCentroids(s: org.apache.spark.sql.SparkSession,
+                            cents: Array[Array[Double]],
+                            key: (Long, Long), name: String): Unit = {
     import s.implicits._
-    val (n, fp) = corpusKey(corpus)
     dumpOracle(cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
-      .toSeq.toDF("centroid_id", "v"), name, n, fp)
+      .toSeq.toDF("centroid_id", "v"), name, key._1, key._2)
   }
 
   /** Dump a PQ model's codebooks the same way (shared by q113 and the
     * composite digest, so the path/schema cannot drift). */
   private def dumpCodebooks(s: org.apache.spark.sql.SparkSession,
                             model: graft.operators.ProductQuant.PqModel,
-                            corpus: org.apache.spark.sql.DataFrame): Unit = {
+                            corpus: org.apache.spark.sql.DataFrame): Unit =
+    dumpCodebooks(s, model, corpusKey(corpus))
+
+  private def dumpCodebooks(s: org.apache.spark.sql.SparkSession,
+                            model: graft.operators.ProductQuant.PqModel,
+                            key: (Long, Long)): Unit = {
     import s.implicits._
-    val (n, fp) = corpusKey(corpus)
     dumpOracle(graft.operators.ProductQuant.codebookRows(model)
-      .toDF("subspace", "code", "v"), "pq_cb", n, fp)
+      .toDF("subspace", "code", "v"), "pq_cb", key._1, key._2)
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -600,6 +610,8 @@ object VectorQueries {
         val docs = Tables.load(s, dir, "documents")
         val e = Tables.load(s, dir, "embeddings")
         val queries20 = e.filter(col("vec_id") < 20)
+        // one (count, id-sum) dump key for all three model dumps below
+        val corpusFp = corpusKey(e)
 
         // hits and total in ONE pass over the exact side (left join +
         // conditional count) — a semi-join + separate count would
@@ -648,15 +660,28 @@ object VectorQueries {
         // submitted before the branch that awaits it; no deadlock).
         val branchPool = {
           val procs = Runtime.getRuntime.availableProcessors()
+          // measure a FRESH 150 ms window, not the bean's accumulated
+          // recent-activity figure: right after this process's own
+          // previous query finishes, the stale window reads near 1.0
+          // and would serialize the branches on a genuinely idle box
           val load =
             java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-              case os: com.sun.management.OperatingSystemMXBean => os.getCpuLoad
+              case os: com.sun.management.OperatingSystemMXBean =>
+                os.getCpuLoad // prime: start the measurement window
+                Thread.sleep(150)
+                os.getCpuLoad
               case _ => Double.NaN
             }
           val freeCores =
             if (load.isNaN || load < 0) procs
             else math.max(1, (procs * (1.0 - load)).toInt)
-          math.max(1, math.min(4, freeCores / 8))
+          // FIVE concurrent tasks at full parallelism, not four: the
+          // exact-Jaccard helper future is awaited INSIDE the minhash
+          // branch, and a fixed pool (unlike the global fork-join pool,
+          // which spawns a compensation thread around a blocked Await)
+          // must hold the blocker AND the four branches at once or the
+          // last-submitted branch serializes behind the first finisher
+          math.max(1, math.min(5, 1 + freeCores / 8))
         }
         val branchExecutor =
           java.util.concurrent.Executors.newFixedThreadPool(branchPool)
@@ -738,7 +763,7 @@ object VectorQueries {
           // alone leaves a valid model on disk), and search with it
           val ivfCents = Similarity.fitCentroids(e, "vec_id", "embedding",
             nCentroids = 16, iters = 8)
-          dumpCentroids(s, ivfCents, e, "ivf_cents")
+          dumpCentroids(s, ivfCents, corpusFp, "ivf_cents")
           val ivfK = Similarity.ivfTopK(e, queries20,
             "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
             centroids = Some(ivfCents))
@@ -767,7 +792,7 @@ object VectorQueries {
           // Fit once, dump for the composite oracle (≡ q91's dump)
           val semCents = Similarity.fitCentroids(e, "vec_id", "embedding",
             nCentroids = 8, iters = 8)
-          dumpCentroids(s, semCents, e, "semdedup_cents")
+          dumpCentroids(s, semCents, corpusFp, "semdedup_cents")
           val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
             eps = 0.4, nCentroids = 8, centroids = Some(semCents))
             .select(col("vec_id").cast("long").as("vec_id"))
@@ -789,7 +814,7 @@ object VectorQueries {
             e, "embedding", dim = 64, m = 16, k = 16,
             idCol = Some("vec_id"))
           // dump for the composite oracle (≡ q113's dump, same fit)
-          dumpCodebooks(s, pqModel, e)
+          dumpCodebooks(s, pqModel, corpusFp)
           val encoded = e.select(col("vec_id"),
             graft.operators.ProductQuant.encode(col("embedding"), pqModel)
               .as("codes"))
