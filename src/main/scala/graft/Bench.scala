@@ -103,6 +103,7 @@ object Bench {
     val warmups = Seq("q02_watermark_argmax", "q04_notin_filter",
       "q05_join_chain", "q15_running_total", "q34_ngram_jaccard",
       "q36_minhash_candidates", "q39_dup_clusters", "q40_knn_bruteforce",
+      "q113_pq_adc", // PQ fit/encode/ADC — the q113/q114/q122 hot family
       "q52_media_resize_meta", "q109_pipeline_deal_tracking_board")
     val qmap = SparkEntry.queries
     warmups.foreach { w =>

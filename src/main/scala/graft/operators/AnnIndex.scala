@@ -61,14 +61,13 @@ object AnnIndex {
       s"index base must be an unqualified default-database table name, " +
         s"got '$table'")
     // if the table IS registered, trust the catalog for its location
-    // (metadata call, not a DESCRIBE command — this runs 4× per build)
+    // (one metadata call — getTableMetadata throws for absent tables
+    // and the Try converts that to None; this runs 4× per build)
     val catalogLoc =
-      if (spark.catalog.tableExists(table))
-        scala.util.Try(new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
-          .toOption
-      else None
+      scala.util.Try(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location))
+        .toOption
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new org.apache.hadoop.fs.Path(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))

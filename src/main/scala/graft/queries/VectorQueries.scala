@@ -658,30 +658,37 @@ object VectorQueries {
         // ~8 free cores, floor 1 — and submission order is FIFO, so the
         // pool-of-1 case degrades to the sequential plan (fExactJac is
         // submitted before the branch that awaits it; no deadlock).
+        // FIVE concurrent tasks at full parallelism, not four: the
+        // exact-Jaccard helper future is awaited INSIDE the minhash
+        // branch, and a fixed pool (unlike the global fork-join pool,
+        // which spawns a compensation thread around a blocked Await)
+        // must hold the blocker AND the four branches at once or the
+        // last-submitted branch serializes behind the first finisher.
+        // Scale the pool DOWN with live machine load (the r7 driver
+        // run showed oversubscription multiplying external contention);
+        // an idle box of any core count gets all five.
         val branchPool = {
           val procs = Runtime.getRuntime.availableProcessors()
-          // measure a FRESH 150 ms window, not the bean's accumulated
-          // recent-activity figure: right after this process's own
-          // previous query finishes, the stale window reads near 1.0
-          // and would serialize the branches on a genuinely idle box
-          val load =
-            java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-              case os: com.sun.management.OperatingSystemMXBean =>
-                os.getCpuLoad // prime: start the measurement window
-                Thread.sleep(150)
-                os.getCpuLoad
-              case _ => Double.NaN
-            }
-          val freeCores =
-            if (load.isNaN || load < 0) procs
-            else math.max(1, (procs * (1.0 - load)).toInt)
-          // FIVE concurrent tasks at full parallelism, not four: the
-          // exact-Jaccard helper future is awaited INSIDE the minhash
-          // branch, and a fixed pool (unlike the global fork-join pool,
-          // which spawns a compensation thread around a blocked Await)
-          // must hold the blocker AND the four branches at once or the
-          // last-submitted branch serializes behind the first finisher
-          math.max(1, math.min(5, 1 + freeCores / 8))
+          // a box too small to ever run branches concurrently skips the
+          // load measurement entirely (it costs a 150 ms sleep)
+          if (procs < 8) 1
+          else {
+            // measure a FRESH 150 ms window, not the bean's accumulated
+            // recent-activity figure: right after this process's own
+            // previous query finishes, the stale window reads near 1.0
+            // and would serialize the branches on a genuinely idle box
+            val load =
+              java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+                case os: com.sun.management.OperatingSystemMXBean =>
+                  os.getCpuLoad // prime: start the measurement window
+                  Thread.sleep(150)
+                  os.getCpuLoad
+                case _ => Double.NaN
+              }
+            val idleFrac =
+              if (load.isNaN || load < 0) 1.0 else math.max(0.0, 1.0 - load)
+            math.max(1, math.min(5, math.round(idleFrac * 5).toInt))
+          }
         }
         val branchExecutor =
           java.util.concurrent.Executors.newFixedThreadPool(branchPool)
