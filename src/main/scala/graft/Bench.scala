@@ -132,18 +132,39 @@ object Bench {
     parallelProbeMs(); parallelProbeMs()
     var probeBase = (1 to 4).map(_ => parallelProbeMs()).min
     val taintFactor = 1.5
+    // Self-relative detection is blind when the machine is contended
+    // for the WHOLE run — the baseline calibrates high and everything
+    // after looks "clean". The probe is a fixed count of pure integer
+    // xorshift ops (~10-20 ms/thread on any modern core, measured ~18 ms
+    // here), so a generous absolute ceiling catches that mode without
+    // false-positives on merely slower hardware.
+    val absCeilingMs = 60.0
+    if (probeBase > absCeilingMs)
+      System.err.println(f"[bench] WARNING: probe calibration $probeBase%.1f ms " +
+        "exceeds the idle ceiling — machine contended at start; samples " +
+        "will carry taint flags until it clears")
     def probeClean(): Boolean = {
+      def ok(p: Double) =
+        p <= probeBase * taintFactor && p <= absCeilingMs * taintFactor
       val p = parallelProbeMs()
       if (p < probeBase) probeBase = p
-      if (p <= probeBase * taintFactor) true
+      if (ok(p)) true
       else { // confirm before declaring: a GC blip in the probe itself
         val p2 = parallelProbeMs()
         if (p2 < probeBase) probeBase = p2
-        p2 <= probeBase * taintFactor
+        ok(p2)
       }
     }
 
     final case class Sample(sec: Double, tainted: Boolean)
+
+    // GLOBAL backoff budget: waiting out a transient spike is worth a
+    // couple of minutes across the whole run, but under PERSISTENT
+    // contention (the r5–r7 driver mode) an unbounded per-sample
+    // backoff would multiply a 20-minute run into hours — once the
+    // budget is spent, samples are taken immediately and carry their
+    // taint flags instead
+    var backoffBudgetMs = 120000L
 
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
@@ -152,15 +173,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      // one bracketed sample: gate on a clean machine (bounded backoff),
-      // run, then re-probe — contention that started mid-query shows up
-      // on the exit probe and taints the sample
+      // one bracketed sample: gate on a clean machine (budgeted
+      // backoff), run, then re-probe — contention that started
+      // mid-query shows up on the exit probe and taints the sample
       def take(): Sample = {
         var backoffMs = 2000L
         var pre = probeClean()
-        while (!pre && backoffMs <= 16000L) {
+        while (!pre && backoffMs <= 16000L && backoffBudgetMs > 0L) {
           System.err.println(s"[bench] contended before $name; backing off ${backoffMs}ms")
+          val w0 = System.currentTimeMillis()
           Thread.sleep(backoffMs); waitForIdle(maxWaitMs = 15000L)
+          backoffBudgetMs -= (System.currentTimeMillis() - w0)
           backoffMs *= 2
           pre = probeClean()
         }
@@ -191,8 +214,12 @@ object Bench {
       }
       // tainted samples get replacement attempts (bounded): the goal is
       // >= 2 clean samples per query so the recorded min never needs the
-      // taint asterisk on a machine that is only transiently busy
-      while (runs.count(!_.tainted) < 2 && runs.size < 8) {
+      // taint asterisk on a machine that is only transiently busy. Once
+      // the global backoff budget is spent the machine is persistently
+      // contended — further retries cannot come back clean, so stop
+      // multiplying the run and let the taint flags tell the story
+      while (runs.count(!_.tainted) < 2 && runs.size < 8
+             && backoffBudgetMs > 0L) {
         runs = runs :+ take()
       }
       val sec = best
