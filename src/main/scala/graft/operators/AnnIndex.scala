@@ -253,22 +253,38 @@ object AnnIndex {
                        vecCol: String, base: String,
                        buckets: Int = 16): Unit = {
     val (cents, model) = readModel(spark, base)
-    encodeCorpus(rows, idCol, vecCol, cents, model)
-      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
-      .format("parquet").mode(SaveMode.Append)
-      .saveAsTable(s"${base}_codes")
-    // the write invalidates only the WRITING session's relation cache
-    // (rows may live in a streaming foreachBatch clone); refresh the
-    // caller's session too, or its cached file-list snapshot keeps
-    // serving the pre-append table
-    spark.catalog.refreshTable(s"${base}_codes")
-    rows.sparkSession.catalog.refreshTable(s"${base}_codes")
-    // record this batch's model-fit stats while the rows are in hand —
-    // the drift signal [[staleness]]/[[rebuildIfStale]] read later
-    writeFitStats(spark, rows, vecCol, model, base, generation = 1,
-      overwrite = false)
-    spark.catalog.refreshTable(s"${base}_stats")
-    rows.sparkSession.catalog.refreshTable(s"${base}_stats")
+    // Pin the batch before ANY consumer runs, and record the fit stats
+    // BEFORE the codes append. Both orderings matter: a lazy batch plan
+    // that itself references `<base>_codes` (the streaming ingest
+    // anti-joins against it for idempotency) would — evaluated after
+    // the append — describe a different, empty row set, recording n=0
+    // stats and silently blinding the drift signal. The pin is not
+    // enough on its own: the post-append refreshTable invalidates every
+    // cached plan that references the codes table, INCLUDING the pinned
+    // batch, so any read after the refresh re-evaluates. Stats-first
+    // sidesteps that entirely, and the pin still guarantees the stats
+    // and the appended codes describe the same rows even when the batch
+    // plan is non-deterministic.
+    val batch = graft.ops.materialize(rows)
+    try {
+      // drift signal for [[staleness]]/[[rebuildIfStale]], from the
+      // pinned rows (the stats table is not referenced by the batch
+      // plan, so this write invalidates nothing the append needs)
+      writeFitStats(spark, batch, vecCol, model, base, generation = 1,
+        overwrite = false)
+      spark.catalog.refreshTable(s"${base}_stats")
+      rows.sparkSession.catalog.refreshTable(s"${base}_stats")
+      encodeCorpus(batch, idCol, vecCol, cents, model)
+        .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+        .format("parquet").mode(SaveMode.Append)
+        .saveAsTable(s"${base}_codes")
+      // the write invalidates only the WRITING session's relation cache
+      // (rows may live in a streaming foreachBatch clone); refresh the
+      // caller's session too, or its cached file-list snapshot keeps
+      // serving the pre-append table
+      spark.catalog.refreshTable(s"${base}_codes")
+      rows.sparkSession.catalog.refreshTable(s"${base}_codes")
+    } finally graft.ops.materialize.release(batch)
   }
 
   /**

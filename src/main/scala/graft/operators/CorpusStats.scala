@@ -179,15 +179,22 @@ object CorpusStats {
       domained.groupBy(col(domainCol).as("__dom"))
         .agg(count(lit(1)).as("__n"))
         .withColumn("__wq", wq))
+    // the normalizer sums as DECIMAL(38,0): exact and wrap-free, so an
+    // out-of-range Σ w_q can never alias back into the valid range the
+    // way a BIGINT wrap can (a wrap landing positive would silently
+    // produce wrong rates everywhere). The documented contract stays
+    // BIGINT-bounded — za past ~9.2e18 raises in-plan, now provably.
     val scalars = weighted.agg(sum(col("__n")).as("__total"),
-      sum(col("__wq")).as("__za"))
+      sum(col("__wq").cast("decimal(28,0)")).as("__za"))
     // r_d as a fixed left-to-right double-op sequence over exact
     // integer scalars — bit-reproducible by any engine that mirrors it.
-    // za ≤ 0 means the BIGINT normalizer overflowed (possible near
-    // alpha=1 past ~9e12 total rows — the sqrt branch is safe to ~8e25):
-    // fail loudly instead of silently keeping zero rows everywhere.
+    // za outside (0, Long.MaxValue] means the normalizer left its
+    // documented BIGINT budget (possible near alpha=1 past ~9e12 total
+    // rows — the sqrt branch is safe to ~8e25): fail loudly instead of
+    // silently emptying or skewing the mixture.
     val rates = weighted.crossJoin(broadcast(scalars))
-      .withColumn("__rate", when(col("__za") <= 0L,
+      .withColumn("__rate", when(col("__za").isNull ||
+          col("__za") <= 0L || col("__za") > lit(Long.MaxValue),
           raise_error(concat(lit("temperatureMixture: quantized " +
             "normalizer overflowed BIGINT (za="),
             col("__za").cast("string"),

@@ -245,6 +245,17 @@ final case class SocketDocumentStore(host: String, port: Int,
   require(batchSize > 0, s"batchSize must be positive, got $batchSize")
   require(connectTimeoutMs > 0 && readTimeoutMs > 0,
     "connect/read timeouts must be positive")
+  // the line-framed grammar has no escaping: a token carrying
+  // whitespace or a newline would silently shift every later frame
+  require(!authToken.exists(_.isWhitespace),
+    "authToken must be a single whitespace-free token")
+
+  /** Frame-safety gate for names spliced into command lines: the
+    * grammar tokenizes on spaces and frames on newlines, so a name
+    * containing either would corrupt the exchange rather than error. */
+  private def requireToken(kind: String, v: String): Unit =
+    require(v.nonEmpty && !v.exists(_.isWhitespace),
+      s"$kind must be a non-empty single token (no whitespace), got '$v'")
 
   private def connected[T](f: (java.io.BufferedReader,
                                java.io.PrintWriter) => T): T = {
@@ -269,6 +280,7 @@ final case class SocketDocumentStore(host: String, port: Int,
   def documents(spark: SparkSession, collection: String)
       : org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
+    requireToken("collection name", collection)
     val docs = connected { (in, out) =>
       val buf = Vector.newBuilder[String]
       out.println(s"QUERY $collection $batchSize")
@@ -293,7 +305,16 @@ final case class SocketDocumentStore(host: String, port: Int,
   def insert(spark: SparkSession,
              docs: org.apache.spark.sql.Dataset[String],
              collection: String, mode: SaveMode): Unit = {
+    requireToken("collection name", collection)
+    // the wire grammar defines only Append/Overwrite; the spec server
+    // treats any other token as overwrite, so serializing
+    // ErrorIfExists/Ignore verbatim would silently clobber data
+    require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      s"document-store insert supports Append/Overwrite only, got $mode")
     val rows = docs.collect() // control-plane collections: bounded
+    rows.foreach(d => require(!d.contains('\n') && !d.contains('\r'),
+      "documents must be newline-free for line framing " +
+        s"(got one of ${d.length} chars containing a raw newline)"))
     connected { (in, out) =>
       out.println(s"INSERT $collection $mode")
       rows.foreach(d => out.println(s"DOC $d"))

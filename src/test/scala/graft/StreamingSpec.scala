@@ -293,6 +293,15 @@ class StreamingSpec extends SparkSpec {
     e2.filter(col("vec_id") >= 300).write.mode("append").parquet(src)
     graft.streaming.EventStreams.microBatchIndexAppend(spark, src,
       e.schema, "vec_id", "embedding", "sstate", ckp, buckets = 4)
+    // the drift signal must see the streamed appends: the batch is
+    // materialized BEFORE the codes append, so its anti-join against
+    // the codes table cannot re-evaluate to empty post-append and
+    // record n=0 stats (which would silently disable rebuildIfStale
+    // for the streaming path — the primary integration of the metric)
+    val stAfter = AnnIndex.staleness(spark, "sstate")
+    assert(stAfter.appendedRows === e2.count(),
+      s"streamed appends must record their fit stats; saw " +
+        s"${stAfter.appendedRows} of ${e2.count()} appended rows")
     // the codes table now holds exactly the frozen-model encoding of
     // the FULL corpus — streamed appends never re-fit or rewrite
     def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
