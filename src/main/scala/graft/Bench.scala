@@ -222,12 +222,31 @@ object Bench {
              && backoffBudgetMs > 0L) {
         runs = runs :+ take()
       }
+      // min-overstatement guard (r8 weak #1): the taint filter can leave
+      // only SLOW samples clean — contention lifted exactly during the
+      // slow runs — so the recorded clean min reads WORSE than the machine
+      // observably ran (r8 q35: clean 6.045 s vs tainted 2.042 s). Spend
+      // remaining retry budget preferentially on such queries hoping for
+      // a clean sample near the all-samples min; if it never arrives,
+      // record BOTH minima and an explicit `min_overstated` flag so the
+      // artifact carries the divergence instead of a silent 3× regression.
+      def allMin = runs.map(_.sec).min
+      def cleanMin = runs.filter(!_.tainted) match {
+        case c if c.nonEmpty => Some(c.map(_.sec).min)
+        case _ => None
+      }
+      def overstated = cleanMin.exists(_ > allMin * 1.5)
+      while (overstated && runs.size < 10 && backoffBudgetMs > 0L) {
+        runs = runs :+ take()
+      }
       val sec = best
       val queryTainted = runs.forall(_.tainted)
-      val mark = if (queryTainted) " TAINTED" else ""
+      val minOverstated = overstated
+      val mark = (if (queryTainted) " TAINTED" else "") +
+        (if (minOverstated) f" MIN_OVERSTATED(all=$allMin%.2f)" else "")
       System.err.println(
         f"[bench] $name%-24s ${runs.map(r => f"${r.sec}%.2f" + (if (r.tainted) "*" else "")).mkString("/")}%-22s → $sec%8.2f s$mark")
-      (name, sec, runs, queryTainted)
+      (name, sec, runs, queryTainted, allMin, minOverstated)
     }
     // The driver records only the TAIL of this process's output (~2000
     // chars) and tries to parse the JSON line from it — with 88 queries
@@ -237,7 +256,7 @@ object Bench {
     // construction) and 3-decimal seconds so it fits the tail window,
     // and write the full-name detail next to it for human readers.
     def fmt(v: Double): String = f"$v%.3f"
-    val short = results.map { case (k, v, _, _) => k.takeWhile(_ != '_') -> v }
+    val short = results.map { case (k, v, _, _, _, _) => k.takeWhile(_ != '_') -> v }
     require(short.map(_._1).distinct.size == short.size,
       "short query ids must stay unique")
     val qs = short.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -246,21 +265,28 @@ object Bench {
     // taint markers in the headline artifact: a query whose EVERY sample
     // ran under detected contention is listed by short id — an empty
     // list is the judge's signal that the totals describe the engine
-    val taintedIds = results.collect { case (k, _, _, true) => k.takeWhile(_ != '_') }
+    val taintedIds = results.collect { case (k, _, _, true, _, _) => k.takeWhile(_ != '_') }
     val taintJson = taintedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = results.map { case (k, v, runs, t) =>
+    // min_overstated markers: queries whose recorded clean min is >1.5×
+    // a faster-but-tainted sample — the recorded time is an upper bound,
+    // the machine demonstrably ran the plan faster (see all_min in detail)
+    val overstatedIds = results.collect { case (k, _, _, _, _, true) => k.takeWhile(_ != '_') }
+    val overJson = overstatedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = results.map { case (k, v, runs, t, am, ov) =>
       "\"" + k + "\":{\"sec\":" + fmt(v) +
         ",\"samples\":" + runs.map(r => fmt(r.sec)).mkString("[", ",", "]") +
         ",\"taint\":" + runs.map(_.tainted).mkString("[", ",", "]") +
-        ",\"tainted\":" + t + "}"
+        ",\"tainted\":" + t +
+        ",\"all_min\":" + fmt(am) +
+        ",\"min_overstated\":" + ov + "}"
     }.mkString("{", ",", "}")
     // a filtered run must not overwrite the full-run driver artifact
     val detailPath =
       if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"probe_base_ms":${fmt(probeBase)},"queries":$detail,"sf":"$sfDir"}""" + "\n")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"probe_base_ms":${fmt(probeBase)},"queries":$detail,"sf":"$sfDir"}""" + "\n")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
