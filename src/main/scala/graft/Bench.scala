@@ -156,7 +156,11 @@ object Bench {
       }
     }
 
-    final case class Sample(sec: Double, tainted: Boolean)
+    // `failed` marks a run whose query threw: its elapsed time measures
+    // the failure path, not the plan, so it must never become a recorded
+    // minimum — a fast-failing query would otherwise publish a tiny
+    // all_min and falsely trip the overstatement guard below
+    final case class Sample(sec: Double, tainted: Boolean, failed: Boolean)
 
     // GLOBAL backoff budget: waiting out a transient spike is worth a
     // couple of minutes across the whole run, but under PERSISTENT
@@ -167,11 +171,13 @@ object Bench {
     var backoffBudgetMs = 120000L
 
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val failed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case _: Throwable => true }
+        ((System.nanoTime() - t0) / 1e9, failed)
       }
       // one bracketed sample: gate on a clean machine (budgeted
       // backoff), run, then re-probe — contention that started
@@ -187,14 +193,21 @@ object Bench {
           backoffMs *= 2
           pre = probeClean()
         }
-        val sec = once()
-        Sample(sec, tainted = !pre || !probeClean())
+        val (sec, failed) = once()
+        Sample(sec, tainted = !pre || !probeClean(), failed = failed)
       }
       var runs = Vector(take(), take())
       minRuns.foreach { n => while (runs.size < n) runs = runs :+ take() }
-      def best = runs.filter(!_.tainted) match {
+      // minima consider only non-failed samples — unless EVERY sample
+      // failed, in which case the failure-path time is all there is and
+      // the query is visibly broken in correctness artifacts anyway
+      def usable = runs.filter(!_.failed) match {
+        case ok if ok.nonEmpty => ok
+        case _ => runs
+      }
+      def best = usable.filter(!_.tainted) match {
         case clean if clean.nonEmpty => clean.map(_.sec).min
-        case _ => runs.map(_.sec).min
+        case _ => usable.map(_.sec).min
       }
       // quick queries: min-of-3 — a single descheduling event in a
       // 0.3 s query doubles its recorded time with min-of-2 (the one
@@ -230,14 +243,21 @@ object Bench {
       // a clean sample near the all-samples min; if it never arrives,
       // record BOTH minima and an explicit `min_overstated` flag so the
       // artifact carries the divergence instead of a silent 3× regression.
-      def allMin = runs.map(_.sec).min
-      def cleanMin = runs.filter(!_.tainted) match {
+      def allMin = usable.map(_.sec).min
+      def cleanMin = usable.filter(!_.tainted) match {
         case c if c.nonEmpty => Some(c.map(_.sec).min)
         case _ => None
       }
       def overstated = cleanMin.exists(_ > allMin * 1.5)
+      // these reruns are pure overhead spent chasing a clean fast sample,
+      // so their full wall time is charged against the same global budget
+      // as backoff sleeps — on a clean machine the guard can then add at
+      // most (budget / heavy-query-time) extra reruns across the suite,
+      // not 2 × every expensive query
       while (overstated && runs.size < 10 && backoffBudgetMs > 0L) {
+        val w0 = System.currentTimeMillis()
         runs = runs :+ take()
+        backoffBudgetMs -= (System.currentTimeMillis() - w0)
       }
       val sec = best
       val queryTainted = runs.forall(_.tainted)
@@ -245,7 +265,7 @@ object Bench {
       val mark = (if (queryTainted) " TAINTED" else "") +
         (if (minOverstated) f" MIN_OVERSTATED(all=$allMin%.2f)" else "")
       System.err.println(
-        f"[bench] $name%-24s ${runs.map(r => f"${r.sec}%.2f" + (if (r.tainted) "*" else "")).mkString("/")}%-22s → $sec%8.2f s$mark")
+        f"[bench] $name%-24s ${runs.map(r => f"${r.sec}%.2f" + (if (r.failed) "!" else if (r.tainted) "*" else "")).mkString("/")}%-22s → $sec%8.2f s$mark")
       (name, sec, runs, queryTainted, allMin, minOverstated)
     }
     // The driver records only the TAIL of this process's output (~2000
@@ -276,6 +296,7 @@ object Bench {
       "\"" + k + "\":{\"sec\":" + fmt(v) +
         ",\"samples\":" + runs.map(r => fmt(r.sec)).mkString("[", ",", "]") +
         ",\"taint\":" + runs.map(_.tainted).mkString("[", ",", "]") +
+        ",\"failed\":" + runs.map(_.failed).mkString("[", ",", "]") +
         ",\"tainted\":" + t +
         ",\"all_min\":" + fmt(am) +
         ",\"min_overstated\":" + ov + "}"
@@ -286,7 +307,12 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"probe_base_ms":${fmt(probeBase)},"queries":$detail,"sf":"$sfDir"}""" + "\n")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"queries":$qs,"sf":"$sfDir"}""")
+    // the stdout headline must fit the driver's ~2000-char tail window
+    // (comment above) — min_overstated appears there only when non-empty;
+    // the detail file always carries it
+    val overStdout =
+      if (overstatedIds.isEmpty) "" else s""","min_overstated":$overJson"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson$overStdout,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,35 +11,95 @@ import graft.operators.Multimodal
  * fixtures exist in this environment; the decode step is a documented
  * stub — see [[Multimodal]]).
  *
- * Registered outputs are scalar-only (hash + size of the feature
- * arrays) so the driver's row-sorting compare can hash them; the raw
- * `array<float>` outputs stay covered by MultimodalSpec. q52 is pure
- * metadata arithmetic and carries a full DuckDB oracle.
+ * Registered outputs are scalar-only so the driver's row-sorting
+ * compare can hash them. q50/q51 carry FULL oracles via the
+ * dumped-model pattern (the same trick that oracles q113/q122): the
+ * binary decode itself can't be expressed in SQL, so the query dumps
+ * the decoded per-media feature rows keyed by the corpus fingerprint
+ * and the oracle REPLAYS everything downstream of the decode — the
+ * media_id/kind derivation and the row universe from the real
+ * `documents` table (so dropped/duplicated rows are caught), the
+ * per-frame fan-out and the float32 `f0 + frame_idx` arithmetic in
+ * DuckDB — and verifies all 16 feature elements bit-exactly as
+ * scalar float columns. q52/q76 are pure metadata arithmetic with
+ * direct oracles.
  */
 object MediaQueries {
+
+  /** Dump the decoded feature table for the oracle, keyed (n, fp) by
+    * the documents corpus so each SF's static SQL finds its own dump
+    * (same atomicity story as [[VectorQueries.dumpOracle]]). */
+  private def dumpFeatures(s: org.apache.spark.sql.SparkSession,
+                           docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, docs))
+    val r = docs.agg(count(lit(1)), sum(col("doc_id").cast("long"))).head()
+    VectorQueries.dumpOracle(feats, "media_features", r.getLong(0), r.getLong(1))
+    feats
+  }
+
+  private val featCols = (0 until Multimodal.featureDim)
+    .map(i => f"f$i%02d")
+
+  private val oracleFeatCte = """
+        WITH nn AS (SELECT count(*) AS n,
+                           sum(CAST(doc_id AS BIGINT)) AS fp FROM documents),
+        feat AS (
+          SELECT media_id, features
+          FROM read_parquet('/tmp/graft_ann_oracle/media_features/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn))"""
 
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q50_media_features",
-      (s, dir) => Multimodal.extractFeatures(
-          Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")))
-        .select(col("media_id"), col("kind"),
-          size(col("features")).as("feat_dim"),
-          xxhash64(col("features")).as("feat_hash")),
-      None,
-      "partition-local batch feature extraction over binary media " +
-        "(scalar digest of the feature vector; arrays checked in specs)"),
+      (s, dir) => {
+        val feats = dumpFeatures(s, Tables.load(s, dir, "documents"))
+        feats.select(col("media_id") +: col("kind") +:
+          size(col("features")).as("feat_dim") +:
+          featCols.zipWithIndex.map { case (c, i) =>
+            element_at(col("features"), i + 1).as(c)
+          }: _*)
+      },
+      Some(oracleFeatCte + s"""
+        SELECT d.doc_id AS media_id,
+               CASE CAST(d.doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS kind,
+               CAST(len(f.features) AS INTEGER) AS feat_dim,
+               ${featCols.zipWithIndex.map { case (c, i) =>
+                 s"f.features[${i + 1}] AS $c" }.mkString(", ")}
+        FROM documents d JOIN feat f ON f.media_id = d.doc_id"""),
+      "partition-local batch feature extraction over binary media; " +
+        "oracle joins the dumped decode output back to documents and " +
+        "verifies row universe, kind mapping, and all 16 elements"),
 
     QuerySpec("q51_frame_sample",
-      (s, dir) => Multimodal.sampleFrames(
-          Multimodal.syntheticMedia(s, Tables.load(s, dir, "documents")),
-          fps = 1.0)
-        .select(col("media_id"), col("frame_idx"),
-          size(col("frame_features")).as("feat_dim"),
-          xxhash64(col("frame_features")).as("feat_hash")),
-      None,
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        dumpFeatures(s, docs) // per-media base features for the oracle
+        Multimodal.sampleFrames(Multimodal.syntheticMedia(s, docs), fps = 1.0)
+          .select(col("media_id") +: col("frame_idx") +:
+            size(col("frame_features")).as("feat_dim") +:
+            featCols.zipWithIndex.map { case (c, i) =>
+              element_at(col("frame_features"), i + 1).as(c)
+            }: _*)
+      },
+      Some(oracleFeatCte + s""",
+        v AS (SELECT doc_id AS media_id,
+                     CAST(doc_id % 30 AS BIGINT) + 1 AS nf
+              FROM documents WHERE doc_id % 3 = 2),
+        s AS (SELECT media_id,
+                     unnest(generate_series(0, nf - 1)) AS fi FROM v)
+        SELECT s.media_id, CAST(s.fi AS INTEGER) AS frame_idx,
+               CAST(len(f.features) AS INTEGER) AS feat_dim,
+               CAST(f.features[1] + CAST(s.fi AS FLOAT) AS FLOAT) AS f00,
+               ${featCols.zipWithIndex.drop(1).map { case (c, i) =>
+                 s"f.features[${i + 1}] AS $c" }.mkString(", ")}
+        FROM s JOIN feat f ON f.media_id = s.media_id"""),
       "video frame sampling fan-out (executor-side, driver never sees " +
-        "frames; scalar digest per frame)"),
+        "frames); oracle replays the frame schedule from duration_ms " +
+        "and the float32 f0+frame_idx variation from the dumped decode"),
 
     QuerySpec("q52_media_resize_meta",
       (s, dir) => Multimodal.resizedMeta(
