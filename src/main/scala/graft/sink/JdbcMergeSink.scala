@@ -79,18 +79,60 @@ object JdbcMergeSink {
     * Table names pass through unquoted (caller-controlled, possibly
     * schema-qualified); column identifiers are dialect-quoted. */
   def mergeSql(dialect: MergeDialect, table: String, staging: String,
-               cols: Seq[String], keys: Seq[String]): String = {
+               cols: Seq[String], keys: Seq[String]): String =
+    mergeText(dialect, table, s"$staging s", cols, keys, refinement = None)
+
+  /**
+   * One per-key-range statement of a CHUNKED merge: only staging rows
+   * with `lo <= keys.head < hi` (`<= hi` on the closing chunk so the
+   * max key needs no +1 that could overflow) are merged; rows outside
+   * the range match no actionable clause and are left for their own
+   * chunk. Executing the chunks for a partition of the key space in
+   * ascending order is statement-for-statement equivalent to the
+   * single MERGE — each staging row acts in exactly one chunk — while
+   * bounding per-statement row counts, merge-join spools, and log
+   * growth at 100 TB-scale batches.
+   *
+   * Dialect shapes (both golden-tested):
+   *  - SQL Server: the range moves into a USING subquery
+   *    (`USING (SELECT * FROM staging WHERE ...) s`) so the optimizer
+   *    seeks the staging index directly;
+   *  - ANSI (Derby has no subquery MERGE sources): the range becomes a
+   *    refinement on both WHEN clauses (`WHEN MATCHED AND ... THEN`),
+   *    which Derby and every ANSI engine accept.
+   */
+  def mergeChunkSql(dialect: MergeDialect, table: String, staging: String,
+                    cols: Seq[String], keys: Seq[String],
+                    lo: Long, hi: Long, closing: Boolean): String = {
+    val q = dialect.quote _
+    val k0 = keys.head
+    val cmp = if (closing) "<=" else "<"
+    dialect match {
+      case MergeDialect.SqlServer =>
+        val src = s"(SELECT * FROM $staging " +
+          s"WHERE ${q(k0)} >= $lo AND ${q(k0)} $cmp $hi) s"
+        mergeText(dialect, table, src, cols, keys, refinement = None)
+      case _ =>
+        mergeText(dialect, table, s"$staging s", cols, keys,
+          refinement = Some(s"s.${q(k0)} >= $lo AND s.${q(k0)} $cmp $hi"))
+    }
+  }
+
+  private def mergeText(dialect: MergeDialect, table: String, source: String,
+                        cols: Seq[String], keys: Seq[String],
+                        refinement: Option[String]): String = {
     val q = dialect.quote _
     val nonKeys = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val refine = refinement.map(r => s"AND $r ").getOrElse("")
     val matched =
       if (nonKeys.isEmpty) ""
-      else "WHEN MATCHED THEN UPDATE SET " + // SET columns are
+      else s"WHEN MATCHED ${refine}THEN UPDATE SET " + // SET columns are
         nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + " " // unqualified (ANSI+T-SQL)
-    val insert = s"WHEN NOT MATCHED THEN INSERT " +
+    val insert = s"WHEN NOT MATCHED ${refine}THEN INSERT " +
       s"(${cols.map(q).mkString(", ")}) " +
       s"VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
-    s"MERGE INTO $table t USING $staging s ON $on " +
+    s"MERGE INTO $table t USING $source ON $on " +
       matched + insert + dialect.terminator
   }
 
@@ -132,14 +174,37 @@ object JdbcMergeSink {
    * Unmatched keys insert, matched keys update every non-key column —
    * the `DL_UPSERT_*` semantics.
    *
+   * `chunks > 1` splits the merge into that many per-key-range MERGE
+   * statements over `keys.head` (which must be an integral column with
+   * no nulls — null merge keys are a contract violation, like
+   * duplicate keys). The key span [min, max] observed in the batch is
+   * partitioned into equal-width ranges executed in deterministic
+   * ascending order, all still inside the ONE transaction, so the
+   * commit/rollback envelope and idempotence are unchanged — but no
+   * single statement has to materialize a 100 TB backfill's merge
+   * spool or transaction-log burst at once. (One transaction's total
+   * log volume is unchanged; per-STATEMENT working set is what shrinks
+   * — lock escalation and spool memory are per-statement concerns in
+   * the reference's SQL Server target.)
+   *
    * @return rows the MERGE touched (inserted + updated)
    */
   def upsert(batch: DataFrame, url: String, table: String,
              keys: Seq[String], props: Map[String, String] = Map.empty,
-             stagingTable: Option[String] = None): Int = {
+             stagingTable: Option[String] = None, chunks: Int = 1): Int = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    require(chunks >= 1, "chunks must be >= 1")
     val staging = stagingTable.getOrElse(s"${table}_TEMP")
     val dialect = MergeDialect.forUrl(url)
+    if (chunks > 1) {
+      val kt = batch.schema(keys.head).dataType
+      require(kt == org.apache.spark.sql.types.LongType ||
+        kt == org.apache.spark.sql.types.IntegerType ||
+        kt == org.apache.spark.sql.types.ShortType ||
+        kt == org.apache.spark.sql.types.ByteType,
+        s"chunked merge ranges over keys.head, which must be integral; " +
+          s"${keys.head} is $kt")
+    }
     prepareStaging(url, props, table, staging, dialect)
 
     // executor-parallel staging load (S6/S7 — batching is the JDBC
@@ -149,13 +214,42 @@ object JdbcMergeSink {
     props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(SaveMode.Append).save()
 
+    // chunk bounds come from the batch BEFORE the transaction opens —
+    // one tiny agg job, driver sees two longs, never the data
+    val bounds: Option[(Long, Long)] =
+      if (chunks <= 1) None
+      else {
+        import org.apache.spark.sql.functions.{col, max, min}
+        val r = batch.agg(min(col(keys.head).cast("long")),
+          max(col(keys.head).cast("long"))).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      }
+
     // S11: merge + cleanup in one driver-side transaction. Column
     // identifiers are quoted with the target dialect (Spark's JDBC
     // writer creates tables with quoted, case-sensitive column names).
     inTransaction(url, props) { conn =>
       val st = conn.createStatement()
-      val touched = st.executeUpdate(
-        mergeSql(dialect, table, staging, batch.columns.toSeq, keys))
+      val cols = batch.columns.toSeq
+      val touched = bounds match {
+        case None =>
+          st.executeUpdate(mergeSql(dialect, table, staging, cols, keys))
+        case Some((lo, hi)) =>
+          // equal-width ranges over BigInt so a full-Long key span
+          // cannot overflow the width arithmetic
+          val span = BigInt(hi) - BigInt(lo) + 1
+          val width = (span + chunks - 1) / chunks
+          (0 until chunks).iterator.map { i =>
+            val cLo = BigInt(lo) + width * i
+            if (cLo > BigInt(hi)) 0 // key span narrower than chunk count
+            else {
+              val closing = i == chunks - 1
+              val cHi = if (closing) BigInt(hi) else cLo + width
+              st.executeUpdate(mergeChunkSql(dialect, table, staging,
+                cols, keys, cLo.toLong, cHi.toLong, closing))
+            }
+          }.sum
+      }
       st.executeUpdate(s"DELETE FROM $staging")
       touched
     }

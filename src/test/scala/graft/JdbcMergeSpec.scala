@@ -66,6 +66,70 @@ class JdbcMergeSpec extends SparkSpec {
         "WHEN NOT MATCHED THEN INSERT (\"k\", \"v\") VALUES (s.\"k\", s.\"v\")")
   }
 
+  test("chunked merge emits per-key-range statements in both dialects") {
+    import JdbcMergeSink.MergeDialect
+    val ss = MergeDialect.SqlServer
+    // SQL Server: the range lives in a USING subquery so the optimizer
+    // can seek the staging index; closing chunk is inclusive
+    assert(JdbcMergeSink.mergeChunkSql(ss, "fact", "fact_TEMP",
+      Seq("id", "name"), Seq("id"), lo = 0L, hi = 100L, closing = false) ===
+      "MERGE INTO fact t USING (SELECT * FROM fact_TEMP " +
+        "WHERE [id] >= 0 AND [id] < 100) s ON t.[id] = s.[id] " +
+        "WHEN MATCHED THEN UPDATE SET [name] = s.[name] " +
+        "WHEN NOT MATCHED THEN INSERT ([id], [name]) " +
+        "VALUES (s.[id], s.[name]);")
+    assert(JdbcMergeSink.mergeChunkSql(ss, "fact", "fact_TEMP",
+      Seq("id", "name"), Seq("id"), lo = 100L, hi = 250L, closing = true) ===
+      "MERGE INTO fact t USING (SELECT * FROM fact_TEMP " +
+        "WHERE [id] >= 100 AND [id] <= 250) s ON t.[id] = s.[id] " +
+        "WHEN MATCHED THEN UPDATE SET [name] = s.[name] " +
+        "WHEN NOT MATCHED THEN INSERT ([id], [name]) " +
+        "VALUES (s.[id], s.[name]);")
+    // ANSI/Derby: no subquery MERGE sources, so the range refines both
+    // WHEN clauses — rows outside it match no actionable clause
+    val ansi = MergeDialect.forUrl(url)
+    assert(JdbcMergeSink.mergeChunkSql(ansi, "fact", "fact_TEMP",
+      Seq("id", "name"), Seq("id"), lo = 0L, hi = 100L, closing = false) ===
+      "MERGE INTO fact t USING fact_TEMP s ON t.\"id\" = s.\"id\" " +
+        "WHEN MATCHED AND s.\"id\" >= 0 AND s.\"id\" < 100 " +
+        "THEN UPDATE SET \"name\" = s.\"name\" " +
+        "WHEN NOT MATCHED AND s.\"id\" >= 0 AND s.\"id\" < 100 " +
+        "THEN INSERT (\"id\", \"name\") VALUES (s.\"id\", s.\"name\")")
+  }
+
+  test("chunked merge: same end state and idempotence as single-statement") {
+    import spark.implicits._
+    val v1 = (1L to 20L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "amount")
+    JdbcConnector(url).write(v1, "factc", SaveMode.Overwrite)
+
+    // updates half the keys, inserts 5 new ones, spread across ranges
+    val batch = (Seq(2L, 5L, 9L, 13L, 17L).map(i => (i, s"u$i", i * 10.0)) ++
+      (21L to 25L).map(i => (i, s"n$i", i * 1.0)))
+      .toDF("id", "name", "amount")
+    val touched = JdbcMergeSink.upsert(batch, url, "factc", Seq("id"),
+      chunks = 4)
+    assert(touched === 10) // every staging row acted in exactly one chunk
+
+    def state() = JdbcConnector(url).read(spark, "factc").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("amount")).toMap
+    val expect = ((1L to 20L).map(i => i -> i * 1.0).toMap
+      ++ Seq(2L, 5L, 9L, 13L, 17L).map(i => i -> i * 10.0)
+      ++ (21L to 25L).map(i => i -> i * 1.0))
+    assert(state() === expect)
+
+    // idempotent rerun; staging left empty; more chunks than keys is fine
+    JdbcMergeSink.upsert(batch, url, "factc", Seq("id"), chunks = 64)
+    assert(state() === expect)
+    assert(JdbcConnector(url).read(spark, "factc_TEMP").count() === 0L)
+
+    // non-integral first key is rejected up front, not at the warehouse
+    val bad = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      JdbcMergeSink.upsert(bad, url, "factc", Seq("k"), chunks = 2)
+    }
+  }
+
   test("JDBC MERGE: keyed replace + insert semantics, idempotent") {
     import spark.implicits._
     val v1 = Seq((1L, "one", 10.0), (2L, "two", 20.0)).toDF("id", "name", "amount")
