@@ -177,8 +177,9 @@ object JdbcMergeSink {
    * `chunks > 1` splits the merge into that many per-key-range MERGE
    * statements over `keys.head` (which must be an integral column with
    * no nulls — null merge keys are a contract violation, like
-   * duplicate keys). The key span [min, max] observed in the batch is
-   * partitioned into equal-width ranges executed in deterministic
+   * duplicate keys, and the chunked path rejects them fast rather than
+   * silently dropping them). The key span [min, max] observed in the
+   * STAGING table is partitioned into equal-width ranges executed in deterministic
    * ascending order, all still inside the ONE transaction, so the
    * commit/rollback envelope and idempotence are unchanged — but no
    * single statement has to materialize a 100 TB backfill's merge
@@ -214,23 +215,38 @@ object JdbcMergeSink {
     props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(SaveMode.Append).save()
 
-    // chunk bounds come from the batch BEFORE the transaction opens —
-    // one tiny agg job, driver sees two longs, never the data
-    val bounds: Option[(Long, Long)] =
-      if (chunks <= 1) None
-      else {
-        import org.apache.spark.sql.functions.{col, max, min}
-        val r = batch.agg(min(col(keys.head).cast("long")),
-          max(col(keys.head).cast("long"))).head()
-        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-      }
-
     // S11: merge + cleanup in one driver-side transaction. Column
     // identifiers are quoted with the target dialect (Spark's JDBC
     // writer creates tables with quoted, case-sensitive column names).
     inTransaction(url, props) { conn =>
       val st = conn.createStatement()
       val cols = batch.columns.toSeq
+      // chunk bounds come from the STAGING table on this same
+      // connection — the authoritative record of what was actually
+      // staged. Re-evaluating `batch` with a second Spark action could
+      // observe different data (non-deterministic exprs, upstream file
+      // changes) and leave staged rows outside every range.
+      val bounds: Option[(Long, Long)] =
+        if (chunks <= 1) None
+        else {
+          val qk = dialect.quote(keys.head)
+          val rs = st.executeQuery(
+            s"SELECT MIN($qk), MAX($qk), COUNT(*), COUNT($qk) FROM $staging")
+          rs.next()
+          val lo = rs.getLong(1); val empty = rs.wasNull()
+          val hi = rs.getLong(2)
+          val total = rs.getLong(3); val nonNull = rs.getLong(4)
+          rs.close()
+          // NULL keys satisfy no range predicate and would be silently
+          // deleted with the staging cleanup — a contract violation we
+          // reject up front (chunks = 1 would INSERT them via the
+          // NOT-MATCHED arm, so only the chunked path must refuse).
+          if (total != nonNull)
+            throw new IllegalArgumentException(
+              s"chunked merge: ${total - nonNull} staged rows have NULL " +
+                s"${keys.head}; null merge keys are a contract violation")
+          if (empty) None else Some((lo, hi))
+        }
       val touched = bounds match {
         case None =>
           st.executeUpdate(mergeSql(dialect, table, staging, cols, keys))
@@ -243,8 +259,13 @@ object JdbcMergeSink {
             val cLo = BigInt(lo) + width * i
             if (cLo > BigInt(hi)) 0 // key span narrower than chunk count
             else {
-              val closing = i == chunks - 1
-              val cHi = if (closing) BigInt(hi) else cLo + width
+              // a chunk is closing (inclusive `<= hi`) when it is the
+              // last one OR its open upper bound would pass hi — the
+              // latter guards keys within `width` of Long.MaxValue,
+              // where `cLo + width` itself would wrap on .toLong
+              val cHiOpen = cLo + width
+              val closing = i == chunks - 1 || cHiOpen > BigInt(hi)
+              val cHi = if (closing) BigInt(hi) else cHiOpen
               st.executeUpdate(mergeChunkSql(dialect, table, staging,
                 cols, keys, cLo.toLong, cHi.toLong, closing))
             }

@@ -130,6 +130,49 @@ class JdbcMergeSpec extends SparkSpec {
     }
   }
 
+  test("chunked merge: keys within width of Long.MaxValue are not lost") {
+    import spark.implicits._
+    // keys straddling the top of the Long range: a naive open upper
+    // bound `cLo + width` wraps negative on .toLong and the top chunk
+    // merges nothing, after which DELETE FROM staging silently drops
+    // the rows. Every key here must survive the chunked merge.
+    val ids = Seq(Long.MaxValue - 9, Long.MaxValue - 5, Long.MaxValue - 1,
+      Long.MaxValue)
+    val seed = Seq((Long.MaxValue - 9, "old", 0.0)).toDF("id", "name", "amount")
+    JdbcConnector(url).write(seed, "facthi", SaveMode.Overwrite)
+    val batch = ids.map(i => (i, s"n$i", 1.0)).toDF("id", "name", "amount")
+    val touched = JdbcMergeSink.upsert(batch, url, "facthi", Seq("id"),
+      chunks = 8)
+    assert(touched === 4) // 1 update + 3 inserts, none dropped
+    val got = JdbcConnector(url).read(spark, "facthi").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(got === ids.toSet)
+
+    // rerun is idempotent at the range edge too
+    JdbcMergeSink.upsert(batch, url, "facthi", Seq("id"), chunks = 8)
+    assert(JdbcConnector(url).read(spark, "facthi").count() === 4L)
+  }
+
+  test("chunked merge: NULL merge keys fail fast, staging not silently drained") {
+    import spark.implicits._
+    // nullable id so the created Derby column accepts the NULL-key row
+    // (the violation must reach the chunked merge itself)
+    val seed = Seq((java.lang.Long.valueOf(1L), "one", 1.0))
+      .toDF("id", "name", "amount")
+    JdbcConnector(url).write(seed, "factnull", SaveMode.Overwrite)
+    val batch = Seq((java.lang.Long.valueOf(2L), "two", 2.0),
+      (null.asInstanceOf[java.lang.Long], "ghost", 9.0))
+      .toDF("id", "name", "amount")
+    val e = intercept[IllegalArgumentException] {
+      JdbcMergeSink.upsert(batch, url, "factnull", Seq("id"), chunks = 4)
+    }
+    assert(e.getMessage.contains("NULL"))
+    // the transaction rolled back: fact untouched
+    val got = JdbcConnector(url).read(spark, "factnull").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(got === Set(1L))
+  }
+
   test("JDBC MERGE: keyed replace + insert semantics, idempotent") {
     import spark.implicits._
     val v1 = Seq((1L, "one", 10.0), (2L, "two", 20.0)).toDF("id", "name", "amount")
