@@ -87,18 +87,27 @@ object Pipelines {
  * independently scheduled), and the exit code reports any failure.
  *
  * `--sources` accepts a parquet directory (default), `jsonl:<dir>` (the
- * document-store connector) or `jdbc:<url>` — the ConnectorRegistry
+ * document-store connector), `bson:<host>:<port>[:<token>]` (the OP_MSG
+ * binary document store) or `jdbc:<url>` — the ConnectorRegistry
  * abstraction, selected per run.
  */
 object Main {
 
-  private[runner] def connectorFor(uri: String): Connector = uri match {
+  private[graft] def connectorFor(uri: String): Connector = uri match {
     case u if u.startsWith("jsonl:") => JsonLinesConnector(u.stripPrefix("jsonl:"))
     case u if u.startsWith("csv:") => CsvConnector(u.stripPrefix("csv:"))
     case u if u.startsWith("orc:") => OrcConnector(u.stripPrefix("orc:"))
     case u if u.startsWith("binary:") =>
       graft.sources.BinaryFileConnector(u.stripPrefix("binary:"))
     case u if u.startsWith("jdbc:") => JdbcConnector(u)
+    case u if u.startsWith("bson:") =>
+      // bson:<host>:<port>[:<token>] — the OP_MSG binary document store
+      val parts = u.stripPrefix("bson:").split(":", 3)
+      require(parts.length >= 2 && parts(1).forall(_.isDigit),
+        s"bson source must be bson:<host>:<port>[:<token>], got '$u'")
+      graft.sources.DocumentStoreConnector(
+        graft.sources.BsonSocketDocumentStore(parts(0), parts(1).toInt,
+          authToken = if (parts.length > 2) parts(2) else ""))
     case dir => ParquetConnector(dir)
   }
 

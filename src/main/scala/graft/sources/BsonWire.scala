@@ -104,8 +104,20 @@ object BsonWire {
   // ---- BSON decode ------------------------------------------------------
   /** Decode one BSON document from `buf` (positioned at its length
     * word). Unknown element types are a hard error — this codec only
-    * meets its own encoder. */
-  def decodeDoc(buf: ByteBuffer): BDoc = {
+    * meets its own encoder. Every corruption shape — including
+    * fixed-width element bytes or a cstring overrunning the buffer,
+    * which the JDK surfaces as `BufferUnderflowException` — is
+    * rethrown as `IOException`, the single failure type of the wire
+    * contract. */
+  def decodeDoc(buf: ByteBuffer): BDoc =
+    try decodeDocUnchecked(buf)
+    catch {
+      case e: java.nio.BufferUnderflowException =>
+        throw new java.io.IOException(
+          "truncated BSON document: element bytes overrun the buffer", e)
+    }
+
+  private def decodeDocUnchecked(buf: ByteBuffer): BDoc = {
     buf.order(ByteOrder.LITTLE_ENDIAN)
     val start = buf.position()
     val len = buf.getInt
@@ -241,10 +253,13 @@ object BsonWire {
  * upgrade path from [[SocketDocumentStore]]'s line-framed text
  * protocol. Same command surface as a MongoDB driver's
  * `find`/`getMore`/`insert`, same cursor batching, same failure
- * contract (any wire fault surfaces as `IOException`, which a
- * pipeline run records as a failure WITHOUT advancing its watermark —
- * ConnectorSpec proves it against a fault-injecting server). Unlike
- * line framing, documents may carry ANY characters — newlines
+ * contract: any wire fault surfaces as `IOException`, which a
+ * pipeline run records as a failure WITHOUT advancing its watermark.
+ * ConnectorSpec's fault-injecting OP_MSG server exercises each binary
+ * failure shape — torn frame mid-document, partial length prefix,
+ * corrupted length word, refused handshake, hard drop mid-cursor —
+ * under MigrationLogSync and asserts the watermark stays at epoch.
+ * Unlike line framing, documents may carry ANY characters — newlines
  * included — because frames are delimited by length, not bytes.
  *
  * Commands (one OP_MSG each; replies carry `ok: 1.0` or

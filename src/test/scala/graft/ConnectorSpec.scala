@@ -265,6 +265,205 @@ class ConnectorSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  /** In-process OP_MSG binary server for
+    * [[graft.sources.BsonSocketDocumentStore]], with byte-level fault
+    * injection line framing can never produce. Once `failAfterDocs`
+    * documents have been served, the NEXT cursor reply is mangled per
+    * `fault`:
+    *  - "drop":   hard socket close instead of a reply (mid-cursor drop)
+    *  - "torn":   first half of the reply frame, then close (torn read
+    *              mid-document — the length word is valid, the body short)
+    *  - "prefix": 2 of the 4 length-prefix bytes, then close
+    *  - "badlen": the length word byte-swapped (what a big-endian writer
+    *              or corruption does to a little-endian frame)
+    */
+  private final class BsonDocServer(token: String,
+      data: scala.collection.mutable.Map[String, Vector[String]],
+      failAfterDocs: Int = Int.MaxValue, fault: String = "drop") {
+    import graft.sources.BsonWire._
+    private val server = new java.net.ServerSocket(0) // ephemeral port
+    def port: Int = server.getLocalPort
+    @volatile private var servedDocs = 0
+    private val acceptor = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true); t.start()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    def close(): Unit = server.close()
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      var replyId = 1000
+      var cursor = Vector.empty[String]
+      var pos = 0
+      var cbatch = 64
+      def send(to: Int, doc: BDoc): Unit = {
+        replyId += 1; writeMsg(out, replyId, to, doc)
+      }
+      def sendMangled(to: Int, doc: BDoc): Unit = {
+        replyId += 1
+        val bytes = messageBytes(replyId, to, doc)
+        fault match {
+          case "torn" => out.write(bytes, 0, bytes.length / 2); out.flush()
+          case "prefix" => out.write(bytes, 0, 2); out.flush()
+          case "badlen" =>
+            val b = bytes.clone()
+            val t0 = b(0); b(0) = b(3); b(3) = t0
+            val t1 = b(1); b(1) = b(2); b(2) = t1
+            out.write(b); out.flush()
+          case _ => () // "drop": no bytes at all
+        }
+        sock.close()
+      }
+      def batchReply(to: Int, field: String): Unit = {
+        val end = math.min(pos + cbatch, cursor.length)
+        val id = if (end < cursor.length) 7L else 0L
+        val doc = BDoc("ok" -> BDbl(1.0), "cursor" -> BDoc(
+          "id" -> BLong(id),
+          field -> BArr(cursor.slice(pos, end).toVector.map(BStr(_)))))
+        if (servedDocs + (end - pos) > failAfterDocs) { sendMangled(to, doc); return }
+        servedDocs += end - pos; pos = end
+        send(to, doc)
+      }
+      try {
+        var msg = readMsg(in, 1 << 20)
+        while (msg.isDefined) {
+          val (reqId, _, body) = msg.get
+          if (body.get("hello").isDefined) {
+            if (body.get("token") == Some(BStr(token))) send(reqId, BDoc("ok" -> BDbl(1.0)))
+            else send(reqId, BDoc("ok" -> BDbl(0.0), "errmsg" -> BStr("bad token")))
+          } else body.get("find") match {
+            case Some(BStr(coll)) =>
+              cursor = data.getOrElse(coll, Vector.empty); pos = 0
+              cbatch = body.get("batchSize") match {
+                case Some(BInt(n)) => n; case _ => 64
+              }
+              batchReply(reqId, "firstBatch")
+            case _ => body.get("getMore") match {
+              case Some(BLong(_)) => batchReply(reqId, "nextBatch")
+              case _ => body.get("insert") match {
+                case Some(BStr(coll)) =>
+                  val docs = body.get("documents") match {
+                    case Some(BArr(items)) => items.collect { case BStr(s) => s }
+                    case _ => Vector.empty[String]
+                  }
+                  data(coll) =
+                    if (body.get("mode") == Some(BStr("Append")))
+                      data.getOrElse(coll, Vector.empty) ++ docs
+                    else docs
+                  send(reqId, BDoc("ok" -> BDbl(1.0), "n" -> BInt(docs.size)))
+                case _ =>
+                  send(reqId, BDoc("ok" -> BDbl(0.0),
+                    "errmsg" -> BStr("unknown command")))
+              }
+            }
+          }
+          msg = readMsg(in, 1 << 20)
+        }
+      } catch { case _: Throwable => () }
+      finally { try sock.close() catch { case _: Throwable => () } }
+    }
+  }
+
+  /** Like [[logDocs]] but the first document is pretty-printed across
+    * seven lines — valid JSON that LINE framing would tear into garbage
+    * but length-prefixed binary framing carries verbatim. */
+  private val bsonLogDocs: Vector[String] = Vector(
+    """|{
+       |  "description": "fact-kanban",
+       |  "start": "2024-03-01T00:00:00.000Z",
+       |  "finish": "2024-03-01T00:05:00.000Z",
+       |  "executionTime": "5.00 minutes",
+       |  "status": "Successful"
+       |}""".stripMargin) ++ logDocs.tail
+
+  test("bson doc store: OP_MSG cursor read runs MigrationLogSync; " +
+      "multi-line documents survive binary framing; insert round-trips") {
+    val data = scala.collection.mutable.Map("externalLog" -> bsonLogDocs)
+    val srv = new BsonDocServer("s3cret", data)
+    try {
+      // batchSize=2 over 5 docs → find + two getMores: the binary cursor
+      // loop is genuinely exercised, not a single-frame read
+      val conn = graft.sources.DocumentStoreConnector(
+        graft.sources.BsonSocketDocumentStore("127.0.0.1", srv.port,
+          authToken = "s3cret", batchSize = 2))
+      val got = conn.read(spark, "externalLog")
+      assert(got.count() === 5)
+      assert(got.schema("finish").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      // the multi-line document parsed into real fields, not junk rows
+      assert(got.filter(col("description") === "fact-kanban").count() === 3)
+      val out = graft.pipelines.MigrationLogSync.transform(
+          Map("externalLog" -> got))
+        .collect().map(r => r.getString(0) -> r.getAs[String]("status"))
+        .toMap
+      assert(out === Map("fact-kanban" -> "success",
+        "fact-packing" -> "Successful"))
+      // write half round-trips over the binary wire through the same seam
+      conn.write(got.limit(2), "copy", SaveMode.Overwrite)
+      assert(conn.read(spark, "copy").count() === 2)
+      // the runner's bson:<host>:<port>:<token> URI binds this store
+      val viaUri = graft.runner.Main.connectorFor(
+        s"bson:127.0.0.1:${srv.port}:s3cret")
+      assert(viaUri.read(spark, "externalLog").count() === 5)
+    } finally srv.close()
+  }
+
+  test("bson doc store: torn frame, partial length prefix, corrupt length " +
+      "word, mid-cursor drop and refused handshake each fail the run and " +
+      "leave the watermark untouched") {
+    import graft.control.WatermarkManager
+    import graft.pipelines.PipelineRunner
+    for (fault <- Seq("torn", "prefix", "badlen", "drop", "auth")) {
+      val data = scala.collection.mutable.Map("externalLog" -> bsonLogDocs)
+      // server mangles the reply only after 3 of 5 docs were served, so
+      // every wire fault lands MID-CURSOR, after real data flowed ("auth"
+      // instead presents a wrong client token at handshake)
+      val srv = new BsonDocServer("s3cret", data,
+        failAfterDocs = if (fault == "auth") Int.MaxValue else 3,
+        fault = fault)
+      try {
+        val conn = graft.sources.DocumentStoreConnector(
+          graft.sources.BsonSocketDocumentStore("127.0.0.1", srv.port,
+            authToken = if (fault == "auth") "wrong" else "s3cret",
+            batchSize = 2, readTimeoutMs = 3000))
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-bsonfail-$fault").toString
+        val control = new WatermarkManager(spark, s"$dir/control")
+        val runner = new PipelineRunner(spark, control, s"$dir/warehouse")
+        intercept[Exception] {
+          runner.run(graft.pipelines.MigrationLogSync,
+            t => conn.read(spark, t))
+        }
+        // the transactional envelope held for THIS fault shape: failure
+        // row logged, watermark still at epoch, nothing promoted
+        assert(control.lastWatermark(
+          graft.pipelines.MigrationLogSync.name) === control.epoch,
+          s"fault=$fault advanced the watermark")
+        assert(control.log.filter("status like 'Failed%'").count() === 1,
+          s"fault=$fault logged no failure row")
+      } finally srv.close()
+    }
+  }
+
+  test("bson codec: element bytes overrunning the buffer surface as the " +
+      "contract's IOException, not BufferUnderflow") {
+    import graft.sources.BsonWire
+    // declared length 10 covers the buffer, but the double element's 8
+    // payload bytes overrun it — the JDK raises BufferUnderflowException,
+    // the wire contract requires IOException
+    val bytes = Array[Byte](0x0A, 0, 0, 0, 0x01, 'k'.toByte, 0x00,
+      0xAA.toByte, 0xBB.toByte, 0xCC.toByte)
+    val e = intercept[java.io.IOException] {
+      BsonWire.decodeDoc(java.nio.ByteBuffer.wrap(bytes))
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("CSV connector: roundtrip with declared schema beats inference") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
