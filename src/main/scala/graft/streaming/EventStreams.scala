@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -240,6 +240,107 @@ object EventStreams {
    * starts — the model is a prerequisite, exactly like the dedup
    * signature state's first batch.
    */
+  /**
+   * The full persisted-ANN-index maintenance loop as ONE streaming
+   * sink: per micro-batch, (1) land the batch's raw vectors in
+   * `corpusTable` (append-only — the historical corpus is WRITTEN
+   * here, never read back on the append path), (2) encode-and-append
+   * the not-yet-indexed ids with the FROZEN model, (3) evaluate the
+   * reconstruction-error drift policy and, if the appended
+   * generations' error has decayed past `maxRatio`, rebuild the index
+   * over `corpusTable` mid-stream. Each batch's decision is recorded
+   * in `<base>_maintenance` `(batch_id, appended, ratio, rebuilt)` so
+   * an operator (and the soak test) can see exactly when the policy
+   * tripped.
+   *
+   * Scale shape: normal batches cost one anti-join against the codes
+   * table's id column plus the frozen-model encode of the batch —
+   * nothing corpus-sized moves. Only a tripped policy pays a corpus
+   * read, and that read is the rebuild's fit+encode, already the
+   * by-design cost of [[graft.operators.AnnIndex.rebuildIfStale]].
+   *
+   * Takes the streaming DataFrame (not a path) so MemoryStream soaks
+   * and any readStream source drive the same code.
+   */
+  def microBatchIndexMaintain(vectors: DataFrame, idCol: String,
+                              vecCol: String, base: String,
+                              corpusTable: String, checkpoint: String,
+                              dim: Int, nCentroids: Int, m: Int, pqK: Int,
+                              buckets: Int, maxRatio: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        import sess.implicits._
+        // at-least-once redelivery makes ids the idempotency key for
+        // BOTH tables; pin the batch once so corpus and index appends
+        // describe the same rows even under non-deterministic sources
+        val pinned = graft.ops.materialize(batch.toDF())
+        try {
+          sess.catalog.refreshTable(corpusTable)
+          val inCorpus = sess.table(corpusTable)
+            .select(col(idCol).cast("long").as("__cid"))
+          val newRows = pinned
+            .join(inCorpus, pinned(idCol).cast("long") === col("__cid"),
+              "left_anti")
+          newRows.write.format("parquet").mode(SaveMode.Append)
+            .saveAsTable(corpusTable)
+          sess.catalog.refreshTable(corpusTable)
+
+          val before = sess.table(s"${base}_codes").count()
+          appendFreshToIndex(pinned, idCol, vecCol, base, buckets)
+          val appended = sess.table(s"${base}_codes").count() - before
+
+          val ratio = graft.operators.AnnIndex.staleness(sess, base).ratio
+          val rebuilt = graft.operators.AnnIndex.rebuildIfStale(
+            sess.table(corpusTable), idCol, vecCol, base, dim,
+            maxRatio = maxRatio, nCentroids = nCentroids, m = m, pqK = pqK,
+            buckets = buckets)
+          Seq((batchId, appended, ratio, rebuilt))
+            .toDF("batch_id", "appended", "ratio", "rebuilt")
+            .write.format("parquet").mode(SaveMode.Append)
+            .saveAsTable(s"${base}_maintenance")
+          // a rebuild OVERWRITES the model tables from the cloned
+          // foreachBatch session; drop both sessions' cached file-list
+          // snapshots or the caller's next read serves deleted files
+          val caller = vectors.sparkSession
+          for (t <- Seq(s"${base}_centroids", s"${base}_codebooks",
+              s"${base}_codes", s"${base}_stats", s"${base}_maintenance",
+              corpusTable)) {
+            sess.catalog.refreshTable(t)
+            caller.catalog.refreshTable(t)
+          }
+        } finally graft.ops.materialize.release(pinned)
+      }
+      .start()
+
+  /** Shared per-batch half of the streaming index paths: append the
+    * batch rows whose ids are not yet in `<base>_codes` with the
+    * frozen model (id-pruned anti-join — redelivered batches are
+    * no-ops; non-numeric ids fail fast; null ids are skipped). */
+  private def appendFreshToIndex(batch: DataFrame, idCol: String,
+                                 vecCol: String, base: String,
+                                 buckets: Int): Unit = {
+    val sess = batch.sparkSession
+    sess.catalog.refreshTable(s"${base}_codes")
+    val already = sess.table(s"${base}_codes")
+      .select(org.apache.spark.sql.functions.col("neighbor_id"))
+    val withKey = batch.withColumn("__long_id", batch(idCol).cast("long"))
+    val nonNumeric = withKey
+      .filter(batch(idCol).isNotNull && col("__long_id").isNull)
+    require(nonNumeric.isEmpty,
+      s"index append requires long-castable '$idCol' ids; found " +
+        s"non-numeric values (e.g. " +
+        s"${nonNumeric.select(idCol).head().get(0)})")
+    val keyed = withKey.filter(col("__long_id").isNotNull)
+    val fresh = keyed.join(already,
+      keyed("__long_id") === already("neighbor_id"),
+      "left_anti").drop("__long_id")
+    graft.operators.AnnIndex.appendToAnnIndex(sess, fresh,
+      idCol, vecCol, base, buckets)
+  }
+
   def microBatchIndexAppend(spark: org.apache.spark.sql.SparkSession,
                             sourceDir: String,
                             schema: org.apache.spark.sql.types.StructType,
@@ -256,37 +357,16 @@ object EventStreams {
         // restart. Vector ids are unique in the corpus (the index's
         // key contract), so appending only ids not already indexed
         // makes re-delivery a no-op — an id-pruned column read of the
-        // codes table, not a rescan of its payload
-        // read + write through the BATCH's session (streaming runs
-        // foreachBatch in a cloned session): the clone can inherit a
-        // stale cached file-list snapshot of the codes table from the
-        // session that started the stream, so refresh before reading —
-        // a stale snapshot here would resurrect already-indexed ids
-        // into `fresh` or hide a prior wave's appends from the anti-join
-        val sess = batch.sparkSession
-        sess.catalog.refreshTable(s"${base}_codes")
-        val already = sess.table(s"${base}_codes")
-          .select(org.apache.spark.sql.functions.col("neighbor_id"))
-        // ids are the idempotency key: a null id can never match the
-        // anti-join, so it would re-append on EVERY redelivery — skip
-        // those rows. But a NON-NULL id that fails the long cast is a
-        // schema misconfiguration (UUID/string ids), and silently
-        // dropping those would build an empty index batch after batch
-        // while reporting success — fail the stream on batch 1 instead
-        val withKey = batch.toDF()
-          .withColumn("__long_id", batch(idCol).cast("long"))
-        val nonNumeric = withKey
-          .filter(batch(idCol).isNotNull && col("__long_id").isNull)
-        require(nonNumeric.isEmpty,
-          s"index append requires long-castable '$idCol' ids; found " +
-            s"non-numeric values (e.g. " +
-            s"${nonNumeric.select(idCol).head().get(0)})")
-        val keyed = withKey.filter(col("__long_id").isNotNull)
-        val fresh = keyed.join(already,
-          keyed("__long_id") === already("neighbor_id"),
-          "left_anti").drop("__long_id")
-        graft.operators.AnnIndex.appendToAnnIndex(sess, fresh,
-          idCol, vecCol, base, buckets)
+        // codes table, not a rescan of its payload. The helper reads
+        // and writes through the BATCH's session (streaming runs
+        // foreachBatch in a cloned session) and refreshes the codes
+        // table first: a stale cached file-list snapshot would
+        // resurrect already-indexed ids or hide a prior wave's appends.
+        // Null ids are skipped (they can never match the anti-join and
+        // would re-append on EVERY redelivery); non-null ids that fail
+        // the long cast are a schema misconfiguration and fail the
+        // stream on batch 1 instead of building an empty index forever.
+        appendFreshToIndex(batch.toDF(), idCol, vecCol, base, buckets)
       }
       .start()
     q.awaitTermination()

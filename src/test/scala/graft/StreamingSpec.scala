@@ -266,6 +266,118 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index maintain soak: streamed appends run under the frozen model, " +
+    "a drifted batch trips the policy MID-STREAM, the rebuild restores " +
+    "the baseline and the recall floor") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val Base = "mstate"; val Corpus = "mcorpus"
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    for (t <- Seq(s"${Base}_centroids", s"${Base}_codebooks",
+        s"${Base}_codes", s"${Base}_stats", s"${Base}_maintenance", Corpus)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    // gen-0: index + corpus table seeded from 80% of the fixture — wide
+    // enough that in-distribution holdouts reconstruct near the gen-0
+    // baseline (a tiny seed would overfit its PQ codebooks and trip the
+    // policy on HEALTHY appends). Production config m=16/pqK=16 so the
+    // recall floor is meaningful.
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    AnnIndex.writeAnnIndex(seed, "vec_id", "embedding", Base, dim = 64,
+      nCentroids = 8, m = 16, pqK = 16, buckets = 4)
+    seed.write.format("parquet").saveAsTable(Corpus)
+    val (cents0, model0) = AnnIndex.readModel(spark, Base)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Float])] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // wave 1: in-distribution appends — the policy must NOT trip
+    val holdout = e.filter(col("vec_id") % 5 === 0)
+    val wave1 = rows(holdout.filter(col("vec_id") < 250))
+    // wave 2: the embedding-model-swap drift shape (rescale + offset,
+    // per the staleness spec) — reconstruction error under the frozen
+    // codebooks jumps, and the policy must trip on THIS batch
+    val wave2 = rows(holdout.filter(col("vec_id") >= 250)).map {
+      case (id, v) => (id, v.map(x => x * 0.2f + 0.4f))
+    }
+    assert(wave1.nonEmpty && wave2.nonEmpty)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = EventStreams.microBatchIndexMaintain(stream, "vec_id",
+      "embedding", Base, Corpus, s"$dir/ckp", dim = 64, nCentroids = 8,
+      m = 16, pqK = 16, buckets = 4, maxRatio = 1.25)
+    try {
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      // healthy append: no rebuild, and the model is BIT-identical to
+      // gen-0 — the normal path re-fit nothing and re-read no history
+      val (c1, m1) = AnnIndex.readModel(spark, Base)
+      assert(c1 === cents0)
+      assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+        model0.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+      mem.addData(wave2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the maintenance log written BY THE STREAM shows the policy
+    // tripping mid-stream: wave 1 appended without rebuilding, wave 2's
+    // drifted ratio crossed 1.25 and rebuilt — exactly once overall
+    val log = spark.table(s"${Base}_maintenance")
+      .orderBy("batch_id")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("appended"), r.getAs[Double]("ratio"),
+        r.getAs[Boolean]("rebuilt")))
+    assert(log.length === 2, log.mkString("; "))
+    assert(log(0)._2 === wave1.size && !log(0)._4,
+      s"wave 1 must append without rebuilding: ${log(0)}")
+    assert(log(1)._2 === wave2.size && log(1)._4 && log(1)._3 > 1.25,
+      s"wave 2 must trip the policy and rebuild: ${log(1)}")
+
+    // rebuild restored the baseline (fresh gen-0, no appended gens) and
+    // refit the model over the full corpus (centroids moved)
+    assert(AnnIndex.staleness(spark, Base).ratio === 1.0)
+    val (c2, _) = AnnIndex.readModel(spark, Base)
+    assert(c2 !== cents0, "rebuild must refit over the drifted corpus")
+    // the corpus table holds every generation exactly once
+    assert(spark.table(Corpus).count() === e.count())
+    assert(spark.table(s"${Base}_codes").count() === e.count())
+
+    // recall recovered, measured against exact L2 over the full
+    // corpus — the same post-rebuild bar as AnnIndexSpec's drift test
+    val corpus = spark.table(Corpus)
+    val q10 = corpus.filter(col("vec_id") < 10)
+    val approx = AnnIndex.ivfPqTopKBucketed(spark, q10, "vec_id",
+      "embedding", k = 5, Base, nProbe = 6)
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.l2TopK(corpus, q10, "vec_id", "embedding",
+      k = 5).select("query_id", "neighbor_id")
+    val total = exact.count()
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+      "left_semi").count()
+    assert(total > 0 && hits.toDouble / total >= 0.3,
+      s"post-rebuild recall ${hits.toDouble / total} below floor")
+    // and the refit index is no longer blind to the drifted family:
+    // a drifted query's nearest neighbors ARE drifted vectors (they
+    // form a tight, far-offset cluster), and the rebuilt cells +
+    // codebooks must place them together
+    val driftedIds = wave2.map(_._1).toSet
+    val dNeighbors = AnnIndex.ivfPqTopKBucketed(spark,
+        corpus.filter(col("vec_id").isin(driftedIds.take(10).toSeq: _*)),
+        "vec_id", "embedding", k = 5, Base, nProbe = 6)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    val driftedFrac = dNeighbors.count(driftedIds.contains).toDouble /
+      dNeighbors.length
+    assert(dNeighbors.nonEmpty && driftedFrac >= 0.8,
+      s"drifted queries must resolve to drifted neighbors, got $driftedFrac")
+  }
+
   test("microBatchIndexAppend: streamed batches extend the persisted ANN " +
     "index with the frozen model; searches see them immediately") {
     import graft.operators.AnnIndex
