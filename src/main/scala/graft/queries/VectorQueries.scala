@@ -24,14 +24,28 @@ object VectorQueries {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** (name, n, fp) keys already dumped by THIS JVM. Dumps are
+    * deterministic functions of their key, so within one process the
+    * first write settles the content — re-dumping per bench sample
+    * only added an agg job plus a coalesce(1) /tmp write to every
+    * timed run (ADVICE r10 on q50/q51). Cross-run staleness
+    * protection is unchanged: a new binary's first run still
+    * overwrites whatever an older code version left behind. */
+  private val dumpedThisRun =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Write one oracle model dump atomically: stage into a dot-dir the
     * hive globs can't match, then rename over the (n, fp)-keyed
     * partition — a concurrent reader sees the old dump or the new,
     * never a half-written directory. Same-corpus concurrent writers
     * race only between bit-identical dumps (the fits are
-    * deterministic), so either winner is correct. */
+    * deterministic), so either winner is correct. Idempotent per JVM:
+    * repeat calls with a key this process already dumped return
+    * immediately (a failed write propagates its exception and fails
+    * the run, so a marked key is either written or the run is dead). */
   private[queries] def dumpOracle(df: org.apache.spark.sql.DataFrame,
                                   name: String, n: Long, fp: Long): Unit = {
+    if (!dumpedThisRun.add(s"$name/n=$n/fp=$fp")) return
     val spark = df.sparkSession
     val fin = new org.apache.hadoop.fs.Path(
       s"/tmp/graft_ann_oracle/$name/n=$n/fp=$fp")
