@@ -3,7 +3,11 @@
 dumps + oracle_sql.json, run each oracle in DuckDB over the same testdata
 parquet tables, and diff (column names sorted, rows sorted, exact values).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryPrefix ...]
+
+Trailing args restrict the compare to queries whose name starts with any
+given prefix (for subset sweeps where Verify dumped only those queries —
+e.g. the sf1 heavy-family scale sweep).
 """
 import json, math, sys
 from decimal import Decimal
@@ -47,10 +51,20 @@ def norm_rows(cols, rows):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; builder-generated sf1 tables
+        # are Spark-written directories of part files
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = sys.argv[3:]
+    if only:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in only)}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
