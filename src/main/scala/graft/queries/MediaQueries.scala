@@ -33,7 +33,14 @@ object MediaQueries {
                            docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, docs))
-    val r = docs.agg(count(lit(1)), sum(col("doc_id").cast("long"))).head()
+    // (count, id+byte-length sum): like VectorQueries.corpusKey, the
+    // fingerprint must see VALUES — sf0.001 and sf0.01 documents share
+    // ids 0..499, and an id-only key let one SF's dump shadow the
+    // other's. Byte length is exact integer arithmetic in both engines
+    // (octet_length here, strlen in DuckDB).
+    val r = docs.agg(count(lit(1)),
+      sum(col("doc_id").cast("long") +
+        octet_length(col("text")).cast("long"))).head()
     VectorQueries.dumpOracle(feats, "media_features", r.getLong(0), r.getLong(1))
     feats
   }
@@ -43,7 +50,9 @@ object MediaQueries {
 
   private val oracleFeatCte = """
         WITH nn AS (SELECT count(*) AS n,
-                           sum(CAST(doc_id AS BIGINT)) AS fp FROM documents),
+                           sum(CAST(doc_id AS BIGINT) +
+                               CAST(strlen(text) AS BIGINT)) AS fp
+                    FROM documents),
         feat AS (
           SELECT media_id, features
           FROM read_parquet('/tmp/graft_ann_oracle/media_features/*/*/*.parquet',

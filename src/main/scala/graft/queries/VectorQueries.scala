@@ -13,14 +13,24 @@ import graft.operators.Similarity
  */
 object VectorQueries {
 
-  /** (row count, id-sum fingerprint) of the dump's corpus — the
-    * partition key of every model dump. Count alone let two corpora
-    * that coincide in size clobber each other's /tmp dumps (ADVICE r7);
-    * the id sum is exact integer arithmetic BOTH engines compute, so
-    * one static SQL string still selects its own corpus's dump. */
+  /** (row count, fingerprint) of the dump's corpus — the partition key
+    * of every model dump. Count alone let two corpora that coincide in
+    * size clobber each other's /tmp dumps (ADVICE r7), and an id-only
+    * sum still collided across SCALE FACTORS: the sf0.001 and sf0.01
+    * fixtures both hold 500 embeddings with ids 0..499, so a plan-spec
+    * run at sf0.001 silently replaced the sf0.01 gate's dumps (found in
+    * the r11 sf1 sweep). The fingerprint therefore folds in a VALUE
+    * term — floor(abs(first component) · 4096) — which is exact integer
+    * arithmetic in both engines (float32→double is exact, ·2¹² is
+    * exact, floor of an exact product is exact), so one static SQL
+    * string still selects its own corpus's dump and distinct corpora
+    * with identical id sets key apart. */
   private[queries] def corpusKey(e: org.apache.spark.sql.DataFrame)
       : (Long, Long) = {
-    val r = e.agg(count(lit(1)), sum(col("vec_id").cast("long"))).head()
+    val r = e.agg(count(lit(1)),
+      sum(col("vec_id").cast("long") +
+        floor(abs(element_at(col("embedding"), 1).cast("double")) * 4096)
+          .cast("long"))).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -206,7 +216,7 @@ object VectorQueries {
           .select(col("query_id"), col("rank"), col("neighbor_id"))
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT) + CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096) AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v,
                  sqrt(list_inner_product(v, v)) AS cnrm
@@ -278,7 +288,7 @@ object VectorQueries {
           k = 10, model)
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT) + CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096) AS BIGINT)) AS fp FROM embeddings),
         cb AS (
           SELECT subspace, code, v,
                  list_inner_product(v, v) / 2 AS half
@@ -349,7 +359,7 @@ object VectorQueries {
           k = 10, base = "graft_ann_q122", nProbe = 4)
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT) + CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096) AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v
           FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
@@ -594,7 +604,7 @@ object VectorQueries {
           .select(col("vec_id"))
       },
       Some("""
-        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
+        WITH nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT) + CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096) AS BIGINT)) AS fp FROM embeddings),
         cent AS (
           SELECT centroid_id, v
           FROM read_parquet('/tmp/graft_ann_oracle/semdedup_cents/*/*/*.parquet',
@@ -941,7 +951,7 @@ object VectorQueries {
           SELECT doc_id FROM documents
           WHERE doc_id >= 250 AND doc_id NOT IN (
             SELECT doc_b FROM mh WHERE doc_b >= 250)),
-        nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT)) AS fp FROM embeddings),
+        nn AS (SELECT count(*) AS n, sum(CAST(vec_id AS BIGINT) + CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096) AS BIGINT)) AS fp FROM embeddings),
         e AS (SELECT CAST(vec_id AS BIGINT) AS id,
                      CAST(embedding AS DOUBLE[]) AS v,
                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),

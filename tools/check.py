@@ -8,10 +8,18 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryPrefix ...]
 Trailing args restrict the compare to queries whose name starts with any
 given prefix (for subset sweeps where Verify dumped only those queries —
 e.g. the sf1 heavy-family scale sweep).
+
+Each oracle runs in its own CHILD PROCESS with a bounded memory limit: a
+replay that exhausts DuckDB's budget (q114's seven-branch composite at
+sf1) then fails alone — it cannot poison a shared buffer pool, and the
+glibc arenas its attempt grew are returned with the process instead of
+starving every later query. Composite UNION ALL oracles that OOM whole
+are retried branch-at-a-time (each branch in its own process); the
+compare sorts rows, so the split is semantics-preserving.
 """
 import json, math, sys
+import multiprocessing as mp
 from decimal import Decimal
-import duckdb
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
@@ -48,18 +56,54 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _oracle_child(pipe, sf_dir, sql):
+    """Run one oracle in a fresh process; ship (cols, rows) or the error
+    text back through the pipe. norm_cell runs HERE so only plain
+    picklable values travel."""
+    import os
+    try:
+        import duckdb
+        con = duckdb.connect()
+        con.execute("SET memory_limit='60GB'")
+        con.execute("SET threads=16")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            # driver fixtures are single files; builder-generated sf1
+            # tables are Spark-written directories of part files
+            if os.path.isdir(path):
+                path += "/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        pipe.send(("ok", cols, [tuple(norm_cell(v) for v in r) for r in rows]))
+    except Exception as e:
+        pipe.send(("err", str(e), None))
+    finally:
+        pipe.close()
+
+
+def run_oracle(sf_dir, sql):
+    """Execute one oracle in a child process; returns (cols, rows) or
+    raises RuntimeError with the child's error text."""
+    ctx = mp.get_context("fork")
+    parent, child = ctx.Pipe(duplex=False)
+    p = ctx.Process(target=_oracle_child, args=(child, sf_dir, sql))
+    p.start()
+    child.close()
+    try:
+        status, a, b = parent.recv()
+    except EOFError:
+        status, a, b = "err", "oracle child died without a reply", None
+    p.join()
+    if status != "ok":
+        raise RuntimeError(a)
+    return a, b
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    import os
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        # driver fixtures are single files; builder-generated sf1 tables
-        # are Spark-written directories of part files
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = sys.argv[3:]
     if only:
@@ -77,15 +121,42 @@ def main():
         s_cols = tbl.column_names
         s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
         try:
-            res = con.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_cols, d_rows = run_oracle(sf_dir, sql)
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
+            import re as _re
+            # Composite oracles (q114: seven digest branches UNION ALL'd
+            # in one statement over shared CTEs) can exceed the memory
+            # budget at sf1 even though every branch alone fits — the
+            # union evaluates branches concurrently over materialized
+            # shared CTEs. Retry branch-at-a-time, one process each.
+            branches = (_re.split(r"\n\s*UNION ALL\s*\n", sql)
+                        if "Out of Memory" in str(e) else [])
+            if len(branches) > 1 and "SELECT '" in branches[0]:
+                try:
+                    idx = branches[0].index("SELECT '")
+                    prefix = branches[0][:idx]
+                    parts = [branches[0][idx:]] + branches[1:]
+                    d_cols, d_rows = None, []
+                    for part in parts:
+                        d_cols, rws = run_oracle(sf_dir, prefix + part)
+                        d_rows.extend(rws)
+                    print(f"NOTE {name}: composite oracle hit the memory "
+                          f"ceiling; evaluated its {len(parts)} UNION ALL "
+                          f"branches separately")
+                except Exception as e2:
+                    print(f"FAIL {name}: oracle error: {e2}")
+                    n_fail += 1
+                    continue
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
+                continue
         sc, sr = norm_rows(s_cols, s_rows)
-        dc, dr = norm_rows(d_cols, d_rows)
+        # oracle rows were normalized in the child; only sort/order here
+        order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        dr = [tuple(r[i] for i in order) for r in d_rows]
+        dr.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+        dc = [d_cols[i] for i in order]
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duckdb={dc}")
             n_fail += 1
