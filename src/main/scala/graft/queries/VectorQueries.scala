@@ -739,6 +739,15 @@ object VectorQueries {
           java.util.concurrent.Executors.newFixedThreadPool(branchPool)
         implicit val branchEc: ExecutionContext =
           ExecutionContext.fromExecutorService(branchExecutor)
+        // stderr-only wall clocks per branch: the floor evidence for
+        // the digest's cost (BASELINE.md) — which exact baseline is the
+        // critical path under branch concurrency, without touching rows
+        def timed[T](tag: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          try body
+          finally System.err.println(
+            f"[q114] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
 
         // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
         // found among banded candidates at est >= 0.5 (DedupSpec's
@@ -750,12 +759,12 @@ object VectorQueries {
         // digest's critical path. Each gets its own future; the exact
         // side is pinned so its n² verify work runs here, overlapped,
         // instead of inside the final fused action
-        val fExactJac = Future {
+        val fExactJac = Future { timed("exact_jaccard") {
           graft.ops.materialize(
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
               .select("doc_a", "doc_b"))
-        }
-        val fMinhashAndParity = Future {
+        } }
+        val fMinhashAndParity = Future { timed("minhash+parity") {
           // signatures are per-row, so ONE pinned full-corpus pass
           // feeds the candidate scan AND both incremental batches by
           // filtering — this branch used to pay the signature
@@ -796,9 +805,9 @@ object VectorQueries {
             digest("incremental_neardedup_parity",
               incSurv.select(col("doc_id")),
               oneShotSurv.select(col("doc_id")), Seq("doc_id")))
-        }
+        } }
 
-        val fTopK = Future {
+        val fTopK = Future { timed("topk_lsh_ivf") {
           // ANN recall@5 vs brute force, q41's and q43b's exact
           // configs. The exact baseline feeds BOTH rows — ReuseExchange
           // cannot dedup the n·|Q| streamed scoring, only broadcast
@@ -826,9 +835,9 @@ object VectorQueries {
               Seq("query_id", "neighbor_id")),
             digest("ann_ivf_topk@5", ivfK, exactTopK,
               Seq("query_id", "neighbor_id")))
-        }
+        } }
 
-        val fPairs = Future {
+        val fPairs = Future { timed("pairs+semdedup") {
           // multi-table LSH near-dup pairs (q61 config): exact-
           // verified, so approx ⊆ exact and the ratio IS recall. The
           // exact all-pairs pass is the digest's single heaviest plan
@@ -859,9 +868,9 @@ object VectorQueries {
               Seq("id_a", "id_b")),
             digest("semantic_dedup_drops", dropped, droppable,
               Seq("vec_id")))
-        }
+        } }
 
-        val fAdc = Future {
+        val fAdc = Future { timed("pq_adc") {
           // PQ/ADC (q113 config) recall@5 vs exact L2 — the metric ADC
           // approximates (cosine would mis-state it)
           val pqModel = cachedFit("pq_16x16", corpusFp)(
@@ -880,7 +889,7 @@ object VectorQueries {
             "vec_id", "embedding", 5).select("query_id", "neighbor_id")
           evalRows(digest("pq_adc_topk@5", adcK, exactL2K,
             Seq("query_id", "neighbor_id")))
-        }
+        } }
 
         val timeout = scala.concurrent.duration.Duration(20,
           scala.concurrent.duration.MINUTES)
