@@ -404,13 +404,23 @@ object MoreEtlQueries {
         val base = Tables.load(s, dir, "lineitem")
           .filter(col("l_orderkey") <= 2000)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        // the declared order must be TOTAL on the emitted columns: the
+        // fixtures carry duplicate (l_orderkey, l_linenumber) pairs
+        // (the generator enforces no PK), and an under-determined order
+        // let each engine break ties in its own scan order — green at
+        // sf0.1 by single-file luck, divergent at sf1's 32 shuffled
+        // part files (r11 sweep). With l_quantity appended, remaining
+        // ties are FULLY identical rows, whose interchangeable ids
+        // cannot change the result set.
         graft.ops.relational.contiguousRowNumber(base,
-            Seq(col("l_orderkey"), col("l_linenumber")), "row_id")
+            Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+            "row_id")
           .select(col("row_id"), col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"))
       },
       Some("""
-        SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+        SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                                l_quantity)
                  AS BIGINT) AS row_id,
                l_orderkey, l_linenumber, l_quantity
         FROM lineitem WHERE l_orderkey <= 2000"""),

@@ -136,9 +136,14 @@ def main():
                     idx = branches[0].index("SELECT '")
                     prefix = branches[0][:idx]
                     parts = [branches[0][idx:]] + branches[1:]
+                    # column names come from the FIRST branch, exactly
+                    # as SQL defines them for the whole UNION (later
+                    # branches often carry no aliases)
                     d_cols, d_rows = None, []
                     for part in parts:
-                        d_cols, rws = run_oracle(sf_dir, prefix + part)
+                        cols, rws = run_oracle(sf_dir, prefix + part)
+                        if d_cols is None:
+                            d_cols = cols
                         d_rows.extend(rws)
                     print(f"NOTE {name}: composite oracle hit the memory "
                           f"ceiling; evaluated its {len(parts)} UNION ALL "
