@@ -4,44 +4,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * sf1 fixture generator for the scale rehearsal (VERDICT r9 task 1).
+ * Scale-fixture generator for the scale rehearsals (VERDICT r9 task 1;
+ * extended round 11 to arbitrary replica counts for a third scale
+ * point).
  *
- * Produces a 10× replica-union of the driver's sf0.1 tables at
- * `testdata_sf1/` INSIDE the repo (the driver's /root/testdata is
- * read-only). Replica k of a row gets every key/id column offset by
- * k·10⁸ — all keys in the source are < 10⁸ and both sides of every FK
- * are offset identically, so join cardinalities scale exactly 10×.
+ * Produces an N× replica-union of the driver's sf0.1 tables at
+ * `testdata_sf1/` (or any outDir) INSIDE the repo (the driver's
+ * /root/testdata is read-only). Replica k of a row gets every key/id
+ * column offset by k·10⁸ — all keys in the source are < 10⁸ and both
+ * sides of every FK are offset identically, so join cardinalities
+ * scale exactly N×.
  *
  * Content perturbation is chosen so the DATA DISTRIBUTION scales
- * honestly — naive row duplication would turn every document into a
- * 10-way exact-duplicate cluster and quadratically inflate the
+ * honestly — naive row duplication would turn every document into an
+ * N-way exact-duplicate cluster and quadratically inflate the
  * near-dup candidate space, measuring a data artifact instead of the
  * plan:
- *  - documents.text: per-replica alphabet rotation (a caesar cipher
- *    over [a-z], [A-Z], [0-9] separately). Length-preserving, so
- *    n_chars stays valid and bytes scale exactly 10×; word shapes and
+ *  - documents.text: per-replica alphabet permutation — an affine map
+ *    i → a·i + b (mod 26) over [a-z] and [A-Z] (a coprime to 26, so a
+ *    bijection) and a shift over [0-9]. Length-preserving, so n_chars
+ *    stays valid and bytes scale exactly N×; word shapes and
  *    within-replica duplicate structure are identical to the
- *    original; across replicas shingle vocabularies are disjoint, so
- *    the dup/near-dup structure is 10 independent copies of sf0.1's.
+ *    original; across replicas letter vocabularies are pairwise
+ *    distinct (no two replicas share an (a, b)), so the dup/near-dup
+ *    structure is N ~independent copies of sf0.1's. For k < 26 the
+ *    map degenerates to a = 1 (a caesar rotation by k), reproducing
+ *    the committed sf1 fixtures bit-for-bit.
  *  - embeddings.embedding: rotate the vector by k dimensions — norms,
  *    pairwise distances, and cluster structure are preserved within a
- *    replica; replicas land in different orientations.
- * Everything else (prices, dates, flags) is copied verbatim: 10×
+ *    replica; replicas land in different orientations. (Replica count
+ *    is capped below the 64-dim wraparound.)
+ * Everything else (prices, dates, flags) is copied verbatim: N×
  * density in the same value ranges, which is what a grown corpus
  * looks like.
+ *
+ * Usage: GenScale [srcDir] [outDir] [replicas]
+ *   sf1: GenScale /root/testdata/sf0.1 testdata_sf1 10
+ *   sf4: GenScale /root/testdata/sf0.1 testdata_sf4 40
  */
 object GenScale {
   private val Stride = 100000000L // > every source key; FK-consistent offset
-  private val Replicas = 10
 
-  private def rot(s: String, k: Int): String =
-    s.drop(k % s.length) + s.take(k % s.length)
+  // multiplicative units mod 26: each defines a bijection on the alphabet
+  private val Units26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
-  /** Union of `Replicas` copies of `df`, each with its key columns
+  /** Affine permutation of `alphabet` for replica k: position i maps to
+    * alphabet[(a·i + b) mod len] with a = Units26(k / 26), b = k % 26.
+    * Requires len ∈ {26} for the affine arm; shorter alphabets (digits)
+    * use the pure shift. */
+  private[tools] def perm(alphabet: String, k: Int): String = {
+    val len = alphabet.length
+    if (len == 26) {
+      val a = Units26((k / 26) % Units26.length)
+      val b = k % 26
+      (0 until len).map(i => alphabet((a * i + b) % len)).mkString
+    } else alphabet.drop(k % len) + alphabet.take(k % len)
+  }
+
+  /** Union of `replicas` copies of `df`, each with its key columns
     * offset and an optional per-replica content transform applied. */
-  private def replicate(df: DataFrame, keyCols: Seq[String],
+  private def replicate(df: DataFrame, keyCols: Seq[String], replicas: Int,
                         perturb: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until Replicas).map { k =>
+    (0 until replicas).map { k =>
       val keyed = keyCols.foldLeft(df) { (d, c) =>
         d.withColumn(c, col(c) + lit(k * Stride))
       }
@@ -51,6 +75,11 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "testdata_sf1"
+    val Replicas = if (args.length > 2) args(2).toInt else 10
+    // embedding rotation must stay below the 64-dim wraparound, and the
+    // letter permutations below 12·26 distinct (a, b) pairs
+    require(Replicas >= 1 && Replicas <= 63,
+      s"replicas must be in [1, 63], got $Replicas")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -71,31 +100,39 @@ object GenScale {
     val digits = "0123456789"
     val from = lower + upper + digits
 
-    write(replicate(read("documents"), Seq("doc_id"), { (d, k) =>
+    // part-file counts scale with the replica count so per-partition
+    // bytes stay roughly constant across generated SFs
+    val pScale = math.max(1, Replicas / 10)
+
+    write(replicate(read("documents"), Seq("doc_id"), Replicas, { (d, k) =>
       if (k == 0) d
       else {
-        val to = rot(lower, k) + rot(upper, k) + rot(digits, k)
+        val to = perm(lower, k) + perm(upper, k) + perm(digits, k)
         d.withColumn("text", translate(col("text"), from, to))
       }
-    }), "documents", 16)
+    }), "documents", 16 * pScale)
 
-    write(replicate(read("embeddings"), Seq("vec_id"), { (d, k) =>
+    write(replicate(read("embeddings"), Seq("vec_id"), Replicas, { (d, k) =>
       if (k == 0) d
       else d.withColumn("embedding", expr(
         s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
           s"slice(embedding, 1, $k))"))
-    }), "embeddings", 8)
+    }), "embeddings", 8 * pScale)
 
     val id = (d: DataFrame, _: Int) => d
     write(replicate(read("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey"), id), "lineitem", 32)
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), Replicas, id),
+      "lineitem", 32 * pScale)
     write(replicate(read("orders"),
-      Seq("o_orderkey", "o_custkey"), id), "orders", 16)
-    write(replicate(read("customer"), Seq("c_custkey"), id), "customer", 4)
-    write(replicate(read("supplier"), Seq("s_suppkey"), id), "supplier", 2)
-    write(replicate(read("part"), Seq("p_partkey"), id), "part", 4)
+      Seq("o_orderkey", "o_custkey"), Replicas, id), "orders", 16 * pScale)
+    write(replicate(read("customer"), Seq("c_custkey"), Replicas, id),
+      "customer", 4 * pScale)
+    write(replicate(read("supplier"), Seq("s_suppkey"), Replicas, id),
+      "supplier", 2 * pScale)
+    write(replicate(read("part"), Seq("p_partkey"), Replicas, id),
+      "part", 4 * pScale)
     write(replicate(read("events"),
-      Seq("event_id", "user_id"), id), "events", 8)
+      Seq("event_id", "user_id"), Replicas, id), "events", 8 * pScale)
     // tiny dims: FKs (c_nationkey etc.) are NOT offset, so keep the dims
     // as-is — every replica shares the same 25 nations / 5 regions
     write(read("nation"), "nation", 1)
