@@ -325,7 +325,13 @@ object Dedup {
     * "trust the recall spec" into driver-hash-verified. Production
     * paths keep the fused xxhash64 kernel; the driver-oracled registry
     * entries pass this as `baseHash`. */
-  def md5Hash60(c: Column): Column =
+  /** A `val` (stable function instance), not a `def`: callers pass
+    * `Some(md5Hash60)` as a base hash, and [[minHashSignatures]]
+    * recognizes THIS instance by reference to take the fused
+    * `graft_minhash` kernel path (which embeds the identical md5
+    * arithmetic). Any other function still works via the aggregate
+    * formulation. */
+  val md5Hash60: Column => Column = c =>
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of
@@ -353,17 +359,53 @@ object Dedup {
   /**
    * MinHash signatures as a DataFrame: (doc_id, sig array<bigint>[k]).
    *
-   * Formulated as explode → groupBy(doc) with k codegen'd `min`
-   * aggregates rather than k array-`transform`s per row: Spark's
-   * higher-order array functions are interpreted (no whole-stage
-   * codegen), so the per-row-array version pays ~μs per element-op and
-   * dominates the whole LSH pipeline; hash-aggregated mins are compiled
-   * and combine map-side, leaving one tiny shuffle keyed on doc id.
-   * Docs with no shingles (shorter than n tokens) are dropped.
+   * A signature is a per-row function of the row's shingle set, so the
+   * default path is the fused [[graft.plans.MinHashSigs]] kernel: one
+   * narrow scan → project pass, all k mins per row in a single loop,
+   * ZERO shuffle and zero row amplification — at corpus scale the
+   * aggregate formulation's exploded exchange (a shuffled row per
+   * shingle) IS the signature stage's cost. The kernel path serves
+   * `baseHash = None` (pre-hashed via the fused xxhash64 shingle
+   * kernel) and `Some(md5Hash60)` (the md5 arithmetic is embedded in
+   * the kernel, bit-identical — recognized by function-instance
+   * reference); any other base hash falls back to
+   * [[minHashSignaturesAgg]]. Docs with no shingles (shorter than n
+   * tokens) are dropped on every path.
    */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, seed: Long = 42L,
                         baseHash: Option[Column => Column] = None): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    val elems: Option[Column] = baseHash match {
+      case None => Some(sortedShingleHashes(split(col(textCol), " "), n))
+      case Some(f) if f eq md5Hash60 => Some(shingles(col(textCol), n))
+      case Some(_) => None
+    }
+    elems match {
+      case Some(e) =>
+        val params = typedLit(hashParams(k, seed).map { case (a, b) =>
+          Seq(a, b)
+        })
+        docs.select(col(idCol).as("doc_id"),
+            call_function("graft_minhash", e, params).as("sig"))
+          .filter(col("sig").isNotNull)
+      case None =>
+        minHashSignaturesAgg(docs, idCol, textCol, n, k, seed, baseHash)
+    }
+  }
+
+  /**
+   * The aggregate formulation of [[minHashSignatures]] — explode →
+   * groupBy(doc) with k codegen'd `min` aggregates — kept as the
+   * reference semantics the fused kernel is spec-tested bit-identical
+   * to (MinHashKernelSpec), and as the fallback for caller-supplied
+   * base hashes the kernel doesn't embed.
+   */
+  private[graft] def minHashSignaturesAgg(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, seed: Long = 42L,
+      baseHash: Option[Column => Column] = None): DataFrame = {
     val params = hashParams(k, seed)
     val ex = explodedShingleHashes(docs, idCol, textCol, n, baseHash)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>

@@ -107,12 +107,29 @@ object ProductQuant {
     PqModel(dim, m, k, codebooks)
   }
 
-  /** Per-row PQ encoding as a pure codegen'd expression: for each
-    * subspace, argmin over the codebook of the squared L2 distance —
-    * ranked via `x·c − |c|²/2` (the `|x|²` term is constant within a
-    * subspace), the same greatest-over-structs argmax as IVF cell
-    * assignment. Returns an array<int> of `m` codes. */
+  /** Per-row PQ encoding: for each subspace, argmin over the codebook
+    * of the squared L2 distance — ranked via `x·c − |c|²/2` (the
+    * `|x|²` term is constant within a subspace), ties to the smaller
+    * code. Returns an array<int> of `m` codes.
+    *
+    * Implemented by the compact [[graft.plans.PqEncodeCodes]] kernel:
+    * the unrolled greatest-over-structs formulation ([[encodeUnrolled]],
+    * kept as the reference semantics this is spec-tested against)
+    * generated >10k lines of Java at m=16·k=16 and broke whole-stage
+    * codegen — janino re-paid a multi-second failed compile on every
+    * execution of the plan. */
   def encode(vec: Column, model: PqModel): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_pq_encode", vec.cast("array<double>"),
+      typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+  }
+
+  /** The unrolled expression-tree formulation of [[encode]] — the
+    * reference semantics the codegen kernel is asserted bit-identical
+    * to (PqParitySpec). Do not use on the hot path: at production
+    * m·k the generated code exceeds janino's limits. */
+  private[graft] def encodeUnrolled(vec: Column, model: PqModel): Column = {
     val v = vec.cast("array<double>")
     val codes = (0 until model.m).map { j =>
       val sub = slice(v, j * model.subDim + 1, model.subDim)
@@ -146,7 +163,7 @@ object ProductQuant {
     * distance between the query's j-th subvector and codebook centroid
     * `c` — the sequential-fold accumulation order is part of the
     * contract (the driver oracle replays it bit-exactly in SQL). */
-  private[operators] def distTables(qv: Array[Double],
+  private[graft] def distTables(qv: Array[Double],
                                     model: PqModel): Seq[Seq[Double]] =
     (0 until model.m).map { j =>
       val sub = qv.slice(j * model.subDim, (j + 1) * model.subDim)
@@ -175,8 +192,14 @@ object ProductQuant {
 
   /** The `m`-lookup ADC distance of a `codes` row against the
     * broadcast `tables` column — a fixed left-to-right addition chain,
-    * never reassociated (oracle replay depends on it). */
-  private[operators] def adcDist(model: PqModel): Column =
+    * never reassociated (oracle replay depends on it). Implemented by
+    * the [[graft.plans.PqAdcDist]] loop kernel; [[adcDistUnrolled]]
+    * keeps the element_at-chain reference semantics it is spec-tested
+    * against. */
+  private[graft] def adcDist(model: PqModel): Column =
+    call_function("graft_adc_dist", col("tables"), col("codes"))
+
+  private[graft] def adcDistUnrolled(model: PqModel): Column =
     (0 until model.m)
       .map(j => element_at(element_at(col("tables"), j + 1),
         element_at(col("codes"), j + 1) + 1))

@@ -38,6 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_kmv"), KmvSketch.info,
       (children: Seq[Expression]) =>
         KmvSketch(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      PqEncodeCodes.info,
+      (children: Seq[Expression]) =>
+        PqEncodeCodes(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_adc_dist"),
+      PqAdcDist.info,
+      (children: Seq[Expression]) =>
+        PqAdcDist(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      MinHashSigs.info,
+      (children: Seq[Expression]) =>
+        MinHashSigs(children.head, children(1))))
   }
 }
 
@@ -69,5 +81,17 @@ object GraftExtensions {
       FunctionIdentifier("graft_kmv"), KmvSketch.info,
       (children: Seq[Expression]) =>
         KmvSketch(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pq_encode"), PqEncodeCodes.info,
+      (children: Seq[Expression]) =>
+        PqEncodeCodes(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_adc_dist"), PqAdcDist.info,
+      (children: Seq[Expression]) =>
+        PqAdcDist(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash"), MinHashSigs.info,
+      (children: Seq[Expression]) =>
+        MinHashSigs(children.head, children(1)))
   }
 }

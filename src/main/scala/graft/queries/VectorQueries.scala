@@ -686,32 +686,30 @@ object VectorQueries {
               r.getLong(2),
               if (r.isNullAt(3)) None else Some(r.getDouble(3))))
 
-        // Seven independent sub-digests, several of whose operators run
-        // EAGER driver work at plan-build time (internal materialize
-        // pins, model-fit collects) on top of their own evaluation
-        // jobs. Run sequentially those serialize on idle cores; one
-        // Future per branch overlaps build AND evaluation — measured
-        // 7.7 → ~3.5 s at sf0.1 — while every branch stays bit-
-        // identical (no shared mutable state; the assembled rows keep
-        // the original order).
+        // Seven sub-digests decomposed into a FINE-GRAINED future DAG.
+        // r10's five branch-level futures left each branch a long
+        // SERIAL chain of small Spark jobs (sigs pin → banding →
+        // digest; exact-pairs pin → LSH chain → two digests), and the
+        // r11 sub-branch timers showed those chains — not the exact n²
+        // baselines (q60 alone is ~0.5 s idle) — were the digest's
+        // critical path under branch concurrency. Splitting every
+        // independent pin / model fit / digest row into its own task,
+        // composed with non-blocking zip/map on the pool's EC, cuts
+        // the longest dependency chain to pin → consumer-row while
+        // every result stays bit-identical (no shared mutable state;
+        // the assembled rows keep the original order).
         import scala.concurrent.{Await, ExecutionContext, Future}
-        // size the branch pool from LIVE parallelism, not the static
-        // core count: four branches each driving Spark actions are the
+        // size the task pool from LIVE parallelism, not the static
+        // core count: many tasks each driving Spark actions are the
         // right call on an idle 32-core box, but on a contended machine
         // they oversubscribe and multiply the external load (the r7
-        // driver run recorded 3.8× under exactly that). One branch per
-        // ~8 free cores, floor 1 — and submission order is FIFO, so the
-        // pool-of-1 case degrades to the sequential plan (fExactJac is
-        // submitted before the branch that awaits it; no deadlock).
-        // FIVE concurrent tasks at full parallelism, not four: the
-        // exact-Jaccard helper future is awaited INSIDE the minhash
-        // branch, and a fixed pool (unlike the global fork-join pool,
-        // which spawns a compensation thread around a blocked Await)
-        // must hold the blocker AND the four branches at once or the
-        // last-submitted branch serializes behind the first finisher.
-        // Scale the pool DOWN with live machine load (the r7 driver
-        // run showed oversubscription multiplying external contention);
-        // an idle box of any core count gets all five.
+        // driver run recorded 3.8× under exactly that). Composition is
+        // non-blocking — no task Awaits another, dependent rows are
+        // zip/map continuations — so even a pool of 1 just degrades to
+        // the sequential plan with no deadlock. Eight tasks at full
+        // parallelism (seven leaf pins/fits are runnable at submit
+        // time, plus one continuation slot); scale DOWN with live
+        // machine load, floor 1.
         val branchPool = {
           val procs = Runtime.getRuntime.availableProcessors()
           // a box too small to ever run branches concurrently skips the
@@ -732,16 +730,16 @@ object VectorQueries {
               }
             val idleFrac =
               if (load.isNaN || load < 0) 1.0 else math.max(0.0, 1.0 - load)
-            math.max(1, math.min(5, math.round(idleFrac * 5).toInt))
+            math.max(1, math.min(8, math.round(idleFrac * 8).toInt))
           }
         }
         val branchExecutor =
           java.util.concurrent.Executors.newFixedThreadPool(branchPool)
         implicit val branchEc: ExecutionContext =
           ExecutionContext.fromExecutorService(branchExecutor)
-        // stderr-only wall clocks per branch: the floor evidence for
-        // the digest's cost (BASELINE.md) — which exact baseline is the
-        // critical path under branch concurrency, without touching rows
+        // stderr-only wall clocks per task: the floor evidence for
+        // the digest's cost (BASELINE.md) — which pin/fit/row is the
+        // critical path under task concurrency, without touching rows
         def timed[T](tag: String)(body: => T): T = {
           val t0 = System.nanoTime()
           try body
@@ -749,128 +747,156 @@ object VectorQueries {
             f"[q114] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
 
-        // MinHash+LSH candidate recall: true pairs at exact J >= 0.8
-        // found among banded candidates at est >= 0.5 (DedupSpec's
-        // proven definition — banding misses AND estimation slack).
-        // The exact-Jaccard chain (shingle-set pin + prefix-filter +
-        // verify) and the signature chain (sig pin + banding) are the
-        // two heaviest independent plans in the digest and used to run
-        // back-to-back inside this branch — its ~5 s made it the whole
-        // digest's critical path. Each gets its own future; the exact
-        // side is pinned so its n² verify work runs here, overlapped,
-        // instead of inside the final fused action
+        // ===== leaf tasks: pins and model fits, all runnable at once =====
+
+        // MinHash+LSH candidate recall inputs: true pairs at exact
+        // J >= 0.8 found among banded candidates at est >= 0.5
+        // (DedupSpec's proven definition — banding misses AND
+        // estimation slack). The exact side is pinned in its own task
+        // so its n² verify work overlaps everything else.
         val fExactJac = Future { timed("exact_jaccard") {
           graft.ops.materialize(
             Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
               .select("doc_a", "doc_b"))
         } }
-        val fMinhashAndParity = Future { timed("minhash+parity") {
-          // signatures are per-row, so ONE pinned full-corpus pass
-          // feeds the candidate scan AND both incremental batches by
-          // filtering — this branch used to pay the signature
-          // aggregation three times (full + both halves)
-          val sigsAll = graft.ops.materialize(Dedup.minHashSignatures(
+        // signatures are per-row, so ONE pinned full-corpus pass feeds
+        // the candidate scan AND both incremental batches by filtering
+        val fSigs = Future { timed("minhash_sigs") {
+          graft.ops.materialize(Dedup.minHashSignatures(
             docs, "doc_id", "text", n = 3, k = 64,
             baseHash = Some(Dedup.md5Hash60)))
-          // the candidate set feeds the recall row AND the one-shot
-          // parity side inside one fused action — pin the (small) pair
-          // list so banding + verify run once
-          val mhCand = graft.ops.materialize(
-            Dedup.minHashCandidates(docs, "doc_id", "text",
-              n = 3, k = 64, bands = 8, baseHash = Some(Dedup.md5Hash60),
-              sigs = Some(sigsAll))
-            .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b"))
-          // incremental near-dedup (q94 config) vs the one-shot union
-          // run: survivors must be bit-identical, so this row documents
-          // parity. The seeding batch's state IS its signature rows
-          // (incrementalNearDedup with no prior state returns exactly
-          // batchSigs), so both calls collapse to filters of sigsAll.
-          val state = sigsAll.filter(col("doc_id") < 250)
-          val (incSurv, _) = Dedup.incrementalNearDedup(
-            docs.filter(col("doc_id") >= 250), "doc_id", "text",
-            Some(state), n = 3, k = 64, bands = 8, threshold = 0.5,
-            baseHash = Some(Dedup.md5Hash60),
-            precomputedBatchSigs =
-              Some(sigsAll.filter(col("doc_id") >= 250)))
-          val oneShotDrop = mhCand.filter(col("doc_b") >= 250)
-            .select(col("doc_b").as("doc_id")).distinct()
-          val oneShotSurv = docs.filter(col("doc_id") >= 250)
-            .join(oneShotDrop, Seq("doc_id"), "left_anti")
-          val exactJac = Await.result(fExactJac,
-            scala.concurrent.duration.Duration(20,
-              scala.concurrent.duration.MINUTES))
-          evalRows(
-            digest("minhash_lsh_candidates", mhCand, exactJac,
-              Seq("doc_a", "doc_b")),
-            digest("incremental_neardedup_parity",
-              incSurv.select(col("doc_id")),
-              oneShotSurv.select(col("doc_id")), Seq("doc_id")))
         } }
-
-        val fTopK = Future { timed("topk_lsh_ivf") {
-          // ANN recall@5 vs brute force, q41's and q43b's exact
-          // configs. The exact baseline feeds BOTH rows — ReuseExchange
-          // cannot dedup the n·|Q| streamed scoring, only broadcast
-          // sides, so pin the (tiny, k·|Q|-row) result and pay the
-          // scan once
-          val exactTopK = graft.ops.materialize(
+        // ANN recall@5 exact baseline (q41's and q43b's configs): feeds
+        // BOTH topk rows — ReuseExchange cannot dedup the n·|Q|
+        // streamed scoring, only broadcast sides, so pin the (tiny,
+        // k·|Q|-row) result and pay the scan once
+        val fExactTopK = Future { timed("exact_topk") {
+          graft.ops.materialize(
             Similarity.cosineTopK(e, queries20,
               "vec_id", "embedding", 5).select("query_id", "neighbor_id"))
-          val lshK = Similarity.lshTopK(e, queries20,
-            "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
-            .select("query_id", "neighbor_id")
-          // fit once, dump for the composite oracle (bit-identical to
-          // q43b's dump — same deterministic config — so either query
-          // alone leaves a valid model on disk), and search with it
+        } }
+        // IVF fit once, dump for the composite oracle (bit-identical to
+        // q43b's dump — same deterministic config — so either query
+        // alone leaves a valid model on disk)
+        val fIvfCents = Future { timed("ivf_fit") {
           val ivfCents = cachedFit("ivf_cents_16x8", corpusFp)(
             Similarity.fitCentroids(e, "vec_id", "embedding",
               nCentroids = 16, iters = 8))
           dumpCentroids(s, ivfCents, corpusFp, "ivf_cents")
-          val ivfK = Similarity.ivfTopK(e, queries20,
-            "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
-            centroids = Some(ivfCents))
-            .select("query_id", "neighbor_id")
-          evalRows(
-            digest("ann_lsh_topk@5", lshK, exactTopK,
-              Seq("query_id", "neighbor_id")),
-            digest("ann_ivf_topk@5", ivfK, exactTopK,
-              Seq("query_id", "neighbor_id")))
+          ivfCents
         } }
-
-        val fPairs = Future { timed("pairs+semdedup") {
-          // multi-table LSH near-dup pairs (q61 config): exact-
-          // verified, so approx ⊆ exact and the ratio IS recall. The
-          // exact all-pairs pass is the digest's single heaviest plan
-          // and feeds BOTH the lsh-pairs row and the SemDeDup droppable
-          // set — pin the thresholded survivors so the n² scoring runs
-          // once
-          val exactPairs = graft.ops.materialize(
+        // exact all-pairs cosine (q60 config): feeds the lsh-pairs row
+        // AND the SemDeDup droppable set — pin the thresholded
+        // survivors so the n² scoring runs once
+        val fExactPairs = Future { timed("exact_pairs") {
+          graft.ops.materialize(
             Similarity.cosineNearDupPairs(e,
               "vec_id", "embedding", 0.4).select("id_a", "id_b"))
-          val lshPairs = Similarity.cosineNearDupLsh(e, "vec_id",
-            "embedding", dim = 64, threshold = 0.4, nTables = 8,
-            nPlanes = 6).select("id_a", "id_b")
-          // SemDeDup (q91 config): dropped ids vs the exact droppable.
-          // Fit once, dump for the composite oracle (≡ q91's dump)
-          val semCents = cachedFit("semdedup_cents_8x8", corpusFp)(
-            Similarity.fitCentroids(e, "vec_id", "embedding",
-              nCentroids = 8, iters = 8))
-          dumpCentroids(s, semCents, corpusFp, "semdedup_cents")
-          val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
-            eps = 0.4, nCentroids = 8, centroids = Some(semCents))
-            .select(col("vec_id").cast("long").as("vec_id"))
-          val dropped = e.select(col("vec_id").cast("long").as("vec_id"))
-            .join(kept, Seq("vec_id"), "left_anti")
-          val droppable = exactPairs.select(col("id_b").as("vec_id"))
-            .distinct()
-          evalRows(
-            digest("cosine_lsh_neardup", lshPairs, exactPairs,
-              Seq("id_a", "id_b")),
-            digest("semantic_dedup_drops", dropped, droppable,
-              Seq("vec_id")))
+        } }
+        // multi-table LSH near-dup pairs (q61 config): its internal
+        // normalization pin + bucket join + verify chain is the single
+        // longest operator chain in the digest — pinned in its own
+        // task so it overlaps the exact side instead of running after
+        // it inside the row action
+        val fLshPairs = Future { timed("lsh_pairs") {
+          graft.ops.materialize(
+            Similarity.cosineNearDupLsh(e, "vec_id",
+              "embedding", dim = 64, threshold = 0.4, nTables = 8,
+              nPlanes = 6).select("id_a", "id_b"))
         } }
 
-        val fAdc = Future { timed("pq_adc") {
+        // ===== continuation tasks: one digest row each, scheduled on
+        // the pool's EC the moment their inputs settle =====
+
+        // the candidate set feeds the recall row AND the one-shot
+        // parity side — pin the (small) pair list so banding + verify
+        // run once
+        val fMhCand = fSigs.map { sigsAll =>
+          timed("minhash_cand") { graft.ops.materialize(
+            Dedup.minHashCandidates(docs, "doc_id", "text",
+              n = 3, k = 64, bands = 8, baseHash = Some(Dedup.md5Hash60),
+              sigs = Some(sigsAll))
+            .filter(col("est_jaccard") >= 0.5).select("doc_a", "doc_b")) }
+        }
+        val fMinhashRow = fMhCand.zip(fExactJac).map {
+          case (mhCand, exactJac) => timed("minhash_row") {
+            evalRows(digest("minhash_lsh_candidates", mhCand, exactJac,
+              Seq("doc_a", "doc_b")))
+          }
+        }
+        // incremental near-dedup (q94 config) vs the one-shot union
+        // run: survivors must be bit-identical, so this row documents
+        // parity. The seeding batch's state IS its signature rows
+        // (incrementalNearDedup with no prior state returns exactly
+        // batchSigs), so both calls collapse to filters of sigsAll.
+        val fParityRow = fSigs.zip(fMhCand).map {
+          case (sigsAll, mhCand) => timed("parity_row") {
+            val state = sigsAll.filter(col("doc_id") < 250)
+            val (incSurv, _) = Dedup.incrementalNearDedup(
+              docs.filter(col("doc_id") >= 250), "doc_id", "text",
+              Some(state), n = 3, k = 64, bands = 8, threshold = 0.5,
+              baseHash = Some(Dedup.md5Hash60),
+              precomputedBatchSigs =
+                Some(sigsAll.filter(col("doc_id") >= 250)))
+            val oneShotDrop = mhCand.filter(col("doc_b") >= 250)
+              .select(col("doc_b").as("doc_id")).distinct()
+            val oneShotSurv = docs.filter(col("doc_id") >= 250)
+              .join(oneShotDrop, Seq("doc_id"), "left_anti")
+            evalRows(digest("incremental_neardedup_parity",
+              incSurv.select(col("doc_id")),
+              oneShotSurv.select(col("doc_id")), Seq("doc_id")))
+          }
+        }
+
+        val fLshTopkRow = fExactTopK.map { exactTopK =>
+          timed("lsh_topk_row") {
+            val lshK = Similarity.lshTopK(e, queries20,
+              "vec_id", "embedding", dim = 64, k = 5, nPlanes = 4)
+              .select("query_id", "neighbor_id")
+            evalRows(digest("ann_lsh_topk@5", lshK, exactTopK,
+              Seq("query_id", "neighbor_id")))
+          }
+        }
+        val fIvfTopkRow = fExactTopK.zip(fIvfCents).map {
+          case (exactTopK, ivfCents) => timed("ivf_topk_row") {
+            val ivfK = Similarity.ivfTopK(e, queries20,
+              "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+              centroids = Some(ivfCents))
+              .select("query_id", "neighbor_id")
+            evalRows(digest("ann_ivf_topk@5", ivfK, exactTopK,
+              Seq("query_id", "neighbor_id")))
+          }
+        }
+
+        // LSH pairs are exact-verified, so approx ⊆ exact and the
+        // ratio IS recall
+        val fLshPairsRow = fExactPairs.zip(fLshPairs).map {
+          case (exactPairs, lshPairs) => timed("lsh_pairs_row") {
+            evalRows(digest("cosine_lsh_neardup", lshPairs, exactPairs,
+              Seq("id_a", "id_b")))
+          }
+        }
+        // SemDeDup (q91 config): dropped ids vs the exact droppable.
+        // Fit once, dump for the composite oracle (≡ q91's dump)
+        val fSemRow = fExactPairs.map { exactPairs =>
+          timed("semdedup_row") {
+            val semCents = cachedFit("semdedup_cents_8x8", corpusFp)(
+              Similarity.fitCentroids(e, "vec_id", "embedding",
+                nCentroids = 8, iters = 8))
+            dumpCentroids(s, semCents, corpusFp, "semdedup_cents")
+            val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
+              eps = 0.4, nCentroids = 8, centroids = Some(semCents))
+              .select(col("vec_id").cast("long").as("vec_id"))
+            val dropped = e.select(col("vec_id").cast("long").as("vec_id"))
+              .join(kept, Seq("vec_id"), "left_anti")
+            val droppable = exactPairs.select(col("id_b").as("vec_id"))
+              .distinct()
+            evalRows(digest("semantic_dedup_drops", dropped, droppable,
+              Seq("vec_id")))
+          }
+        }
+
+        val fAdcRow = Future { timed("pq_adc_row") {
           // PQ/ADC (q113 config) recall@5 vs exact L2 — the metric ADC
           // approximates (cosine would mis-state it)
           val pqModel = cachedFit("pq_16x16", corpusFp)(
@@ -893,15 +919,19 @@ object VectorQueries {
 
         val timeout = scala.concurrent.duration.Duration(20,
           scala.concurrent.duration.MINUTES)
-        val Seq(mhRows, topkRows, pairRows, adcRows) =
-          try Seq(fMinhashAndParity, fTopK, fPairs, fAdc)
-            .map(Await.result(_, timeout))
-          finally branchExecutor.shutdown()
         // original digest row order: minhash, lsh, ivf, lshPairs, adc,
         // semdedup, parity
-        (Seq(mhRows.head) ++ topkRows ++ Seq(pairRows.head) ++ adcRows ++
-          Seq(pairRows(1), mhRows(1)))
-          .toDF("operator", "hits", "total", "recall")
+        val rows =
+          try {
+            Await.result(fMinhashRow, timeout) ++
+              Await.result(fLshTopkRow, timeout) ++
+              Await.result(fIvfTopkRow, timeout) ++
+              Await.result(fLshPairsRow, timeout) ++
+              Await.result(fAdcRow, timeout) ++
+              Await.result(fSemRow, timeout) ++
+              Await.result(fParityRow, timeout)
+          } finally branchExecutor.shutdown()
+        rows.toDF("operator", "hits", "total", "recall")
       },
       // composite oracle (r7): every branch's candidate math is the
       // SAME formulation its own green oracle proved (q36 minhash,
