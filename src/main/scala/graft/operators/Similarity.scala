@@ -155,30 +155,34 @@ object Similarity {
                        dim: Int, threshold: Double, nTables: Int = 8,
                        nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    // vectors + norms feed the bucket pass AND both verify rejoins —
-    // eagerly pinned so the normalization pass runs exactly once
-    // (see [[graft.ops.materialize]])
-    val base = graft.ops.materialize(normed(df, idCol, vecCol))
+    val base = normed(df, idCol, vecCol)
     val buckets = (0 until nTables).map(t =>
       lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
-    val exploded = base
-      .select(col("id"), posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    // vectors + norms ride THROUGH the bucket self-join, so candidate
+    // pairs are verified inline in the join's output stage and the
+    // candidate stream never reaches an exchange. The earlier shape —
+    // bare (id, tbl, bucket) join, then two rejoins to fetch vectors —
+    // shuffled the CANDIDATE-proportional pair list twice; on a
+    // collision-heavy corpus (or whenever the corpus outgrows the
+    // broadcast threshold, seen at sf1 where AQE demoted both rejoins
+    // to shuffle joins and the q61-config pass went from seconds to
+    // ~50 s) that is the whole operator's cost. This shape shuffles
+    // nTables copies of the corpus rows exactly once, on the
+    // (table, bucket) key — corpus-proportional, candidate-independent
+    // — and both sides of the self-join reuse ONE exchange.
+    val exploded = base.select(col("id"), col("v"), col("nrm"),
+      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
     // a pair can collide in up to nTables tables; verify FIRST and
     // dedupe the SURVIVORS (≪ candidates at any tight threshold), so
-    // the global exchange carries verified pairs, not every duplicate
-    // candidate. The cosine is deterministic per pair, so the distinct
-    // collapses cross-table duplicates exactly.
-    val candidates = exploded.as("x")
+    // the global distinct exchange carries verified pairs, not every
+    // duplicate candidate. The cosine is deterministic per pair, so
+    // the distinct collapses cross-table duplicates exactly.
+    exploded.as("x")
       .join(exploded.as("y"), Seq("tbl", "bucket"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    candidates
-      .join(base.select(col("id").as("id_a"), col("v").as("va"),
-        col("nrm").as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }
