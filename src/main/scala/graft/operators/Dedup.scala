@@ -102,11 +102,17 @@ object Dedup {
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length: |d| - ceil(t*|d|) + 1; the 1e-9 guard keeps double
     // rounding (e.g. 0.3*50 → 15.000000000000002) from shortening the
-    // prefix below the provably-safe length
+    // prefix below the provably-safe length. set_size rides through the
+    // explode (it is just size(sh_set)) rather than a second
+    // count-over-partition window — the unordered count shares no sort
+    // order with the row_number window, so it cost a second WindowExec
+    // buffering pass over the full exploded table (40M rows at 40×).
     val wPos = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefix = sh.join(dfreq, "s")
+    val prefix = sets
+      .select(col("doc_id"), size(col("sh_set")).as("set_size"),
+        explode(col("sh_set")).as("s"))
+      .join(dfreq, "s")
       .withColumn("pos", row_number().over(wPos))
-      .withColumn("set_size", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <=
         col("set_size") - ceil(col("set_size") * threshold - 1e-9) + 1)
       .select("doc_id", "s")
