@@ -116,6 +116,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs ≡ brute-force all-pairs on random corpora: the " +
+      "prefix filter loses no pair at any threshold") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a SMALL vocabulary forces heavy shingle sharing, which is exactly
+    // what stresses the prefix filter's completeness bound
+    // (|d| - ceil(t|d|) + 1, with the 1e-9 rounding guard): a doc pair
+    // may overlap ONLY outside one side's prefix and must still be found
+    val vocab = Seq("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docs = sample(Gen.listOfN(40,
+      Gen.chooseNum(0, 18).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))),
+      23L).zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val n = 3
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split(" ")
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.25, 0.3, 0.5, 0.75, 0.9)) {
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, t)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3))))
+        .toMap
+      val sets = docs.map { case (id, text) => id -> shingleSet(text) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        common = (sa & sb).size if common > 0
+        j = common.toDouble / (sa.size + sb.size - common) if j >= t
+      } yield ((a, b), (common.toLong, j))).toMap
+      assert(got === want, s"threshold=$t")
+    }
+  }
+
   test("qualityBins: bins are in range and monotone in score per stratum") {
     import spark.implicits._
     import graft.operators.CorpusStats
