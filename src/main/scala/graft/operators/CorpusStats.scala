@@ -386,6 +386,166 @@ object CorpusStats {
           count(lit(1)).cast("double") / lit(1e6)).as("avg_nll"))
   }
 
+  /**
+   * DSIR model — Data Selection via Importance Resampling (Xie et al.
+   * 2023, arXiv:2302.03169): per-bucket quantized log-likelihood
+   * ratios of a hashed-bigram bag model fit on a TARGET corpus (the
+   * distribution you want more of) against one fit on the RAW corpus.
+   *
+   *   λ_b = ln (c_t(b)+α)/(N_t+αB)  −  ln (c_r(b)+α)/(N_r+αB)
+   *
+   * Features are word bigrams hashed into `buckets` buckets with the
+   * md5-60 hash (the oracle-replayable hash every sketch query here
+   * uses), counts are additive-smoothed with `alpha`, and λ is
+   * quantized to integer micro-nats with the exact [[unigramCrossEntropy]]
+   * formula (`floor(x·1e6 + 0.5)`) so every downstream score is an
+   * order-independent BIGINT sum — the q72-proven pattern for keeping
+   * `ln` cross-engine-reproducible at 1e6 quanta. Emits ALL `buckets`
+   * rows (unseen buckets carry the pure-smoothing ratio), so scoring
+   * never needs a missing-bucket branch. Two bucket-keyed aggregations
+   * plus a broadcast of B rows; nothing collects. B is model-sized
+   * (thousands), so the model broadcasts at any corpus scale.
+   */
+  def dsirModel(raw: DataFrame, rawText: String,
+                target: DataFrame, targetText: String,
+                buckets: Int = 4096, alpha: Double = 1.0): DataFrame =
+    dsirModelFromCounts(dsirBucketCounts(raw, rawText, buckets),
+      dsirBucketCounts(target, targetText, buckets), buckets, alpha)
+
+  /** Corpus-wide hashed-bigram bucket counts — the fit side of
+    * [[dsirModel]], public so a caller holding per-doc counts (or a
+    * pinned intermediate) can re-aggregate instead of re-exploding. */
+  def dsirBucketCounts(df: DataFrame, textCol: String,
+                       buckets: Int): DataFrame =
+    df.select(explode(TextAnalysis.ngrams(
+        TextAnalysis.tokens(col(textCol)), 2)).as("g"))
+      .select(pmod(Dedup.md5Hash60(col("g")), lit(buckets.toLong))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  private def dsirModelFromCounts(cr: DataFrame, ct: DataFrame,
+                                  buckets: Int, alpha: Double): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val totals = cr.agg(sum(col("c")).as("n_raw")).crossJoin(
+      broadcast(ct.agg(sum(col("c")).as("n_tgt"))))
+    cr.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(cr.withColumnRenamed("c", "c_raw"), Seq("bucket"), "left")
+      .join(ct.withColumnRenamed("c", "c_tgt"), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log(coalesce(col("c_tgt"), lit(0L)).cast("double") + alpha) -
+            log(coalesce(col("n_tgt"), lit(0L)).cast("double")
+              + alpha * buckets) -
+            log(coalesce(col("c_raw"), lit(0L)).cast("double") + alpha) +
+            log(coalesce(col("n_raw"), lit(0L)).cast("double")
+              + alpha * buckets)) * lit(1e6) + lit(0.5))
+          .cast("long").as("lambda_q"))
+  }
+
+  /**
+   * Per-document DSIR importance score under a [[dsirModel]]: the
+   * BIGINT sum of bucket-count × λ_q over the document's hashed
+   * bigrams — exact in any fold order, so engines can't disagree on a
+   * reduction. One (doc, bucket)-keyed aggregation, a broadcast join
+   * against the B-row model, one doc-keyed aggregation — linear,
+   * shuffle-minimal, 100 TB-safe. Docs with no bigrams score 0 (the
+   * neutral weight e⁰).
+   */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 model: DataFrame, buckets: Int = 4096): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.ngrams(
+          TextAnalysis.tokens(col(textCol)), 2)).as("g"))
+      .select(col("doc_id"),
+        pmod(Dedup.md5Hash60(col("g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lambda_q")).as("score_q"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score_q"), lit(0L)).as("score_q"))
+  }
+
+  /**
+   * DSIR importance resampling: keep each document with probability
+   * min(1, k·w_d/Σw) where w_d = exp(clamp(score, ±`clampLog`)) and
+   * k = `fraction`·|docs| — a Poisson draw of expected size k,
+   * ∝-weighted like the paper's Gumbel resample but expressible as a
+   * per-row predicate (no global sort, no RNG state; the paper's
+   * without-replacement top-k needs a global order by perturbed weight,
+   * which at corpus scale is exactly the single-reducer shape this
+   * engine refuses).
+   *
+   * Exactness discipline: w_q = floor(exp(s)·1e6 + 0.5) with s clamped
+   * to ±8 by default — at that magnitude a 1-ULP cross-engine exp()
+   * disagreement moves w_q·1e6 by ≤ 3e-7, five orders under the
+   * rounding boundary (the clamp is also the standard variance bound on
+   * importance weights). The keep test is then pure integer
+   * arithmetic, exact on both engines as DECIMAL:
+   *
+   *   (u >> 20)·Σw  <  k·w_q·2⁴⁰,   u = md5-60(doc_id ∥ salt)
+   *
+   * Σw is summed as DECIMAL(28,0) (wrap-free, same contract as
+   * [[temperatureMixture]]'s normalizer); the products stay under
+   * 10³³ ≪ 10³⁸ by the clamp, so DECIMAL(38,0) never rounds. Returns
+   * the surviving rows of `docs` with their `score_q` attached.
+   */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   target: DataFrame, targetIdCol: String,
+                   targetTextCol: String, fraction: Double,
+                   buckets: Int = 4096, alpha: Double = 1.0,
+                   clampLog: Double = 8.0, salt: String = "dsir")
+      : DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1], got $fraction")
+    require(clampLog > 0.0 && clampLog <= 20.0,
+      s"clampLog must be in (0,20], got $clampLog")
+    // per-doc bucket counts are the expensive pass (explode + first
+    // shuffle) and feed BOTH the raw-side model fit (a re-aggregation)
+    // and the scoring join — pinned so the corpus explodes once; the
+    // target side (small by the DSIR setting) explodes on its own
+    val perDoc = graft.ops.materialize(
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.ngrams(
+            TextAnalysis.tokens(col(textCol)), 2)).as("g"))
+        .select(col("doc_id"),
+          pmod(Dedup.md5Hash60(col("g")), lit(buckets.toLong)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c")))
+    val model = dsirModelFromCounts(
+      perDoc.groupBy("bucket").agg(sum(col("c")).as("c")),
+      dsirBucketCounts(target.select(col(targetTextCol)), targetTextCol,
+        buckets),
+      buckets, alpha)
+    val scored = docs.select(col(idCol).as("doc_id"))
+      .join(perDoc.join(broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("lambda_q")).as("__s")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"), coalesce(col("__s"), lit(0L)).as("score_q"))
+      .withColumn("w_q",
+        floor(exp(least(greatest(col("score_q").cast("double") / 1e6,
+          lit(-clampLog)), lit(clampLog))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    // one corpus count + one weight sum, broadcast back as scalars —
+    // the same shape as temperatureMixture's normalizer
+    val scalars = scored.agg(
+      floor(count(lit(1)).cast("double") * fraction + lit(0.5))
+        .cast("long").as("k_keep"),
+      sum(col("w_q").cast("decimal(28,0)")).as("sum_w"))
+    val kept = scored.crossJoin(broadcast(scalars))
+      .filter(
+        shiftright(Dedup.md5Hash60(
+            concat(col("doc_id").cast("string"), lit(salt))), 20)
+          .cast("decimal(15,0)") * col("sum_w").cast("decimal(22,0)") <
+        col("k_keep").cast("decimal(8,0)") *
+          col("w_q").cast("decimal(16,0)") *
+          lit(1099511627776L).cast("decimal(13,0)"))
+      .select(col("doc_id"), col("score_q"))
+    docs.join(kept.withColumnRenamed("doc_id", idCol), idCol)
+  }
+
   /** The repetition filter a pipeline composes from the score: keep
     * documents whose top n-gram covers at most `maxFraction` of the
     * text (Gopher uses 0.20 for 2-grams). */

@@ -1030,6 +1030,88 @@ object TextQueries {
         "feeding a temperature-rebalanced language mixture — the " +
         "round-6 operators composed end-to-end under one oracle"),
 
+    QuerySpec("q125_dsir_resample",
+      (s, dir) => {
+        // DSIR (Xie et al. 2023): resample the whole corpus toward the
+        // English-document distribution at half budget — hashed-bigram
+        // importance weights, integer-exact Poisson selection
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.CorpusStats.dsirResample(docs, "doc_id", "text",
+            docs.filter(col("lang") === "en"), "doc_id", "text",
+            fraction = 0.5, buckets = 4096, alpha = 1.0,
+            clampLog = 8.0, salt = "dsir")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("score_q"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang,
+                 unnest([t[i] || ' ' || t[i+1]
+                         for i in generate_series(1, len(t) - 1)]) AS g
+          FROM toks),
+        feats AS (
+          SELECT doc_id, lang, ${md5Hash60Sql("g")} % 4096 AS bucket,
+                 count(*) AS c
+          FROM grams GROUP BY 1, 2, 3),
+        craw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c
+                 FROM feats GROUP BY 1),
+        ctgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c
+                 FROM feats WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                        FROM craw) AS n_raw,
+                       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                        FROM ctgt) AS n_tgt),
+        -- the same micro-nat ln quantization q72 proved cross-engine
+        model AS (
+          SELECT b.bucket,
+                 CAST(floor((ln(CAST(coalesce(ct.c, 0) AS DOUBLE)
+                               + CAST(1.0 AS DOUBLE))
+                           - ln(CAST(z.n_tgt AS DOUBLE)
+                               + CAST(4096.0 AS DOUBLE))
+                           - ln(CAST(coalesce(cr.c, 0) AS DOUBLE)
+                               + CAST(1.0 AS DOUBLE))
+                           + ln(CAST(z.n_raw AS DOUBLE)
+                               + CAST(4096.0 AS DOUBLE)))
+                          * CAST(1e6 AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lambda_q
+          FROM range(4096) b(bucket)
+          LEFT JOIN craw cr USING (bucket)
+          LEFT JOIN ctgt ct USING (bucket)
+          CROSS JOIN tot z),
+        scores AS (
+          SELECT f.doc_id, CAST(sum(f.c * m.lambda_q) AS BIGINT) AS score_q
+          FROM feats f JOIN model m USING (bucket) GROUP BY 1),
+        weights AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 coalesce(s.score_q, 0) AS score_q,
+                 CAST(floor(exp(least(greatest(
+                     CAST(coalesce(s.score_q, 0) AS DOUBLE)
+                       / CAST(1e6 AS DOUBLE),
+                     CAST(-8.0 AS DOUBLE)), CAST(8.0 AS DOUBLE)))
+                   * CAST(1e6 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_q
+          FROM documents d LEFT JOIN scores s USING (doc_id)),
+        scal AS (
+          SELECT CAST(floor(CAST(count(*) AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS k_keep,
+                 sum(CAST(w_q AS HUGEINT)) AS sum_w
+          FROM weights)
+        SELECT w.doc_id, w.lang, w.source, w.score_q
+        FROM weights w CROSS JOIN scal z
+        WHERE (${md5Hash60Sql("CAST(w.doc_id AS VARCHAR) || 'dsir'")}
+                 // 1048576) * z.sum_w
+              < z.k_keep * CAST(w.w_q AS HUGEINT)
+                * CAST(1099511627776 AS HUGEINT)"""),
+      "DSIR importance resampling toward the English subset (hashed-" +
+        "bigram log-likelihood-ratio weights, Xie et al. 2023): " +
+        "micro-nat-quantized model, exact BIGINT doc scores, clamped " +
+        "exp weights, and a decimal-exact Poisson keep rule — no " +
+        "global sort, model broadcast, corpus exploded once"),
+
     // the one corpus-state text operator that had no driver oracle:
     // the raw fixture texts are single-line, so the query SYNTHESIZES a
     // multi-line corpus deterministically (50 buckets of doc_id % 50,

@@ -360,6 +360,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - math.log(9.0)) < 1e-5)
   }
 
+  test("dsirScores rank target-like docs above off-target docs; " +
+      "no-bigram docs score the neutral 0") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "delta epsilon zeta delta epsilon"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta gamma alpha beta gamma"))
+      .toDF("text")
+    val model = CorpusStats.dsirModel(raw, "text", target, "text")
+    val scores = CorpusStats.dsirScores(raw, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(3L) === 0L, "a doc with no bigrams is neutral")
+    assert(scores(1L) > scores(2L),
+      s"target-vocab doc must outscore off-target: $scores")
+    assert(scores(1L) > 0L && scores(2L) < 0L,
+      s"signs must follow the likelihood ratio: $scores")
+  }
+
+  test("dsirResample: uniform weights reduce to a plain hash sample of " +
+      "expected size; deterministic across calls") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // target == raw → every bucket's log-ratio is EXACTLY 0 (identical
+    // ln arguments), all weights equal, keep probability = k/n
+    val docs = (0L until 400L).map(i => (i, s"tok${i % 7} tok${i % 5} " +
+      s"tok${i % 3} tok${i % 11}")).toDF("doc_id", "text")
+    val kept = CorpusStats.dsirResample(docs, "doc_id", "text",
+      docs, "doc_id", "text", fraction = 0.5)
+    val ids = kept.select("doc_id").as[Long].collect().sorted
+    assert(kept.columns.contains("score_q"))
+    assert(kept.select("score_q").as[Long].collect().forall(_ == 0L),
+      "raw==target must zero every score exactly")
+    // binomial(400, 0.5): 4σ band = 200 ± 40
+    assert(ids.length > 160 && ids.length < 240,
+      s"expected ≈200 kept, got ${ids.length}")
+    val again = CorpusStats.dsirResample(docs, "doc_id", "text",
+        docs, "doc_id", "text", fraction = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq === again.toSeq, "selection must be deterministic")
+  }
+
+  test("dsirResample over-represents the target distribution in the " +
+      "survivor mix") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // two disjoint-vocabulary styles, 50/50 in raw; target is pure A
+    val docs = (0L until 300L).map { i =>
+      val style = if (i % 2 == 0) "A" else "B"
+      val t =
+        if (style == "A") s"apple berry cherry apple berry date${i % 5}"
+        else s"zinc yttrium xenon zinc yttrium tungsten${i % 5}"
+      (i, style, t)
+    }.toDF("doc_id", "style", "text")
+    val kept = CorpusStats.dsirResample(docs, "doc_id", "text",
+      docs.filter(col("style") === "A"), "doc_id", "text",
+      fraction = 0.3)
+    val byStyle = kept.groupBy("style").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = byStyle.getOrElse("A", 0L)
+    val b = byStyle.getOrElse("B", 0L)
+    assert(a + b > 0, "resample kept nothing")
+    assert(a > 5L * math.max(b, 1L),
+      s"target style must dominate the survivors: A=$a B=$b")
+  }
+
   test("globalLineDedup removes corpus-wide boilerplate lines, keeps order") {
     import spark.implicits._
     val boiler = "accept our cookies to continue"
