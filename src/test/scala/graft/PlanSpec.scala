@@ -190,4 +190,24 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).size >= 3, p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q125 DSIR: the B-row model joins broadcast, nothing sort-merges " +
+      "on the bucket, and no global sort appears") {
+    val p = formatted("q125_dsir_resample")
+    // the λ model (≤ buckets rows) must reach the per-doc counts as a
+    // broadcast — a bucket-keyed shuffle join here would shuffle the
+    // corpus-proportional count table a second time
+    assert(p.contains("BroadcastHashJoin"), p)
+    p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .foreach(l => assert(!l.contains("bucket"), l))
+    // selection is a per-row predicate against broadcast scalars: no
+    // range partitioning and no global Sort ("true" = global in the
+    // Sort node's argument list) anywhere in the plan
+    assert(!p.contains("rangepartitioning"), p)
+    p.linesIterator.filter(_.contains("Sort ["))
+      .foreach(l => assert(!l.contains("], true,"), l))
+    // both corpus-side aggregations combine map-side
+    assert("partial_count".r.findAllIn(p).size +
+      "partial_sum".r.findAllIn(p).size >= 2, p)
+  }
 }
