@@ -450,15 +450,20 @@ object CorpusStats {
    * reduction. One (doc, bucket)-keyed aggregation, a broadcast join
    * against the B-row model, one doc-keyed aggregation — linear,
    * shuffle-minimal, 100 TB-safe. Docs with no bigrams score 0 (the
-   * neutral weight e⁰).
+   * neutral weight e⁰). The bucket count is DERIVED from the model
+   * itself ([[dsirModel]] emits one row per bucket), so a caller can
+   * never score with a modulus that disagrees with the fit — a
+   * mismatch would silently drop every bigram at the model join.
    */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
-                 model: DataFrame, buckets: Int = 4096): DataFrame = {
+                 model: DataFrame): DataFrame = {
+    val nBuckets = broadcast(model.agg(count(lit(1)).as("__B")))
     val perDoc = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.ngrams(
           TextAnalysis.tokens(col(textCol)), 2)).as("g"))
+      .crossJoin(nBuckets)
       .select(col("doc_id"),
-        pmod(Dedup.md5Hash60(col("g")), lit(buckets.toLong)).as("bucket"))
+        pmod(Dedup.md5Hash60(col("g")), col("__B")).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
       .join(broadcast(model), "bucket")
       .groupBy("doc_id")
@@ -479,21 +484,29 @@ object CorpusStats {
    * engine refuses).
    *
    * Exactness discipline: w_q = floor(exp(s)·1e6 + 0.5) with s clamped
-   * to ±8 by default — at that magnitude a 1-ULP cross-engine exp()
-   * disagreement moves w_q·1e6 by ≤ 3e-7, five orders under the
-   * rounding boundary (the clamp is also the standard variance bound on
-   * importance weights). The keep test is then pure integer
-   * arithmetic, exact on both engines as DECIMAL:
+   * to ±8 by default — near-exact across engines, not absolutely so: a
+   * 1-ULP exp() disagreement (≤ ~3e-7 absolute at the clamp ceiling)
+   * flips a doc's w_q by 1 only when exp(s)·1e6 lands within that
+   * distance of a .5 rounding boundary, i.e. with per-doc probability
+   * ~6e-7; a flipped unit weight can in turn flip that doc's (and, via
+   * Σw, a boundary doc's) keep decision. Everything AFTER the
+   * quantization is pure integer arithmetic, exact on both engines as
+   * DECIMAL:
    *
    *   (u >> 20)·Σw  <  k·w_q·2⁴⁰,   u = md5-60(doc_id ∥ salt)
    *
    * Σw is summed as DECIMAL(28,0) (wrap-free, same contract as
-   * [[temperatureMixture]]'s normalizer); the products stay under
-   * 10³³ ≪ 10³⁸ by the clamp, so DECIMAL(38,0) never rounds. Returns
-   * the surviving rows of `docs` with their `score_q` attached.
+   * [[temperatureMixture]]'s normalizer) and COMPARED at its
+   * accumulated precision — never narrowed. Hard value ceiling: the
+   * left product u₄₀·Σw stays under DECIMAL(38,0)'s 10³⁸ while
+   * Σw < 9·10²⁵, i.e. ~3·10¹⁶ documents at the max clamped weight
+   * (w̄ ≈ 3·10⁹) — far past any 100 TB corpus (~10¹¹ docs → products
+   * ≤ ~10³³). k is carried as DECIMAL(19,0) (full long range).
+   * Returns the surviving rows of `docs` with their `score_q`
+   * attached.
    */
   def dsirResample(docs: DataFrame, idCol: String, textCol: String,
-                   target: DataFrame, targetIdCol: String,
+                   target: DataFrame,
                    targetTextCol: String, fraction: Double,
                    buckets: Int = 4096, alpha: Double = 1.0,
                    clampLog: Double = 8.0, salt: String = "dsir")
@@ -538,8 +551,8 @@ object CorpusStats {
       .filter(
         shiftright(Dedup.md5Hash60(
             concat(col("doc_id").cast("string"), lit(salt))), 20)
-          .cast("decimal(15,0)") * col("sum_w").cast("decimal(22,0)") <
-        col("k_keep").cast("decimal(8,0)") *
+          .cast("decimal(15,0)") * col("sum_w") <
+        col("k_keep").cast("decimal(19,0)") *
           col("w_q").cast("decimal(16,0)") *
           lit(1099511627776L).cast("decimal(13,0)"))
       .select(col("doc_id"), col("score_q"))

@@ -1037,7 +1037,7 @@ object TextQueries {
         // importance weights, integer-exact Poisson selection
         val docs = Tables.load(s, dir, "documents")
         graft.operators.CorpusStats.dsirResample(docs, "doc_id", "text",
-            docs.filter(col("lang") === "en"), "doc_id", "text",
+            docs.filter(col("lang") === "en"), "text",
             fraction = 0.5, buckets = 4096, alpha = 1.0,
             clampLog = 8.0, salt = "dsir")
           .select(col("doc_id"), col("lang"), col("source"),

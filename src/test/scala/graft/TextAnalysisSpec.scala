@@ -381,6 +381,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"signs must follow the likelihood ratio: $scores")
   }
 
+  test("dsirScores derives its modulus from the model: a non-default " +
+      "bucket count scores correctly (a hard-coded 4096 would hash " +
+      "every bigram past the 97-row model and zero all scores)") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "delta epsilon zeta delta epsilon")
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta gamma alpha beta gamma"))
+      .toDF("text")
+    val model = CorpusStats.dsirModel(raw, "text", target, "text",
+      buckets = 97)
+    assert(model.count() === 97L, "dsirModel must emit one row per bucket")
+    val scores = CorpusStats.dsirScores(raw, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) > 0L && scores(2L) < 0L,
+      s"scores under B=97 must still follow the likelihood ratio: $scores")
+  }
+
   test("dsirResample: uniform weights reduce to a plain hash sample of " +
       "expected size; deterministic across calls") {
     import spark.implicits._
@@ -390,7 +410,7 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = (0L until 400L).map(i => (i, s"tok${i % 7} tok${i % 5} " +
       s"tok${i % 3} tok${i % 11}")).toDF("doc_id", "text")
     val kept = CorpusStats.dsirResample(docs, "doc_id", "text",
-      docs, "doc_id", "text", fraction = 0.5)
+      docs, "text", fraction = 0.5)
     val ids = kept.select("doc_id").as[Long].collect().sorted
     assert(kept.columns.contains("score_q"))
     assert(kept.select("score_q").as[Long].collect().forall(_ == 0L),
@@ -399,7 +419,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids.length > 160 && ids.length < 240,
       s"expected ≈200 kept, got ${ids.length}")
     val again = CorpusStats.dsirResample(docs, "doc_id", "text",
-        docs, "doc_id", "text", fraction = 0.5)
+        docs, "text", fraction = 0.5)
       .select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq === again.toSeq, "selection must be deterministic")
   }
@@ -417,8 +437,8 @@ class TextAnalysisSpec extends SparkSpec {
       (i, style, t)
     }.toDF("doc_id", "style", "text")
     val kept = CorpusStats.dsirResample(docs, "doc_id", "text",
-      docs.filter(col("style") === "A"), "doc_id", "text",
-      fraction = 0.3)
+      docs.filter(col("style") === "A"),
+      "text", fraction = 0.3)
     val byStyle = kept.groupBy("style").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val a = byStyle.getOrElse("A", 0L)
