@@ -21,9 +21,46 @@ import org.apache.spark.sql.SparkSession
  *    silently reading as an engine regression;
  *  - clear the Spark cache between runs so operator-internal persists
  *    never let run 2 serve run 1's blocks, and entries don't accumulate
- *    across 60+ queries.
+ *    across 60+ queries;
+ *  - cross-check every recorded minimum against the query's own clean
+ *    HISTORY (`bench_floors.json`, recorded floors from the last idle
+ *    run of the same SF): the probe brackets a sample, so contention
+ *    that starts and ends MID-SAMPLE can leave both probes clean — the
+ *    r11 false negative (q120: 26.97 s recorded `taint:false` vs
+ *    2.03 s isolated). Any clean sample > 3× its floor is treated as
+ *    suspect — retried while budget lasts, and if no sub-3×-floor
+ *    sample ever arrives the query is flagged `floor_exceeded` so a
+ *    mid-sample hit (or a genuine regression — the probe flags tell
+ *    which) can never read as a silently-clean number;
+ *  - when more than 25% of queries end tainted or floor-exceeded the
+ *    headline carries `"corrupted_run":true` — a contended run
+ *    self-identifies instead of reading as an engine regression.
  */
 object Bench {
+
+  /** Per-query clean floors from the last idle run at the same SF —
+    * `{"sf":"...","floors":{"q01":0.31,...}}`, produced by
+    * `tools/make_floors.py` from a 0-tainted `bench_detail.json`.
+    * Missing file, unparsable file, or a different SF → no floor
+    * checks (new queries and new scales simply have no history yet). */
+  private def loadFloors(sfDir: String): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
+      "bench_floors.json")
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      // self-contained parse of the flat two-level shape above — the
+      // classpath has no JSON library and the writer is our own tool
+      val sfRe = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+      val sfOk = sfRe.findFirstMatchIn(txt).exists { m =>
+        val rec = m.group(1)
+        rec == sfDir || rec.split('/').lastOption == sfDir.split('/').lastOption
+      }
+      if (!sfOk) Map.empty
+      else "\"(q\\d+[a-z]?)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
 
   /** Whole-machine CPU load in [0,1], or NaN when unavailable. */
   private def cpuLoad(): Double =
@@ -122,6 +159,10 @@ object Bench {
     val selected = qmap.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name.takeWhile(_ != '_')))
     }
+    val floors = loadFloors(sfDir)
+    if (floors.isEmpty)
+      System.err.println("[bench] no clean-floor history for this SF; " +
+        "floor cross-checks disabled")
 
     waitForIdle()
     // probe baseline: min of several calls after the probe loop itself
@@ -259,14 +300,35 @@ object Bench {
         runs = runs :+ take()
         backoffBudgetMs -= (System.currentTimeMillis() - w0)
       }
+      // floor cross-check (the r11 false negative): both probes can read
+      // clean around a sample that contention hit MID-SAMPLE, so a
+      // 13×-inflated time lands with taint:false. History is the only
+      // referee — if the best recorded sample exceeds 3× this query's
+      // last clean idle floor, keep retrying (budgeted); if no
+      // sub-3×-floor sample ever arrives, flag the query instead of
+      // publishing the number as silently clean. The probe flags then
+      // disambiguate: taint alongside ⇒ contention; all-clean probes
+      // with a held floor breach ⇒ a genuine engine regression to chase.
+      val shortId = name.takeWhile(_ != '_')
+      val floor = floors.get(shortId)
+      def floorSuspect = floor.exists(f => best > f * 3.0)
+      while (floorSuspect && runs.size < 10 && backoffBudgetMs > 0L) {
+        System.err.println(
+          f"[bench] $name best $best%.2f s > 3× clean floor ${floor.get}%.2f s; retrying")
+        val w0 = System.currentTimeMillis()
+        runs = runs :+ take()
+        backoffBudgetMs -= (System.currentTimeMillis() - w0)
+      }
+      val floorExceeded = floorSuspect
       val sec = best
       val queryTainted = runs.forall(_.tainted)
       val minOverstated = overstated
       val mark = (if (queryTainted) " TAINTED" else "") +
-        (if (minOverstated) f" MIN_OVERSTATED(all=$allMin%.2f)" else "")
+        (if (minOverstated) f" MIN_OVERSTATED(all=$allMin%.2f)" else "") +
+        (if (floorExceeded) f" FLOOR_EXCEEDED(floor=${floor.get}%.2f)" else "")
       System.err.println(
         f"[bench] $name%-24s ${runs.map(r => f"${r.sec}%.2f" + (if (r.failed) "!" else if (r.tainted) "*" else "")).mkString("/")}%-22s → $sec%8.2f s$mark")
-      (name, sec, runs, queryTainted, allMin, minOverstated)
+      (name, sec, runs, queryTainted, allMin, minOverstated, floorExceeded, floor)
     }
     // The driver records only the TAIL of this process's output (~2000
     // chars) and tries to parse the JSON line from it — with 88 queries
@@ -276,7 +338,7 @@ object Bench {
     // construction) and 3-decimal seconds so it fits the tail window,
     // and write the full-name detail next to it for human readers.
     def fmt(v: Double): String = f"$v%.3f"
-    val short = results.map { case (k, v, _, _, _, _) => k.takeWhile(_ != '_') -> v }
+    val short = results.map { case (k, v, _, _, _, _, _, _) => k.takeWhile(_ != '_') -> v }
     require(short.map(_._1).distinct.size == short.size,
       "short query ids must stay unique")
     val qs = short.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -285,34 +347,53 @@ object Bench {
     // taint markers in the headline artifact: a query whose EVERY sample
     // ran under detected contention is listed by short id — an empty
     // list is the judge's signal that the totals describe the engine
-    val taintedIds = results.collect { case (k, _, _, true, _, _) => k.takeWhile(_ != '_') }
+    val taintedIds = results.collect { case (k, _, _, true, _, _, _, _) => k.takeWhile(_ != '_') }
     val taintJson = taintedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
     // min_overstated markers: queries whose recorded clean min is >1.5×
     // a faster-but-tainted sample — the recorded time is an upper bound,
     // the machine demonstrably ran the plan faster (see all_min in detail)
-    val overstatedIds = results.collect { case (k, _, _, _, _, true) => k.takeWhile(_ != '_') }
+    val overstatedIds = results.collect { case (k, _, _, _, _, true, _, _) => k.takeWhile(_ != '_') }
     val overJson = overstatedIds.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = results.map { case (k, v, runs, t, am, ov) =>
+    // floor_exceeded markers: queries whose best sample never came within
+    // 3× of their recorded clean idle floor — mid-sample contention the
+    // probes can't see, or a genuine regression (tainted flags decide)
+    val floorIds = results.collect { case (k, _, _, _, _, _, true, _) => k.takeWhile(_ != '_') }
+    val floorJson = floorIds.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a run where >25% of queries are tainted or floor-breached is not a
+    // measurement of the engine: self-identify, and publish the
+    // all-samples-min total alongside so the degraded artifact still
+    // carries its best available lower bound per query
+    val badIds = (taintedIds ++ floorIds).distinct
+    val corruptedRun = selected.nonEmpty && badIds.size * 4 > selected.size
+    val allMinTotal = results.map(_._5).sum
+    val detail = results.map { case (k, v, runs, t, am, ov, fx, fl) =>
       "\"" + k + "\":{\"sec\":" + fmt(v) +
         ",\"samples\":" + runs.map(r => fmt(r.sec)).mkString("[", ",", "]") +
         ",\"taint\":" + runs.map(_.tainted).mkString("[", ",", "]") +
         ",\"failed\":" + runs.map(_.failed).mkString("[", ",", "]") +
         ",\"tainted\":" + t +
         ",\"all_min\":" + fmt(am) +
-        ",\"min_overstated\":" + ov + "}"
+        ",\"min_overstated\":" + ov +
+        ",\"floor_exceeded\":" + fx +
+        fl.map(f => ",\"floor\":" + fmt(f)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     // a filtered run must not overwrite the full-run driver artifact
     val detailPath =
       if (only.isEmpty) "bench_detail.json" else "bench_detail_subset.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"probe_base_ms":${fmt(probeBase)},"queries":$detail,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson,"min_overstated":$overJson,"floor_exceeded":$floorJson,"corrupted_run":$corruptedRun,"all_min_total":${fmt(allMinTotal)},"probe_base_ms":${fmt(probeBase)},"queries":$detail,"sf":"$sfDir"}""" + "\n")
     // the stdout headline must fit the driver's ~2000-char tail window
-    // (comment above) — min_overstated appears there only when non-empty;
-    // the detail file always carries it
+    // (comment above) — min_overstated / floor_exceeded / corrupted_run
+    // appear there only when set; the detail file always carries them
     val overStdout =
       if (overstatedIds.isEmpty) "" else s""","min_overstated":$overJson"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson$overStdout,"queries":$qs,"sf":"$sfDir"}""")
+    val floorStdout =
+      if (floorIds.isEmpty) "" else s""","floor_exceeded":$floorJson"""
+    val corruptStdout =
+      if (!corruptedRun) ""
+      else s""","corrupted_run":true,"all_min_total":${fmt(allMinTotal)}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","tainted":$taintJson$overStdout$floorStdout$corruptStdout,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
