@@ -98,8 +98,6 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"),
           sortedShingleHashes(split(col(textCol), " "), n).as("sh_set"))
         .filter(size(col("sh_set")) > 0))
-    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("s"))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix length: |d| - ceil(t*|d|) + 1; the 1e-9 guard keeps double
     // rounding (e.g. 0.3*50 → 15.000000000000002) from shortening the
     // prefix below the provably-safe length. set_size rides through the
@@ -107,17 +105,50 @@ object Dedup {
     // count-over-partition window — the unordered count shares no sort
     // order with the row_number window, so it cost a second WindowExec
     // buffering pass over the full exploded table (40M rows at 40×).
+    // df itself is a count window over the SAME shuffle the old
+    // dfreq equi-join needed anyway (both hash-partition the exploded
+    // table by s): the window form deletes the separate
+    // explode→aggregate subtree and the join's second sorted side —
+    // at 40× that was a full extra pass over the corpus.
+    val wDf = Window.partitionBy("s")
     val wPos = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefix = sets
+    // materialized because BOTH sides of the candidate self-join read
+    // it: left as a lazy plan, the whole explode→df-window→prefix-window
+    // pipeline executed twice (plan-verified — the self-join duplicated
+    // the subtree), which at sf4 meant four ~28M-row exchange+sorts
+    // spilling on slow disk instead of two.
+    val prefix = graft.ops.materialize(sets
       .select(col("doc_id"), size(col("sh_set")).as("set_size"),
         explode(col("sh_set")).as("s"))
-      .join(dfreq, "s")
+      .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("pos", row_number().over(wPos))
       .filter(col("pos") <=
         col("set_size") - ceil(col("set_size") * threshold - 1e-9) + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "set_size", "pos"))
+    // Candidate pruning INSIDE the join (PPJoin, Xiao et al. 2008):
+    // prefix matching alone barely prunes templated corpora at low
+    // thresholds (t=0.3 keeps ~70% of every set in the prefix) — at sf4
+    // the raw matched-pair stream was ~3 GB of shuffle and the distinct
+    // spilled 12 GB. Both classic filters are row-local predicates the
+    // join evaluates before any pair materializes:
+    //  - length filter: J ≥ t ⇒ t·|x| ≤ |y| and t·|y| ≤ |x|;
+    //  - positional filter: overlap ≥ α = t·(|x|+|y|)/(1+t), and a
+    //    match at positions (px, py) bounds the remaining overlap by
+    //    1 + min(|x|−px, |y|−py). For any true pair its FIRST common
+    //    prefix shingle satisfies the bound (every common shingle sorts
+    //    at-or-after it in both sets), so dropping rows that fail it
+    //    never loses a qualifying pair — completeness is covered by the
+    //    brute-force property test in PropertySpec.
+    // The 1e-9 slack mirrors the prefix-length guard: double rounding
+    // must never flip a boundary case toward dropping a true pair.
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")
+          && col("y.set_size") >= col("x.set_size") * threshold - 1e-9
+          && col("x.set_size") >= col("y.set_size") * threshold - 1e-9
+          && (lit(1) + least(col("x.set_size") - col("x.pos"),
+                             col("y.set_size") - col("y.pos"))) >=
+             (col("x.set_size") + col("y.set_size"))
+               * (threshold / (1.0 + threshold)) - 1e-9)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
