@@ -305,6 +305,55 @@ object Similarity {
   }
 
   /**
+   * Bounded-output near-dedup over embeddings: per-vector keep/drop
+   * coverage WITHOUT ever materializing the verified pair list.
+   *
+   * [[cosineNearDupLsh]] emits raw (id_a, id_b) pairs — on a heavily
+   * duplicated crawl that output is itself O(n²) (measured: 16× the
+   * pairs for 4× the vectors on the scale fixtures), so a caller who
+   * only wants SURVIVORS pays a pair-proportional shuffle for an
+   * O(n)-sized answer. This variant folds the verified stream straight
+   * into a per-victim aggregate: one row per corpus vector with
+   *  - `kept`  — no verified (cosine ≥ t) partner with a smaller id
+   *    (the same keep-first policy as [[graft.operators.Dedup.nearDedupKeep]]);
+   *  - `dup_min_partner` / `dup_max_cosine` — the smallest such partner
+   *    id and the strongest similarity (NULL when kept).
+   *
+   * Scale shape: the bucket self-join verifies candidates inline (one
+   * corpus-proportional exchange on the (table, bucket) key, exactly as
+   * [[cosineNearDupLsh]]), and the ONLY downstream exchange is the
+   * per-id aggregation, whose map-side partial combine collapses each
+   * partition's pair stream to ≤ one row per victim id BEFORE the
+   * shuffle. min/max are duplicate-insensitive, so cross-table repeats
+   * of the same pair need no distinct — the pair list never feeds an
+   * exchange (plan-asserted in PlanSpec).
+   */
+  def cosineNearDupCoverageLsh(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, threshold: Double, nTables: Int = 8,
+                               nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val base = normed(df, idCol, vecCol)
+    val buckets = (0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
+    val exploded = base.select(col("id"), col("v"), col("nrm"),
+      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    val dropped = exploded.as("x")
+      .join(exploded.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("y.id").as("id"), col("x.id").as("partner"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("id")
+      .agg(min(col("partner")).as("dup_min_partner"),
+        max(col("cosine")).as("dup_max_cosine"))
+    base.select(col("id"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("dup_min_partner").isNull.as("kept"),
+        col("dup_min_partner"), col("dup_max_cosine"))
+  }
+
+  /**
    * Symmetric per-vector int8 quantization: `struct(scale, codes)` with
    * `code = floor(x / scale · 127 + 0.5)` and `scale = max |x|` — 4×
    * storage/shuffle reduction for embedding columns, the difference

@@ -533,6 +533,55 @@ object VectorQueries {
       "embedding-cosine near-dup via multi-table hyperplane LSH — " +
         "bucket-join candidates, exact verify (recall vs q60 in tests)"),
 
+    QuerySpec("q126_neardup_coverage_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.cosineNearDupCoverageLsh(e, "vec_id", "embedding",
+            dim = 64, threshold = 0.4, nTables = 8, nPlanes = 6)
+          .select(col("id"), col("kept"), col("dup_min_partner"),
+            round(col("dup_max_cosine"), 9).as("dup_max_cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+          FROM embeddings),
+        proj AS (
+          SELECT e.id, g.t, gi.i,
+            list_reduce([ e.v[d] *
+                (CAST((((42 + g.t + gi.i*64 + (d-1)) * 2654435761 + 1013904223)
+                       % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
+                 / 524288.0 - 1.0)
+              for d in generate_series(1, 64)], (a, x) -> a + x) AS p
+          FROM e
+          CROSS JOIN generate_series(0, 7) g(t)
+          CROSS JOIN generate_series(0, 5) gi(i)),
+        buck AS (
+          SELECT id, t,
+            CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+              AS BIGINT) AS bucket
+          FROM proj GROUP BY id, t),
+        ver AS (
+          SELECT b.id AS id, a.id AS partner,
+                 list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+          FROM buck a JOIN buck b
+            ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+          JOIN e ea ON ea.id = a.id
+          JOIN e eb ON eb.id = b.id
+          WHERE list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+                  >= CAST(0.4 AS DOUBLE)),
+        d AS (
+          SELECT id, min(partner) AS dup_min_partner,
+                 max(cosine) AS dup_max_cosine
+          FROM ver GROUP BY id)
+        SELECT e.id, d.id IS NULL AS kept, d.dup_min_partner,
+               round(d.dup_max_cosine, 9) AS dup_max_cosine
+        FROM e LEFT JOIN d ON d.id = e.id"""),
+      "bounded-output near-dedup: per-vector keep-first coverage " +
+        "(kept flag + strongest smaller-id duplicate) — the pair list " +
+        "collapses map-side and never feeds a shuffle"),
+
     QuerySpec("q42_embedding_stats",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")

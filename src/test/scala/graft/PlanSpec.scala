@@ -210,4 +210,24 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).size +
       "partial_sum".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q126 near-dup coverage: the verified pair stream collapses " +
+      "map-side — no exchange ever carries the pair list") {
+    val p = formatted("q126_neardup_coverage_lsh")
+    // the per-victim min/max aggregate combines in the join's output
+    // stage: a partial aggregate must sit below the id exchange
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("partial_max"), p)
+    // every exchange keys on the bucket join key or the victim id —
+    // never on the (id_a, id_b) pair, which would make the shuffle
+    // pair-proportional (O(n²) on a duplicate-heavy corpus)
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .foreach { l =>
+        val pairKeyed = l.contains("partner#") || l.contains("cosine#")
+        assert(!pairKeyed, l)
+      }
+    // and no distinct over raw pairs anywhere (min/max tolerate the
+    // cross-table duplicates, so the plan needs no pair-keyed dedup)
+    assert(!p.contains("partial_first(partner"), p)
+  }
 }

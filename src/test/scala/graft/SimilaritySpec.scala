@@ -194,6 +194,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low (${lsh.size}/${exact.size})")
   }
 
+  test("cosineNearDupCoverageLsh ≡ folding the LSH pair list per victim") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // the reference semantics: the raw pair list, folded per id_b
+    val byVictim = Similarity.cosineNearDupLsh(e, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, nTables = 8, nPlanes = 6)
+      .collect()
+      .groupBy(_.getLong(1)) // id_b
+      .map { case (id, rs) =>
+        id -> (rs.map(_.getLong(0)).min, rs.map(_.getDouble(2)).max)
+      }
+    val cov = Similarity.cosineNearDupCoverageLsh(e, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, nTables = 8, nPlanes = 6)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(cov.size == e.count(), "one coverage row per corpus vector")
+    assert(byVictim.nonEmpty, "fixture must produce duplicates")
+    cov.foreach { case (id, (kept, minP, maxC)) =>
+      byVictim.get(id) match {
+        case Some((expMin, expMax)) =>
+          assert(!kept, s"$id has a verified smaller partner but kept=true")
+          assert(minP.contains(expMin), s"$id partner $minP != $expMin")
+          assert(maxC.contains(expMax), s"$id cosine $maxC != $expMax")
+        case None =>
+          assert(kept && minP.isEmpty && maxC.isEmpty,
+            s"$id has no verified partner but ($kept, $minP, $maxC)")
+      }
+    }
+  }
+
   test("semanticDedup: sound drops, high recall vs the exact pair list") {
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
