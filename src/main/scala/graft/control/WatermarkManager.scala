@@ -60,8 +60,22 @@ class WatermarkManager(spark: SparkSession, path: String) {
     import spark.implicits._
     val minutes = (finish.getTime - start.getTime) / 60000.0
     val exec = f"$minutes%.2f minutes" + note.map(", " + _).getOrElse("")
-    Seq((pipeline, start, finish, exec, status))
-      .toDF("description", "start", "finish", "executionTime", "status")
-      .write.mode(SaveMode.Append).parquet(path)
+    // concurrent pipeline runs share one control directory, and parallel
+    // parquet Append jobs to one path are mutually destructive (the
+    // committer's shared _temporary root): serialize appends per control
+    // path, JVM-wide — a run writes exactly one tiny row, so the lock
+    // hold time is a single small write job
+    WatermarkManager.appendLock(path).synchronized {
+      Seq((pipeline, start, finish, exec, status))
+        .toDF("description", "start", "finish", "executionTime", "status")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
   }
+}
+
+object WatermarkManager {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def appendLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

@@ -16,6 +16,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // FAIR lets the pipeline server give each concurrent run its own
+      // scheduler pool (fair across pools, so one heavy pipeline cannot
+      // starve its siblings' stages); single-query workloads are
+      // unaffected — jobs without a pool land in the default pool,
+      // which schedules FIFO internally exactly as before
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // the events fixture carries TIMESTAMP(NANOS) parquet, which Spark
       // otherwise rejects; read as long and convert in Tables.events

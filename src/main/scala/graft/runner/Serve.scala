@@ -125,7 +125,10 @@ object Serve {
             crons: Seq[(String, Seq[String])] = Nil,
             keys: Set[String] = Set.empty,
             timeoutSeconds: Option[Long] = Some(DefaultTimeoutSeconds),
-            probeTable: Option[String] = None): Handle = {
+            probeTable: Option[String] = None,
+            maxConcurrentRuns: Int = 1): Handle = {
+    require(maxConcurrentRuns >= 1,
+      s"maxConcurrentRuns must be >= 1, got $maxConcurrentRuns")
     // validate every scheduled name AND cron expression up front —
     // BEFORE the socket binds: a typo must fail at startup (not throw
     // inside a Runnable, where the scheduler would silently cancel all
@@ -142,10 +145,23 @@ object Serve {
     }
     val control = new WatermarkManager(spark, controlPath)
     val runner = new PipelineRunner(spark, control, warehouse)
-    // one-at-a-time run semantics (see scaladoc); the lock covers the
-    // timer loop too, so a slow HTTP-triggered run delays — never
-    // overlaps — the scheduled one
-    val lock = new Object
+    // Run admission (scaladoc: one-at-a-time by default). A fair
+    // semaphore bounds GLOBAL concurrency at `maxConcurrentRuns` —
+    // with the default 1 this reproduces the original single-lock
+    // semantics exactly (a slow HTTP-triggered run delays, never
+    // overlaps, a scheduled one). With N > 1, up to N DIFFERENT
+    // pipelines run concurrently, mirroring the reference host's
+    // overlapping nightly timers; the per-pipeline lock still forbids
+    // the same pipeline overlapping itself (its watermark read-then-
+    // advance must stay serial). Each run executes in a scheduler pool
+    // named after its pipeline, so under spark.scheduler.mode=FAIR
+    // (the Sessions.local default) one heavy pipeline's stages cannot
+    // starve its siblings — and under FIFO the property is a no-op.
+    val runPermits =
+      new java.util.concurrent.Semaphore(maxConcurrentRuns, true)
+    val pipelineLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    val activeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
     // the deadline watchdog needs its own thread: the timer executor is
     // single-threaded and busy with the very tick being bounded
     val watchdogExec = timeoutSeconds.map { _ =>
@@ -200,7 +216,11 @@ object Serve {
 
     def runOne(name: String, note: Option[String] = None): (Int, String) = {
       val p = Pipelines.byName(name)
-      lock.synchronized {
+      runPermits.acquire()
+      try pipelineLocks.computeIfAbsent(p.name, _ => new Object)
+          .synchronized {
+        activeRuns.incrementAndGet()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", p.name)
         // the reference host enforces the same bound on every function
         // run (host.json:3)
         val deadline = new Deadline(s"run-${p.name}")
@@ -232,9 +252,15 @@ object Serve {
               s""""error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
         } finally {
           deadline.release()
-          graft.ops.materialize.releaseAll()
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          // releaseAll drops EVERY pin in the session, including a
+          // sibling run's in-flight intermediates (recompute, not
+          // corruption — but a 3-pipeline tick would thrash): only the
+          // last run out cleans up
+          if (activeRuns.decrementAndGet() == 0)
+            graft.ops.materialize.releaseAll()
         }
-      }
+      } finally runPermits.release()
     }
 
     val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -323,7 +349,10 @@ object Serve {
             String.valueOf(e.getMessage))}"}""")
       }
     })
-    server.setExecutor(Executors.newSingleThreadExecutor())
+    // handler threads bound the number of in-flight HTTP requests: the
+    // run permits do the real admission control, and one spare thread
+    // keeps /api/status responsive while every permit is occupied
+    server.setExecutor(Executors.newFixedThreadPool(maxConcurrentRuns + 1))
     server.start()
 
     // one tick body, shared by the fixed-interval and cron schedules;
@@ -341,7 +370,7 @@ object Serve {
       val note = lateSecs.map(l => s"fired ${l}s past due")
       lateSecs.foreach(l => System.err.println(
         s"[serve:timer] tick is running late (${l}s past due)"))
-      names.foreach { n =>
+      def one(n: String): Unit =
         try {
           val (_, body) = runOne(n, note)
           System.err.println(s"[serve:timer] $body")
@@ -351,6 +380,19 @@ object Serve {
               s""""status":"Failed","error":"${jsonEscape(
                 String.valueOf(e.getMessage))}"}""")
         }
+      if (maxConcurrentRuns <= 1 || names.sizeIs <= 1) names.foreach(one)
+      else {
+        // a tick that triggers several pipelines dispatches them in
+        // parallel (the reference's staggered nightly timers routinely
+        // overlap); the run permits cap true concurrency, and the tick
+        // still completes only when every name has run, preserving the
+        // schedule's no-self-overlap guarantee
+        val pool = Executors.newFixedThreadPool(
+          math.min(maxConcurrentRuns, names.size))
+        try names.map(n => pool.submit(new Runnable {
+          def run(): Unit = one(n)
+        })).foreach(_.get())
+        finally pool.shutdown()
       }
     }
 

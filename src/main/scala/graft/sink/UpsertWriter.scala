@@ -44,6 +44,25 @@ object UpsertWriter {
   private final case class Staged(target: Path, staging: Path,
                                   backup: Path, rows: Long)
 
+  // JVM-wide per-target-path merge locks: two concurrent merges into the
+  // SAME table (e.g. two pipelines maintaining the shared dim-time sink
+  // under the server's concurrent schedule) would both stage against the
+  // same current state and silently lose one batch at promote. Striped
+  // per path, so merges into DIFFERENT tables stay fully concurrent;
+  // same-JVM serialization is the local-mode stand-in for a table-level
+  // commit protocol (Delta/Iceberg transactions at production scale).
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withPathLocks[A](paths: Seq[String])(body: => A): A = {
+    // sorted acquisition order keeps multi-target calls deadlock-free
+    def loop(ls: List[Object]): A = ls match {
+      case Nil => body
+      case l :: rest => l.synchronized(loop(rest))
+    }
+    loop(paths.distinct.sorted
+      .map(p => pathLocks.computeIfAbsent(p, _ => new Object)).toList)
+  }
+
   /** `target ANTI JOIN batch-keys` ∪ `batch` — deliberately hint-free:
     * AQE broadcasts the key set when the batch is small (the nightly
     * delta case) and falls back to a shuffled join when it is not. A
@@ -145,7 +164,8 @@ object UpsertWriter {
   def upsertPartitionPruned(spark: SparkSession, batch: DataFrame,
                             targetPath: String, keys: Seq[String],
                             partitionBy: Seq[String],
-                            sortBy: Seq[String] = Nil): Long = {
+                            sortBy: Seq[String] = Nil): Long =
+      withPathLocks(Seq(targetPath)) {
     require(partitionBy.nonEmpty, "partition-pruned merge needs partitions")
     require(partitionBy.forall(keys.contains),
       s"partition columns $partitionBy must be part of the merge keys " +
@@ -241,7 +261,8 @@ object UpsertWriter {
 
   /** [[upsertAll]] with explicit physical layout per target
     * (partitioning + in-file sort — see [[Target]]). */
-  def upsertTargets(spark: SparkSession, targets: Seq[Target]): Seq[Long] = {
+  def upsertTargets(spark: SparkSession, targets: Seq[Target]): Seq[Long] =
+      withPathLocks(targets.map(_.path)) {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val staged =
       try targets.map(stage(spark, fs, _))
