@@ -64,8 +64,16 @@ def _oracle_child(pipe, sf_dir, sql):
     try:
         import duckdb
         con = duckdb.connect()
-        con.execute("SET memory_limit='60GB'")
+        mem = os.environ.get("GRAFT_ORACLE_MEM", "60GB")
+        con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET threads=16")
+        # Each child gets its OWN spill directory: concurrent checkers
+        # sharing the cwd-relative default ('.tmp/') clobber each
+        # other's duckdb_temp_storage-*.tmp files and die with an
+        # IOException mid-replay (observed on q126's 57 GB sf4 spill).
+        tmp = f"/tmp/duckdb_spill_{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             # driver fixtures are single files; builder-generated sf1
