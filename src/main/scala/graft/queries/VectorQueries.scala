@@ -562,13 +562,22 @@ object VectorQueries {
             CAST(sum(CASE WHEN p >= 0 THEN (1::BIGINT << i) ELSE 0 END)
               AS BIGINT) AS bucket
           FROM proj GROUP BY id, t),
-        ver AS (
-          SELECT b.id AS id, a.id AS partner,
-                 list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+        cand AS (
+          -- DISTINCT the id pairs BEFORE attaching vector payloads: a
+          -- pair colliding in several of the 8 tables would otherwise
+          -- carry its two 64-double vectors once per table through the
+          -- verify join (the duplicates share one cosine, so min/max
+          -- below are unchanged). Replayed raw at sf4 the undistinct
+          -- form spilled >200 GB and filled the disk.
+          SELECT DISTINCT b.id AS id, a.id AS partner
           FROM buck a JOIN buck b
-            ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
-          JOIN e ea ON ea.id = a.id
-          JOIN e eb ON eb.id = b.id
+            ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+        ver AS (
+          SELECT c.id, c.partner,
+                 list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine
+          FROM cand c
+          JOIN e ea ON ea.id = c.partner
+          JOIN e eb ON eb.id = c.id
           WHERE list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
                   >= CAST(0.4 AS DOUBLE)),
         d AS (
