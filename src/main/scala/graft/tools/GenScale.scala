@@ -30,17 +30,25 @@ import org.apache.spark.sql.functions._
  *    structure is N ~independent copies of sf0.1's. For k < 26 the
  *    map degenerates to a = 1 (a caesar rotation by k), reproducing
  *    the committed sf1 fixtures bit-for-bit.
- *  - embeddings.embedding: rotate the vector by k dimensions — norms,
- *    pairwise distances, and cluster structure are preserved within a
- *    replica; replicas land in different orientations. (Replica count
- *    is capped below the 64-dim wraparound.)
+ *  - embeddings.embedding: an orthogonal transform per replica —
+ *    rotate the vector by k mod 64 dimensions, then for k ≥ 64 negate
+ *    the dimensions selected by bit (k/64 − 1) of the position index.
+ *    Both factors are exact in floating point (a permutation reorders
+ *    the summands of every inner product; ±1 scaling is lossless), so
+ *    norms, pairwise similarities, and cluster structure are
+ *    preserved within a replica to the same fidelity as the original
+ *    rotation-only scheme; distinct k give distinct (rotation, flip)
+ *    pairs, so replicas land in pairwise-distinct orientations. For
+ *    k < 64 the flip arm is inactive and the transform is the
+ *    committed sf1/sf4 rotation, bit-for-bit.
  * Everything else (prices, dates, flags) is copied verbatim: N×
  * density in the same value ranges, which is what a grown corpus
  * looks like.
  *
  * Usage: GenScale [srcDir] [outDir] [replicas]
- *   sf1: GenScale /root/testdata/sf0.1 testdata_sf1 10
- *   sf4: GenScale /root/testdata/sf0.1 testdata_sf4 40
+ *   sf1:  GenScale /root/testdata/sf0.1 testdata_sf1 10
+ *   sf4:  GenScale /root/testdata/sf0.1 testdata_sf4 40
+ *   sf16: GenScale /root/testdata/sf0.1 testdata_sf16 160
  */
 object GenScale {
   private val Stride = 100000000L // > every source key; FK-consistent offset
@@ -61,6 +69,26 @@ object GenScale {
     } else alphabet.drop(k % len) + alphabet.take(k % len)
   }
 
+  /** Replica k's orthogonal embedding transform, as (rotation, flip
+    * pattern): rotate by `rot` dimensions, then negate positions j
+    * (0-based, post-rotation) whose bit (`flip` − 1) is set; flip = 0
+    * means no negation. Distinct k give distinct pairs (a signed
+    * permutation matrix is determined by its permutation and its
+    * diagonal), so no two replicas share an orientation. */
+  private[tools] def rotFlip(k: Int): (Int, Int) = (k % 64, k / 64)
+
+  /** Pure-Scala model of the embedding transform (the SQL in `main`
+    * mirrors this); exercised by GenScaleSpec for orthogonality and
+    * pairwise distinctness. */
+  private[tools] def applyEmbed(v: Vector[Double], k: Int): Vector[Double] = {
+    val (rot, flip) = rotFlip(k)
+    val rotated = v.drop(rot) ++ v.take(rot)
+    if (flip == 0) rotated
+    else rotated.zipWithIndex.map { case (x, j) =>
+      if (((j >> (flip - 1)) & 1) == 1) -x else x
+    }
+  }
+
   /** Union of `replicas` copies of `df`, each with its key columns
     * offset and an optional per-replica content transform applied. */
   private def replicate(df: DataFrame, keyCols: Seq[String], replicas: Int,
@@ -76,10 +104,11 @@ object GenScale {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "testdata_sf1"
     val Replicas = if (args.length > 2) args(2).toInt else 10
-    // embedding rotation must stay below the 64-dim wraparound, and the
-    // letter permutations below 12·26 distinct (a, b) pairs
-    require(Replicas >= 1 && Replicas <= 63,
-      s"replicas must be in [1, 63], got $Replicas")
+    // the letter permutations allow 12·26 distinct (a, b) pairs, the
+    // embedding transforms 64 rotations × 7 flip patterns — the letter
+    // arm binds first
+    require(Replicas >= 1 && Replicas <= 312,
+      s"replicas must be in [1, 312], got $Replicas")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -113,10 +142,19 @@ object GenScale {
     }), "documents", 16 * pScale)
 
     write(replicate(read("embeddings"), Seq("vec_id"), Replicas, { (d, k) =>
+      val (rot, flip) = rotFlip(k)
       if (k == 0) d
-      else d.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k))"))
+      else {
+        val rotated =
+          if (rot == 0) "embedding"
+          else s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), " +
+            s"slice(embedding, 1, $rot))"
+        val flipped =
+          if (flip == 0) rotated
+          else s"transform($rotated, (x, j) -> " +
+            s"IF(shiftright(j, ${flip - 1}) % 2 = 1, -x, x))"
+        d.withColumn("embedding", expr(flipped))
+      }
     }), "embeddings", 8 * pScale)
 
     val id = (d: DataFrame, _: Int) => d
