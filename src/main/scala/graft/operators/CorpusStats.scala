@@ -721,4 +721,109 @@ object CorpusStats {
       .partitionBy(col(strataCol)).orderBy(scoreCol, col(keyCol))
     df.withColumn(as, ntile(nBins).over(w))
   }
+
+  /**
+   * Integer-exact Okapi BM25 top-k retrieval — the "find the corpus
+   * documents closest to each probe" primitive behind retrieval-based
+   * decontamination and eval-set leakage scans (a sharper tool than
+   * [[contamination]]'s boolean n-gram overlap: it RANKS the corpus by
+   * lexical closeness, so the caller can quarantine the top matches
+   * per eval probe instead of anything sharing one 8-gram).
+   *
+   * Standard BM25 with k1 = 1.2, b = 0.75 and unit query-term weight:
+   *
+   *   score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+   *   idf(t)     = ln((N+1)/(df+0.5))
+   *
+   * EXACTNESS DISCIPLINE — this goes one step past the q72/q119/q125
+   * micro-nat pattern: with k1 = 6/5, b = 3/4 and avgdl = T/N (T =
+   * total corpus tokens) the per-term contribution is RATIONAL in
+   * integer corpus statistics once idf is quantized, so the whole
+   * score is computed in integer arithmetic with no per-row doubles:
+   *
+   *   contrib_µ = ⌊ idf_µ · 22·tf·T  /  (10·tf·T + 3·T + 9·len·N) ⌋
+   *   idf_µ     = ⌊ (ln(2N+2) − ln(2·df+1)) · 1e6 + 0.5 ⌋
+   *
+   * (multiply numerator and denominator of the BM25 fraction by 10·T —
+   * (11/5)·tf ↦ 22·tf·T, tf ↦ 10·tf·T, 3/10 ↦ 3·T, (9/10)·len·N/T ↦
+   * 9·len·N). idf_µ is one `ln` per DISTINCT QUERY TERM on integer
+   * arguments — the only floating op in the plan, cross-engine at 1e6
+   * quanta (same 1-ULP boundary caveat as q119/q125, now over a
+   * query-vocabulary-sized term set instead of the corpus). Scores sum
+   * as BIGINT — order-independent — and the top-k order
+   * (score_u DESC, doc_id) is total, so ranks are deterministic.
+   *
+   * Value ceilings (DECIMAL stays exact, never overflow-to-null):
+   * idf_µ ≤ ln(2N+2)·1e6 < 6.2e7 for N ≤ 10¹⁹ → DECIMAL(8,0);
+   * tf ≤ len ≤ 10⁷ tokens/doc → DECIMAL(8,0); T ≤ 10¹⁵ tokens
+   * (a 100 TB corpus has ~2·10¹³) → DECIMAL(16,0). Numerator
+   * ≤ 6.2e7·22·1e8·1e15 ≈ 1.4e33 < 10³⁸; denominator ≤ ~1e25 — both
+   * inside DECIMAL(38,0), and the integral quotient ≤ 2.2·idf_µ fits a
+   * BIGINT with 10 digits to spare.
+   *
+   * Plan shape at 100 TB: the corpus explodes ONCE into postings (the
+   * unavoidable corpus-proportional shuffle, map-side combined on
+   * (doc_id, term)); the query vocabulary (eval probes — tiny) then
+   * gates everything downstream via a broadcast join, so df, idf and
+   * scoring are all query-vocabulary-proportional. df for a query term
+   * is computed FROM the gated postings — the gate keeps every posting
+   * of a query term, so the count is the true corpus df. N and T are
+   * one broadcast scalar row. No collect, no cartesian, no sort wider
+   * than the top-k window keyed by q_id.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // one corpus explode → (doc_id, term, tf, len); len rides the
+    // aggregate (constant per doc) instead of a second self-join
+    val posts = toks
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("len"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+        explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
+      .distinct()
+    // gate the postings on the query vocabulary FIRST — everything
+    // after this join is query-vocabulary-proportional
+    val qvocab = qterms.select(col("term")).distinct()
+    val gated = posts.join(broadcast(qvocab), "term")
+    val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus scalars: N docs, T total tokens (empty docs count in N)
+    val tot = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("n_toks"))
+    val idf = dfx.crossJoin(broadcast(tot))
+      .select(col("term"),
+        floor((log(col("n_docs").cast("double") * 2 + 2)
+             - log(col("df").cast("double") * 2 + 1)) * lit(1e6) + lit(0.5))
+          .cast("long").as("idf_u"),
+        col("n_docs"), col("n_toks"))
+    val contrib = gated
+      .join(broadcast(idf), "term")
+      .join(broadcast(qterms), "term")
+      .select(col("q_id"), col("doc_id"),
+        (col("idf_u").cast("decimal(8,0)") * lit(22)
+           * col("tf").cast("decimal(8,0)")
+           * col("n_toks").cast("decimal(16,0)")).as("__num"),
+        (col("tf").cast("decimal(8,0)") * lit(10)
+           * col("n_toks").cast("decimal(16,0)")
+           + col("n_toks").cast("decimal(16,0)") * lit(3)
+           + col("len").cast("decimal(8,0)") * lit(9)
+           * col("n_docs").cast("decimal(16,0)")).as("__den"))
+      // SQL DIV = IntegralDivide: exact BigDecimal integral quotient,
+      // returns BIGINT (both operands positive, so trunc ≡ floor)
+      .select(col("q_id"), col("doc_id"),
+        expr("__num DIV __den").as("contrib_u"))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(sum(col("contrib_u")).as("score_u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_u"))
+  }
 }

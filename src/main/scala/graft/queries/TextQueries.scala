@@ -1279,6 +1279,76 @@ object TextQueries {
         FROM c GROUP BY 1"""),
       "training-shard manifest (~2048 tokens/shard, docs kept whole): " +
         "greedy fill over the global token prefix sum — range-partition " +
-        "+ offset map, no single-reducer window")
+        "+ offset map, no single-reducer window"),
+
+    QuerySpec("q127_bm25_topk",
+      (s, dir) => {
+        // retrieval-based decontamination: every 101st document plays
+        // the eval probe; BM25-rank the REST of the corpus against each
+        // probe and keep the top 5 — the quarantine candidates
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.CorpusStats.bm25TopK(
+          docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
+          k = 5)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 <> 0),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        -- df per query term from the gated postings (the gate keeps
+        -- every posting of a query term, so this is the true corpus df)
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        -- idf quantized to integer micro-nats (q119/q125 discipline);
+        -- after this every op is exact integer arithmetic in HUGEINT
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        contrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        scored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM contrib GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id, score_u
+        FROM (SELECT q_id, doc_id, score_u,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+              FROM scored)
+        WHERE rank <= 5"""),
+      "integer-exact Okapi BM25 top-5 retrieval of corpus docs per eval " +
+        "probe (k1=6/5, b=3/4 as rationals, idf micro-nat-quantized, " +
+        "scores exact BIGINT sums of integral quotients): the corpus " +
+        "explodes once, the probe vocabulary broadcast-gates all " +
+        "downstream work")
   )
 }

@@ -230,4 +230,20 @@ class PlanSpec extends SparkSpec {
     // cross-table duplicates, so the plan needs no pair-keyed dedup)
     assert(!p.contains("partial_first(partner"), p)
   }
+
+  test("q127 BM25: probe vocabulary, idf and probe terms all reach the " +
+      "postings as broadcasts — nothing sort-merges on the term") {
+    val p = formatted("q127_bm25_topk")
+    // vocab gate + idf join + (q_id, term) join: three broadcast hash
+    // joins keyed on the term; a term-keyed shuffle join would re-
+    // exchange the corpus-proportional postings per join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .foreach(l => assert(!l.contains("term"), l))
+    // postings tf and the (q,d) score sum both combine map-side
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+    // no global sort: the top-k window partitions by q_id
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }

@@ -600,4 +600,86 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(contTotal - 1.0) < 1e-9)
   }
+
+  // --- bm25TopK ------------------------------------------------------
+
+  /** Scala BigInt replay of the operator's exact integer arithmetic —
+    * the same rational rescaling (k1=6/5, b=3/4 ⇒ contribution
+    * ⌊idf_µ·22·tf·T / (10·tf·T + 3T + 9·len·N)⌋) so any divergence is
+    * a defect in the plan, not float noise. */
+  private def bm25Expected(corpus: Seq[(Long, String)],
+                           queries: Seq[(Long, String)],
+                           k: Int): Seq[(Long, Int, Long, Long)] = {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    val lens = corpus.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val n = corpus.size.toLong
+    val tTot = lens.values.sum
+    val posts = corpus.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => (id, w, g.size.toLong) }
+    }
+    val qvocab = queries.flatMap { case (_, t) => toks(t) }.toSet
+    val df = posts.filter(p => qvocab(p._2)).groupBy(_._2)
+      .map { case (w, g) => w -> g.size.toLong }
+    def idfU(dfw: Long): Long =
+      math.floor((math.log(n.toDouble * 2 + 2)
+        - math.log(dfw.toDouble * 2 + 1)) * 1e6 + 0.5).toLong
+    val scores = for {
+      (qid, qt) <- queries
+      term <- toks(qt).distinct
+      (did, w, tf) <- posts if w == term
+    } yield {
+      val num = BigInt(idfU(df(term))) * 22 * tf * tTot
+      val den = BigInt(10) * tf * tTot + BigInt(3) * tTot +
+        BigInt(9) * lens(did) * n
+      ((qid, did), (num / den).toLong)
+    }
+    scores.groupBy(_._1).toSeq
+      .map { case ((qid, did), cs) => (qid, did, cs.map(_._2).sum) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, ds) =>
+        ds.sortBy { case (_, did, s) => (-s, did) }.take(k).zipWithIndex
+          .map { case ((_, did, s), i) => (qid, i + 1, did, s) }
+      }
+  }
+
+  test("bm25TopK matches an exact BigInt replay, ranks rarer terms " +
+    "higher, and normalizes by length") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val corpus = Seq(
+      1L -> "apple banana cherry date",
+      2L -> "apple apple apple apple apple apple apple apple",
+      3L -> "banana kiwi",
+      4L -> "cherry cherry plum kiwi mango papaya lime fig date plum",
+      5L -> "plum mango",
+      6L -> "apple banana")
+    val queries = Seq(100L -> "apple banana", 200L -> "cherry")
+    val got = CorpusStats.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        queries.toDF("q_id", "text"), "q_id", "text", k = 3)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = bm25Expected(corpus, queries, 3)
+      .sortBy(t => (t._1, t._2))
+    assert(got === want)
+    // doc 6 (short, both terms) must beat doc 2 (8× tf of one term):
+    // tf saturation + length normalization, the point of BM25
+    val q100 = got.filter(_._1 == 100L).map(_._3)
+    assert(q100.indexOf(6L) < q100.indexOf(2L))
+  }
+
+  test("bm25TopK: k bounds output, ties break by doc_id, disjoint " +
+    "query terms score nothing") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // docs 1 and 2 are identical ⇒ identical scores; doc_id must break
+    // the tie deterministically
+    val corpus = Seq(1L -> "x y", 2L -> "x y", 3L -> "x z")
+    val got = CorpusStats.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq(9L -> "y", 8L -> "nothere").toDF("q_id", "text"),
+        "q_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((9L, 1, 1L))) // q 8 matches nothing at all
+  }
 }
