@@ -788,9 +788,11 @@ object CorpusStats {
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .distinct()
     // gate the postings on the query vocabulary FIRST — everything
-    // after this join is query-vocabulary-proportional
+    // after this join is query-vocabulary-proportional. The gated
+    // postings feed BOTH the df count and the scoring join, so they
+    // are pinned: the corpus-proportional explode+aggregate runs once
     val qvocab = qterms.select(col("term")).distinct()
-    val gated = posts.join(broadcast(qvocab), "term")
+    val gated = graft.ops.materialize(posts.join(broadcast(qvocab), "term"))
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus scalars: N docs, T total tokens (empty docs count in N)
     val tot = toks.agg(count(lit(1)).as("n_docs"),
