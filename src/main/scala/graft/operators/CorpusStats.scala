@@ -755,9 +755,10 @@ object CorpusStats {
    *
    * Value ceilings (DECIMAL stays exact, never overflow-to-null):
    * idf_µ ≤ ln(2N+2)·1e6 < 6.2e7 for N ≤ 10¹⁹ → DECIMAL(8,0);
-   * tf ≤ len ≤ 10⁷ tokens/doc → DECIMAL(8,0); T ≤ 10¹⁵ tokens
+   * tf ≤ len ≤ 10⁷ tokens/doc documented, cast at DECIMAL(10,0) so the
+   * silent overflow edge sits 1000× past the ceiling; T ≤ 10¹⁵ tokens
    * (a 100 TB corpus has ~2·10¹³) → DECIMAL(16,0). Numerator
-   * ≤ 6.2e7·22·1e8·1e15 ≈ 1.4e33 < 10³⁸; denominator ≤ ~1e25 — both
+   * ≤ 6.2e7·22·1e10·1e15 ≈ 1.4e34 < 10³⁸; denominator ≤ ~1e27 — both
    * inside DECIMAL(38,0), and the integral quotient ≤ 2.2·idf_µ fits a
    * BIGINT with 10 digits to spare.
    *
@@ -768,13 +769,38 @@ object CorpusStats {
    * scoring are all query-vocabulary-proportional. df for a query term
    * is computed FROM the gated postings — the gate keeps every posting
    * of a query term, so the count is the true corpus df. N and T are
-   * one broadcast scalar row. No collect, no cartesian, no sort wider
-   * than the top-k window keyed by q_id.
+   * one broadcast scalar row. No collect, no cartesian, and — crucially
+   * — NO per-probe sort: the final top-k is the mergeable `graft_topk`
+   * aggregate ([[graft.plans.TopKByScore]]), so every map task forwards
+   * at most k (score, id) pairs per probe. A `row_number` window keyed
+   * on q_id would instead shuffle EVERY scored (q_id, doc_id) row to
+   * one task per probe — and a probe containing a single high-df term
+   * (any stopword) matches nearly the whole corpus, making that task
+   * corpus-sized: exactly the anti-pattern the kernel's scaladoc warns
+   * about. score_u stays exact through the aggregate's double state:
+   * contrib_u ≤ 2.2·idf_µ < 1.4e8 and ≤ 10⁷ distinct query terms per
+   * probe (the doc-length ceiling) bound score_u < 1.4e15 < 2⁵³.
+   *
+   * `broadcastProbes` (default true) asserts the probe-side contract:
+   * qterms/qvocab/idf are all probe-vocabulary-sized and are broadcast.
+   * When the probe set itself grows with the corpus (an eval-sweep
+   * shape, not a retrieval shape — q127's registry construction probes
+   * ~1% of docs), pass false: the term-keyed joins fall back to shuffle
+   * joins instead of shipping a corpus-proportional table to every
+   * executor. `dfCap` < 1.0 additionally drops probe terms whose
+   * document frequency exceeds `dfCap·N` (stopword gating): scores
+   * change by construction — terms with df ≈ N carry idf ≈ ln(1+1/(2df))
+   * ≈ 0 yet dominate the scored-row count — so the default 1.0 keeps
+   * the exact Okapi semantics the oracle replays.
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int): DataFrame = {
+               k: Int, broadcastProbes: Boolean = true,
+               dfCap: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(dfCap > 0.0 && dfCap <= 1.0, s"dfCap must be in (0,1], got $dfCap")
+    def probeSide(d: DataFrame): DataFrame =
+      if (broadcastProbes) broadcast(d) else d
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
     // one corpus explode → (doc_id, term, tf, len); len rides the
@@ -792,28 +818,36 @@ object CorpusStats {
     // postings feed BOTH the df count and the scoring join, so they
     // are pinned: the corpus-proportional explode+aggregate runs once
     val qvocab = qterms.select(col("term")).distinct()
-    val gated = graft.ops.materialize(posts.join(broadcast(qvocab), "term"))
+    val gated = graft.ops.materialize(posts.join(probeSide(qvocab), "term"))
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus scalars: N docs, T total tokens (empty docs count in N)
+    // corpus scalars: N docs, T total tokens (empty docs count in N;
+    // greatest(·, 0) pins null-text docs to 0 tokens under BOTH null-
+    // semantics regimes — legacy size(null) = -1 and ANSI size(null) =
+    // null — matching the oracle's skip-null sum)
     val tot = toks.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(col("__toks")).cast("long")), lit(0L)).as("n_toks"))
+      coalesce(sum(greatest(size(col("__toks")), lit(0)).cast("long")),
+        lit(0L)).as("n_toks"))
     val idf = dfx.crossJoin(broadcast(tot))
+      .filter(col("df").cast("double") <= lit(dfCap) * col("n_docs").cast("double"))
       .select(col("term"),
         floor((log(col("n_docs").cast("double") * 2 + 2)
              - log(col("df").cast("double") * 2 + 1)) * lit(1e6) + lit(0.5))
           .cast("long").as("idf_u"),
         col("n_docs"), col("n_toks"))
+    // tf/len at decimal(10,0): the documented ceiling is 10⁷ tokens/doc,
+    // and the widened cast moves the silent overflow-to-null edge out to
+    // 10¹⁰ — num ≤ 6.2e7·22·10¹⁰·10¹⁵ ≈ 1.4e34 still inside DECIMAL(38,0)
     val contrib = gated
-      .join(broadcast(idf), "term")
-      .join(broadcast(qterms), "term")
+      .join(probeSide(idf), "term")
+      .join(probeSide(qterms), "term")
       .select(col("q_id"), col("doc_id"),
         (col("idf_u").cast("decimal(8,0)") * lit(22)
-           * col("tf").cast("decimal(8,0)")
+           * col("tf").cast("decimal(10,0)")
            * col("n_toks").cast("decimal(16,0)")).as("__num"),
-        (col("tf").cast("decimal(8,0)") * lit(10)
+        (col("tf").cast("decimal(10,0)") * lit(10)
            * col("n_toks").cast("decimal(16,0)")
            + col("n_toks").cast("decimal(16,0)") * lit(3)
-           + col("len").cast("decimal(8,0)") * lit(9)
+           + col("len").cast("decimal(10,0)") * lit(9)
            * col("n_docs").cast("decimal(16,0)")).as("__den"))
       // SQL DIV = IntegralDivide: exact BigDecimal integral quotient,
       // returns BIGINT (both operands positive, so trunc ≡ floor)
@@ -821,11 +855,16 @@ object CorpusStats {
         expr("__num DIV __den").as("contrib_u"))
     val scored = contrib.groupBy("q_id", "doc_id")
       .agg(sum(col("contrib_u")).as("score_u"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("score_u").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("doc_id"), col("score_u"))
+    // bounded top-k: map-side partials cap every task at k rows per
+    // probe; ties break to the smaller doc_id, identical to the
+    // row_number() (score_u DESC, doc_id ASC) formulation
+    val idType = docs.schema(idCol).dataType
+    scored.groupBy(col("q_id"))
+      .agg(call_function("graft_topk", col("score_u").cast("double"),
+        col("doc_id").cast("long"), lit(k)).as("__topk"))
+      .select(col("q_id"), posexplode(col("__topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").cast(idType).as("doc_id"),
+        col("col.score").cast("long").as("score_u"))
   }
 }

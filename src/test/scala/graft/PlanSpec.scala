@@ -243,7 +243,16 @@ class PlanSpec extends SparkSpec {
     // postings tf and the (q,d) score sum both combine map-side
     assert(p.contains("partial_count"), p)
     assert(p.contains("partial_sum"), p)
-    // no global sort: the top-k window partitions by q_id
+    // no global sort: no rangepartitioning anywhere in the plan
     assert(!p.contains("rangepartitioning"), p)
+    // top-k is the mergeable graft_topk aggregate, NOT a q_id window:
+    // a window would shuffle every scored (q_id, doc_id) row to one
+    // task per probe — one high-df probe term makes that task
+    // corpus-sized. Map-side partials bound every task at k rows per
+    // probe, so the only q_id-keyed exchange carries ≤ k·nPartitions
+    // rows per probe.
+    assert(p.contains("graft_topk"), p)
+    assert(!p.toLowerCase.contains("windowspecdefinition"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
   }
 }
