@@ -20,6 +20,15 @@ import org.apache.spark.sql.types._
  * the stub derives deterministic pseudo-features from the content
  * bytes, so every pipeline stage around the decode is testable and the
  * stub swaps for a real codec without touching plans.
+ *
+ * AUDIO decode is REAL as of r13 — the JDK's built-in
+ * `javax.sound.sampled` parses WAV containers (PCM signed/unsigned,
+ * 8/16-bit, µ-law/a-law via the JDK's format converters) with zero
+ * added dependencies ([[decodeAudio]]). VIDEO remains the one honest
+ * stub: frame EXTRACTION genuinely requires a codec library (H.264 et
+ * al. have no JDK decoder), and the no-new-dependencies rule wins —
+ * [[sampleFrames]] keeps the deterministic pseudo-frame contract and
+ * swaps for a real demuxer without touching plans.
  */
 object Multimodal {
 
@@ -116,12 +125,98 @@ object Multimodal {
       // same reasoning as decodeImage: malformed bytes → fallback path
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode for audio/video (and non-image bytes) — deterministic
-    * pseudo-features from the content bytes. No audio/video codec
-    * exists in this environment; the signature (bytes → fixed-dim float
+  /** Decoded-audio summary: container-level facts plus the fixed-dim
+    * feature vector ([[featureDim]] equal-time RMS bins of channel 0,
+    * normalized to [0,1] in the 16-bit domain). */
+  private[graft] final case class AudioInfo(
+      sampleRate: Int, nSamples: Long, durationMs: Long,
+      rms: Double, bins: Array[Float])
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV containers: PCM signed/unsigned 8/16-bit, µ-law/a-law — the
+    * JDK converts everything to 16-bit signed PCM; zero new
+    * dependencies): returns sample rate, frame count, duration, overall
+    * RMS (16-bit domain — exact for integer constant signals, the
+    * property the q128 oracle replays) and [[featureDim]] per-bin RMS
+    * features. None when the bytes are not a decodable audio stream —
+    * undecodable rows must take the documented fallback, never fail the
+    * Spark task. Executor-side only. */
+  private[graft] def decodeAudio(content: Array[Byte]): Option[AudioInfo] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          fmt.getChannels * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, ais)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = bytes.length / (2 * ch)
+          if (n == 0) None
+          else {
+            val rate = math.round(fmt.getSampleRate)
+            val durMs = n.toLong * 1000L / rate
+            // channel 0, little-endian signed 16-bit
+            def sample(i: Int): Double = {
+              val lo = bytes(i * 2 * ch) & 0xff
+              val hi = bytes(i * 2 * ch + 1).toInt
+              ((hi << 8) | lo).toDouble
+            }
+            var total = 0.0
+            val out = new Array[Float](featureDim)
+            var b = 0
+            while (b < featureDim) {
+              val s0 = (b.toLong * n / featureDim).toInt
+              val s1 = ((b + 1).toLong * n / featureDim).toInt
+              var sum = 0.0; var i = s0
+              while (i < s1) { val v = sample(i); sum += v * v; i += 1 }
+              total += sum
+              out(b) = if (s1 == s0) 0f
+                else (math.sqrt(sum / (s1 - s0)) / 32768.0).toFloat
+              b += 1
+            }
+            Some(AudioInfo(rate, n.toLong, durMs,
+              math.sqrt(total / n), out))
+          }
+        } finally pcm.close()
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode 16-bit mono PCM samples as WAV bytes (`AudioSystem.write`
+    * into memory) — the fixture-side inverse of [[decodeAudio]], used
+    * by [[syntheticWavMedia]] and the specs. */
+  private[graft] def encodeWavPcm16(samples: Array[Short],
+                                    sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(i * 2) = (samples(i) & 0xff).toByte
+      data(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode for video (and non-decodable bytes) — deterministic
+    * pseudo-features from the content bytes. Video frame extraction
+    * needs a codec library the JDK doesn't ship (and this environment
+    * forbids new dependencies); the signature (bytes → fixed-dim float
     * features) is the swap-in contract. Image bytes take the REAL
-    * [[decodeImage]] path in [[extractFeatures]]. */
-  private[operators] def fakeDecode(content: Array[Byte]): Array[Float] = {
+    * [[decodeImage]] path and audio bytes the REAL [[decodeAudio]]
+    * path in [[extractFeatures]]. */
+  private[graft] def fakeDecode(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
     var h = 1125899906842597L // deterministic seed
     var i = 0
@@ -144,10 +239,11 @@ object Multimodal {
    * Batch feature extraction: one decode per media item, executed
    * partition-locally. Returns (media_id, kind, features float[16]).
    * Image rows decode for REAL through `javax.imageio`
-   * ([[decodeImage]]); bytes that aren't a decodable image — and all
-   * audio/video rows — fall back to the deterministic stub, so
-   * synthetic fixtures keep their digests. Rows with null content are
-   * dropped (a real pipeline would route them to a dead-letter sink).
+   * ([[decodeImage]]) and audio rows through `javax.sound.sampled`
+   * ([[decodeAudio]]); bytes that aren't decodable — and all video
+   * rows — fall back to the deterministic stub, so synthetic fixtures
+   * keep their digests. Rows with null content are dropped (a real
+   * pipeline would route them to a dead-letter sink).
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featuresSchema)
@@ -155,11 +251,68 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.filter(!_.isNullAt(2)).map { r =>
           val content = r.getAs[Array[Byte]]("content")
-          val feats =
-            if (r.getString(1) == "image")
+          val feats = r.getString(1) match {
+            case "image" =>
               decodeImage(content).map(_._3).getOrElse(fakeDecode(content))
-            else fakeDecode(content)
+            case "audio" =>
+              decodeAudio(content).map(_.bins).getOrElse(fakeDecode(content))
+            case _ => fakeDecode(content)
+          }
           Row(r.getLong(0), r.getString(1), feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /**
+   * REAL audio decode over a media table: parse each audio row's WAV
+   * container and emit the container-level facts —
+   * (media_id, sample_rate, n_samples, duration_ms, rms_int) with
+   * rms_int the overall RMS in the 16-bit domain rounded to a BIGINT
+   * (exact for integer constant signals — the oracle contract).
+   * Non-audio and undecodable rows are dropped. Partition-local, one
+   * decode per row, driver never touches blob bytes.
+   */
+  def audioDecodeStats(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("rms_int", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "kind", "content")
+      .mapPartitions { rows =>
+        rows.filter(r => r.getString(1) == "audio" && !r.isNullAt(2))
+          .flatMap { r =>
+            // positional access: upstream mapPartitions rows (e.g.
+            // syntheticWavMedia's) deserialize without a schema
+            decodeAudio(r.getAs[Array[Byte]](2)).map { a =>
+              Row(r.getLong(0), a.sampleRate, a.nSamples, a.durationMs,
+                math.round(a.rms))
+            }
+          }
+      }(enc)
+  }
+
+  /** Synthesize a media table whose audio rows are REAL WAV bytes,
+    * deterministically derived from (id) arithmetic: every doc becomes
+    * a mono 16-bit PCM clip at 8 kHz with `(doc_id % 50 + 1) · 80`
+    * samples of the constant amplitude `(doc_id % 100) · 300` — so a
+    * SQL oracle can replay sample count, duration and RMS from doc_id
+    * alone while the WAV encode/decode round-trip underneath is real.
+    * Encoding runs executor-side via [[encodeWavPcm16]]. */
+  def syntheticWavMedia(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    docs.select(col("doc_id").cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = ((id % 50 + 50) % 50 + 1).toInt * 80
+          val amp = (((id % 100 + 100) % 100) * 300).toShort
+          Row(id, "audio", encodeWavPcm16(Array.fill(n)(amp), 8000))
         }
       }(enc)
   }

@@ -149,6 +149,23 @@ object MediaQueries {
                least(seg * 1000 + 1500, dur) AS end_ms
         FROM s"""),
       "audio windowing schedule (1.5s windows, 1s hop): sequence + " +
-        "posexplode fan-out, blob column pruned, last window truncated")
+        "posexplode fan-out, blob column pruned, last window truncated"),
+
+    QuerySpec("q128_audio_decode",
+      (s, dir) => Multimodal.audioDecodeStats(
+        Multimodal.syntheticWavMedia(Tables.load(s, dir, "documents"))),
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST((doc_id % 50 + 1) * 80 AS BIGINT) AS n_samples,
+               CAST((doc_id % 50 + 1) * 10 AS BIGINT) AS duration_ms,
+               CAST((doc_id % 100) * 300 AS BIGINT) AS rms_int
+        FROM documents"""),
+      "REAL WAV decode (javax.sound.sampled, zero new deps): every doc " +
+        "becomes a deterministic 8 kHz PCM16 clip executor-side, the " +
+        "engine round-trips encode→container parse→PCM read, and the " +
+        "oracle replays sample count / duration / integer-exact RMS " +
+        "from doc_id arithmetic — a wrong byte anywhere in the codec " +
+        "path breaks the hash")
   )
 }

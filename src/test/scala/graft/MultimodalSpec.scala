@@ -137,6 +137,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio decode is REAL: javax.sound.sampled parses the committed " +
+      "fixture WAV (8 kHz PCM16, 400 samples of ±10000 square wave)") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixture.wav").toURI))
+    val Some(a) = Multimodal.decodeAudio(bytes)
+    assert(a.sampleRate === 8000)
+    assert(a.nSamples === 400L)
+    assert(a.durationMs === 50L) // 400 / 8000 s
+    // |sample| is constant 10000 ⇒ RMS exactly 10000 (integer-exact:
+    // sum of squares and the mean are exact in double, sqrt of a
+    // perfect square of an int ≤ 2^26 is exact)
+    assert(a.rms === 10000.0)
+    // every equal-time bin holds 25 samples of the same |amplitude|
+    assert(a.bins.length === Multimodal.featureDim)
+    a.bins.foreach(b => assert(b === (10000.0 / 32768.0).toFloat, b))
+  }
+
+  test("audio decode round-trips encodeWavPcm16 and feeds " +
+      "extractFeatures; non-WAV audio bytes take the fallback") {
+    import spark.implicits._
+    val ramp = Array.tabulate(800)(i => (i * 3 - 1200).toShort)
+    val wav = Multimodal.encodeWavPcm16(ramp, 16000)
+    val Some(a) = Multimodal.decodeAudio(wav)
+    assert(a.sampleRate === 16000 && a.nSamples === 800L &&
+      a.durationMs === 50L)
+    // exact replay of the decoder's bin arithmetic on the known samples
+    val want = Array.tabulate(Multimodal.featureDim) { b =>
+      val s0 = b * 800 / Multimodal.featureDim
+      val s1 = (b + 1) * 800 / Multimodal.featureDim
+      val sum = (s0 until s1).map(i => ramp(i).toDouble * ramp(i)).sum
+      (math.sqrt(sum / (s1 - s0)) / 32768.0).toFloat
+    }
+    assert(a.bins.toSeq === want.toSeq)
+    // through the DataFrame path: audio rows with real WAV bytes get
+    // the decoded bins; non-WAV audio bytes fall back to the stub
+    val rows = Seq((1L, "audio", wav), (2L, "audio", "not wav".getBytes))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(rows)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(1L).toSeq === want.toSeq)
+    assert(feats(2L).toSeq ===
+      Multimodal.fakeDecode("not wav".getBytes).toSeq)
+  }
+
+  test("audioDecodeStats + syntheticWavMedia: container facts replay " +
+      "from doc_id arithmetic (the q128 oracle contract)") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 49L, 137L, 250L).toDF("doc_id")
+    val got = Multimodal.audioDecodeStats(Multimodal.syntheticWavMedia(docs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val want = Seq(0L, 1L, 49L, 137L, 250L).map { id =>
+      (id, 8000, (id % 50 + 1) * 80, (id % 50 + 1) * 10, (id % 100) * 300)
+    }
+    assert(got.toSeq === want)
+    // non-audio and undecodable rows drop instead of failing the task
+    val mixed = Seq((7L, "video", "vid".getBytes),
+        (8L, "audio", "junk".getBytes))
+      .toDF("media_id", "kind", "content")
+    assert(Multimodal.audioDecodeStats(mixed).count() === 0L)
+  }
+
   test("metadata-only ops never read the content blob (column pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(s"$dir/media")
