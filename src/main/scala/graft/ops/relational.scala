@@ -163,6 +163,38 @@ object relational {
   }
 
   /**
+   * Narrow-shuffle twin of [[contiguousRowNumber]]: the counter is
+   * computed over a PROJECTION of (order columns, synthetic row id)
+   * and joined back by the id, so the range exchange and the
+   * per-partition sort only ever carry the narrow rows. Worth it when
+   * the payload is wide (q63's fact is 15 columns of strings): at
+   * spill-bound scale the default form pays the sort's disk bandwidth
+   * on every payload byte, while this form pays it on the key columns
+   * only and moves the payload once through a hash exchange with no
+   * sort. At small SF the extra join-back loses — the DEFAULT stays
+   * [[contiguousRowNumber]]; measured deltas live in BASELINE.md.
+   *
+   * Same uniqueness contract as the default (bit-identical only when
+   * `order` is a unique total order); the synthetic id is minted on a
+   * pinned copy of the input so both the narrow pass and the join-back
+   * see identical ids.
+   */
+  def contiguousRowNumberViaJoin(df: DataFrame, order: Seq[Column],
+                                 as: String,
+                                 numPartitions: Option[Int] = None)
+      : DataFrame = {
+    val mid = "__graft_mid"
+    val withMid = graft.ops.materialize(
+      df.withColumn(mid, monotonically_increasing_id()))
+    val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
+    val counter = contiguousRowNumber(
+        withMid.select(aliased :+ col(mid): _*),
+        order.indices.map(i => col(s"__o$i")), as, numPartitions)
+      .select(col(mid), col(as))
+    withMid.join(counter, mid).drop(mid)
+  }
+
+  /**
    * The [[contiguousRowNumber]] pattern generalized to a running SUM:
    * inclusive prefix sum of `value` over a unique total `order`,
    * without `sum().over(Window.orderBy)`'s single reducer. Same shape

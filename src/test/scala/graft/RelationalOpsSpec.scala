@@ -86,6 +86,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(key(scalable) === key(window))
   }
 
+  test("contiguousRowNumberViaJoin: narrow-shuffle twin is bit-identical " +
+      "to the default form (and to the window) on a unique total order") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i * 7919 % 1000, s"k$i", s"wide-payload-$i"))
+      .toDF("sort_key", "payload", "extra").repartition(13)
+    val order = Seq(col("sort_key"), col("payload"))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Int]("sort_key"),
+        r.getAs[String]("payload"), r.getAs[String]("extra"))).toSet
+    val narrow = relational.contiguousRowNumberViaJoin(df, order, "row_id",
+      numPartitions = Some(7))
+    val default = relational.contiguousRowNumber(df, order, "row_id",
+      numPartitions = Some(7))
+    assert(key(narrow) === key(default))
+    // same output surface: input columns + the counter, no temp leakage
+    assert(narrow.columns.toSet === (df.columns :+ "row_id").toSet)
+    assert(narrow.schema("row_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // the wide payload never enters a sort: the only Sort operators in
+    // the narrow plan order the projected key columns, not 'extra'
+    val plan = narrow.queryExecution.executedPlan.toString()
+    plan.linesIterator.filter(_.contains("Sort ")).foreach { l =>
+      assert(!l.contains("extra"), l)
+    }
+  }
+
   test("contiguousPrefixSum matches the single-reducer window bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
