@@ -25,37 +25,7 @@ object PipelineQueries {
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q62_pipeline_production_order",
-      (s, dir) => {
-        val p = Tables.load(s, dir, "part")
-        val src = p.select(
-          concat(lit("SC'"), col("p_brand")).as("salesContractNo"),
-          concat(lit("PO-"), col("p_partkey")).as("orderNo"),
-          when(col("p_partkey") % 4 === 0, lit(""))
-            .otherwise(col("p_type")).as("orderTypeName"),
-          when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
-            .otherwise(lit("printing")).as("processTypeName"),
-          when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
-            .otherwise(col("p_name")).as("materialName"),
-          col("p_brand").as("materialConstructionName"),
-          when(col("p_partkey") % 3 === 0, lit(""))
-            .otherwise(col("p_type")).as("yarnMaterialName"),
-          col("p_size").cast("string").as("materialWidth"),
-          when(col("p_partkey") % 6 === 0, lit(0.0).cast("double"))
-            .otherwise(col("p_retailprice")).as("orderQuantity"),
-          when(col("p_partkey") % 2 === 0, lit("YARD"))
-            .otherwise(lit("MTR")).as("uomUnit"),
-          col("p_name").as("buyerName"),
-          lit("export").as("buyerType"),
-          expr("timestampadd(HOUR, CAST(p_partkey % 40 AS INT), " +
-            "timestamp'2017-01-01 00:00:00')").as("deliveryDate"),
-          expr("timestampadd(HOUR, CAST(p_partkey % 19 AS INT), " +
-            "timestamp'2016-06-30 12:00:00')").as("createdUtc"),
-          (col("p_partkey") % 11 === 0).as("isDeleted"),
-          lit("etl").as("accountUserName"),
-          (col("p_partkey") % 2 === 1).as("isClosed"),
-          concat(lit("B"), col("p_partkey") % 100).as("buyerCode"))
-        ProductionOrderFact.transform(Map("productionOrders" -> src))
-      },
+      (s, dir) => ProductionOrderFact.transform(productionOrderSources(s, dir)),
       Some("""
         WITH src AS (
           SELECT
@@ -128,46 +98,7 @@ object PipelineQueries {
         "conversion, T3 null-propagating construction string"),
 
     QuerySpec("q63_pipeline_total_hutang",
-      (s, dir) => {
-        val o = Tables.load(s, dir, "orders")
-        val li = Tables.load(s, dir, "lineitem")
-        val urns = o.select(
-          col("o_orderkey").as("id"),
-          concat(lit("URN"), col("o_orderkey")).as("urnNo"),
-          col("o_orderpriority").as("unitName"),
-          (col("o_orderkey") % 10 === 0).as("isDeleted"),
-          when(col("o_orderkey") % 13 === 0, lit("dev"))
-            .when(col("o_orderkey") % 17 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("user"), col("o_custkey") % 7))
-            .as("createdBy"))
-        val items = li.select(
-          col("l_orderkey").as("urnId"),
-          col("l_extendedprice").as("pricePerDealUnit"),
-          col("l_quantity").as("deliveredQuantity"),
-          (lit(1) + col("l_linenumber") % 3).cast("double").as("currencyRate"),
-          concat(col("l_returnflag"), lit("'"), col("l_linestatus"))
-            .as("productName"),
-          concat(col("l_partkey"), lit("-"), col("l_linenumber"))
-            .as("productCode"))
-        // two UPO candidates per URN (A and B) — keep-first must pick A;
-        // URNs with o_orderkey % 4 = 0 have none (gates every hasUpo CASE)
-        val upoBase = o.filter(col("o_orderkey") % 4 =!= 0)
-        def upoVariant(tag: String) = upoBase.select(
-          col("o_orderkey").as("urnId"),
-          concat(lit(s"UPO$tag-"), col("o_orderkey")).as("upoNo"),
-          expr("timestampadd(HOUR, CAST(o_orderkey % 24 AS INT), o_orderdate)")
-            .as("date"),
-          expr("timestampadd(DAY, 30, o_orderdate)").as("dueDate"),
-          concat(lit(s"S$tag'"), col("o_custkey")).as("supplierName"),
-          when(col("o_orderkey") % 3 === 0, lit("Bahan Baku"))
-            .when(col("o_orderkey") % 3 === 1, lit("BAHAN BAKU"))
-            .otherwise(lit("accessories")).as("categoryName"),
-          col("o_orderpriority").as("divisionName"))
-        val upo = upoVariant("A").unionByName(upoVariant("B"))
-        TotalHutangFact.transform(Map(
-          "unitReceiptNotes" -> urns, "urnItems" -> items,
-          "unitPaymentOrders" -> upo))
-      },
+      (s, dir) => TotalHutangFact.transform(totalHutangSources(s, dir)),
       Some("""
         WITH urns AS (
           SELECT o_orderkey AS urn_id, 'URN' || o_orderkey AS urn_no,
@@ -238,54 +169,7 @@ object PipelineQueries {
         "total, SQL-side NOT IN creator filter"),
 
     QuerySpec("q77_pipeline_garment_hutang",
-      (s, dir) => {
-        val o = Tables.load(s, dir, "orders")
-        val notes = o.select(
-          concat(lit("IN"), col("o_orderkey")).as("inNo"),
-          concat(lit("RO"), col("o_orderkey")).as("roNo"),
-          when(col("o_orderkey") % 3 === 0, "USD")
-            .when(col("o_orderkey") % 3 === 1, "EUR")
-            .otherwise("IDR").as("currencyCode"),
-          col("o_orderdate").as("doDate"),
-          expr("timestampadd(HOUR, CAST(o_orderkey % 11 AS INT), o_orderdate)")
-            .as("inDate"),
-          concat(lit("S'"), col("o_custkey")).as("supplierName"),
-          when(col("o_orderkey") % 7 === 0, lit(0.0).cast("double"))
-            .otherwise(col("o_totalprice") * 0.01).as("pricePerDealUnit"),
-          when(col("o_orderkey") % 5 === 0, lit(0.0).cast("double"))
-            .otherwise((col("o_orderkey") % 50 + 1).cast("double"))
-            .as("quantity"),
-          (col("o_orderkey") % 13 === 0).as("isDeleted"))
-        val cur = Tables.load(s, dir, "nation").select(
-          when(col("n_nationkey") % 3 === 0, "USD")
-            .when(col("n_nationkey") % 3 === 1, "EUR")
-            .otherwise("IDR").as("code"),
-          expr("timestampadd(DAY, CAST(n_nationkey * 90 AS INT), " +
-            "timestamp'1990-01-01 00:00:00')").as("date"),
-          ((col("n_nationkey") + 1) * 100.0).as("rate"),
-          (col("n_nationkey") % 5 === 0).as("_IsDeleted"))
-        val pr = o.filter(col("o_orderkey") % 2 === 0).select(
-          concat(lit("RO"), col("o_orderkey")).as("rono"),
-          (col("o_orderkey") % 6).as("categoryId"),
-          when(col("o_orderkey") % 3 === 0, lit(""))
-            .otherwise(concat(lit("Cat"), col("o_orderkey") % 6))
-            .as("categoryName"),
-          (col("o_orderkey") % 4).as("unitId"),
-          concat(lit("U"), col("o_orderkey") % 4).as("unitName"),
-          (col("o_orderkey") % 9 === 0).as("isDeleted"))
-        val r = Tables.load(s, dir, "region")
-        val cat = r.select(col("r_regionkey").as("id"),
-          element_at(array(lit("FAB"), lit("EMB"), lit("BTN"), lit("WSH"),
-            lit("ZIP")), (col("r_regionkey") + 1).cast("int")).as("code"))
-        val unit = r.select(col("r_regionkey").as("id"),
-          when(col("r_regionkey") === 0, lit(""))
-            .otherwise(concat(lit("Div"), col("r_regionkey")))
-            .as("divisionName"))
-        GarmentTotalHutangFact.transform(Map(
-          "internNotes" -> notes, "garmentCurrencies" -> cur,
-          "purchaseRequests" -> pr, "garmentCategories" -> cat,
-          "units" -> unit))
-      },
+      (s, dir) => GarmentTotalHutangFact.transform(garmentTotalHutangSources(s, dir)),
       Some("""
         WITH notes AS (
           SELECT 'IN' || o_orderkey AS in_no, 'RO' || o_orderkey AS ro_no,
@@ -370,33 +254,7 @@ object PipelineQueries {
         "mismatch (reference-faithful), keep-first PR/category/unit trio"),
 
     QuerySpec("q92_pipeline_sales_contract",
-      (s, dir) => {
-        // U2: three production branches through ONE transform with a
-        // literal discriminator (SpinningSC/WeavingSC/FinishingPrintingSC
-        // run.js) — shaped from orders, split by key mod 3
-        val o = Tables.load(s, dir, "orders")
-        def src(mod: Int) = o.filter(col("o_orderkey") % 3 === mod).select(
-          when(col("o_orderkey") % 7 === 0, lit(""))
-            .otherwise(concat(lit("SC-"), col("o_orderkey"))).as("contractNo"),
-          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("BY"), col("o_custkey") % 100))
-            .as("buyerName"),
-          expr("timestampadd(HOUR, CAST(o_orderkey % 23 AS INT), " +
-            "o_orderdate)").as("createdUtc"),
-          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
-            .otherwise(lit("cotton")).as("material"),
-          col("o_orderpriority").as("construction"),
-          lit("40s").as("yarn"),
-          (col("o_orderkey") % 90).cast("string").as("width"),
-          when(col("o_orderkey") % 2 === 0, lit("YARD")).otherwise(lit("MTR"))
-            .as("uom"),
-          col("o_totalprice").as("orderQuantity"),
-          (col("o_totalprice") * lit(2.0)).as("amount"))
-        graft.pipelines.SalesContractFact.transform(Map(
-          "spinningContracts" -> src(0),
-          "weavingContracts" -> src(1),
-          "fpContracts" -> src(2)))
-      },
+      (s, dir) => graft.pipelines.SalesContractFact.transform(salesContractSources(s, dir)),
       Some("""
         WITH src AS (
           SELECT o_orderkey,
@@ -436,64 +294,7 @@ object PipelineQueries {
         "string, M2 yard conversion, D1 WIB date floor"),
 
     QuerySpec("q93_pipeline_kanban",
-      (s, dir) => {
-        // J2 4-way left chain with one-to-many fan-out and BOTH C6
-        // dialects (Kanban/run.js:68-109) — kanbans from customer,
-        // instructions from orders, steps from lineitem, machines from
-        // supplier; each left side deliberately has unmatched rows
-        val kanbans = Tables.load(s, dir, "customer").select(
-          col("c_custkey").as("id"),
-          when(col("c_custkey") % 13 === 0, lit(""))
-            .otherwise(concat(lit("KB-"), col("c_custkey"))).as("code"),
-          when(col("c_custkey") % 17 === 0, lit(null).cast("timestamp"))
-            .otherwise(expr("timestampadd(HOUR, CAST(c_custkey % 41 AS INT), " +
-              "timestamp'2018-03-01 00:00:00')")).as("createdUtc"),
-          concat(lit("PO-"), col("c_custkey") % 500)
-            .as("productionOrderOrderNo"),
-          when(col("c_custkey") % 4 === 0, lit("")).otherwise(lit("A"))
-            .as("grade"),
-          concat(lit("C"), col("c_custkey") % 30).as("cartCartNumber"),
-          // `!= undefined` dialect: ZERO must survive (run.js:89)
-          (col("c_custkey") % 7).cast("double").as("cartQty"),
-          (col("c_custkey") % 11 === 0).as("isDeleted"),
-          (col("c_custkey") % 2 === 0).as("isComplete"),
-          concat(lit("SC-"), col("c_custkey") % 200)
-            .as("productionOrderSalesContractNo"),
-          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
-            .otherwise(lit("printing")).as("productionOrderProcessTypeName"),
-          col("c_mktsegment").as("productionOrderOrderTypeName"),
-          (col("c_custkey") % 23 === 0).as("isBadOutput"),
-          (col("c_custkey") % 29 === 0).as("isReprocess"),
-          (col("c_custkey") % 31).as("oldKanbanId"))
-        val instr = Tables.load(s, dir, "orders")
-          .filter(col("o_orderkey") <= 6000)
-          .select((col("o_orderkey") % 1400).as("kanbanId"),
-            col("o_orderkey").as("id"),
-            concat(lit("IN-"), col("o_orderkey")).as("code"),
-            col("o_orderpriority").as("name"))
-        val steps = Tables.load(s, dir, "lineitem")
-          .filter(col("l_orderkey") <= 2000)
-          .select(col("l_orderkey").as("instructionId"),
-            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-            concat(lit("ST-"), col("l_linenumber")).as("code"),
-            col("l_returnflag").as("process"),
-            expr("timestampadd(MINUTE, CAST(l_partkey % 90 AS INT), " +
-              "l_shipdate)").as("deadline"),
-            when(col("l_linenumber") % 3 === 0, lit(""))
-              .otherwise(lit("finishing")).as("processArea"),
-            when(col("l_suppkey") % 3 === 0, lit(null).cast("long"))
-              .otherwise(col("l_suppkey")).as("machineId"),
-            col("l_linenumber").as("stepIndex"))
-        val machines = Tables.load(s, dir, "supplier").select(
-          col("s_suppkey").as("id"),
-          concat(lit("M-"), col("s_suppkey")).as("code"),
-          col("s_name").as("name"),
-          // `!= undefined` dialect: zero capacity survives (run.js:97)
-          (col("s_suppkey") % 6).cast("double").as("monthlyCapacity"))
-        graft.pipelines.KanbanFact.transform(Map(
-          "kanbans" -> kanbans, "kanbanInstructions" -> instr,
-          "kanbanSteps" -> steps, "machines" -> machines))
-      },
+      (s, dir) => graft.pipelines.KanbanFact.transform(kanbanSources(s, dir)),
       Some("""
         WITH kanbans AS (
           SELECT c_custkey AS k_id,
@@ -594,100 +395,7 @@ object PipelineQueries {
         "WIB date formatting on two timestamps"),
 
     QuerySpec("q95_pipeline_purchasing",
-      (s, dir) => {
-        // the FLAGSHIP pipeline (Pembelian) over its full 10-table
-        // document chain, shaped from orders+lineitem: chains die at
-        // the EPO hop for key%4=0, at delivery for %3=0, at receipt for
-        // %5=0, at payment for %7=0; ipo created by "dev" for %13=0
-        // (inner-ized away); pr created by "unit-test" for %19=0 and by
-        // NULL for %23=0 (both fail pr.createdby NOT IN, run.js:167);
-        // epo items deleted for %17=0; zero currency
-        // rate for %10=0 (JS a*0 total); quotes in supplier/product
-        // names exercise T1
-        import s.implicits._
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
-        val key = col("o_orderkey")
-        def shift(days: org.apache.spark.sql.Column) =
-          col("o_orderdate") +
-            make_dt_interval(days.cast("int"), lit(0), lit(0), lit(0.0))
-        val prs = o.select(
-          key.as("id"), concat(lit("PR-"), key).as("no"),
-          when(key % 19 === 0, lit("unit-test"))
-            .when(key % 23 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("user"), key % 4)).as("createdBy"),
-          col("o_orderdate").as("createdUtc"),
-          expr("timestampadd(DAY, 10, o_orderdate)")
-            .as("expectedDeliveryDate"),
-          concat(lit("B"), key % 5).as("budgetCode"),
-          lit("opex").as("budgetName"),
-          concat(lit("U"), key % 3).as("unitCode"),
-          lit("weaving").as("unitName"),
-          concat(lit("D"), key % 2).as("divisionCode"),
-          lit("textile").as("divisionName"),
-          concat(lit("C"), key % 4).as("categoryCode"),
-          when(key % 2 === 0, lit("BAHAN BAKU"))
-            .otherwise(col("o_orderpriority")).as("categoryName"),
-          (key % 11 === 0).as("isDeleted"))
-        val ipos = o.select(key.as("prId"), (key + 10000000L).as("id"),
-          concat(lit("PO-"), key).as("poNo"),
-          when(key % 13 === 0, lit("dev"))
-            .otherwise(concat(lit("staff"), key % 7)).as("createdBy"),
-          shift(key % 5).as("createdUtc"),
-          lit(false).as("isDeleted"),
-          concat(lit("PR-"), key).as("prNo"),
-          expr("timestampadd(DAY, 12, o_orderdate)")
-            .as("expectedDeliveryDate"))
-        val eis = o.select((key + 10000000L).as("poId"),
-          (key + 20000000L).as("id"), (key + 30000000L).as("epoId"),
-          (key % 17 === 0).as("isDeleted"))
-        val eds = Tables.load(s, dir, "lineitem")
-          .filter(col("l_orderkey") <= 3000)
-          .select((col("l_orderkey") + 20000000L).as("epoItemId"),
-            concat(lit("P-"), col("l_partkey")).as("productCode"),
-            concat(lit("prod'"), col("l_partkey") % 50).as("productName"),
-            col("l_quantity").as("dealQuantity"),
-            when(col("l_linenumber") % 2 === 0, "MTR").otherwise("YARD")
-              .as("dealUomUnit"),
-            col("l_extendedprice").as("pricePerDealUnit"))
-        val epos = o.filter(key % 4 =!= 0).select(
-          (key + 30000000L).as("id"),
-          shift(key % 9).as("createdUtc"),
-          concat(lit("EPO-"), key).as("epoNo"),
-          concat(lit("S"), key % 6).as("supplierCode"),
-          concat(lit("sup'"), key % 6).as("supplierName"),
-          (key % 3 + 1).as("currencyId"),
-          when(key % 3 === 0, "USD").when(key % 3 === 1, "IDR")
-            .otherwise("EUR").as("currencyCode"),
-          lit("CASH").as("paymentMethod"),
-          when(key % 10 === 0, lit(0.0))
-            .otherwise((key % 100).cast("double") * 100 + 1000)
-            .as("currencyRate"))
-        val delivered = o.filter(key % 4 =!= 0 && key % 3 =!= 0)
-        val dois = delivered.select((key + 30000000L).as("epoId"),
-          (key + 40000000L).as("doId"))
-        val dos = delivered.select((key + 40000000L).as("id"),
-          concat(lit("DO-"), key).as("doNo"),
-          shift(key % 20).as("doDate"))
-        val received = delivered.filter(key % 5 =!= 0)
-        val urns = received.select((key + 40000000L).as("doId"),
-          (key + 50000000L).as("id"), concat(lit("URN-"), key).as("urnNo"),
-          shift(key % 25).as("receiptDate"))
-        val paid = received.filter(key % 7 =!= 0)
-        val upois = paid.select((key + 50000000L).as("urnId"),
-          (key + 60000000L).as("upoId"))
-        val upos = paid.select((key + 60000000L).as("id"),
-          concat(lit("UPO-"), key).as("upoNo"),
-          shift(key % 30).as("date"))
-        val currencies = Seq((1L, "US Dollar"), (2L, "Rupiah"),
-          (3L, "Euro")).toDF("id", "description")
-        graft.pipelines.PurchasingFact.transform(Map(
-          "purchaserequests" -> prs, "internalpurchaseorders" -> ipos,
-          "epoItems" -> eis, "epoDetails" -> eds,
-          "externalPurchaseOrders" -> epos, "doItems" -> dois,
-          "deliveryOrders" -> dos, "unitReceiptNotes" -> urns,
-          "upoItems" -> upois, "unitPaymentOrders" -> upos,
-          "currencies" -> currencies))
-      },
+      (s, dir) => graft.pipelines.PurchasingFact.transform(purchasingSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 3000),
         chain AS (
@@ -887,130 +595,7 @@ object PipelineQueries {
         "zero-coercing total price, T1/C6 per column"),
 
     QuerySpec("q96_pipeline_garment_purchasing",
-      (s, dir) => {
-        // GarmentPembelian's TWO branches: orders with key%3≠0 carry a
-        // PO (branch A: items from lineitem, fulfillments per item —
-        // none when linenumber%3=0, two when linenumber%4=0); key%3=0
-        // orders are PO-less and fan out PR items (branch B). EPO
-        // absent for partkey%4=0; zero rate for partkey%10=0; missing
-        // DO/URN/UPO dates by partkey mod 7/5/6.
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
-        // lineitem — dedupe on a total order so the derived item ids
-        // are unique and the last-fulfillment argmax is unambiguous
-        val liW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_orderkey"), col("l_linenumber"))
-          .orderBy(col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
-            col("l_extendedprice"), col("l_quantity"))
-        val li = Tables.load(s, dir, "lineitem")
-          .filter(col("l_orderkey") <= 2000)
-          .withColumn("__rn", row_number().over(liW))
-          .filter(col("__rn") === 1).drop("__rn")
-        val key = col("o_orderkey")
-        def days(n: org.apache.spark.sql.Column) =
-          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
-        val prs = o.select(key.as("id"), concat(lit("GPR'"), key).as("no"),
-          col("o_orderdate").as("createdDate"),
-          // creator NOT IN: %37 dev, %41 NULL — both drop the PR from
-          // BOTH branches (run.js:91)
-          when(key % 37 === 0, lit("dev"))
-            .when(key % 41 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("mk'r"), key % 5)).as("createdBy"),
-          (col("o_orderdate") + days(lit(9))).as("expectedDeliveryDate"),
-          when(key % 13 === 0, lit(""))
-            .otherwise(concat(lit("U"), key % 3)).as("unitCode"),
-          lit("sewing").as("unitName"),
-          concat(lit("DV"), key % 2).as("divisionCode"),
-          lit("garment").as("divisionName"),
-          (key % 11 === 0).as("deleted"))
-        val pos = o.filter(key % 3 =!= 0).select(key.as("prId"),
-          (key + 1000000L).as("id"), concat(lit("GPO-"), key).as("no"),
-          (col("o_orderdate") + days(key % 6)).as("createdDate"),
-          // %43 unit-test: the PO vanishes and its PR anti-joins into
-          // the PR-item branch (which has no items for these orders —
-          // they emit nothing, run.js:327 + :758)
-          when(key % 43 === 0, lit("unit-test"))
-            .otherwise(concat(lit("st'f"), key % 4)).as("createdBy"),
-          lit(false).as("deleted"))
-        val itemBase = li.filter(col("l_orderkey") % 3 =!= 0)
-        val itemId = col("l_orderkey") * 100 + col("l_linenumber")
-        val hasEpoF = col("l_partkey") % 4 =!= 0
-        val poItems = itemBase.select(
-          (col("l_orderkey") + 1000000L).as("poId"), itemId.as("id"),
-          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
-            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
-          lit("category").as("categoryName"),
-          concat(lit("P-"), col("l_partkey")).as("productCode"),
-          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
-          when(hasEpoF, concat(lit("EPO-"), itemId)).as("epoNo"),
-          when(hasEpoF, col("l_shipdate") - days(lit(5)))
-            .as("epoCreatedDate"),
-          when(hasEpoF, col("l_shipdate") + days(col("l_suppkey") % 3 - 1))
-            .as("epoExpectedDeliveryDate"),
-          when(hasEpoF, concat(lit("S"), col("l_suppkey") % 5))
-            .as("supplierCode"),
-          when(hasEpoF, concat(lit("su'p"), col("l_suppkey") % 5))
-            .as("supplierName"),
-          when(hasEpoF, lit("USD")).as("currencyCode"),
-          when(hasEpoF, lit("$")).as("currencySymbol"),
-          when(hasEpoF && col("l_partkey") % 10 =!= 0,
-            (col("l_partkey") % 50).cast("double") * 100 + 1000)
-            .otherwise(when(hasEpoF, lit(0.0))).as("currencyRate"),
-          when(hasEpoF, lit("credit")).as("paymentMethod"),
-          when(col("l_partkey") % 17 === 0, lit(0.0))
-            .otherwise(col("l_quantity")).as("defaultQuantity"),
-          lit("MTR").as("defaultUomUnit"),
-          col("l_extendedprice").as("pricePerDealUnit"),
-          col("l_quantity").as("dealQuantity"))
-        val fBase = itemBase.filter(col("l_linenumber") % 3 =!= 0)
-        val f1 = fBase.select(itemId.as("poItemId"),
-          (itemId * 10 + 1).as("fulfillmentId"),
-          concat(lit("DO-"), itemId).as("deliveryOrderNo"),
-          when(col("l_partkey") % 7 =!= 0, col("l_shipdate"))
-            .as("deliveryOrderDate"),
-          when(col("l_partkey") % 5 =!= 0, concat(lit("URN-"), itemId))
-            .as("unitReceiptNoteNo"),
-          when(col("l_partkey") % 5 =!= 0, col("l_shipdate") + days(lit(2)))
-            .as("unitReceiptNoteDate"),
-          when(col("l_partkey") % 6 =!= 0, concat(lit("UPO-"), itemId))
-            .as("interNoteNo"),
-          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(4)))
-            .as("interNoteDate"),
-          when(col("l_partkey") % 6 =!= 0, col("l_extendedprice"))
-            .as("interNotePrice"),
-          when(col("l_partkey") % 6 =!= 0, col("l_quantity"))
-            .as("interNoteQuantity"),
-          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(30)))
-            .as("interNoteDueDate"),
-          when(col("l_partkey") % 5 =!= 0, (col("l_partkey") % 3).cast("double"))
-            .as("unitReceiptNoteDeliveredQuantity"))
-        val f2 = fBase.filter(col("l_linenumber") % 4 === 0).select(
-          itemId.as("poItemId"), (itemId * 10 + 2).as("fulfillmentId"),
-          concat(lit("DO2-"), itemId).as("deliveryOrderNo"),
-          (col("l_shipdate") + days(lit(3))).as("deliveryOrderDate"),
-          lit(null).cast("string").as("unitReceiptNoteNo"),
-          lit(null).cast("timestamp").as("unitReceiptNoteDate"),
-          lit(null).cast("string").as("interNoteNo"),
-          lit(null).cast("timestamp").as("interNoteDate"),
-          lit(null).cast("double").as("interNotePrice"),
-          lit(null).cast("double").as("interNoteQuantity"),
-          lit(null).cast("timestamp").as("interNoteDueDate"),
-          lit(null).cast("double").as("unitReceiptNoteDeliveredQuantity"))
-        val prItems = li.filter(col("l_orderkey") % 3 === 0).select(
-          col("l_orderkey").as("prId"), (itemId + 50000000L).as("id"),
-          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
-            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
-          lit("category").as("categoryName"),
-          concat(lit("P-"), col("l_partkey")).as("productCode"),
-          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
-          when(col("l_partkey") % 9 === 0, lit(0.0))
-            .otherwise(col("l_quantity")).as("quantity"),
-          lit("PCS").as("uomUnit"))
-        graft.pipelines.GarmentPurchasingFact.transform(Map(
-          "garmentPurchaseRequests" -> prs, "garmentPurchaseOrders" -> pos,
-          "garmentPOItems" -> poItems, "garmentFulfillments" ->
-            f1.unionByName(f2), "garmentPRItems" -> prItems))
-      },
+      (s, dir) => graft.pipelines.GarmentPurchasingFact.transform(garmentPurchasingSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
         li AS (SELECT *, l_orderkey*100 + l_linenumber AS item_id
@@ -1437,80 +1022,7 @@ object PipelineQueries {
         "JOIN operations, quote swaps, M4 length default"),
 
     QuerySpec("q99_pipeline_monitoring_event",
-      (s, dir) => {
-        // MonitoringEvent's real transform: events from orders, the five
-        // correlated lookups (machine, division, production order, buyer,
-        // machine event) from range()-built dims with deliberate misses:
-        // machineId %50 vs 40 machines, poId %60 vs 45 orders, meId %30
-        // vs 25 events, unitDivisionId %12 vs 10 divisions; creators
-        // dev/unit-test/NULL dropped by the SQL NOT IN; ms 0 and ""
-        // exercise the C6 gates; D8/D9/D10 via the millis→time rebuild
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
-        val key = col("o_orderkey")
-        val ev = o.select(
-          when(key % 4 === 0, lit("")).otherwise(concat(lit("CART-"), key))
-            .as("cartNumber"),
-          concat(lit("EV-"), key).as("code"),
-          col("o_orderdate").cast("timestamp").as("dateStart"),
-          when(key % 6 === 0, lit(0L))
-            .otherwise((key * 137 % 86400) * 1000).as("timeInMilisStart"),
-          ((key * 211 % 86400) * 1000).as("timeInMilisEnd"),
-          when(key % 9 === 0, lit(null).cast("timestamp"))
-            .when(key % 2 === 0, col("o_orderdate").cast("timestamp") +
-              make_dt_interval(lit(1), lit(0), lit(0), lit(0.0)))
-            .otherwise(col("o_orderdate").cast("timestamp")).as("dateEnd"),
-          (key % 60).as("productionOrderId"),
-          (key % 50).as("machineId"),
-          (key % 30).as("machineEventId"),
-          when(key % 8 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("rem'ark "), key % 10)).as("remark"),
-          when(key % 13 === 0, lit("dev"))
-            .when(key % 19 === 0, lit("unit-test"))
-            .when(key % 23 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("op"), key % 5)).as("createdBy"),
-          (key % 11 === 0).as("isDeleted"))
-        val m = s.range(0, 40).select(col("id"),
-          concat(lit("M-"), col("id")).as("code"),
-          when(col("id") % 3 === 0, lit("baik")).otherwise(lit("rusak"))
-            .as("condition"),
-          concat(lit("ACME-"), col("id")).as("manufacture"),
-          concat(lit("mach'"), col("id")).as("name"),
-          concat(lit("pro'ses"), col("id") % 6).as("process"),
-          when(col("id") % 7 === 0, lit(""))
-            .otherwise(concat(lit("U"), col("id") % 7)).as("unitCode"),
-          (col("id") % 12).as("unitDivisionId"),
-          concat(lit("Unit "), col("id") % 4).as("unitName"),
-          (lit(2000) + col("id")).as("year"))
-        val dv = s.range(0, 10).select(col("id"),
-          concat(lit("DV-"), col("id")).as("code"),
-          concat(lit("Divisi "), col("id")).as("name"))
-        val po = s.range(0, 45).select(col("id"),
-          (col("id") % 15).as("buyerId"),
-          concat(lit("ORD-"), col("id")).as("orderNo"),
-          concat(lit("SC'"), col("id")).as("salesContractNo"),
-          (to_timestamp(lit("2020-03-01 00:00:00")) +
-            make_dt_interval(col("id").cast("int"), lit(0), lit(0),
-              lit(0.0))).as("deliveryDate"),
-          concat(lit("type"), col("id") % 3).as("orderTypeName"),
-          concat(lit("proc"), col("id") % 4).as("processTypeName"),
-          concat(lit("mat"), col("id") % 5).as("materialName"),
-          when(col("id") % 10 === 0, lit(0.0))
-            .otherwise(col("id").cast("double") * 1.5).as("orderQuantity"),
-          when(col("id") % 2 === 0, lit("MTR")).otherwise(lit("YARD"))
-            .as("uomUnit"))
-        val by = s.range(0, 12).select(col("id"),
-          concat(lit("buy'er"), col("id")).as("name"),
-          concat(lit("B-"), col("id")).as("code"))
-        val me = s.range(0, 25).select(col("id"),
-          (col("id") * 3).as("no"),
-          when(col("id") % 5 === 0, lit(""))
-            .otherwise(concat(lit("ev'ent"), col("id"))).as("name"),
-          when(col("id") % 4 === 0, lit(""))
-            .otherwise(concat(lit("cat"), col("id") % 3)).as("category"))
-        graft.pipelines.MonitoringEventFact.transform(Map(
-          "monitoringEvents" -> ev, "machines" -> m, "divisions" -> dv,
-          "productionOrders" -> po, "buyers" -> by, "machineEvents" -> me))
-      },
+      (s, dir) => graft.pipelines.MonitoringEventFact.transform(monitoringEventSources(s, dir)),
       Some("""
         WITH ev AS (
           SELECT o_orderkey AS key,
@@ -1663,90 +1175,7 @@ object PipelineQueries {
         "SQL NOT IN creator filter"),
 
     QuerySpec("q100_pipeline_production_order_status",
-      (s, dir) => {
-        // ProductionOrderStatus's real transform: the 5-deep keep-first
-        // chain SC→PO→kanban→dailyOp→fabricQC and the grade-test
-        // fan-out. Chain breaks: no PO for key%4=0 or deleted %13=0 (a
-        // second PO for %10=0 exercises keep-first), no kanban %5=0 or
-        // deleted %19=0, no dailyOp %6=0 / null-input %14=0 / deleted
-        // %23=0 (two dops for %15=0), no QC %7=0 or deleted %29=0, QC
-        // with key%3=0 has ZERO tests → its contract rows vanish while
-        // QC-less contracts keep one null-QC row
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
-        val key = col("o_orderkey")
-        def days(n: org.apache.spark.sql.Column) =
-          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
-        val ts0 = col("o_orderdate").cast("timestamp")
-        val scs = o.select(
-          when(key % 17 === 0, lit("")).otherwise(concat(lit("FSC-"), key))
-            .as("salesContractNo"),
-          ts0.as("createdUtc"),
-          when(key % 3 === 0, lit("YDS")).when(key % 3 === 1, lit("MTR"))
-            .otherwise(lit("PCS")).as("uomUnit"),
-          when(key % 7 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.5).as("orderQuantity"),
-          when(key % 27 === 0, lit(""))
-            .otherwise(concat(lit("ot"), key % 4)).as("orderTypeName"),
-          (key % 11 === 0).as("isDeleted"),
-          (ts0 + days(lit(60))).as("deliverySchedule"))
-        val poBase = o.filter(key % 4 =!= 0)
-        val po1 = poBase.select(concat(lit("FSC-"), key).as("salesContractNo"),
-          key.as("id"), (ts0 + days(lit(2))).as("createdUtc"),
-          concat(lit("PO-"), key).as("orderNo"),
-          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 0.7)
-            .as("orderQuantity"),
-          when(key % 2 === 0, lit("YARD")).otherwise(lit("MET")).as("uomUnit"),
-          (ts0 + days(lit(45))).as("deliveryDate"),
-          (key % 13 === 0).as("isDeleted"))
-        val po2 = poBase.filter(key % 10 === 0).select(
-          concat(lit("FSC-"), key).as("salesContractNo"),
-          (key + 100000L).as("id"), (ts0 + days(lit(1))).as("createdUtc"),
-          concat(lit("PO2-"), key).as("orderNo"),
-          key.cast("double").as("orderQuantity"), lit("MTR").as("uomUnit"),
-          (ts0 + days(lit(44))).as("deliveryDate"), lit(false).as("isDeleted"))
-        val pos = po1.unionByName(po2)
-        val kanbans = o.filter(key % 5 =!= 0).select(
-          key.as("productionOrderId"), key.as("id"),
-          (ts0 + days(lit(3))).as("createdUtc"),
-          when(key % 21 === 0, lit("")).otherwise(concat(lit("K-"), key))
-            .as("code"),
-          when(key % 6 === 0, lit(0.0)).otherwise(key.cast("double") * 0.3)
-            .as("cartQty"),
-          when(key % 8 === 0, lit("")).otherwise(concat(lit("CART"), key))
-            .as("cartCartNumber"),
-          concat(lit("FSC-"), key).as("productionOrderSalesContractNo"),
-          (key % 19 === 0).as("isDeleted"))
-        val dopBase = o.filter(key % 6 =!= 0)
-        val dop1 = dopBase.select(key.as("kanbanId"),
-          (ts0 + days(lit(4))).as("createdUtc"),
-          concat(lit("DOP-"), key).as("code"),
-          when(key % 14 === 0, lit(null).cast("double"))
-            .otherwise(key.cast("double") * 0.9).as("input"),
-          (key % 23 === 0).as("isDeleted"))
-        val dop2 = dopBase.filter(key % 15 === 0).select(key.as("kanbanId"),
-          (ts0 + days(lit(5))).as("createdUtc"),
-          concat(lit("DOPB-"), key).as("code"),
-          (key.cast("double") * 0.9 + 0.5).as("input"),
-          lit(false).as("isDeleted"))
-        val dops = dop1.unionByName(dop2)
-        val fqcs = o.filter(key % 7 =!= 0).select(
-          concat(lit("K-"), key).as("kanbanCode"), key.as("id"),
-          (ts0 + days(lit(5))).as("dateIm"),
-          when(key % 25 === 0, lit("")).otherwise(concat(lit("FQC-"), key))
-            .as("code"),
-          (key % 29 === 0).as("isDeleted"))
-        val tests = o.select(key, explode(sequence(lit(1), lit(2))).as("t"))
-          .filter(col("t") <= key % 3)
-          .select(key.as("fabricQualityControlId"),
-            (key * 10 + col("t")).as("id"),
-            when(col("t") === 1 && key % 2 === 0, lit(0.0))
-              .otherwise(key.cast("double") * 1.1 + col("t"))
-              .as("initLength"))
-        graft.pipelines.ProductionOrderStatusFact.transform(Map(
-          "fpSalesContracts" -> scs, "productionOrders" -> pos,
-          "kanbans" -> kanbans, "dailyOperations" -> dops,
-          "fabricQCs" -> fqcs, "fabricGradeTests" -> tests))
-      },
+      (s, dir) => graft.pipelines.ProductionOrderStatusFact.transform(productionOrderStatusSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
         sc AS (
@@ -1903,82 +1332,7 @@ object PipelineQueries {
         "the PO's uom on kanban quantity, per-contract test index"),
 
     QuerySpec("q101_pipeline_fabric_qc",
-      (s, dir) => {
-        // FabricQC's real transform: QC → grade tests (none for key%3=0)
-        // → criteria (none for (key+i)%3=0) double fan-out, both INNER;
-        // the numeric-gate dialects (>=0 keeps zero vs truthiness drops
-        // zero), negative values gated everywhere, and the A4 weighted
-        // score only when the test's point system is 10
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-        val key = col("o_orderkey")
-        val qcs = o.select(key.as("id"),
-          when(key % 17 === 0, lit("")).otherwise(concat(lit("QC'"), key))
-            .as("code"),
-          when(key % 5 === 0, lit(0L)).when(key % 3 === 0, lit(10L))
-            .otherwise(lit(5L)).as("pointSystem"),
-          col("o_orderdate").cast("timestamp").as("dateIm"),
-          when(key % 7 === 0, lit(""))
-            .otherwise(concat(lit("shift"), key % 3)).as("shiftIm"),
-          concat(lit("gr'p"), key % 4).as("group"),
-          concat(lit("op"), key % 6).as("operatorIm"),
-          concat(lit("MC"), key % 9).as("machineNoIm"),
-          concat(lit("PO'"), key).as("productionOrderNo"),
-          when(key % 13 === 0, lit(""))
-            .otherwise(concat(lit("type"), key % 3)).as("productionOrderType"),
-          concat(lit("K-"), key).as("kanbanCode"),
-          concat(lit("C"), key % 50).as("cartNo"),
-          concat(lit("buy'er"), key % 8).as("buyer"),
-          when(key % 11 === 0, lit(0.0)).otherwise(key.cast("double") * 0.5)
-            .as("orderQuantity"),
-          concat(lit("col"), key % 5).as("color"),
-          concat(lit("con'st"), key % 4).as("construction"),
-          when(key % 19 === 0, lit(""))
-            .otherwise(concat(lit("pack"), key % 3)).as("packingInstruction"),
-          lit("MTR").as("uom"),
-          (key % 23 === 0).as("isDeleted"), (key % 2 === 0).as("isUsed"))
-        val gtBase = o.select(key,
-          explode(sequence(lit(1), lit(2))).as("i"))
-          .filter(col("i") <= key % 3)
-        val gts = gtBase.select(key.as("fabricQualityControlId"),
-          (key * 10 + col("i")).as("id"),
-          when(col("i") === 2 && key % 4 === 0, lit(""))
-            .otherwise(concat(lit("ty'pe"), col("i"))).as("type"),
-          concat(lit("PCS'"), key, lit("-"), col("i")).as("pcsNo"),
-          when(col("i") === 1, lit("A")).otherwise(lit("B")).as("grade"),
-          when(key % 8 === 0, lit(-1.0))
-            .when(key % 6 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.1 + col("i")).as("width"),
-          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 1.1)
-            .as("initLength"),
-          when(key % 10 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
-            .as("avalLength"),
-          (key.cast("double") * 0.3).as("finalLength"),
-          when(key % 12 === 0, lit(-0.5)).otherwise(key.cast("double") * 0.05)
-            .as("sampleLength"),
-          (key % 4).as("fabricGradeTest"),
-          (key % 5).as("finalGradeTest"),
-          when(key % 14 === 0, lit(0L)).otherwise(key % 90).as("score"),
-          (key % 80).as("finalScore"),
-          when(col("i") === 1, lit(10L))
-            .when(key % 2 === 0, lit(10L)).otherwise(lit(5L))
-            .as("pointSystem"),
-          when(key % 16 === 0, lit(0L)).otherwise(key % 30).as("pointLimit"))
-        val crs = gtBase
-          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
-          .filter(col("j") <= (key + col("i")) % 3)
-          .select((key * 10 + col("i")).as("fabricGradeTestId"),
-            when(key % 21 === 0, lit(""))
-              .otherwise(concat(lit("CR'"), key, lit("-"), col("j")))
-              .as("code"),
-            concat(lit("G"), col("j")).as("group"),
-            concat(lit("cri'teria"), col("j")).as("name"),
-            ((key + col("j")) % 7 - 1).as("scoreA"),
-            ((key * 2 + col("j")) % 6 - 1).as("scoreB"),
-            ((key * 3 + col("j")) % 5 - 1).as("scoreC"),
-            ((key + col("j") * 2) % 4 - 1).as("scoreD"))
-        graft.pipelines.FabricQCFact.transform(Map(
-          "fabricQCs" -> qcs, "fabricGradeTests" -> gts, "criteria" -> crs))
-      },
+      (s, dir) => graft.pipelines.FabricQCFact.transform(fabricQcSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
         qc AS (
@@ -2134,56 +1488,7 @@ object PipelineQueries {
         "point system 10"),
 
     QuerySpec("q102_pipeline_shipment",
-      (s, dir) => {
-        // ShipmentDocument's real transform: the 4-level nesting
-        // flattened back out with the reference's inner loop semantics —
-        // no details for key%4=0, a detail with no items for i=2 &&
-        // key%5=0, an item with no PRIs for j=2 && key%6=0; the one
-        // UNSHIFTED date; != undefined numeric dialect (0 survives)
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-        val key = col("o_orderkey")
-        val ships = o.select(concat(lit("SH'"), key).as("shipmentCode"),
-          col("o_orderdate").cast("timestamp").as("deliveryDate"),
-          when(key % 7 === 0, lit("")).otherwise(concat(lit("bu'yer"), key % 9))
-            .as("buyerName"),
-          concat(lit("B-"), key % 11).as("buyerCode"),
-          when(key % 2 === 0, lit("export")).otherwise(lit("lokal"))
-            .as("buyerType"),
-          (key % 13 === 0).as("isVoid"))
-        val detBase = o.filter(key % 4 =!= 0)
-          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
-        val dets = detBase.select(concat(lit("SH'"), key).as("shipmentCode"),
-          (key * 10 + col("i")).as("detailId"),
-          when(col("i") === 1 && key % 8 === 0, lit(""))
-            .otherwise(concat(lit("DC'"), key, lit("-"), col("i")))
-            .as("designCode"),
-          concat(lit("DN"), col("i")).as("designNumber"),
-          concat(lit("PO'"), key).as("productionOrderNo"),
-          when(key % 3 === 0, lit("printing")).otherwise(lit("dyeing"))
-            .as("productionOrderType"))
-        val itemBase = detBase.filter(!(col("i") === 2 && key % 5 === 0))
-          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
-        val items = itemBase.select((key * 10 + col("i")).as("detailId"),
-          (key * 100 + col("i") * 10 + col("j")).as("itemId"))
-        val priBase = itemBase.filter(!(col("j") === 2 && key % 6 === 0))
-        val pris = priBase.select(
-          (key * 100 + col("i") * 10 + col("j")).as("itemId"),
-          (key * 1000 + col("i") * 100 + col("j")).as("priId"),
-          when(key % 9 === 0, lit(""))
-            .otherwise(concat(lit("co'l"), key % 5)).as("colorType"),
-          when(key % 10 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.1 + col("j")).as("length"),
-          concat(lit("P-"), key % 40).as("productCode"),
-          concat(lit("pro'd"), key % 30).as("productName"),
-          when(key % 14 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.5).as("quantity"),
-          when(key % 2 === 0, lit("MTR")).otherwise(lit("YDS")).as("uomUnit"),
-          when(key % 15 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.02).as("weight"))
-        graft.pipelines.ShipmentFact.transform(Map(
-          "shipments" -> ships, "shipmentDetails" -> dets,
-          "shipmentItems" -> items, "packingReceiptItems" -> pris))
-      },
+      (s, dir) => graft.pipelines.ShipmentFact.transform(shipmentSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
         chains AS (
@@ -2265,63 +1570,7 @@ object PipelineQueries {
         "delivery date, != undefined numeric dialect"),
 
     QuerySpec("q103_pipeline_packing",
-      (s, dir) => {
-        // Packing's real transform: packings ⟕ details (key%3=0 has no
-        // details and still emits one row — LEFT), M4 zero defaults on
-        // weight/length/quantity, ids stringified behind truthy gates
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-        val key = col("o_orderkey")
-        val packs = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
-          when(key % 7 === 0, lit("")).otherwise(concat(lit("mk"), key % 5))
-            .as("createdBy"),
-          col("o_orderdate").cast("timestamp").as("createdUtc"),
-          concat(lit("PCK-"), key).as("code"),
-          when(key % 9 === 0, lit(0L)).otherwise(key + 500).as("productionOrderId"),
-          concat(lit("ORD-"), key).as("productionOrderNo"),
-          when(key % 3 === 0, lit("print")).otherwise(lit("dye")).as("orderType"),
-          concat(lit("SC-"), key).as("salesContractNo"),
-          concat(lit("dc'"), key % 6).as("designCode"),
-          concat(lit("dn'"), key % 4).as("designNumber"),
-          when(key % 13 === 0, lit(0L)).otherwise(key % 40 + 1).as("buyerId"),
-          concat(lit("B"), key % 12).as("buyerCode"),
-          concat(lit("bu'yer"), key % 9).as("buyerName"),
-          concat(lit("jl. "), key % 5).as("buyerAddress"),
-          when(key % 2 === 0, lit("ex")).otherwise(lit("lo")).as("buyerType"),
-          expr("timestampadd(DAY, 3, CAST(o_orderdate AS TIMESTAMP))")
-            .as("date"),
-          lit("MTR").as("packingUom"),
-          concat(lit("cc'"), key % 7).as("colorCode"),
-          when(key % 17 === 0, lit("")).otherwise(concat(lit("co'l"), key % 5))
-            .as("colorName"),
-          concat(lit("ct"), key % 3).as("colorType"),
-          when(key % 19 === 0, lit(0L)).otherwise(key % 25).as("materialConstructionFinishId"),
-          concat(lit("fin'"), key % 4).as("materialConstructionFinishName"),
-          (key % 30 + 1).as("materialId"),
-          concat(lit("cot'ton"), key % 3).as("material"),
-          concat(lit("w"), key % 3).as("materialWidthFinish"),
-          concat(lit("2/"), key % 2 + 1).as("construction"),
-          concat(lit("de'l"), key % 2).as("deliveryType"),
-          concat(lit("fp'"), key % 3).as("finishedProductType"),
-          concat(lit("mo'tif"), key % 8).as("motif"),
-          concat(lit("st'"), key % 4).as("status"),
-          (key % 2 === 0).as("accepted"), (key % 5 === 0).as("declined"))
-        val dets = o.filter(key % 3 =!= 0)
-          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
-          .filter(col("i") <= key % 3)
-          .select(key.as("packingId"),
-            concat(lit("LOT'"), key, lit("-"), col("i")).as("lot"),
-            when(col("i") === 1, lit("A")).otherwise(lit("B'")).as("grade"),
-            when(key % 4 === 0, lit(null).cast("double"))
-              .otherwise(key.cast("double") * 0.1).as("weight"),
-            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
-              .as("length"),
-            when(key % 6 === 0, lit(null).cast("double"))
-              .otherwise(key.cast("double") * 0.3).as("quantity"),
-            when(key % 8 === 0, lit(""))
-              .otherwise(concat(lit("re'mark"), key % 5)).as("remark"))
-        graft.pipelines.PackingFact.transform(Map(
-          "packings" -> packs, "packingDetails" -> dets))
-      },
+      (s, dir) => graft.pipelines.PackingFact.transform(packingSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
         p AS (
@@ -2429,44 +1678,7 @@ object PipelineQueries {
         "stringified ids behind truthy gates, T1 per column"),
 
     QuerySpec("q104_pipeline_packing_receipt",
-      (s, dir) => {
-        // PackingReceipt's real transform: INNER item join (key%4=0 has
-        // no items → dropped), T5 quoted numerics behind truthy gates
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
-        val key = col("o_orderkey")
-        val receipts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
-          concat(lit("PRC-"), key).as("code"),
-          when(key % 9 === 0, lit(null).cast("timestamp"))
-            .otherwise(col("o_orderdate").cast("timestamp")).as("date"),
-          concat(lit("PCK-"), key).as("packingCode"),
-          (key % 2 === 0).as("accepted"), (key % 7 === 0).as("declined"),
-          when(key % 13 === 0, lit("")).otherwise(concat(lit("RN-"), key))
-            .as("referenceNo"),
-          lit("receipt").as("referenceType"),
-          concat(lit("ty'pe"), key % 3).as("type"),
-          concat(lit("ORD-"), key).as("productionOrderNo"),
-          concat(lit("bu'yer"), key % 9).as("buyer"),
-          concat(lit("co'l"), key % 5).as("colorName"),
-          concat(lit("2/"), key % 2 + 1).as("construction"),
-          lit("MTR").as("packingUom"),
-          when(key % 3 === 0, lit("print")).otherwise(lit("dye"))
-            .as("orderType"),
-          concat(lit("ct'"), key % 4).as("colorType"),
-          concat(lit("DC-"), key % 6).as("designCode"),
-          concat(lit("dn'"), key % 4).as("designNumber"))
-        val items = o.filter(key % 4 =!= 0)
-          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
-          .filter(col("i") <= key % 3 + 1)
-          .select(key.as("packingReceiptId"),
-            concat(lit("pro'd"), key % 20, lit("-"), col("i")).as("product"),
-            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.4)
-              .as("quantity"),
-            when(key % 6 === 0, lit(null).cast("double"))
-              .otherwise(key.cast("double") * 0.5).as("length"),
-            (key.cast("double") * 0.6).as("weight"))
-        graft.pipelines.PackingReceiptFact.transform(Map(
-          "packingReceipts" -> receipts, "packingReceiptItems" -> items))
-      },
+      (s, dir) => graft.pipelines.PackingReceiptFact.transform(packingReceiptSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2000),
         r AS (
@@ -2537,35 +1749,7 @@ object PipelineQueries {
         "behind truthy gates"),
 
     QuerySpec("q105_pipeline_inventory_movement",
-      (s, dir) => {
-        // InventoryMovement's real transform: single-table scalar layer —
-        // quantity/before/after ride through UNGATED (0 survives)
-        val ev = Tables.events(s, dir).filter(col("event_id") <= 20000)
-        val key = col("event_id")
-        val src = ev.select(
-          when(key % 7 === 0, lit("")).otherwise(concat(lit("ST'"), key % 12))
-            .as("storageCode"),
-          concat(lit("gud'ang "), key % 12).as("storageName"),
-          col("ts").as("date"),
-          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.25)
-            .as("quantity"),
-          when(key % 2 === 0, lit("IN")).otherwise(lit("OUT")).as("type"),
-          concat(lit("P-"), key % 40).as("productCode"),
-          concat(lit("pro'd"), key % 40).as("productName"),
-          when(key % 3 === 0, lit("MTR")).otherwise(lit("YDS")).as("uom"),
-          (key % 11 === 0).as("_deleted"),
-          concat(lit("IM-"), key).as("code"),
-          when(key % 13 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("RN'"), key)).as("referenceNo"),
-          lit("mo've").as("referenceType"),
-          (key % 100).cast("double").as("before"),
-          when(key % 9 === 0, lit(0.0)).otherwise((key % 100).cast("double") +
-            key.cast("double") * 0.25).as("after"),
-          when(key % 8 === 0, lit(""))
-            .otherwise(concat(lit("re'mark"), key % 6)).as("remark"))
-        graft.pipelines.InventoryMovementFact.transform(
-          Map("inventoryMovements" -> src))
-      },
+      (s, dir) => graft.pipelines.InventoryMovementFact.transform(inventoryMovementSources(s, dir)),
       Some("""
         WITH e AS (SELECT * FROM events WHERE event_id <= 20000),
         src AS (
@@ -2616,24 +1800,7 @@ object PipelineQueries {
         "scalar layer, ungated quantity/before/after, T1+C6"),
 
     QuerySpec("q106_pipeline_inventory_summary",
-      (s, dir) => {
-        // InventorySummaries' real transform — the smallest pipeline
-        val p = Tables.load(s, dir, "part").filter(col("p_partkey") <= 4000)
-        val key = col("p_partkey")
-        val src = p.select(
-          concat(lit("ST'"), key % 15).as("storageCode"),
-          when(key % 7 === 0, lit(""))
-            .otherwise(concat(lit("gud'ang "), key % 15)).as("storageName"),
-          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 1.5)
-            .as("quantity"),
-          concat(lit("P'"), key % 50).as("productCode"),
-          col("p_name").as("productName"),
-          when(key % 3 === 0, lit("MTR")).otherwise(lit("PCS")).as("uom"),
-          (key % 11 === 0).as("_deleted"),
-          concat(lit("IS-"), key).as("code"))
-        graft.pipelines.InventorySummaryFact.transform(
-          Map("inventorySummaries" -> src))
-      },
+      (s, dir) => graft.pipelines.InventorySummaryFact.transform(inventorySummarySources(s, dir)),
       Some("""
         SELECT
           replace('ST''' || (p_partkey % 15), '''', '"') AS storage_code,
@@ -2652,43 +1819,7 @@ object PipelineQueries {
         "smallest reference pipeline, T1+C6 per column"),
 
     QuerySpec("q107_pipeline_deal_tracking_deal",
-      (s, dir) => {
-        // DealTrackingDeal's real transform: deals ⟕ companies city
-        // lookup (misses for companyId >= 25), ungated id/amount/
-        // created_date, != undefined quantity (0 survives, NULL drops)
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
-        val key = col("o_orderkey")
-        val deals = o.select(key.as("id"), (key % 30).as("companyId"),
-          (key % 11 === 0).as("isDeleted"),
-          when(key % 17 === 0, lit("")).otherwise(concat(lit("DL'"), key))
-            .as("code"),
-          col("o_orderdate").cast("timestamp").as("createdUtc"),
-          concat(lit("u"), key % 5).as("createdBy"),
-          concat(lit("de'al"), key % 9).as("name"),
-          ((key % 50).cast("double") * 10.5).as("amount"),
-          when(key % 13 === 0, lit("")).otherwise(concat(lit("CC'"), key % 9))
-            .as("companyCode"),
-          concat(lit("co'mp"), key % 7).as("companyName"),
-          when(key % 7 === 0, lit("")).otherwise(concat(lit("ct"), key % 8))
-            .as("contactCode"),
-          when(key % 9 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("con'tact"), key % 8)).as("contactName"),
-          when(key % 5 === 0, lit(null).cast("timestamp"))
-            .otherwise(expr("timestampadd(DAY, 30, CAST(o_orderdate AS TIMESTAMP))"))
-            .as("closeDate"),
-          when(key % 8 === 0, lit("")).otherwise(concat(lit("des'c"), key % 4))
-            .as("description"),
-          when(key % 6 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("rea'son"), key % 3)).as("reason"),
-          when(key % 19 === 0, lit(null).cast("double"))
-            .when(key % 4 === 0, lit(0.0))
-            .otherwise(key.cast("double") * 0.5).as("quantity"),
-          when(key % 2 === 0, lit("MTR")).otherwise(lit("PC'S")).as("uomUnit"))
-        val comps = s.range(0, 25).select(col("id"),
-          concat(lit("ci'ty"), col("id") % 6).as("city"))
-        graft.pipelines.DealTrackingDealFact.transform(Map(
-          "deals" -> deals, "companies" -> comps))
-      },
+      (s, dir) => graft.pipelines.DealTrackingDealFact.transform(dealTrackingDealSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
         d AS (
@@ -2753,35 +1884,7 @@ object PipelineQueries {
         "!= undefined quantity"),
 
     QuerySpec("q108_pipeline_deal_tracking_activity",
-      (s, dir) => {
-        // DealTrackingActivity's real transform: single-table scalar
-        // layer; created_date keeps its time component; stage ids
-        // stringified behind truthy-number gates
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
-        val key = col("o_orderkey")
-        val acts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
-          concat(lit("AC'"), key).as("code"),
-          expr("timestampadd(MINUTE, CAST(o_orderkey % 1440 AS INT), " +
-            "CAST(o_orderdate AS TIMESTAMP))").as("createdUtc"),
-          concat(lit("u"), key % 5).as("createdBy"),
-          when(key % 9 === 0, lit(0L)).otherwise(key + 100).as("dealId"),
-          concat(lit("ty'pe"), key % 4).as("type"),
-          when(key % 6 === 0, lit("")).otherwise(concat(lit("no'te"), key % 5))
-            .as("notes"),
-          when(key % 8 === 0, lit(null).cast("string"))
-            .otherwise(concat(lit("ta'sk"), key % 7)).as("taskTitle"),
-          when(key % 5 === 0, lit(null).cast("timestamp"))
-            .otherwise(expr("timestampadd(DAY, 7, CAST(o_orderdate AS TIMESTAMP))"))
-            .as("dueDate"),
-          (key % 2 === 0).as("status"),
-          when(key % 7 === 0, lit(0L)).otherwise(key % 90 + 1)
-            .as("sourceStageId"),
-          when(key % 10 === 0, lit(0L)).otherwise(key % 80 + 1)
-            .as("targetStageId"),
-          concat(lit("as'g"), key % 6).as("assignedTo"))
-        graft.pipelines.DealTrackingActivityFact.transform(
-          Map("activities" -> acts))
-      },
+      (s, dir) => graft.pipelines.DealTrackingActivityFact.transform(dealTrackingActivitySources(s, dir)),
       Some("""
         SELECT
           CAST(o_orderkey % 11 = 0 AS VARCHAR) AS deleted,
@@ -2818,29 +1921,7 @@ object PipelineQueries {
         "!= undefined status"),
 
     QuerySpec("q109_pipeline_deal_tracking_board",
-      (s, dir) => {
-        // DealTrackingBoard's real transform: J4 keep-first currency
-        // lookup (duplicate codes resolved by highest rate), a code
-        // whose rates are all zero (gated), and a code with no currency
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
-        val key = col("o_orderkey")
-        val boards = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
-          concat(lit("BD'"), key).as("code"),
-          col("o_orderdate").cast("timestamp").as("createdUtc"),
-          concat(lit("u"), key % 5).as("createdBy"),
-          concat(lit("bo'ard"), key % 9).as("title"),
-          when(key % 7 === 0, lit("CX"))
-            .otherwise(concat(lit("C"), key % 5)).as("currencyCode"),
-          when(key % 2 === 0, lit("$")).otherwise(lit("Rp"))
-            .as("currencySymbol"))
-        import s.implicits._
-        val curr = (0 until 5).flatMap { c =>
-          val base = if (c == 1) 0.0 else c * 1000.0
-          Seq((s"C$c", base), (s"C$c", if (c == 1) 0.0 else base + 500))
-        }.toDF("code", "rate")
-        graft.pipelines.DealTrackingBoardFact.transform(Map(
-          "boards" -> boards, "currencies" -> curr))
-      },
+      (s, dir) => graft.pipelines.DealTrackingBoardFact.transform(dealTrackingBoardSources(s, dir)),
       Some("""
         WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 2500),
         cur AS (
@@ -2870,20 +1951,7 @@ object PipelineQueries {
         "gated, missing currency"),
 
     QuerySpec("q110_pipeline_deal_tracking_stage",
-      (s, dir) => {
-        // DealTrackingStage's real dual-sink transforms, first table
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
-        val key = col("o_orderkey")
-        val stages = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
-          when(key % 17 === 0, lit("")).otherwise(concat(lit("SG'"), key))
-            .as("code"),
-          col("o_orderdate").cast("timestamp").as("createdUtc"),
-          concat(lit("u"), key % 5).as("createdBy"),
-          (key % 20).as("boardId"),
-          concat(lit("sta'ge"), key % 6).as("name"))
-        graft.pipelines.DealTrackingStageFact.transform(Map(
-          "stages" -> stages, "stageDeals" -> stages.limit(0)))
-      },
+      (s, dir) => graft.pipelines.DealTrackingStageFact.transform(dealTrackingStageSources(s, dir)),
       Some("""
         SELECT
           CAST(o_orderkey % 11 = 0 AS VARCHAR) AS deleted,
@@ -2920,24 +1988,7 @@ object PipelineQueries {
         "the stage↔deal map, dual-sink S12 under the oracle"),
 
     QuerySpec("q112_pipeline_migration_log_sync",
-      (s, dir) => {
-        // MigrationLogFunc's Mongo argmax: latest successful run per
-        // pipeline description (both status dialects), ties impossible
-        // by construction (unique finish per row)
-        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
-        val key = col("o_orderkey")
-        val log = o.select(
-          concat(lit("fact-"), key % 7).as("description"),
-          col("o_orderdate").cast("timestamp").as("start"),
-          expr("timestampadd(MINUTE, CAST(o_orderkey % 500000 AS INT), " +
-            "timestamp'2015-01-01 00:00:00')").as("finish"),
-          concat((key % 90).cast("string"), lit(" minutes"))
-            .as("executionTime"),
-          when(key % 3 === 0, lit("Successful"))
-            .when(key % 3 === 1, lit("success"))
-            .otherwise(concat(lit("Failed: step "), key % 4)).as("status"))
-        graft.pipelines.MigrationLogSync.transform(Map("externalLog" -> log))
-      },
+      (s, dir) => graft.pipelines.MigrationLogSync.transform(migrationLogSources(s, dir)),
       Some("""
         WITH log AS (
           SELECT 'fact-' || (o_orderkey % 7) AS description,
@@ -2961,7 +2012,7 @@ object PipelineQueries {
     * shared by q97/q98: operations from orders, per-operation reasons
     * from lineitem (fan-out), kanbans+instructions from customer,
     * machines from supplier. */
-  private def dailyOpSources(s: org.apache.spark.sql.SparkSession,
+  private[graft] def dailyOpSources(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
     val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
     val key = col("o_orderkey")
@@ -3130,4 +2181,1017 @@ object PipelineQueries {
           LEFT JOIN kanbans k ON k.k_id = ops.kanbanId
           LEFT JOIN instr i ON i.k_id = ops.kanbanId
           LEFT JOIN machines m ON m.m_id = ops.machineId)"""
+  // ---- source-map builders ------------------------------------
+  // Extracted from the QuerySpec bodies above (pure moves) so the
+  // nightly concurrency soak can write the SAME deterministic
+  // sources to a lake connector and run every reference pipeline
+  // through Serve; the registry queries keep calling them, so the
+  // DuckDB oracle keeps guarding their shape.
+
+  private[graft] def productionOrderSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        val p = Tables.load(s, dir, "part")
+        val src = p.select(
+          concat(lit("SC'"), col("p_brand")).as("salesContractNo"),
+          concat(lit("PO-"), col("p_partkey")).as("orderNo"),
+          when(col("p_partkey") % 4 === 0, lit(""))
+            .otherwise(col("p_type")).as("orderTypeName"),
+          when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(lit("printing")).as("processTypeName"),
+          when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("p_name")).as("materialName"),
+          col("p_brand").as("materialConstructionName"),
+          when(col("p_partkey") % 3 === 0, lit(""))
+            .otherwise(col("p_type")).as("yarnMaterialName"),
+          col("p_size").cast("string").as("materialWidth"),
+          when(col("p_partkey") % 6 === 0, lit(0.0).cast("double"))
+            .otherwise(col("p_retailprice")).as("orderQuantity"),
+          when(col("p_partkey") % 2 === 0, lit("YARD"))
+            .otherwise(lit("MTR")).as("uomUnit"),
+          col("p_name").as("buyerName"),
+          lit("export").as("buyerType"),
+          expr("timestampadd(HOUR, CAST(p_partkey % 40 AS INT), " +
+            "timestamp'2017-01-01 00:00:00')").as("deliveryDate"),
+          expr("timestampadd(HOUR, CAST(p_partkey % 19 AS INT), " +
+            "timestamp'2016-06-30 12:00:00')").as("createdUtc"),
+          (col("p_partkey") % 11 === 0).as("isDeleted"),
+          lit("etl").as("accountUserName"),
+          (col("p_partkey") % 2 === 1).as("isClosed"),
+          concat(lit("B"), col("p_partkey") % 100).as("buyerCode"))
+    Map("productionOrders" -> src)
+  }
+
+  private[graft] def totalHutangSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        val urns = o.select(
+          col("o_orderkey").as("id"),
+          concat(lit("URN"), col("o_orderkey")).as("urnNo"),
+          col("o_orderpriority").as("unitName"),
+          (col("o_orderkey") % 10 === 0).as("isDeleted"),
+          when(col("o_orderkey") % 13 === 0, lit("dev"))
+            .when(col("o_orderkey") % 17 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("user"), col("o_custkey") % 7))
+            .as("createdBy"))
+        val items = li.select(
+          col("l_orderkey").as("urnId"),
+          col("l_extendedprice").as("pricePerDealUnit"),
+          col("l_quantity").as("deliveredQuantity"),
+          (lit(1) + col("l_linenumber") % 3).cast("double").as("currencyRate"),
+          concat(col("l_returnflag"), lit("'"), col("l_linestatus"))
+            .as("productName"),
+          concat(col("l_partkey"), lit("-"), col("l_linenumber"))
+            .as("productCode"))
+        // two UPO candidates per URN (A and B) — keep-first must pick A;
+        // URNs with o_orderkey % 4 = 0 have none (gates every hasUpo CASE)
+        val upoBase = o.filter(col("o_orderkey") % 4 =!= 0)
+        def upoVariant(tag: String) = upoBase.select(
+          col("o_orderkey").as("urnId"),
+          concat(lit(s"UPO$tag-"), col("o_orderkey")).as("upoNo"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 24 AS INT), o_orderdate)")
+            .as("date"),
+          expr("timestampadd(DAY, 30, o_orderdate)").as("dueDate"),
+          concat(lit(s"S$tag'"), col("o_custkey")).as("supplierName"),
+          when(col("o_orderkey") % 3 === 0, lit("Bahan Baku"))
+            .when(col("o_orderkey") % 3 === 1, lit("BAHAN BAKU"))
+            .otherwise(lit("accessories")).as("categoryName"),
+          col("o_orderpriority").as("divisionName"))
+        val upo = upoVariant("A").unionByName(upoVariant("B"))
+    Map(
+          "unitReceiptNotes" -> urns, "urnItems" -> items,
+          "unitPaymentOrders" -> upo)
+  }
+
+  private[graft] def garmentTotalHutangSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        val o = Tables.load(s, dir, "orders")
+        val notes = o.select(
+          concat(lit("IN"), col("o_orderkey")).as("inNo"),
+          concat(lit("RO"), col("o_orderkey")).as("roNo"),
+          when(col("o_orderkey") % 3 === 0, "USD")
+            .when(col("o_orderkey") % 3 === 1, "EUR")
+            .otherwise("IDR").as("currencyCode"),
+          col("o_orderdate").as("doDate"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 11 AS INT), o_orderdate)")
+            .as("inDate"),
+          concat(lit("S'"), col("o_custkey")).as("supplierName"),
+          when(col("o_orderkey") % 7 === 0, lit(0.0).cast("double"))
+            .otherwise(col("o_totalprice") * 0.01).as("pricePerDealUnit"),
+          when(col("o_orderkey") % 5 === 0, lit(0.0).cast("double"))
+            .otherwise((col("o_orderkey") % 50 + 1).cast("double"))
+            .as("quantity"),
+          (col("o_orderkey") % 13 === 0).as("isDeleted"))
+        val cur = Tables.load(s, dir, "nation").select(
+          when(col("n_nationkey") % 3 === 0, "USD")
+            .when(col("n_nationkey") % 3 === 1, "EUR")
+            .otherwise("IDR").as("code"),
+          expr("timestampadd(DAY, CAST(n_nationkey * 90 AS INT), " +
+            "timestamp'1990-01-01 00:00:00')").as("date"),
+          ((col("n_nationkey") + 1) * 100.0).as("rate"),
+          (col("n_nationkey") % 5 === 0).as("_IsDeleted"))
+        val pr = o.filter(col("o_orderkey") % 2 === 0).select(
+          concat(lit("RO"), col("o_orderkey")).as("rono"),
+          (col("o_orderkey") % 6).as("categoryId"),
+          when(col("o_orderkey") % 3 === 0, lit(""))
+            .otherwise(concat(lit("Cat"), col("o_orderkey") % 6))
+            .as("categoryName"),
+          (col("o_orderkey") % 4).as("unitId"),
+          concat(lit("U"), col("o_orderkey") % 4).as("unitName"),
+          (col("o_orderkey") % 9 === 0).as("isDeleted"))
+        val r = Tables.load(s, dir, "region")
+        val cat = r.select(col("r_regionkey").as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN"), lit("WSH"),
+            lit("ZIP")), (col("r_regionkey") + 1).cast("int")).as("code"))
+        val unit = r.select(col("r_regionkey").as("id"),
+          when(col("r_regionkey") === 0, lit(""))
+            .otherwise(concat(lit("Div"), col("r_regionkey")))
+            .as("divisionName"))
+    Map(
+          "internNotes" -> notes, "garmentCurrencies" -> cur,
+          "purchaseRequests" -> pr, "garmentCategories" -> cat,
+          "units" -> unit)
+  }
+
+  private[graft] def salesContractSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // U2: three production branches through ONE transform with a
+        // literal discriminator (SpinningSC/WeavingSC/FinishingPrintingSC
+        // run.js) — shaped from orders, split by key mod 3
+        val o = Tables.load(s, dir, "orders")
+        def src(mod: Int) = o.filter(col("o_orderkey") % 3 === mod).select(
+          when(col("o_orderkey") % 7 === 0, lit(""))
+            .otherwise(concat(lit("SC-"), col("o_orderkey"))).as("contractNo"),
+          when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("BY"), col("o_custkey") % 100))
+            .as("buyerName"),
+          expr("timestampadd(HOUR, CAST(o_orderkey % 23 AS INT), " +
+            "o_orderdate)").as("createdUtc"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(lit("cotton")).as("material"),
+          col("o_orderpriority").as("construction"),
+          lit("40s").as("yarn"),
+          (col("o_orderkey") % 90).cast("string").as("width"),
+          when(col("o_orderkey") % 2 === 0, lit("YARD")).otherwise(lit("MTR"))
+            .as("uom"),
+          col("o_totalprice").as("orderQuantity"),
+          (col("o_totalprice") * lit(2.0)).as("amount"))
+    Map(
+          "spinningContracts" -> src(0),
+          "weavingContracts" -> src(1),
+          "fpContracts" -> src(2))
+  }
+
+  private[graft] def kanbanSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // J2 4-way left chain with one-to-many fan-out and BOTH C6
+        // dialects (Kanban/run.js:68-109) — kanbans from customer,
+        // instructions from orders, steps from lineitem, machines from
+        // supplier; each left side deliberately has unmatched rows
+        val kanbans = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          when(col("c_custkey") % 13 === 0, lit(""))
+            .otherwise(concat(lit("KB-"), col("c_custkey"))).as("code"),
+          when(col("c_custkey") % 17 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(HOUR, CAST(c_custkey % 41 AS INT), " +
+              "timestamp'2018-03-01 00:00:00')")).as("createdUtc"),
+          concat(lit("PO-"), col("c_custkey") % 500)
+            .as("productionOrderOrderNo"),
+          when(col("c_custkey") % 4 === 0, lit("")).otherwise(lit("A"))
+            .as("grade"),
+          concat(lit("C"), col("c_custkey") % 30).as("cartCartNumber"),
+          // `!= undefined` dialect: ZERO must survive (run.js:89)
+          (col("c_custkey") % 7).cast("double").as("cartQty"),
+          (col("c_custkey") % 11 === 0).as("isDeleted"),
+          (col("c_custkey") % 2 === 0).as("isComplete"),
+          concat(lit("SC-"), col("c_custkey") % 200)
+            .as("productionOrderSalesContractNo"),
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(lit("printing")).as("productionOrderProcessTypeName"),
+          col("c_mktsegment").as("productionOrderOrderTypeName"),
+          (col("c_custkey") % 23 === 0).as("isBadOutput"),
+          (col("c_custkey") % 29 === 0).as("isReprocess"),
+          (col("c_custkey") % 31).as("oldKanbanId"))
+        val instr = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 6000)
+          .select((col("o_orderkey") % 1400).as("kanbanId"),
+            col("o_orderkey").as("id"),
+            concat(lit("IN-"), col("o_orderkey")).as("code"),
+            col("o_orderpriority").as("name"))
+        val steps = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .select(col("l_orderkey").as("instructionId"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            concat(lit("ST-"), col("l_linenumber")).as("code"),
+            col("l_returnflag").as("process"),
+            expr("timestampadd(MINUTE, CAST(l_partkey % 90 AS INT), " +
+              "l_shipdate)").as("deadline"),
+            when(col("l_linenumber") % 3 === 0, lit(""))
+              .otherwise(lit("finishing")).as("processArea"),
+            when(col("l_suppkey") % 3 === 0, lit(null).cast("long"))
+              .otherwise(col("l_suppkey")).as("machineId"),
+            col("l_linenumber").as("stepIndex"))
+        val machines = Tables.load(s, dir, "supplier").select(
+          col("s_suppkey").as("id"),
+          concat(lit("M-"), col("s_suppkey")).as("code"),
+          col("s_name").as("name"),
+          // `!= undefined` dialect: zero capacity survives (run.js:97)
+          (col("s_suppkey") % 6).cast("double").as("monthlyCapacity"))
+    Map(
+          "kanbans" -> kanbans, "kanbanInstructions" -> instr,
+          "kanbanSteps" -> steps, "machines" -> machines)
+  }
+
+  private[graft] def purchasingSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // the FLAGSHIP pipeline (Pembelian) over its full 10-table
+        // document chain, shaped from orders+lineitem: chains die at
+        // the EPO hop for key%4=0, at delivery for %3=0, at receipt for
+        // %5=0, at payment for %7=0; ipo created by "dev" for %13=0
+        // (inner-ized away); pr created by "unit-test" for %19=0 and by
+        // NULL for %23=0 (both fail pr.createdby NOT IN, run.js:167);
+        // epo items deleted for %17=0; zero currency
+        // rate for %10=0 (JS a*0 total); quotes in supplier/product
+        // names exercise T1
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        def shift(days: org.apache.spark.sql.Column) =
+          col("o_orderdate") +
+            make_dt_interval(days.cast("int"), lit(0), lit(0), lit(0.0))
+        val prs = o.select(
+          key.as("id"), concat(lit("PR-"), key).as("no"),
+          when(key % 19 === 0, lit("unit-test"))
+            .when(key % 23 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("user"), key % 4)).as("createdBy"),
+          col("o_orderdate").as("createdUtc"),
+          expr("timestampadd(DAY, 10, o_orderdate)")
+            .as("expectedDeliveryDate"),
+          concat(lit("B"), key % 5).as("budgetCode"),
+          lit("opex").as("budgetName"),
+          concat(lit("U"), key % 3).as("unitCode"),
+          lit("weaving").as("unitName"),
+          concat(lit("D"), key % 2).as("divisionCode"),
+          lit("textile").as("divisionName"),
+          concat(lit("C"), key % 4).as("categoryCode"),
+          when(key % 2 === 0, lit("BAHAN BAKU"))
+            .otherwise(col("o_orderpriority")).as("categoryName"),
+          (key % 11 === 0).as("isDeleted"))
+        val ipos = o.select(key.as("prId"), (key + 10000000L).as("id"),
+          concat(lit("PO-"), key).as("poNo"),
+          when(key % 13 === 0, lit("dev"))
+            .otherwise(concat(lit("staff"), key % 7)).as("createdBy"),
+          shift(key % 5).as("createdUtc"),
+          lit(false).as("isDeleted"),
+          concat(lit("PR-"), key).as("prNo"),
+          expr("timestampadd(DAY, 12, o_orderdate)")
+            .as("expectedDeliveryDate"))
+        val eis = o.select((key + 10000000L).as("poId"),
+          (key + 20000000L).as("id"), (key + 30000000L).as("epoId"),
+          (key % 17 === 0).as("isDeleted"))
+        val eds = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 3000)
+          .select((col("l_orderkey") + 20000000L).as("epoItemId"),
+            concat(lit("P-"), col("l_partkey")).as("productCode"),
+            concat(lit("prod'"), col("l_partkey") % 50).as("productName"),
+            col("l_quantity").as("dealQuantity"),
+            when(col("l_linenumber") % 2 === 0, "MTR").otherwise("YARD")
+              .as("dealUomUnit"),
+            col("l_extendedprice").as("pricePerDealUnit"))
+        val epos = o.filter(key % 4 =!= 0).select(
+          (key + 30000000L).as("id"),
+          shift(key % 9).as("createdUtc"),
+          concat(lit("EPO-"), key).as("epoNo"),
+          concat(lit("S"), key % 6).as("supplierCode"),
+          concat(lit("sup'"), key % 6).as("supplierName"),
+          (key % 3 + 1).as("currencyId"),
+          when(key % 3 === 0, "USD").when(key % 3 === 1, "IDR")
+            .otherwise("EUR").as("currencyCode"),
+          lit("CASH").as("paymentMethod"),
+          when(key % 10 === 0, lit(0.0))
+            .otherwise((key % 100).cast("double") * 100 + 1000)
+            .as("currencyRate"))
+        val delivered = o.filter(key % 4 =!= 0 && key % 3 =!= 0)
+        val dois = delivered.select((key + 30000000L).as("epoId"),
+          (key + 40000000L).as("doId"))
+        val dos = delivered.select((key + 40000000L).as("id"),
+          concat(lit("DO-"), key).as("doNo"),
+          shift(key % 20).as("doDate"))
+        val received = delivered.filter(key % 5 =!= 0)
+        val urns = received.select((key + 40000000L).as("doId"),
+          (key + 50000000L).as("id"), concat(lit("URN-"), key).as("urnNo"),
+          shift(key % 25).as("receiptDate"))
+        val paid = received.filter(key % 7 =!= 0)
+        val upois = paid.select((key + 50000000L).as("urnId"),
+          (key + 60000000L).as("upoId"))
+        val upos = paid.select((key + 60000000L).as("id"),
+          concat(lit("UPO-"), key).as("upoNo"),
+          shift(key % 30).as("date"))
+        val currencies = Seq((1L, "US Dollar"), (2L, "Rupiah"),
+          (3L, "Euro")).toDF("id", "description")
+    Map(
+          "purchaserequests" -> prs, "internalpurchaseorders" -> ipos,
+          "epoItems" -> eis, "epoDetails" -> eds,
+          "externalPurchaseOrders" -> epos, "doItems" -> dois,
+          "deliveryOrders" -> dos, "unitReceiptNotes" -> urns,
+          "upoItems" -> upois, "unitPaymentOrders" -> upos,
+          "currencies" -> currencies)
+  }
+
+  private[graft] def garmentPurchasingSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // GarmentPembelian's TWO branches: orders with key%3≠0 carry a
+        // PO (branch A: items from lineitem, fulfillments per item —
+        // none when linenumber%3=0, two when linenumber%4=0); key%3=0
+        // orders are PO-less and fan out PR items (branch B). EPO
+        // absent for partkey%4=0; zero rate for partkey%10=0; missing
+        // DO/URN/UPO dates by partkey mod 7/5/6.
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — dedupe on a total order so the derived item ids
+        // are unique and the last-fulfillment argmax is unambiguous
+        val liW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_quantity"))
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .withColumn("__rn", row_number().over(liW))
+          .filter(col("__rn") === 1).drop("__rn")
+        val key = col("o_orderkey")
+        def days(n: org.apache.spark.sql.Column) =
+          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
+        val prs = o.select(key.as("id"), concat(lit("GPR'"), key).as("no"),
+          col("o_orderdate").as("createdDate"),
+          // creator NOT IN: %37 dev, %41 NULL — both drop the PR from
+          // BOTH branches (run.js:91)
+          when(key % 37 === 0, lit("dev"))
+            .when(key % 41 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("mk'r"), key % 5)).as("createdBy"),
+          (col("o_orderdate") + days(lit(9))).as("expectedDeliveryDate"),
+          when(key % 13 === 0, lit(""))
+            .otherwise(concat(lit("U"), key % 3)).as("unitCode"),
+          lit("sewing").as("unitName"),
+          concat(lit("DV"), key % 2).as("divisionCode"),
+          lit("garment").as("divisionName"),
+          (key % 11 === 0).as("deleted"))
+        val pos = o.filter(key % 3 =!= 0).select(key.as("prId"),
+          (key + 1000000L).as("id"), concat(lit("GPO-"), key).as("no"),
+          (col("o_orderdate") + days(key % 6)).as("createdDate"),
+          // %43 unit-test: the PO vanishes and its PR anti-joins into
+          // the PR-item branch (which has no items for these orders —
+          // they emit nothing, run.js:327 + :758)
+          when(key % 43 === 0, lit("unit-test"))
+            .otherwise(concat(lit("st'f"), key % 4)).as("createdBy"),
+          lit(false).as("deleted"))
+        val itemBase = li.filter(col("l_orderkey") % 3 =!= 0)
+        val itemId = col("l_orderkey") * 100 + col("l_linenumber")
+        val hasEpoF = col("l_partkey") % 4 =!= 0
+        val poItems = itemBase.select(
+          (col("l_orderkey") + 1000000L).as("poId"), itemId.as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
+            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
+          lit("category").as("categoryName"),
+          concat(lit("P-"), col("l_partkey")).as("productCode"),
+          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
+          when(hasEpoF, concat(lit("EPO-"), itemId)).as("epoNo"),
+          when(hasEpoF, col("l_shipdate") - days(lit(5)))
+            .as("epoCreatedDate"),
+          when(hasEpoF, col("l_shipdate") + days(col("l_suppkey") % 3 - 1))
+            .as("epoExpectedDeliveryDate"),
+          when(hasEpoF, concat(lit("S"), col("l_suppkey") % 5))
+            .as("supplierCode"),
+          when(hasEpoF, concat(lit("su'p"), col("l_suppkey") % 5))
+            .as("supplierName"),
+          when(hasEpoF, lit("USD")).as("currencyCode"),
+          when(hasEpoF, lit("$")).as("currencySymbol"),
+          when(hasEpoF && col("l_partkey") % 10 =!= 0,
+            (col("l_partkey") % 50).cast("double") * 100 + 1000)
+            .otherwise(when(hasEpoF, lit(0.0))).as("currencyRate"),
+          when(hasEpoF, lit("credit")).as("paymentMethod"),
+          when(col("l_partkey") % 17 === 0, lit(0.0))
+            .otherwise(col("l_quantity")).as("defaultQuantity"),
+          lit("MTR").as("defaultUomUnit"),
+          col("l_extendedprice").as("pricePerDealUnit"),
+          col("l_quantity").as("dealQuantity"))
+        val fBase = itemBase.filter(col("l_linenumber") % 3 =!= 0)
+        val f1 = fBase.select(itemId.as("poItemId"),
+          (itemId * 10 + 1).as("fulfillmentId"),
+          concat(lit("DO-"), itemId).as("deliveryOrderNo"),
+          when(col("l_partkey") % 7 =!= 0, col("l_shipdate"))
+            .as("deliveryOrderDate"),
+          when(col("l_partkey") % 5 =!= 0, concat(lit("URN-"), itemId))
+            .as("unitReceiptNoteNo"),
+          when(col("l_partkey") % 5 =!= 0, col("l_shipdate") + days(lit(2)))
+            .as("unitReceiptNoteDate"),
+          when(col("l_partkey") % 6 =!= 0, concat(lit("UPO-"), itemId))
+            .as("interNoteNo"),
+          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(4)))
+            .as("interNoteDate"),
+          when(col("l_partkey") % 6 =!= 0, col("l_extendedprice"))
+            .as("interNotePrice"),
+          when(col("l_partkey") % 6 =!= 0, col("l_quantity"))
+            .as("interNoteQuantity"),
+          when(col("l_partkey") % 6 =!= 0, col("l_shipdate") + days(lit(30)))
+            .as("interNoteDueDate"),
+          when(col("l_partkey") % 5 =!= 0, (col("l_partkey") % 3).cast("double"))
+            .as("unitReceiptNoteDeliveredQuantity"))
+        val f2 = fBase.filter(col("l_linenumber") % 4 === 0).select(
+          itemId.as("poItemId"), (itemId * 10 + 2).as("fulfillmentId"),
+          concat(lit("DO2-"), itemId).as("deliveryOrderNo"),
+          (col("l_shipdate") + days(lit(3))).as("deliveryOrderDate"),
+          lit(null).cast("string").as("unitReceiptNoteNo"),
+          lit(null).cast("timestamp").as("unitReceiptNoteDate"),
+          lit(null).cast("string").as("interNoteNo"),
+          lit(null).cast("timestamp").as("interNoteDate"),
+          lit(null).cast("double").as("interNotePrice"),
+          lit(null).cast("double").as("interNoteQuantity"),
+          lit(null).cast("timestamp").as("interNoteDueDate"),
+          lit(null).cast("double").as("unitReceiptNoteDeliveredQuantity"))
+        val prItems = li.filter(col("l_orderkey") % 3 === 0).select(
+          col("l_orderkey").as("prId"), (itemId + 50000000L).as("id"),
+          element_at(array(lit("FAB"), lit("EMB"), lit("BTN")),
+            (col("l_linenumber") % 3 + 1).cast("int")).as("categoryCode"),
+          lit("category").as("categoryName"),
+          concat(lit("P-"), col("l_partkey")).as("productCode"),
+          concat(lit("pr'd"), col("l_partkey") % 40).as("productName"),
+          when(col("l_partkey") % 9 === 0, lit(0.0))
+            .otherwise(col("l_quantity")).as("quantity"),
+          lit("PCS").as("uomUnit"))
+    Map(
+          "garmentPurchaseRequests" -> prs, "garmentPurchaseOrders" -> pos,
+          "garmentPOItems" -> poItems, "garmentFulfillments" ->
+            f1.unionByName(f2), "garmentPRItems" -> prItems)
+  }
+
+  private[graft] def monitoringEventSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // MonitoringEvent's real transform: events from orders, the five
+        // correlated lookups (machine, division, production order, buyer,
+        // machine event) from range()-built dims with deliberate misses:
+        // machineId %50 vs 40 machines, poId %60 vs 45 orders, meId %30
+        // vs 25 events, unitDivisionId %12 vs 10 divisions; creators
+        // dev/unit-test/NULL dropped by the SQL NOT IN; ms 0 and ""
+        // exercise the C6 gates; D8/D9/D10 via the millis→time rebuild
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        val ev = o.select(
+          when(key % 4 === 0, lit("")).otherwise(concat(lit("CART-"), key))
+            .as("cartNumber"),
+          concat(lit("EV-"), key).as("code"),
+          col("o_orderdate").cast("timestamp").as("dateStart"),
+          when(key % 6 === 0, lit(0L))
+            .otherwise((key * 137 % 86400) * 1000).as("timeInMilisStart"),
+          ((key * 211 % 86400) * 1000).as("timeInMilisEnd"),
+          when(key % 9 === 0, lit(null).cast("timestamp"))
+            .when(key % 2 === 0, col("o_orderdate").cast("timestamp") +
+              make_dt_interval(lit(1), lit(0), lit(0), lit(0.0)))
+            .otherwise(col("o_orderdate").cast("timestamp")).as("dateEnd"),
+          (key % 60).as("productionOrderId"),
+          (key % 50).as("machineId"),
+          (key % 30).as("machineEventId"),
+          when(key % 8 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("rem'ark "), key % 10)).as("remark"),
+          when(key % 13 === 0, lit("dev"))
+            .when(key % 19 === 0, lit("unit-test"))
+            .when(key % 23 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("op"), key % 5)).as("createdBy"),
+          (key % 11 === 0).as("isDeleted"))
+        val m = s.range(0, 40).select(col("id"),
+          concat(lit("M-"), col("id")).as("code"),
+          when(col("id") % 3 === 0, lit("baik")).otherwise(lit("rusak"))
+            .as("condition"),
+          concat(lit("ACME-"), col("id")).as("manufacture"),
+          concat(lit("mach'"), col("id")).as("name"),
+          concat(lit("pro'ses"), col("id") % 6).as("process"),
+          when(col("id") % 7 === 0, lit(""))
+            .otherwise(concat(lit("U"), col("id") % 7)).as("unitCode"),
+          (col("id") % 12).as("unitDivisionId"),
+          concat(lit("Unit "), col("id") % 4).as("unitName"),
+          (lit(2000) + col("id")).as("year"))
+        val dv = s.range(0, 10).select(col("id"),
+          concat(lit("DV-"), col("id")).as("code"),
+          concat(lit("Divisi "), col("id")).as("name"))
+        val po = s.range(0, 45).select(col("id"),
+          (col("id") % 15).as("buyerId"),
+          concat(lit("ORD-"), col("id")).as("orderNo"),
+          concat(lit("SC'"), col("id")).as("salesContractNo"),
+          (to_timestamp(lit("2020-03-01 00:00:00")) +
+            make_dt_interval(col("id").cast("int"), lit(0), lit(0),
+              lit(0.0))).as("deliveryDate"),
+          concat(lit("type"), col("id") % 3).as("orderTypeName"),
+          concat(lit("proc"), col("id") % 4).as("processTypeName"),
+          concat(lit("mat"), col("id") % 5).as("materialName"),
+          when(col("id") % 10 === 0, lit(0.0))
+            .otherwise(col("id").cast("double") * 1.5).as("orderQuantity"),
+          when(col("id") % 2 === 0, lit("MTR")).otherwise(lit("YARD"))
+            .as("uomUnit"))
+        val by = s.range(0, 12).select(col("id"),
+          concat(lit("buy'er"), col("id")).as("name"),
+          concat(lit("B-"), col("id")).as("code"))
+        val me = s.range(0, 25).select(col("id"),
+          (col("id") * 3).as("no"),
+          when(col("id") % 5 === 0, lit(""))
+            .otherwise(concat(lit("ev'ent"), col("id"))).as("name"),
+          when(col("id") % 4 === 0, lit(""))
+            .otherwise(concat(lit("cat"), col("id") % 3)).as("category"))
+    Map(
+          "monitoringEvents" -> ev, "machines" -> m, "divisions" -> dv,
+          "productionOrders" -> po, "buyers" -> by, "machineEvents" -> me)
+  }
+
+  private[graft] def productionOrderStatusSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // ProductionOrderStatus's real transform: the 5-deep keep-first
+        // chain SC→PO→kanban→dailyOp→fabricQC and the grade-test
+        // fan-out. Chain breaks: no PO for key%4=0 or deleted %13=0 (a
+        // second PO for %10=0 exercises keep-first), no kanban %5=0 or
+        // deleted %19=0, no dailyOp %6=0 / null-input %14=0 / deleted
+        // %23=0 (two dops for %15=0), no QC %7=0 or deleted %29=0, QC
+        // with key%3=0 has ZERO tests → its contract rows vanish while
+        // QC-less contracts keep one null-QC row
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        def days(n: org.apache.spark.sql.Column) =
+          make_dt_interval(n.cast("int"), lit(0), lit(0), lit(0.0))
+        val ts0 = col("o_orderdate").cast("timestamp")
+        val scs = o.select(
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("FSC-"), key))
+            .as("salesContractNo"),
+          ts0.as("createdUtc"),
+          when(key % 3 === 0, lit("YDS")).when(key % 3 === 1, lit("MTR"))
+            .otherwise(lit("PCS")).as("uomUnit"),
+          when(key % 7 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("orderQuantity"),
+          when(key % 27 === 0, lit(""))
+            .otherwise(concat(lit("ot"), key % 4)).as("orderTypeName"),
+          (key % 11 === 0).as("isDeleted"),
+          (ts0 + days(lit(60))).as("deliverySchedule"))
+        val poBase = o.filter(key % 4 =!= 0)
+        val po1 = poBase.select(concat(lit("FSC-"), key).as("salesContractNo"),
+          key.as("id"), (ts0 + days(lit(2))).as("createdUtc"),
+          concat(lit("PO-"), key).as("orderNo"),
+          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 0.7)
+            .as("orderQuantity"),
+          when(key % 2 === 0, lit("YARD")).otherwise(lit("MET")).as("uomUnit"),
+          (ts0 + days(lit(45))).as("deliveryDate"),
+          (key % 13 === 0).as("isDeleted"))
+        val po2 = poBase.filter(key % 10 === 0).select(
+          concat(lit("FSC-"), key).as("salesContractNo"),
+          (key + 100000L).as("id"), (ts0 + days(lit(1))).as("createdUtc"),
+          concat(lit("PO2-"), key).as("orderNo"),
+          key.cast("double").as("orderQuantity"), lit("MTR").as("uomUnit"),
+          (ts0 + days(lit(44))).as("deliveryDate"), lit(false).as("isDeleted"))
+        val pos = po1.unionByName(po2)
+        val kanbans = o.filter(key % 5 =!= 0).select(
+          key.as("productionOrderId"), key.as("id"),
+          (ts0 + days(lit(3))).as("createdUtc"),
+          when(key % 21 === 0, lit("")).otherwise(concat(lit("K-"), key))
+            .as("code"),
+          when(key % 6 === 0, lit(0.0)).otherwise(key.cast("double") * 0.3)
+            .as("cartQty"),
+          when(key % 8 === 0, lit("")).otherwise(concat(lit("CART"), key))
+            .as("cartCartNumber"),
+          concat(lit("FSC-"), key).as("productionOrderSalesContractNo"),
+          (key % 19 === 0).as("isDeleted"))
+        val dopBase = o.filter(key % 6 =!= 0)
+        val dop1 = dopBase.select(key.as("kanbanId"),
+          (ts0 + days(lit(4))).as("createdUtc"),
+          concat(lit("DOP-"), key).as("code"),
+          when(key % 14 === 0, lit(null).cast("double"))
+            .otherwise(key.cast("double") * 0.9).as("input"),
+          (key % 23 === 0).as("isDeleted"))
+        val dop2 = dopBase.filter(key % 15 === 0).select(key.as("kanbanId"),
+          (ts0 + days(lit(5))).as("createdUtc"),
+          concat(lit("DOPB-"), key).as("code"),
+          (key.cast("double") * 0.9 + 0.5).as("input"),
+          lit(false).as("isDeleted"))
+        val dops = dop1.unionByName(dop2)
+        val fqcs = o.filter(key % 7 =!= 0).select(
+          concat(lit("K-"), key).as("kanbanCode"), key.as("id"),
+          (ts0 + days(lit(5))).as("dateIm"),
+          when(key % 25 === 0, lit("")).otherwise(concat(lit("FQC-"), key))
+            .as("code"),
+          (key % 29 === 0).as("isDeleted"))
+        val tests = o.select(key, explode(sequence(lit(1), lit(2))).as("t"))
+          .filter(col("t") <= key % 3)
+          .select(key.as("fabricQualityControlId"),
+            (key * 10 + col("t")).as("id"),
+            when(col("t") === 1 && key % 2 === 0, lit(0.0))
+              .otherwise(key.cast("double") * 1.1 + col("t"))
+              .as("initLength"))
+    Map(
+          "fpSalesContracts" -> scs, "productionOrders" -> pos,
+          "kanbans" -> kanbans, "dailyOperations" -> dops,
+          "fabricQCs" -> fqcs, "fabricGradeTests" -> tests)
+  }
+
+  private[graft] def fabricQcSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // FabricQC's real transform: QC → grade tests (none for key%3=0)
+        // → criteria (none for (key+i)%3=0) double fan-out, both INNER;
+        // the numeric-gate dialects (>=0 keeps zero vs truthiness drops
+        // zero), negative values gated everywhere, and the A4 weighted
+        // score only when the test's point system is 10
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val qcs = o.select(key.as("id"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("QC'"), key))
+            .as("code"),
+          when(key % 5 === 0, lit(0L)).when(key % 3 === 0, lit(10L))
+            .otherwise(lit(5L)).as("pointSystem"),
+          col("o_orderdate").cast("timestamp").as("dateIm"),
+          when(key % 7 === 0, lit(""))
+            .otherwise(concat(lit("shift"), key % 3)).as("shiftIm"),
+          concat(lit("gr'p"), key % 4).as("group"),
+          concat(lit("op"), key % 6).as("operatorIm"),
+          concat(lit("MC"), key % 9).as("machineNoIm"),
+          concat(lit("PO'"), key).as("productionOrderNo"),
+          when(key % 13 === 0, lit(""))
+            .otherwise(concat(lit("type"), key % 3)).as("productionOrderType"),
+          concat(lit("K-"), key).as("kanbanCode"),
+          concat(lit("C"), key % 50).as("cartNo"),
+          concat(lit("buy'er"), key % 8).as("buyer"),
+          when(key % 11 === 0, lit(0.0)).otherwise(key.cast("double") * 0.5)
+            .as("orderQuantity"),
+          concat(lit("col"), key % 5).as("color"),
+          concat(lit("con'st"), key % 4).as("construction"),
+          when(key % 19 === 0, lit(""))
+            .otherwise(concat(lit("pack"), key % 3)).as("packingInstruction"),
+          lit("MTR").as("uom"),
+          (key % 23 === 0).as("isDeleted"), (key % 2 === 0).as("isUsed"))
+        val gtBase = o.select(key,
+          explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3)
+        val gts = gtBase.select(key.as("fabricQualityControlId"),
+          (key * 10 + col("i")).as("id"),
+          when(col("i") === 2 && key % 4 === 0, lit(""))
+            .otherwise(concat(lit("ty'pe"), col("i"))).as("type"),
+          concat(lit("PCS'"), key, lit("-"), col("i")).as("pcsNo"),
+          when(col("i") === 1, lit("A")).otherwise(lit("B")).as("grade"),
+          when(key % 8 === 0, lit(-1.0))
+            .when(key % 6 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.1 + col("i")).as("width"),
+          when(key % 9 === 0, lit(0.0)).otherwise(key.cast("double") * 1.1)
+            .as("initLength"),
+          when(key % 10 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
+            .as("avalLength"),
+          (key.cast("double") * 0.3).as("finalLength"),
+          when(key % 12 === 0, lit(-0.5)).otherwise(key.cast("double") * 0.05)
+            .as("sampleLength"),
+          (key % 4).as("fabricGradeTest"),
+          (key % 5).as("finalGradeTest"),
+          when(key % 14 === 0, lit(0L)).otherwise(key % 90).as("score"),
+          (key % 80).as("finalScore"),
+          when(col("i") === 1, lit(10L))
+            .when(key % 2 === 0, lit(10L)).otherwise(lit(5L))
+            .as("pointSystem"),
+          when(key % 16 === 0, lit(0L)).otherwise(key % 30).as("pointLimit"))
+        val crs = gtBase
+          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
+          .filter(col("j") <= (key + col("i")) % 3)
+          .select((key * 10 + col("i")).as("fabricGradeTestId"),
+            when(key % 21 === 0, lit(""))
+              .otherwise(concat(lit("CR'"), key, lit("-"), col("j")))
+              .as("code"),
+            concat(lit("G"), col("j")).as("group"),
+            concat(lit("cri'teria"), col("j")).as("name"),
+            ((key + col("j")) % 7 - 1).as("scoreA"),
+            ((key * 2 + col("j")) % 6 - 1).as("scoreB"),
+            ((key * 3 + col("j")) % 5 - 1).as("scoreC"),
+            ((key + col("j") * 2) % 4 - 1).as("scoreD"))
+    Map(
+          "fabricQCs" -> qcs, "fabricGradeTests" -> gts, "criteria" -> crs)
+  }
+
+  private[graft] def shipmentSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // ShipmentDocument's real transform: the 4-level nesting
+        // flattened back out with the reference's inner loop semantics —
+        // no details for key%4=0, a detail with no items for i=2 &&
+        // key%5=0, an item with no PRIs for j=2 && key%6=0; the one
+        // UNSHIFTED date; != undefined numeric dialect (0 survives)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val ships = o.select(concat(lit("SH'"), key).as("shipmentCode"),
+          col("o_orderdate").cast("timestamp").as("deliveryDate"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("bu'yer"), key % 9))
+            .as("buyerName"),
+          concat(lit("B-"), key % 11).as("buyerCode"),
+          when(key % 2 === 0, lit("export")).otherwise(lit("lokal"))
+            .as("buyerType"),
+          (key % 13 === 0).as("isVoid"))
+        val detBase = o.filter(key % 4 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+        val dets = detBase.select(concat(lit("SH'"), key).as("shipmentCode"),
+          (key * 10 + col("i")).as("detailId"),
+          when(col("i") === 1 && key % 8 === 0, lit(""))
+            .otherwise(concat(lit("DC'"), key, lit("-"), col("i")))
+            .as("designCode"),
+          concat(lit("DN"), col("i")).as("designNumber"),
+          concat(lit("PO'"), key).as("productionOrderNo"),
+          when(key % 3 === 0, lit("printing")).otherwise(lit("dyeing"))
+            .as("productionOrderType"))
+        val itemBase = detBase.filter(!(col("i") === 2 && key % 5 === 0))
+          .select(key, col("i"), explode(sequence(lit(1), lit(2))).as("j"))
+        val items = itemBase.select((key * 10 + col("i")).as("detailId"),
+          (key * 100 + col("i") * 10 + col("j")).as("itemId"))
+        val priBase = itemBase.filter(!(col("j") === 2 && key % 6 === 0))
+        val pris = priBase.select(
+          (key * 100 + col("i") * 10 + col("j")).as("itemId"),
+          (key * 1000 + col("i") * 100 + col("j")).as("priId"),
+          when(key % 9 === 0, lit(""))
+            .otherwise(concat(lit("co'l"), key % 5)).as("colorType"),
+          when(key % 10 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.1 + col("j")).as("length"),
+          concat(lit("P-"), key % 40).as("productCode"),
+          concat(lit("pro'd"), key % 30).as("productName"),
+          when(key % 14 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("quantity"),
+          when(key % 2 === 0, lit("MTR")).otherwise(lit("YDS")).as("uomUnit"),
+          when(key % 15 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.02).as("weight"))
+    Map(
+          "shipments" -> ships, "shipmentDetails" -> dets,
+          "shipmentItems" -> items, "packingReceiptItems" -> pris)
+  }
+
+  private[graft] def packingSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // Packing's real transform: packings ⟕ details (key%3=0 has no
+        // details and still emits one row — LEFT), M4 zero defaults on
+        // weight/length/quantity, ids stringified behind truthy gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val packs = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("mk"), key % 5))
+            .as("createdBy"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("PCK-"), key).as("code"),
+          when(key % 9 === 0, lit(0L)).otherwise(key + 500).as("productionOrderId"),
+          concat(lit("ORD-"), key).as("productionOrderNo"),
+          when(key % 3 === 0, lit("print")).otherwise(lit("dye")).as("orderType"),
+          concat(lit("SC-"), key).as("salesContractNo"),
+          concat(lit("dc'"), key % 6).as("designCode"),
+          concat(lit("dn'"), key % 4).as("designNumber"),
+          when(key % 13 === 0, lit(0L)).otherwise(key % 40 + 1).as("buyerId"),
+          concat(lit("B"), key % 12).as("buyerCode"),
+          concat(lit("bu'yer"), key % 9).as("buyerName"),
+          concat(lit("jl. "), key % 5).as("buyerAddress"),
+          when(key % 2 === 0, lit("ex")).otherwise(lit("lo")).as("buyerType"),
+          expr("timestampadd(DAY, 3, CAST(o_orderdate AS TIMESTAMP))")
+            .as("date"),
+          lit("MTR").as("packingUom"),
+          concat(lit("cc'"), key % 7).as("colorCode"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("co'l"), key % 5))
+            .as("colorName"),
+          concat(lit("ct"), key % 3).as("colorType"),
+          when(key % 19 === 0, lit(0L)).otherwise(key % 25).as("materialConstructionFinishId"),
+          concat(lit("fin'"), key % 4).as("materialConstructionFinishName"),
+          (key % 30 + 1).as("materialId"),
+          concat(lit("cot'ton"), key % 3).as("material"),
+          concat(lit("w"), key % 3).as("materialWidthFinish"),
+          concat(lit("2/"), key % 2 + 1).as("construction"),
+          concat(lit("de'l"), key % 2).as("deliveryType"),
+          concat(lit("fp'"), key % 3).as("finishedProductType"),
+          concat(lit("mo'tif"), key % 8).as("motif"),
+          concat(lit("st'"), key % 4).as("status"),
+          (key % 2 === 0).as("accepted"), (key % 5 === 0).as("declined"))
+        val dets = o.filter(key % 3 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3)
+          .select(key.as("packingId"),
+            concat(lit("LOT'"), key, lit("-"), col("i")).as("lot"),
+            when(col("i") === 1, lit("A")).otherwise(lit("B'")).as("grade"),
+            when(key % 4 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.1).as("weight"),
+            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.2)
+              .as("length"),
+            when(key % 6 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.3).as("quantity"),
+            when(key % 8 === 0, lit(""))
+              .otherwise(concat(lit("re'mark"), key % 5)).as("remark"))
+    Map(
+          "packings" -> packs, "packingDetails" -> dets)
+  }
+
+  private[graft] def packingReceiptSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // PackingReceipt's real transform: INNER item join (key%4=0 has
+        // no items → dropped), T5 quoted numerics behind truthy gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        val key = col("o_orderkey")
+        val receipts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("PRC-"), key).as("code"),
+          when(key % 9 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("o_orderdate").cast("timestamp")).as("date"),
+          concat(lit("PCK-"), key).as("packingCode"),
+          (key % 2 === 0).as("accepted"), (key % 7 === 0).as("declined"),
+          when(key % 13 === 0, lit("")).otherwise(concat(lit("RN-"), key))
+            .as("referenceNo"),
+          lit("receipt").as("referenceType"),
+          concat(lit("ty'pe"), key % 3).as("type"),
+          concat(lit("ORD-"), key).as("productionOrderNo"),
+          concat(lit("bu'yer"), key % 9).as("buyer"),
+          concat(lit("co'l"), key % 5).as("colorName"),
+          concat(lit("2/"), key % 2 + 1).as("construction"),
+          lit("MTR").as("packingUom"),
+          when(key % 3 === 0, lit("print")).otherwise(lit("dye"))
+            .as("orderType"),
+          concat(lit("ct'"), key % 4).as("colorType"),
+          concat(lit("DC-"), key % 6).as("designCode"),
+          concat(lit("dn'"), key % 4).as("designNumber"))
+        val items = o.filter(key % 4 =!= 0)
+          .select(key, explode(sequence(lit(1), lit(2))).as("i"))
+          .filter(col("i") <= key % 3 + 1)
+          .select(key.as("packingReceiptId"),
+            concat(lit("pro'd"), key % 20, lit("-"), col("i")).as("product"),
+            when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.4)
+              .as("quantity"),
+            when(key % 6 === 0, lit(null).cast("double"))
+              .otherwise(key.cast("double") * 0.5).as("length"),
+            (key.cast("double") * 0.6).as("weight"))
+    Map(
+          "packingReceipts" -> receipts, "packingReceiptItems" -> items)
+  }
+
+  private[graft] def inventoryMovementSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // InventoryMovement's real transform: single-table scalar layer —
+        // quantity/before/after ride through UNGATED (0 survives)
+        val ev = Tables.events(s, dir).filter(col("event_id") <= 20000)
+        val key = col("event_id")
+        val src = ev.select(
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("ST'"), key % 12))
+            .as("storageCode"),
+          concat(lit("gud'ang "), key % 12).as("storageName"),
+          col("ts").as("date"),
+          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 0.25)
+            .as("quantity"),
+          when(key % 2 === 0, lit("IN")).otherwise(lit("OUT")).as("type"),
+          concat(lit("P-"), key % 40).as("productCode"),
+          concat(lit("pro'd"), key % 40).as("productName"),
+          when(key % 3 === 0, lit("MTR")).otherwise(lit("YDS")).as("uom"),
+          (key % 11 === 0).as("_deleted"),
+          concat(lit("IM-"), key).as("code"),
+          when(key % 13 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("RN'"), key)).as("referenceNo"),
+          lit("mo've").as("referenceType"),
+          (key % 100).cast("double").as("before"),
+          when(key % 9 === 0, lit(0.0)).otherwise((key % 100).cast("double") +
+            key.cast("double") * 0.25).as("after"),
+          when(key % 8 === 0, lit(""))
+            .otherwise(concat(lit("re'mark"), key % 6)).as("remark"))
+              Map("inventoryMovements" -> src)
+  }
+
+  private[graft] def inventorySummarySources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // InventorySummaries' real transform — the smallest pipeline
+        val p = Tables.load(s, dir, "part").filter(col("p_partkey") <= 4000)
+        val key = col("p_partkey")
+        val src = p.select(
+          concat(lit("ST'"), key % 15).as("storageCode"),
+          when(key % 7 === 0, lit(""))
+            .otherwise(concat(lit("gud'ang "), key % 15)).as("storageName"),
+          when(key % 5 === 0, lit(0.0)).otherwise(key.cast("double") * 1.5)
+            .as("quantity"),
+          concat(lit("P'"), key % 50).as("productCode"),
+          col("p_name").as("productName"),
+          when(key % 3 === 0, lit("MTR")).otherwise(lit("PCS")).as("uom"),
+          (key % 11 === 0).as("_deleted"),
+          concat(lit("IS-"), key).as("code"))
+              Map("inventorySummaries" -> src)
+  }
+
+  private[graft] def dealTrackingDealSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // DealTrackingDeal's real transform: deals ⟕ companies city
+        // lookup (misses for companyId >= 25), ungated id/amount/
+        // created_date, != undefined quantity (0 survives, NULL drops)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val deals = o.select(key.as("id"), (key % 30).as("companyId"),
+          (key % 11 === 0).as("isDeleted"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("DL'"), key))
+            .as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          concat(lit("de'al"), key % 9).as("name"),
+          ((key % 50).cast("double") * 10.5).as("amount"),
+          when(key % 13 === 0, lit("")).otherwise(concat(lit("CC'"), key % 9))
+            .as("companyCode"),
+          concat(lit("co'mp"), key % 7).as("companyName"),
+          when(key % 7 === 0, lit("")).otherwise(concat(lit("ct"), key % 8))
+            .as("contactCode"),
+          when(key % 9 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("con'tact"), key % 8)).as("contactName"),
+          when(key % 5 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(DAY, 30, CAST(o_orderdate AS TIMESTAMP))"))
+            .as("closeDate"),
+          when(key % 8 === 0, lit("")).otherwise(concat(lit("des'c"), key % 4))
+            .as("description"),
+          when(key % 6 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("rea'son"), key % 3)).as("reason"),
+          when(key % 19 === 0, lit(null).cast("double"))
+            .when(key % 4 === 0, lit(0.0))
+            .otherwise(key.cast("double") * 0.5).as("quantity"),
+          when(key % 2 === 0, lit("MTR")).otherwise(lit("PC'S")).as("uomUnit"))
+        val comps = s.range(0, 25).select(col("id"),
+          concat(lit("ci'ty"), col("id") % 6).as("city"))
+    Map(
+          "deals" -> deals, "companies" -> comps)
+  }
+
+  private[graft] def dealTrackingActivitySources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // DealTrackingActivity's real transform: single-table scalar
+        // layer; created_date keeps its time component; stage ids
+        // stringified behind truthy-number gates
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val acts = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("AC'"), key).as("code"),
+          expr("timestampadd(MINUTE, CAST(o_orderkey % 1440 AS INT), " +
+            "CAST(o_orderdate AS TIMESTAMP))").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          when(key % 9 === 0, lit(0L)).otherwise(key + 100).as("dealId"),
+          concat(lit("ty'pe"), key % 4).as("type"),
+          when(key % 6 === 0, lit("")).otherwise(concat(lit("no'te"), key % 5))
+            .as("notes"),
+          when(key % 8 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("ta'sk"), key % 7)).as("taskTitle"),
+          when(key % 5 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("timestampadd(DAY, 7, CAST(o_orderdate AS TIMESTAMP))"))
+            .as("dueDate"),
+          (key % 2 === 0).as("status"),
+          when(key % 7 === 0, lit(0L)).otherwise(key % 90 + 1)
+            .as("sourceStageId"),
+          when(key % 10 === 0, lit(0L)).otherwise(key % 80 + 1)
+            .as("targetStageId"),
+          concat(lit("as'g"), key % 6).as("assignedTo"))
+              Map("activities" -> acts)
+  }
+
+  private[graft] def dealTrackingBoardSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // DealTrackingBoard's real transform: J4 keep-first currency
+        // lookup (duplicate codes resolved by highest rate), a code
+        // whose rates are all zero (gated), and a code with no currency
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val boards = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          concat(lit("BD'"), key).as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          concat(lit("bo'ard"), key % 9).as("title"),
+          when(key % 7 === 0, lit("CX"))
+            .otherwise(concat(lit("C"), key % 5)).as("currencyCode"),
+          when(key % 2 === 0, lit("$")).otherwise(lit("Rp"))
+            .as("currencySymbol"))
+        import s.implicits._
+        val curr = (0 until 5).flatMap { c =>
+          val base = if (c == 1) 0.0 else c * 1000.0
+          Seq((s"C$c", base), (s"C$c", if (c == 1) 0.0 else base + 500))
+        }.toDF("code", "rate")
+    Map(
+          "boards" -> boards, "currencies" -> curr)
+  }
+
+  private[graft] def dealTrackingStageSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // DealTrackingStage's real dual-sink transforms, first table
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 2500)
+        val key = col("o_orderkey")
+        val stages = o.select(key.as("id"), (key % 11 === 0).as("isDeleted"),
+          when(key % 17 === 0, lit("")).otherwise(concat(lit("SG'"), key))
+            .as("code"),
+          col("o_orderdate").cast("timestamp").as("createdUtc"),
+          concat(lit("u"), key % 5).as("createdBy"),
+          (key % 20).as("boardId"),
+          concat(lit("sta'ge"), key % 6).as("name"))
+    Map(
+          "stages" -> stages, "stageDeals" -> stages.limit(0))
+  }
+
+  private[graft] def migrationLogSources(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, org.apache.spark.sql.DataFrame] = {
+        // MigrationLogFunc's Mongo argmax: latest successful run per
+        // pipeline description (both status dialects), ties impossible
+        // by construction (unique finish per row)
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+        val key = col("o_orderkey")
+        val log = o.select(
+          concat(lit("fact-"), key % 7).as("description"),
+          col("o_orderdate").cast("timestamp").as("start"),
+          expr("timestampadd(MINUTE, CAST(o_orderkey % 500000 AS INT), " +
+            "timestamp'2015-01-01 00:00:00')").as("finish"),
+          concat((key % 90).cast("string"), lit(" minutes"))
+            .as("executionTime"),
+          when(key % 3 === 0, lit("Successful"))
+            .when(key % 3 === 1, lit("success"))
+            .otherwise(concat(lit("Failed: step "), key % 4)).as("status"))
+    Map("externalLog" -> log)
+  }
+
 }

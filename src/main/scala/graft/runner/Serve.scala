@@ -118,7 +118,14 @@ object Serve {
     * deadline (None = unbounded; default = the reference host's 9:59);
     * `probeTable` overrides the `/api/InitialTest` connectivity-probe
     * table (default: the kanban pipeline's driving source, matching
-    * the reference's `SELECT Top(1) * From Kanbans`). */
+    * the reference's `SELECT Top(1) * From Kanbans`).
+    * `conns` binds specific pipelines to their OWN source connector,
+    * falling back to `conn` — the reference shape: each function holds
+    * its own connection strings (`Pembelian/run.js` vs
+    * `DailyOperation/run.js` read different databases), and two
+    * pipelines may use the same source NAME for differently-shaped
+    * feeds (`unitReceiptNotes` means one document to Pembelian and
+    * another to TotalHutang), which a single flat lake cannot hold. */
   def start(spark: SparkSession, conn: Connector, warehouse: String,
             controlPath: String, port: Int,
             every: Option[(Long, Seq[String])] = None,
@@ -126,7 +133,8 @@ object Serve {
             keys: Set[String] = Set.empty,
             timeoutSeconds: Option[Long] = Some(DefaultTimeoutSeconds),
             probeTable: Option[String] = None,
-            maxConcurrentRuns: Int = 1): Handle = {
+            maxConcurrentRuns: Int = 1,
+            conns: Map[String, Connector] = Map.empty): Handle = {
     require(maxConcurrentRuns >= 1,
       s"maxConcurrentRuns must be >= 1, got $maxConcurrentRuns")
     // validate every scheduled name AND cron expression up front —
@@ -224,8 +232,9 @@ object Serve {
         // the reference host enforces the same bound on every function
         // run (host.json:3)
         val deadline = new Deadline(s"run-${p.name}")
+        val src = conns.getOrElse(p.name, conn)
         try {
-          val rows = runner.run(p, t => conn.read(spark, t),
+          val rows = runner.run(p, t => src.read(spark, t),
             // evaluated at catch entry, BEFORE the failure row is
             // written — disarming here keeps the watchdog's repeating
             // cancel/interrupt off the bookkeeping job

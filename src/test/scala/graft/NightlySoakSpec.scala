@@ -1,0 +1,184 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.control.WatermarkManager
+import graft.pipelines._
+import graft.queries.PipelineQueries
+import graft.runner.{Pipelines, Serve}
+import graft.sources.{Connector, ParquetConnector}
+
+/**
+ * Full-roster nightly concurrency soak — the reference's ACTUAL nightly
+ * shape: 22 independently-scheduled timer functions whose windows
+ * overlap (`DailyOperationTimer/function.json:6` …
+ * `WeavingSCTimer/function.json:6`), here every built-in pipeline fired
+ * through one `Serve(maxConcurrentRuns = 6)` session at once, over the
+ * SAME deterministic sources the DuckDB-oracled registry queries run
+ * (PipelineQueries.*Sources — pure moves of the q62…q112 source
+ * builders).
+ *
+ * ConcurrentServeSpec proves the isolation MECHANISMS at N=3 with
+ * synthetic sleepers; this spec retires the operational question at
+ * full roster with real transforms: a serial round (maxConcurrentRuns=1)
+ * into one warehouse is the ground truth, a concurrent round into a
+ * fresh warehouse must match it fact-for-fact — equal per-fact row
+ * counts and an identical dim-time date set prove no merge
+ * interleaving lost or duplicated a batch, and the control table must
+ * hold exactly one Successful row per pipeline with its watermark
+ * advanced to that run's own start.
+ *
+ * Each pipeline gets its OWN lake directory (`Serve(conns = …)`): the
+ * reference's functions each hold their own connection strings, and two
+ * pipelines use the same source NAME for differently-shaped documents
+ * (`unitReceiptNotes` in Pembelian vs TotalHutang), which one flat lake
+ * cannot represent.
+ */
+class NightlySoakSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val builders
+      : Map[Pipeline, (SparkSession, String) => Map[String, DataFrame]] =
+    Map(
+      PurchasingFact -> (PipelineQueries.purchasingSources _),
+      GarmentPurchasingFact -> (PipelineQueries.garmentPurchasingSources _),
+      ProductionOrderFact -> (PipelineQueries.productionOrderSources _),
+      ProductionOrderStatusFact ->
+        (PipelineQueries.productionOrderStatusSources _),
+      SalesContractFact -> (PipelineQueries.salesContractSources _),
+      ShipmentFact -> (PipelineQueries.shipmentSources _),
+      PackingFact -> (PipelineQueries.packingSources _),
+      PackingReceiptFact -> (PipelineQueries.packingReceiptSources _),
+      InventoryMovementFact -> (PipelineQueries.inventoryMovementSources _),
+      InventorySummaryFact -> (PipelineQueries.inventorySummarySources _),
+      KanbanFact -> (PipelineQueries.kanbanSources _),
+      DailyOperationFact -> (PipelineQueries.dailyOpSources _),
+      FabricQCFact -> (PipelineQueries.fabricQcSources _),
+      MonitoringEventFact -> (PipelineQueries.monitoringEventSources _),
+      TotalHutangFact -> (PipelineQueries.totalHutangSources _),
+      GarmentTotalHutangFact -> (PipelineQueries.garmentTotalHutangSources _),
+      DealTrackingDealFact -> (PipelineQueries.dealTrackingDealSources _),
+      DealTrackingActivityFact ->
+        (PipelineQueries.dealTrackingActivitySources _),
+      DealTrackingBoardFact -> (PipelineQueries.dealTrackingBoardSources _),
+      DealTrackingStageFact -> (PipelineQueries.dealTrackingStageSources _),
+      MigrationLogSync -> (PipelineQueries.migrationLogSources _))
+
+  private def post(port: Int, path: String): (Int, String) = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** One lake directory per pipeline, holding exactly its declared
+    * sources; the driving source gains the pipeline's watermark column
+    * when the deterministic builder doesn't carry one (the registry
+    * queries call transform directly, past the incremental scan). */
+  private def writeLakes(root: String): Map[String, Connector] =
+    Pipelines.all.map { p =>
+      val b = builders.getOrElse(p,
+        sys.error(s"no source builder for pipeline ${p.name}"))
+      val srcs = b(spark, sf)
+      p.sources.foreach(sn => assert(srcs.contains(sn),
+        s"${p.name}: builder missing declared source '$sn'"))
+      val lake = ParquetConnector(s"$root/${p.name}")
+      srcs.foreach { case (name, df) =>
+        val out =
+          if (name == p.sources.head && !df.columns.contains(p.watermarkColumn))
+            df.withColumn(p.watermarkColumn,
+              lit(java.sql.Timestamp.valueOf("2020-06-01 00:00:00")))
+          else df
+        lake.write(out, name, SaveMode.Overwrite)
+      }
+      p.name -> (lake: Connector)
+    }.toMap
+
+  /** Fire every pipeline through one Serve; returns wall seconds. */
+  private def fireAll(port: Int, names: Seq[String], par: Boolean): Double = {
+    val t0 = System.nanoTime()
+    if (par) {
+      val pool = Executors.newFixedThreadPool(names.size)
+      try names.map(n => pool.submit(() => post(port, s"/api/$n")))
+        .foreach { f =>
+          val (s, b) = f.get()
+          assert(s == 200 && b.contains("\"status\":\"Successful\""), b)
+        }
+      finally pool.shutdown()
+    } else names.foreach { n =>
+      val (s, b) = post(port, s"/api/$n")
+      assert(s == 200 && b.contains("\"status\":\"Successful\""), b)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def factCounts(warehouse: String,
+                         names: Seq[String]): Map[String, Long] =
+    names.map(n => n -> spark.read.parquet(s"$warehouse/$n").count()).toMap
+
+  private def dimDates(warehouse: String): Set[String] =
+    spark.read.parquet(s"$warehouse/dim-time")
+      .select(col("cal_date").cast("string")).collect()
+      .map(_.getString(0)).toSet
+
+  test("full-roster nightly soak: every reference pipeline concurrently " +
+      "through one Serve matches a serial ground-truth run fact-for-fact") {
+    val dir = Files.createTempDirectory("graft-soak").toString
+    val conns = writeLakes(s"$dir/lake")
+    val names = Pipelines.all.map(_.name)
+    assert(names.size == builders.size, names.mkString(","))
+
+    // phase 1 — serial ground truth (maxConcurrentRuns = 1)
+    val hs = Serve.start(spark, conns(names.head), s"$dir/dwh-serial",
+      s"$dir/dwh-serial/control", port = 0, maxConcurrentRuns = 1,
+      conns = conns)
+    val serialWall =
+      try fireAll(hs.port, names, par = false)
+      finally hs.stop()
+
+    // phase 2 — the nightly shape: all pipelines at once, 6 permits
+    val hc = Serve.start(spark, conns(names.head), s"$dir/dwh-conc",
+      s"$dir/dwh-conc/control", port = 0, maxConcurrentRuns = 6,
+      conns = conns)
+    val concWall =
+      try fireAll(hc.port, names, par = true)
+      finally hc.stop()
+
+    // control table: exactly one Successful row per pipeline, watermark
+    // advanced to THAT pipeline's own run start (no cross-talk)
+    val control = new WatermarkManager(spark, s"$dir/dwh-conc/control")
+    val rows = control.log.collect()
+    assert(rows.length == names.size, rows.mkString("\n"))
+    names.foreach { n =>
+      val mine = rows.filter(_.getString(0) == n)
+      assert(mine.length == 1 && mine.head.getString(4) == "Successful",
+        s"$n: ${mine.mkString("\n")}")
+      assert(control.lastWatermark(n) == mine.head.getTimestamp(1), n)
+    }
+
+    // no lost/duplicated merges: per-fact row counts equal the serial
+    // ground truth, and the shared dim-time holds the identical date set
+    val serialCounts = factCounts(s"$dir/dwh-serial", names)
+    val concCounts = factCounts(s"$dir/dwh-conc", names)
+    assert(concCounts === serialCounts)
+    assert(serialCounts.values.forall(_ > 0), serialCounts.toString)
+    assert(dimDates(s"$dir/dwh-conc") === dimDates(s"$dir/dwh-serial"))
+
+    // the overlap must pay: 6-way admission beats the serial sum
+    assert(concWall < serialWall,
+      f"concurrent $concWall%.1f s should beat serial $serialWall%.1f s")
+    info(f"${names.size} pipelines: serial $serialWall%.1f s, " +
+      f"concurrent(6) $concWall%.1f s " +
+      f"(speedup ${serialWall / concWall}%.2f x); fact rows " +
+      serialCounts.toSeq.sortBy(_._1).map { case (n, c) => s"$n=$c" }
+        .mkString(", "))
+  }
+}
