@@ -267,6 +267,19 @@ object Similarity {
    * exact cosine. Collision probability per table is
    * (1 − θ/π)^nPlanes, so recall ≈ 1 − (1 − p)^nTables; measured vs
    * [[cosineNearDupPairs]] in tests.
+   *
+   * SCALE PATH — read before shipping this operator on a real corpus:
+   * the output is the PAIR LIST, which is Ω(true near-dup pairs) by
+   * definition — on a heavily duplicated crawl that is itself O(n²)
+   * (measured on the scale fixtures: 16× the pairs for 4× the vectors;
+   * ~13.8 M pairs at sf16, unpinnable by output size alone). Keep this
+   * operator for workloads that genuinely consume pairs (audits,
+   * cluster construction, oracle replay). A deduplication pipeline that
+   * only needs per-vector keep/drop decisions must use
+   * [[cosineNearDupCoverageLsh]] instead: identical buckets, identical
+   * verification, O(n) output, and the pair stream never feeds an
+   * exchange — flat 0.26–0.37 s across sf0.1→sf16 where this pair
+   * enumerator takes 66–78 s at sf4 and cannot complete at sf16.
    */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double, nTables: Int = 8,

@@ -531,7 +531,10 @@ object VectorQueries {
         WHERE list_inner_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
                 >= CAST(0.4 AS DOUBLE)"""),
       "embedding-cosine near-dup via multi-table hyperplane LSH — " +
-        "bucket-join candidates, exact verify (recall vs q60 in tests)"),
+        "bucket-join candidates, exact verify (recall vs q60 in tests). " +
+        "NOTE: emits the pair LIST (Omega(pairs), O(n^2) on a " +
+        "duplicated crawl) — the oracle-replayable enumerator; " +
+        "production dedup wants q126's bounded coverage output"),
 
     QuerySpec("q126_neardup_coverage_lsh",
       (s, dir) => {
