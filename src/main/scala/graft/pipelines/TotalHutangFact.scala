@@ -32,7 +32,22 @@ object TotalHutangFact extends Pipeline {
   val sources = Seq("unitReceiptNotes", "urnItems", "unitPaymentOrders")
   val factKeys = Seq("row_id")
 
-  def transform(t: Map[String, DataFrame]): DataFrame = {
+  def transform(t: Map[String, DataFrame]): DataFrame =
+    withCounter(t, relational.contiguousRowNumber(_, _, _))
+
+  /** Spill-aware option: identical output (bit-parity spec'd) via the
+    * narrow-shuffle counter — the 15-column string payload skips the
+    * range exchange + sort entirely and joins the counter back by a
+    * synthetic id ([[relational.contiguousRowNumberViaJoin]]). The wide
+    * form stays the default: the join-back loses at small SF, and the
+    * narrow form only wins once the payload sort spills (measured
+    * deltas in BASELINE.md). */
+  def transformNarrowCounter(t: Map[String, DataFrame]): DataFrame =
+    withCounter(t, relational.contiguousRowNumberViaJoin(_, _, _))
+
+  private def withCounter(t: Map[String, DataFrame],
+      counter: (DataFrame, Seq[org.apache.spark.sql.Column], String)
+        => DataFrame): DataFrame = {
     // SQL-side `not in` (run.js:75): NULL createdby does NOT survive
     val urns = t("unitReceiptNotes")
       .filter(!col("isDeleted") &&
@@ -92,7 +107,7 @@ object TotalHutangFact extends Pipeline {
     // single-reducer `row_number().over(Window.orderBy(...))` form remains
     // only as the documented nightly-delta shortcut; if the surrogate only
     // needs uniqueness, `monotonically_increasing_id()` is shuffle-free.
-    relational.contiguousRowNumber(projected,
+    counter(projected,
         Seq(col("urn_no"), col("product_code"), col("invoice_price")),
         "row_id")
       .select(col("row_id") +: projected.columns.map(col): _*)

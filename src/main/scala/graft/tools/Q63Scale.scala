@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.pipelines.TotalHutangFact
+import graft.queries.PipelineQueries
+
+/**
+ * q63 counter-form scale measurement (VERDICT r12 item 6): time
+ * `TotalHutangFact.transform` (wide range-partitioned counter, the
+ * default) against `transformNarrowCounter` (counter over a narrow
+ * (keys, id) projection, joined back by id) on the same deterministic
+ * q63 sources at a given fixture. The wide form's sf16 cost is one
+ * disk's spill bandwidth through the payload sort; the narrow form
+ * sorts only the three key columns. Outputs are cross-checked for
+ * equality (bit-parity is additionally spec'd at small SF).
+ *
+ * Usage: Q63Scale <sfDir> [rounds]
+ */
+object Q63Scale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 3
+    val spark = Sessions.local(32, "q63-scale")
+    val srcs = PipelineQueries.totalHutangSources(spark, dir)
+    // one equality pass (counts of the symmetric difference on the full
+    // row): the two forms must be the same fact
+    val wide = TotalHutangFact.transform(srcs)
+    val narrow = TotalHutangFact.transformNarrowCounter(srcs)
+      .select(wide.columns.map(col): _*)
+    val diff = wide.exceptAll(narrow).count() + narrow.exceptAll(wide).count()
+    println(s"[q63scale] $dir symmetric-diff rows=$diff " +
+      (if (diff == 0) "(bit-identical)" else "(MISMATCH!)"))
+    for (r <- 1 to rounds) {
+      val t0 = System.nanoTime()
+      val nw = TotalHutangFact.transform(srcs).count()
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nn = TotalHutangFact.transformNarrowCounter(srcs).count()
+      val tn = (System.nanoTime() - t1) / 1e9
+      println(f"[q63scale] $dir r$r rows=$nw wide=$tw%.2f s narrow=$tn%.2f s" +
+        (if (nw != nn) " ROWS MISMATCH" else ""))
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
+/**
+ * Fixed-probe BM25 oracle dump: run [[graft.operators.CorpusStats.bm25TopK]]
+ * with the probe set pinned to replica 0 (doc_id < 10⁸ — constant
+ * across the replica-constructed scale fixtures) and dump the result
+ * where `tools/check.py` can compare it against the DuckDB HUGEINT
+ * replay with the same probe filter. This is the sf16 correctness leg
+ * for q127's realistic shape: the registry query's probe set grows
+ * with the corpus, making its full oracle DuckDB-infeasible at 160×.
+ *
+ * Usage: Bm25FixedDump <sfDir> <outDir>   (writes <outDir>/q127_bm25_fixed)
+ */
+object Bm25FixedDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val out = args(1)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "bm25-fixed-dump")
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    graft.operators.CorpusStats.bm25TopK(
+        docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 101 === 0 &&
+          col("doc_id") < 100000000L), "doc_id", "text", k = 5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q127_bm25_fixed")
+    spark.stop()
+  }
+}

@@ -112,6 +112,18 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("TotalHutangFact.transformNarrowCounter is bit-identical to the " +
+      "default wide-counter transform on the q63 sources") {
+    val srcs = graft.queries.PipelineQueries
+      .totalHutangSources(spark, "/root/testdata/sf0.001")
+    val wide = graft.pipelines.TotalHutangFact.transform(srcs)
+    val narrow = graft.pipelines.TotalHutangFact.transformNarrowCounter(srcs)
+      .select(wide.columns.map(col): _*)
+    assert(wide.count() === narrow.count())
+    assert(wide.exceptAll(narrow).count() === 0L)
+    assert(narrow.exceptAll(wide).count() === 0L)
+  }
+
   test("contiguousPrefixSum matches the single-reducer window bit-for-bit") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
