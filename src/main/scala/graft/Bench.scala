@@ -216,7 +216,15 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val failed =
-          try { fn(spark, sfDir).count(); false }
+          // evaluate the PHYSICAL plan of the query's own output, not
+          // count()'s rewrite: under count() Catalyst prunes every
+          // column and can eliminate whole subtrees — a left join onto
+          // a unique-key aggregate drops entirely, so q126's r12 sf16
+          // "0.37 s" measured a bare corpus scan while the real plan
+          // took minutes. toRdd keeps all output columns and runs the
+          // exact plan a consumer (or Verify's dump) pays for, without
+          // the external-row conversion cost.
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
           catch { case _: Throwable => true }
         ((System.nanoTime() - t0) / 1e9, failed)
       }

@@ -25,7 +25,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // final stage to one task (a corpus-sized aggregate then runs
+      // single-threaded — q94's sf16 dump sat 20+ min in one task);
+      // repartition inserts a shuffle of the RESULT rows only, so the
+      // plan keeps its parallelism and just the small write is one task
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -268,6 +268,17 @@ object Similarity {
    * (1 − θ/π)^nPlanes, so recall ≈ 1 − (1 − p)^nTables; measured vs
    * [[cosineNearDupPairs]] in tests.
    *
+   * GEOMETRY RULE — nPlanes must scale with the corpus: a table has
+   * 2^nPlanes buckets and the verify step pays Σ n_b² candidate dots,
+   * so the default 8 planes (256 buckets) is sized for gate-scale
+   * fixtures. Choose nPlanes ≈ log₂(n / targetBucketSize) (a few
+   * hundred rows per bucket) and re-buy per-table recall
+   * ((1 − θ/π)^nPlanes) with nTables. Measured on the 160× fixture:
+   * 6 planes = 64 buckets over 320 k vectors ⇒ ~5 k rows/bucket ⇒
+   * ~1.3e10 verified candidates (minutes, single box); 12 planes keeps
+   * buckets at ~80 rows and the same job runs in seconds
+   * (`tools/CoverageScale`, numbers in BASELINE.md).
+   *
    * SCALE PATH — read before shipping this operator on a real corpus:
    * the output is the PAIR LIST, which is Ω(true near-dup pairs) by
    * definition — on a heavily duplicated crawl that is itself O(n²)
@@ -344,6 +355,103 @@ object Similarity {
   def cosineNearDupCoverageLsh(df: DataFrame, idCol: String, vecCol: String,
                                dim: Int, threshold: Double, nTables: Int = 8,
                                nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // EXACT-DUPLICATE COLLAPSE (r13) — the fix for the quadratic truth
+    // the r12 bench missed: on a duplicate-heavy corpus, identical
+    // vectors share every LSH bucket, so the member-level self-join
+    // pays |group|² verified candidates per duplicate cluster (the 160×
+    // replica fixture: >10 minutes at sf16 where the honest plan below
+    // runs in seconds; the old 0.37 s reading was a count() benchmark
+    // artifact — Catalyst eliminates the left join under count). The
+    // LSH work belongs at the DISTINCT-VECTOR level; member-level facts
+    // then follow from three observations, each giving bit-identical
+    // output to the pair formulation (the DuckDB oracle replays THAT):
+    //  - within a group (identical vectors, group min id g), every
+    //    member x > g has partner g with cosine sc = dot(v,v)/(nrm·nrm)
+    //    — the same float expression the pair form evaluates, and the
+    //    smallest same-group partner is always g;
+    //  - the smallest CROSS-group partner of x is the smallest partner
+    //    GROUP min below x (a group's members all share its buckets and
+    //    cosine, so the group's min id represents it exactly);
+    //  - the strongest cross similarity below x is the running max of
+    //    event cosines over partner-group mins < x — duplicate events
+    //    from multi-table collisions drop out of min/max for free.
+    // One window keyed on the vector (group ids), a rep-level bucket
+    // join (distinct-vector-sized), and one union window keyed on the
+    // group: every exchange is corpus- or distinct-proportional; no
+    // candidate pair ever multiplies by duplicate-cluster size.
+    val base = normed(df, idCol, vecCol)
+    val wv = Window.partitionBy(col("v"))
+    val mem0 = graft.ops.materialize(
+      base.withColumn("gid", min(col("id")).over(wv)))
+    val reps = mem0.filter(col("id") === col("gid"))
+      .select(col("gid"), col("v"), col("nrm"))
+    val buckets = (0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
+    val exploded = reps.select(col("gid"), col("v"), col("nrm"),
+      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    // distinct-vector candidate pairs, verified inline (cosine is
+    // direction-insensitive bit-for-bit: products commute, the dot sums
+    // in the same index order)
+    val events0 = exploded.as("x")
+      .join(exploded.as("y"), Seq("tbl", "bucket"))
+      .filter(col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ga"), col("y.gid").as("gb"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // one directed event per side: (group, partner-group min, cosine)
+    val events = events0.select(col("ga").as("gid"), col("gb").as("pmin"),
+        col("cosine"))
+      .unionAll(events0.select(col("gb").as("gid"), col("ga").as("pmin"),
+        col("cosine")))
+    // union members and events on the id axis; running min/max per
+    // group deliver, at each member row, the smallest partner-group min
+    // and the strongest cross cosine among groups whose min id is below
+    // this member (rows ordered by that id axis; ids are unique so no
+    // member ever ties an event)
+    val memRows = mem0.select(col("gid"), col("id").as("ord"),
+      lit(1).as("is_mem"), col("id"),
+      (dot(col("v"), col("v")) / (col("nrm") * col("nrm"))).as("sc"),
+      lit(null).cast("long").as("pmin"),
+      lit(null).cast("double").as("cosine"))
+    val evtRows = events.select(col("gid"), col("pmin").as("ord"),
+      lit(0).as("is_mem"), lit(null).cast("long").as("id"),
+      lit(null).cast("double").as("sc"), col("pmin"), col("cosine"))
+    val wg = Window.partitionBy(col("gid"))
+      .orderBy(col("ord"), col("is_mem"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = memRows.unionAll(evtRows)
+      .withColumn("cross_min", min(col("pmin")).over(wg))
+      .withColumn("cross_max", max(col("cosine")).over(wg))
+      .filter(col("is_mem") === 1)
+    // assemble the pair-formulation facts: same-group partner g exists
+    // for x > g when the identical-pair cosine passes the threshold.
+    // (Zero-norm vectors are outside the contract — ANSI division
+    // rejects them here exactly as in the pair form and every other
+    // cosine operator in the engine.)
+    val hasGrp = (col("id") > col("gid")) && (col("sc") >= threshold)
+    val hasCross = col("cross_min").isNotNull
+    val kept = !(hasGrp || hasCross)
+    folded.select(col("id"), kept.as("kept"),
+      when(kept, lit(null).cast("long")).otherwise(
+        least(when(hasGrp, col("gid")), col("cross_min")))
+        .as("dup_min_partner"),
+      when(kept, lit(null).cast("double")).otherwise(
+        greatest(when(hasGrp, col("sc")), col("cross_max")))
+        .as("dup_max_cosine"))
+  }
+
+  /** The direct pair formulation of [[cosineNearDupCoverageLsh]] — the
+    * exact shape the DuckDB oracle replays, kept as the parity baseline
+    * for the collapse form (SimilaritySpec asserts bit-identical
+    * output). Do NOT ship this on a duplicate-heavy corpus: the member-
+    * level self-join pays |group|² verified candidates per exact-
+    * duplicate cluster. */
+  private[graft] def cosineNearDupCoverageLshDirect(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nTables: Int = 8,
+      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val base = normed(df, idCol, vecCol)
     val buckets = (0 until nTables).map(t =>

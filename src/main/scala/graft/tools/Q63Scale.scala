@@ -48,6 +48,44 @@ object Q63Scale {
 }
 
 /**
+ * Coverage-operator scale measurement: time
+ * [[graft.operators.Similarity.cosineNearDupCoverageLsh]] at a fixture
+ * with explicit LSH geometry, forcing the REAL plan with
+ * `queryExecution.toRdd` (a bare `count()` lets Catalyst eliminate the
+ * whole left join — the r12 bench artifact). The point: bucket width
+ * must scale with the corpus. nPlanes = 6 → 64 buckets/table is right
+ * for the gate fixtures (2 k vectors) and catastrophically coarse at
+ * 320 k (≈5 k vectors/bucket ⇒ ~1.3e10 verified candidates); the rule
+ * is nPlanes ≈ log₂(n / targetBucket), recall re-bought with nTables.
+ *
+ * Usage: CoverageScale <sfDir> <nTables> <nPlanes> [rounds]
+ */
+object CoverageScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nT = args(1).toInt
+    val nP = args(2).toInt
+    val rounds = if (args.length > 3) args(3).toInt else 3
+    val spark = Sessions.local(32, "coverage-scale")
+    val e = graft.core.Tables.load(spark, dir, "embeddings")
+    for (r <- 1 to rounds) {
+      val t0 = System.nanoTime()
+      val df = graft.operators.Similarity.cosineNearDupCoverageLsh(
+        e, "vec_id", "embedding", dim = 64, threshold = 0.4,
+        nTables = nT, nPlanes = nP)
+      val n = df.queryExecution.toRdd.count()
+      val kept = df.filter(org.apache.spark.sql.functions.col("kept"))
+        .queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[covscale] $dir tables=$nT planes=$nP r$r rows=$n " +
+        f"kept=$kept time=$sec%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
+/**
  * Fixed-probe BM25 oracle dump: run [[graft.operators.CorpusStats.bm25TopK]]
  * with the probe set pinned to replica 0 (doc_id < 10⁸ — constant
  * across the replica-constructed scale fixtures) and dump the result

@@ -28,7 +28,39 @@ object Scratch {
       })
       watchdog.setDaemon(true)
       watchdog.start()
-      val n = q.build(spark, dir).count()
+      val n = sys.env.get("SPARK_GRAFT_SCRATCH_MODE") match {
+        case Some("write") =>
+          val df = q.build(spark, dir).repartition(1)
+          df.write.mode("overwrite").parquet(s"/tmp/scratch_dump/$name")
+          -1L
+        case Some("explain") =>
+          println(q.build(spark, dir).repartition(1)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          -1L
+        case Some("explain-count") =>
+          println(q.build(spark, dir).groupBy().count()
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          -1L
+        case Some("probe") =>
+          import spark.implicits._
+          import org.apache.spark.sql.functions._
+          val df = Seq((0.0, 0.0, 1.0)).toDF("z", "zz", "one")
+          println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
+          try println("0/0 = " + df.select(col("z") / col("zz")).head())
+          catch { case e: Exception => println("0/0 threw: " + e.getClass) }
+          try println("1/0 = " + df.select(col("one") / col("z")).head())
+          catch { case e: Exception => println("1/0 threw: " + e.getClass) }
+          println("NaN>=0.4 = " + df.select(
+            lit(Double.NaN) >= lit(0.4)).head())
+          println("max(NaN,0.9) = " + Seq(Double.NaN, 0.9).toDF("x")
+            .agg(max(col("x"))).head())
+          println("greatest(NaN,0.9) = " + df.select(
+            greatest(lit(Double.NaN), lit(0.9))).head())
+          -1L
+        case _ => q.build(spark, dir).count()
+      }
       done = true
       spark.catalog.clearCache() // match Bench: no cross-round cache reuse
       val sec = (System.nanoTime() - t0) / 1e9

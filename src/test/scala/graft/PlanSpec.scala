@@ -211,16 +211,22 @@ class PlanSpec extends SparkSpec {
       "partial_sum".r.findAllIn(p).size >= 2, p)
   }
 
-  test("q126 near-dup coverage: the verified pair stream collapses " +
-      "map-side — no exchange ever carries the pair list") {
+  test("q126 near-dup coverage: LSH runs at the distinct-vector level " +
+      "and no exchange ever carries the pair list") {
     val p = formatted("q126_neardup_coverage_lsh")
-    // the per-victim min/max aggregate combines in the join's output
-    // stage: a partial aggregate must sit below the id exchange
-    assert(p.contains("partial_min"), p)
-    assert(p.contains("partial_max"), p)
-    // every exchange keys on the bucket join key or the victim id —
-    // never on the (id_a, id_b) pair, which would make the shuffle
-    // pair-proportional (O(n²) on a duplicate-heavy corpus)
+    // exact-duplicate collapse: the bucket self-join's input is gated
+    // on id = gid (representatives only), so the join is distinct-
+    // vector-sized — |group|² candidates per duplicate cluster never
+    // exist. The gate shows up as the id = gid filter below the
+    // (tbl, bucket) exchange.
+    assert(p.contains("(id"), p)
+    assert("= gid#\\d+L?\\)".r.findFirstIn(p).isDefined, p)
+    // member-level facts fold through windows (group-id min over the
+    // vector, running min/max over the group) — no pair aggregate
+    assert("windowspecdefinition".r.findAllIn(p.toLowerCase).nonEmpty, p)
+    // every exchange keys on the vector, the bucket join key, or the
+    // group id — never on the (id_a, id_b) pair, which would make the
+    // shuffle pair-proportional (O(n²) on a duplicate-heavy corpus)
     p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
       .foreach { l =>
         val pairKeyed = l.contains("partner#") || l.contains("cosine#")

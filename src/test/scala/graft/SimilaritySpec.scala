@@ -227,6 +227,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupCoverageLsh (exact-duplicate collapse) ≡ the direct " +
+      "pair formulation, bit-for-bit, on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // 4 exact copies of every sf0.001 vector under interleaved ids —
+    // the shape that makes the direct form pay |group|² per cluster —
+    // with id interleaving across groups (a group's members straddle
+    // other groups' mins, so cross partners appear both below and
+    // above each group's own min)
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+    val corpus = (0 until 4).map { r =>
+      e.select((col("vec_id") * 7 + r * 3 + 1).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionAll _)
+    def facts(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val collapse = facts(Similarity.cosineNearDupCoverageLsh(
+      corpus, "vec_id", "embedding", dim = 64, threshold = 0.4,
+      nTables = 8, nPlanes = 6))
+    val direct = facts(Similarity.cosineNearDupCoverageLshDirect(
+      corpus, "vec_id", "embedding", dim = 64, threshold = 0.4,
+      nTables = 8, nPlanes = 6))
+    assert(collapse.size === direct.size)
+    // exact-duplicate members must actually exist and be dropped
+    assert(collapse.count(!_._2._1) > collapse.size / 2)
+    collapse.foreach { case (id, got) =>
+      assert(got === direct(id), s"id $id: $got != ${direct(id)}")
+    }
+  }
+
   test("semanticDedup: sound drops, high recall vs the exact pair list") {
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
