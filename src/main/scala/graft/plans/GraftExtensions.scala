@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSigs.info,
       (children: Seq[Expression]) =>
         MinHashSigs(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bucket"),
+      LshBucket.info,
+      (children: Seq[Expression]) =>
+        LshBucket(children.head, children(1), children(2))))
   }
 }
 
@@ -93,5 +97,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_minhash"), MinHashSigs.info,
       (children: Seq[Expression]) =>
         MinHashSigs(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lsh_bucket"), LshBucket.info,
+      (children: Seq[Expression]) =>
+        LshBucket(children.head, children(1), children(2)))
   }
 }

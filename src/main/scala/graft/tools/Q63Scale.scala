@@ -33,11 +33,14 @@ object Q63Scale {
     println(s"[q63scale] $dir symmetric-diff rows=$diff " +
       (if (diff == 0) "(bit-identical)" else "(MISMATCH!)"))
     for (r <- 1 to rounds) {
+      // toRdd, not count(): count prunes the payload columns out of
+      // the sort — the exact cost difference under measurement
       val t0 = System.nanoTime()
-      val nw = TotalHutangFact.transform(srcs).count()
+      val nw = TotalHutangFact.transform(srcs).queryExecution.toRdd.count()
       val tw = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val nn = TotalHutangFact.transformNarrowCounter(srcs).count()
+      val nn = TotalHutangFact.transformNarrowCounter(srcs)
+        .queryExecution.toRdd.count()
       val tn = (System.nanoTime() - t1) / 1e9
       println(f"[q63scale] $dir r$r rows=$nw wide=$tw%.2f s narrow=$tn%.2f s" +
         (if (nw != nn) " ROWS MISMATCH" else ""))

@@ -43,6 +43,44 @@ object Scratch {
             .queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
           -1L
+        case Some("buckets") =>
+          import org.apache.spark.sql.functions._
+          val e = graft.core.Tables.load(spark, dir, "embeddings")
+          val base = e.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          val bs = (0 until 8).map(t => graft.operators.Similarity
+            .lshBucket(col("v"), graft.operators.Similarity
+              .hyperplanes(6, 64, 42L + t)))
+          val t0 = System.nanoTime()
+          val n = base.select(col("id"), col("v"),
+              posexplode(array(bs: _*)).as(Seq("tbl", "bucket")))
+            .queryExecution.toRdd.count()
+          println(f"[buckets] rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
+          n
+        case Some("buckets2") =>
+          import org.apache.spark.sql.functions._
+          val e = graft.core.Tables.load(spark, dir, "embeddings")
+          val base = e.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          val bs = (0 until 8).map(t => graft.operators.Similarity
+            .lshBucket(col("v"), graft.operators.Similarity
+              .hyperplanes(6, 64, 42L + t)))
+          def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            val n = df.queryExecution.toRdd.count()
+            println(f"[$tag] rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
+          }
+          // (b) bucket compute only, no explode
+          time("proj-only")(base.select(col("id"), bs.head.as("b0")))
+          time("proj-8")(base.select(col("id") +: bs.zipWithIndex
+            .map { case (b, i) => b.as(s"b$i") }: _*))
+          // (a) explode + payload copy, no dot work
+          time("explode-const")(base.select(col("id"), col("v"),
+            posexplode(array((0 until 8).map(i => lit(i.toLong)): _*))))
+          // (c) explode of real buckets, no v payload
+          time("explode-nopayload")(base.select(col("id"),
+            posexplode(array(bs: _*))))
+          -1L
         case Some("probe") =>
           import spark.implicits._
           import org.apache.spark.sql.functions._

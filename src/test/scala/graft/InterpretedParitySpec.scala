@@ -46,6 +46,32 @@ class InterpretedParitySpec extends SparkSpec {
     assert(run() === interpreted(run()))
   }
 
+  test("graft_lsh_bucket: codegen ≡ interpreted ≡ the dot-per-plane " +
+      "formulation, bit-exact (incl. empty/short/negative vectors)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val planes = Similarity.hyperplanes(6, 8, seed = 7L)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(10))(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.empty[Double], Seq(0.0), Seq(-1.0, -1.0))
+    def run() = rows.toDF("v").select(
+        Similarity.lshBucket(col("v"), planes).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val gen = run()
+    val interp = interpreted(run())
+    assert(gen === interp)
+    // the reference semantics the kernel replaces: dot per plane,
+    // Spark's >= comparison, OR of bits
+    val ref = rows.toDF("v").select(
+        planes.zipWithIndex.map { case (p, i) =>
+          when(call_function("graft_dot", col("v").cast("array<double>"),
+            typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gen === ref)
+  }
+
   test("graft_topk aggregate: codegen ≡ interpreted plans, same ranking") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def run() = Similarity.cosineTopK(e, e.filter(col("vec_id") < 5),

@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Staged sf4 replay of the q61/q126 oracles.
+"""Staged replay of the q61/q126 oracles (sf4 and beyond).
+
+sf16 note: the q61 pair list is not dumped at 160x (its output is the
+13.8M-pair list itself); the q61 compare below is skipped when the dump
+directory is absent and the q126 per-victim fold is verified alone.
 
 The registered single-statement oracles are exact and feasible at the
 driver's gate scales (sf0.01/0.1) and at sf1, but at sf4 the LSH bucket
@@ -75,18 +79,23 @@ con.execute("CREATE TEMP TABLE pairs AS SELECT DISTINCT * FROM tp")
 n_pairs = con.sql("SELECT count(*) FROM pairs").fetchone()[0]
 print("distinct true pairs:", n_pairs, flush=True)
 
-q61 = f"read_parquet('{out_dir}/q61_cosine_neardup_lsh/*.parquet')"
-d61 = con.sql(f"""
+import os
+if os.path.isdir(f"{out_dir}/q61_cosine_neardup_lsh"):
+    q61 = f"read_parquet('{out_dir}/q61_cosine_neardup_lsh/*.parquet')"
+    d61 = con.sql(f"""
 SELECT
-  (SELECT count(*) FROM (SELECT id_a, id_b FROM pairs
-                         EXCEPT SELECT id_a, id_b FROM {q61})) AS oracle_only,
-  (SELECT count(*) FROM (SELECT id_a, id_b FROM {q61}
-                         EXCEPT SELECT id_a, id_b FROM pairs)) AS spark_only,
-  (SELECT count(*) FROM {q61}) AS spark_rows""").fetchone()
-print(("PASS" if d61[0] == d61[1] == 0 else "FAIL"),
-      f"q61_cosine_neardup_lsh staged replay: oracle_only={d61[0]} "
-      f"spark_only={d61[1]} spark_rows={d61[2]} oracle_rows={n_pairs}",
-      flush=True)
+      (SELECT count(*) FROM (SELECT id_a, id_b FROM pairs
+                             EXCEPT SELECT id_a, id_b FROM {q61})) AS oracle_only,
+      (SELECT count(*) FROM (SELECT id_a, id_b FROM {q61}
+                             EXCEPT SELECT id_a, id_b FROM pairs)) AS spark_only,
+      (SELECT count(*) FROM {q61}) AS spark_rows""").fetchone()
+    print(("PASS" if d61[0] == d61[1] == 0 else "FAIL"),
+          f"q61_cosine_neardup_lsh staged replay: oracle_only={d61[0]} "
+          f"spark_only={d61[1]} spark_rows={d61[2]} oracle_rows={n_pairs}",
+          flush=True)
+else:
+    print("q61 dump absent - pair-list compare skipped (sf16: output is "
+          "the pair list itself)", flush=True)
 
 q126 = f"read_parquet('{out_dir}/q126_neardup_coverage_lsh/*.parquet')"
 d126 = con.sql(f"""
