@@ -746,11 +746,30 @@ object Dedup {
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                       window: Int, minDocs: Int = 2,
                       baseHash: Option[Column => Column] = None): DataFrame = {
+    // interval union as a per-doc sweep, NOT explode+distinct: each span
+    // covers [pos, pos+window); sorted by pos, a span's new coverage is
+    // its exclusive end minus the running max end so far (clamped at its
+    // own start) — identical counts to exploding every covered token and
+    // distinct-counting, without multiplying rows by `window` or paying
+    // the (doc, token) distinct exchange. One doc-keyed exchange feeds
+    // both the window and the final sum (r13: q116 was 3.5 s at sf0.1
+    // once the bench stopped count()-eliminating its left join; this
+    // shape re-measures at a fraction. Duplicate span positions — a
+    // span hot under several hashes — contribute 0 on the second pass
+    // of the sweep, exactly like the distinct they replace).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("span_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
     val covered = repeatedSpans(docs, idCol, textCol, window, minDocs, baseHash)
-      .select(col("doc_id"), explode(
-        sequence(col("span_pos"), col("span_pos") + (window - 1))).as("tok"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+      .select(col("doc_id"), col("span_pos").cast("long").as("span_pos"))
+      .withColumn("__prev_end",
+        max(col("span_pos") + window).over(w))
+      .withColumn("__contrib", greatest(lit(0L),
+        col("span_pos") + window -
+          greatest(coalesce(col("__prev_end"), col("span_pos")),
+            col("span_pos"))))
+      .groupBy("doc_id").agg(sum(col("__contrib")).as("covered_tokens"))
     docs.select(col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).as("total_tokens"))
       .join(covered, Seq("doc_id"), "left")
