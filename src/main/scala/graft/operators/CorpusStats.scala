@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
  * Corpus-level statistics for training-data pipelines — the operators
@@ -799,6 +800,23 @@ object CorpusStats {
                dfCap: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(dfCap > 0.0 && dfCap <= 1.0, s"dfCap must be in (0,1], got $dfCap")
+    // register on the frame's OWN session — getActiveSession is None on
+    // foreign threads, and a session built without GraftExtensions would
+    // otherwise fail analysis on graft_topk (same discipline as
+    // Dedup.repeatedSpans / Similarity.lshBucket callers)
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    // the top-k aggregate carries doc_id through a LONG slot; a
+    // non-integral id (string '007', decimal) would be silently
+    // corrupted or nulled by the round-trip cast, so reject it up
+    // front — the keep-first/tie-break contract (smaller doc_id wins)
+    // is only order-preserving under an exact integral cast
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bm25TopK requires an integral id column (doc ids ride the " +
+          s"top-k aggregate as LONG); got $idCol: ${other.simpleString}. " +
+          "Map non-integral ids to a unique integral surrogate first.")
+    }
     def probeSide(d: DataFrame): DataFrame =
       if (broadcastProbes) broadcast(d) else d
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -725,10 +725,18 @@ object Dedup {
           .select(col("doc_id"), col("pos").as("span_pos"),
             h(col("col")).as("span_hash"))
     }
-    val hot = grams.groupBy("span_hash")
+    // the tokenize+window-hash explode is the dominant cost and feeds
+    // BOTH the countDistinct aggregate and the probe side of the
+    // hot-span join — pin it so it runs once (r13 bench: the unpinned
+    // shape re-ran the explode per consumer; q115/q116/q118 together
+    // paid ~13% of the whole registry on the duplicate stage). The pin
+    // carries (id, pos, hash) only — never span text — so it is
+    // token-proportional and MEMORY_AND_DISK-spillable at scale.
+    val pinned = graft.ops.materialize(grams)
+    val hot = pinned.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    grams.join(hot, Seq("span_hash"))
+    pinned.join(hot, Seq("span_hash"))
       .select("doc_id", "span_pos", "span_hash", "n_docs")
   }
 
@@ -745,7 +753,21 @@ object Dedup {
    */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                       window: Int, minDocs: Int = 2,
-                      baseHash: Option[Column => Column] = None): DataFrame = {
+                      baseHash: Option[Column => Column] = None): DataFrame =
+    dupSpanCoverageFromSpans(docs, idCol, textCol, window,
+      repeatedSpans(docs, idCol, textCol, window, minDocs, baseHash))
+
+  /**
+   * [[dupSpanCoverage]] over a PRECOMPUTED span table — the reuse path
+   * for pipelines that already ran [[repeatedSpans]] (e.g. a curation
+   * flow that reports the span list AND gates on coverage): the
+   * expensive tokenize+window-hash stage is not re-derived. `spans`
+   * must carry `doc_id` and `span_pos` for the same corpus and the
+   * same `window` (the output of [[repeatedSpans]] qualifies as-is).
+   */
+  def dupSpanCoverageFromSpans(docs: DataFrame, idCol: String,
+                               textCol: String, window: Int,
+                               spans: DataFrame): DataFrame = {
     // interval union as a per-doc sweep, NOT explode+distinct: each span
     // covers [pos, pos+window); sorted by pos, a span's new coverage is
     // its exclusive end minus the running max end so far (clamped at its
@@ -761,7 +783,7 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("span_pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
-    val covered = repeatedSpans(docs, idCol, textCol, window, minDocs, baseHash)
+    val covered = spans
       .select(col("doc_id"), col("span_pos").cast("long").as("span_pos"))
       .withColumn("__prev_end",
         max(col("span_pos") + window).over(w))

@@ -294,11 +294,12 @@ object Similarity {
    */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double, nTables: Int = 8,
-                       nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+                       nPlanes: Int = AutoPlanes, seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val base = normed(df, idCol, vecCol)
+    val np = resolvePlanes(nPlanes, () => base.count(), NearDupTargetBucket)
     val buckets = (0 until nTables).map(t =>
-      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
+      lshBucket(col("v"), hyperplanes(np, dim, seed + t)))
     // vectors + norms ride THROUGH the bucket self-join, so candidate
     // pairs are verified inline in the join's output stage and the
     // candidate stream never reaches an exchange. The earlier shape —
@@ -354,7 +355,8 @@ object Similarity {
    */
   def cosineNearDupCoverageLsh(df: DataFrame, idCol: String, vecCol: String,
                                dim: Int, threshold: Double, nTables: Int = 8,
-                               nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+                               nPlanes: Int = AutoPlanes,
+                               seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     // EXACT-DUPLICATE COLLAPSE (r13) — the fix for the quadratic truth
     // the r12 bench missed: on a duplicate-heavy corpus, identical
@@ -386,8 +388,11 @@ object Similarity {
       base.withColumn("gid", min(col("id")).over(wv)))
     val reps = mem0.filter(col("id") === col("gid"))
       .select(col("gid"), col("v"), col("nrm"))
+    // auto geometry counts the DISTINCT-vector reps (the level the LSH
+    // actually runs at) — a cached read, mem0 is already pinned
+    val np = resolvePlanes(nPlanes, () => reps.count(), NearDupTargetBucket)
     val buckets = (0 until nTables).map(t =>
-      lshBucket(col("v"), hyperplanes(nPlanes, dim, seed + t)))
+      lshBucket(col("v"), hyperplanes(np, dim, seed + t)))
     val exploded = reps.select(col("gid"), col("v"), col("nrm"),
       posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
     // distinct-vector candidate pairs, verified inline (cosine is
@@ -432,7 +437,12 @@ object Similarity {
     // cosine operator in the engine.)
     val hasGrp = (col("id") > col("gid")) && (col("sc") >= threshold)
     val hasCross = col("cross_min").isNotNull
-    val kept = !(hasGrp || hasCross)
+    // NULL-vector rows: sc is null, so hasGrp is null for id > gid and
+    // !(null || false) stays null — but the direct/pair form KEEPS such
+    // rows (a null cosine never passes the verify filter, the left join
+    // misses). coalesce pins the collapse to the same answer; hasCross
+    // is never null, so the coalesce only ever fires on null-vector rows
+    val kept = coalesce(!(hasGrp || hasCross), lit(true))
     folded.select(col("id"), kept.as("kept"),
       when(kept, lit(null).cast("long")).otherwise(
         least(when(hasGrp, col("gid")), col("cross_min")))
@@ -497,6 +507,43 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"),
       c => c.cast("double") * q.getField("scale") / 127.0)
+
+  /** Sentinel `nPlanes` value: derive the LSH geometry from the corpus
+    * size at call time ([[autoPlanes]]). r13 measured the cost of a
+    * FIXED geometry shipped past its design scale: 6 planes (64
+    * buckets) is right for 2 k vectors and catastrophic at 320 k
+    * (≈5 k vectors/bucket ⇒ ~1.3e10 verified candidates, ≥20 min,
+    * vs ~35 s at the derived 12 planes). The derivation costs one
+    * narrow count of the corpus (or a cached read where the operator
+    * already pinned it); passing an explicit positive `nPlanes` skips
+    * the count and pins the geometry (the oracle-replay configs do). */
+  val AutoPlanes: Int = 0
+
+  /** Target mean bucket occupancy for the near-dup operators: small,
+    * because every bucket pays |bucket|² verification and recall is
+    * re-bought with `nTables`. log₂(320 k/128) ⇒ the 12-plane geometry
+    * r13 measured at ~35 s where 6 planes could not finish. */
+  val NearDupTargetBucket: Int = 128
+
+  /** Target bucket for single-table [[lshTopK]]: larger, because the
+    * bucket IS the candidate set per query (recall floor) and only
+    * query-bucket pairs are verified, not bucket self-joins. */
+  val TopKTargetBucket: Int = 1024
+
+  /** nPlanes ≈ ⌈log₂(n / targetBucket)⌉, clamped to [4, 24] — the
+    * BASELINE.md scale rule as an executable default. */
+  private[graft] def autoPlanes(n: Long, targetBucket: Int): Int = {
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)
+      - 1e-9).toInt))
+  }
+
+  private def resolvePlanes(nPlanes: Int, count: () => Long,
+                            targetBucket: Int): Int = {
+    require(nPlanes >= 0 && nPlanes <= 63,
+      s"nPlanes must be in [0, 63] (0 = auto), got $nPlanes")
+    if (nPlanes > 0) nPlanes else autoPlanes(count(), targetBucket)
+  }
 
   private def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
@@ -825,12 +872,17 @@ object Similarity {
    * `first()` probe of the corpus at build time).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int, nPlanes: Int = 4,
+              vecCol: String, dim: Int, k: Int, nPlanes: Int = AutoPlanes,
               seed: Long = 42L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    val c0 = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // single-table search: target a LARGER bucket than the near-dup
+    // ops (verification is per-query-bucket, and recall has no nTables
+    // to re-buy it) — explicit nPlanes pins the recall/cost point
+    val np = resolvePlanes(nPlanes, () => c0.count(), TopKTargetBucket)
+    val planes = hyperplanes(np, dim, seed)
+    val c = c0
       .withColumn("bucket", lshBucket(col("cv"), planes))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))

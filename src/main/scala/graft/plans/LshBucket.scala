@@ -55,11 +55,19 @@ case class LshBucket(first: Expression, second: Expression,
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName: dim must be a positive int literal")
     else {
-      val np = planes.eval().asInstanceOf[ArrayData].numElements() /
-        dimExpr.eval().asInstanceOf[Number].intValue()
-      if (np > 63)
+      val nElems = planes.eval().asInstanceOf[ArrayData].numElements()
+      val d = dimExpr.eval().asInstanceOf[Number].intValue()
+      // a flat matrix whose length is not an exact nPlanes×dim would
+      // silently truncate the trailing plane under integer division —
+      // reject at analysis (direct SQL use of graft_lsh_bucket can
+      // hand-build the constant)
+      if (nElems == 0 || nElems % d != 0)
         TypeCheckResult.TypeCheckFailure(
-          s"$prettyName: at most 63 planes, got $np")
+          s"$prettyName: planes length ($nElems) must be a non-zero " +
+            s"multiple of dim ($d)")
+      else if (nElems / d > 63)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: at most 63 planes, got ${nElems / d}")
       else TypeCheckResult.TypeCheckSuccess
     }
   }

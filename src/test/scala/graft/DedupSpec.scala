@@ -355,6 +355,43 @@ class DedupSpec extends SparkSpec {
     assert(md5 === got)
   }
 
+  test("repeatedSpans pins the gram stage: both consumers read the cache") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha one two three four beta gamma"),
+      (11L, "one two three four delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val plan = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4)
+      .queryExecution.executedPlan.toString
+    // the tokenize+window-hash explode feeds the countDistinct agg AND
+    // the probe side of the hot-span join; pinned, BOTH subtrees must
+    // resolve to the cached relation (r13: the unpinned shape ran the
+    // dominant stage twice per query)
+    // (the Generate explode still appears in the plan STRING — inside
+    // each InMemoryRelation's stored-plan description — so count the
+    // cache scans, not the absence of Generate)
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected both consumers on the cache, plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("dupSpanCoverageFromSpans matches dupSpanCoverage on the same spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (20L, "one two three four five tail1 tail2"),
+      (21L, "head one two three four five tailx"),
+      (22L, "nothing shared with anyone here at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", window = 4)
+    val viaSpans = Dedup.dupSpanCoverageFromSpans(docs, "doc_id", "text",
+        window = 4, spans)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = Dedup.dupSpanCoverage(docs, "doc_id", "text", window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaSpans === direct)
+    spark.catalog.clearCache()
+  }
+
   test("dupSpanCoverage counts overlap-covered tokens once") {
     import spark.implicits._
     // two docs share a 5-token run = two overlapping 4-token dup spans

@@ -72,6 +72,21 @@ class InterpretedParitySpec extends SparkSpec {
     assert(gen === ref)
   }
 
+  test("graft_lsh_bucket rejects a planes matrix that is not an exact " +
+      "multiple of dim (silent plane truncation otherwise)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    def bucket(nElems: Int, dim: Int) = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(call_function("graft_lsh_bucket", col("v"),
+        typedLit(Seq.fill(nElems)(0.5)), lit(dim)))
+      .collect()
+    val e1 = intercept[Exception](bucket(7, 2))   // 3.5 "planes"
+    assert(e1.getMessage.contains("multiple of dim"), e1.getMessage)
+    val e2 = intercept[Exception](bucket(0, 2))   // empty matrix
+    assert(e2.getMessage.contains("multiple of dim"), e2.getMessage)
+    assert(bucket(4, 2).head.getLong(0) >= 0L)    // exact fit still fine
+  }
+
   test("graft_topk aggregate: codegen ≡ interpreted plans, same ranking") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def run() = Similarity.cosineTopK(e, e.filter(col("vec_id") < 5),

@@ -172,9 +172,13 @@ class NightlySoakSpec extends SparkSpec {
     assert(serialCounts.values.forall(_ > 0), serialCounts.toString)
     assert(dimDates(s"$dir/dwh-conc") === dimDates(s"$dir/dwh-serial"))
 
-    // the overlap must pay: 6-way admission beats the serial sum
-    assert(concWall < serialWall,
-      f"concurrent $concWall%.1f s should beat serial $serialWall%.1f s")
+    // the overlap is expected to pay (6-way admission vs the serial
+    // sum), but wall-clock comparisons under host contention can
+    // legitimately invert — report, don't fail the CORRECTNESS suite
+    // on a timing race (r13 ADVICE)
+    if (concWall >= serialWall)
+      alert(f"concurrent $concWall%.1f s did NOT beat serial " +
+        f"$serialWall%.1f s — contended box? (correctness unaffected)")
     info(f"${names.size} pipelines: serial $serialWall%.1f s, " +
       f"concurrent(6) $concWall%.1f s " +
       f"(speedup ${serialWall / concWall}%.2f x); fact rows " +

@@ -237,10 +237,17 @@ class SimilaritySpec extends SparkSpec {
     // above each group's own min)
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings").filter(col("vec_id") < 200)
+    // plus NULL-vector rows (one above, one below existing ids): the
+    // direct form keeps them (null cosine never verifies); the
+    // collapse's kept expression must coalesce to the same answer
+    // (r13 ADVICE: !(null || false) was null, not true)
+    val nulls = Seq(0L, 900000L).toDF("vec_id")
+      .withColumn("embedding",
+        lit(null).cast(e.schema("embedding").dataType))
     val corpus = (0 until 4).map { r =>
       e.select((col("vec_id") * 7 + r * 3 + 1).as("vec_id"),
         col("embedding"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _).unionAll(nulls)
     def facts(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
@@ -257,6 +264,32 @@ class SimilaritySpec extends SparkSpec {
     collapse.foreach { case (id, got) =>
       assert(got === direct(id), s"id $id: $got != ${direct(id)}")
     }
+  }
+
+  test("autoPlanes derives the BASELINE scale rule; auto ≡ explicit " +
+      "at the derived geometry") {
+    // the executable form of nPlanes ≈ log₂(n / targetBucket): 6 fixed
+    // planes were right at 2 k vectors and catastrophic at 320 k — the
+    // default must move with the corpus
+    assert(Similarity.autoPlanes(2000, 128) === 4)      // clamp floor
+    assert(Similarity.autoPlanes(20000, 128) === 8)
+    assert(Similarity.autoPlanes(320000, 128) === 12)   // the r13 fix
+    assert(Similarity.autoPlanes(320000 * 160L, 128) === 19)
+    assert(Similarity.autoPlanes(1L << 40, 128) === 24) // clamp ceiling
+    assert(Similarity.autoPlanes(0, 128) === 4)
+    // an auto call must be bit-identical to pinning the geometry it
+    // derives (sf0.001 embeddings: 200 reps → 4 planes)
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+    val auto = Similarity.cosineNearDupCoverageLsh(
+      e, "vec_id", "embedding", dim = 64, threshold = 0.4, nTables = 4)
+      .collect().map(_.toString).sorted
+    val pinned = Similarity.cosineNearDupCoverageLsh(
+      e, "vec_id", "embedding", dim = 64, threshold = 0.4, nTables = 4,
+      nPlanes = 4)
+      .collect().map(_.toString).sorted
+    assert(auto === pinned)
+    spark.catalog.clearCache()
   }
 
   test("semanticDedup: sound drops, high recall vs the exact pair list") {

@@ -682,4 +682,16 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.toSeq === Seq((9L, 1, 1L))) // q 8 matches nothing at all
   }
+
+  test("bm25TopK rejects non-integral doc ids (the LONG aggregate slot " +
+    "would silently corrupt '007'-style ids)") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.bm25TopK(
+        Seq("007" -> "x y").toDF("doc_id", "text"), "doc_id", "text",
+        Seq(9L -> "y").toDF("q_id", "text"), "q_id", "text", k = 1)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
 }
