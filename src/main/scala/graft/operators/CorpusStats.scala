@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /**
  * Corpus-level statistics for training-data pipelines — the operators
@@ -806,12 +806,20 @@ object CorpusStats {
     // Dedup.repeatedSpans / Similarity.lshBucket callers)
     graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     // the top-k aggregate carries doc_id through a LONG slot; a
-    // non-integral id (string '007', decimal) would be silently
-    // corrupted or nulled by the round-trip cast, so reject it up
-    // front — the keep-first/tie-break contract (smaller doc_id wins)
-    // is only order-preserving under an exact integral cast
-    docs.schema(idCol).dataType match {
+    // non-integral id (string '007', fractional decimal) would be
+    // silently corrupted or nulled by the round-trip cast, so reject it
+    // up front — the keep-first/tie-break contract (smaller doc_id
+    // wins) is only order-preserving under an exact integral cast.
+    // Resolve the field the way Spark resolves columns (case-
+    // insensitively); scale-0 decimals are exact integral values and
+    // pass, provided they fit a LONG (precision ≤ 18 guarantees it)
+    val idField = docs.schema.find(_.name.equalsIgnoreCase(idCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bm25TopK: id column $idCol not found in " +
+          s"[${docs.schema.fieldNames.mkString(", ")}]"))
+    idField.dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => ()
       case other => throw new IllegalArgumentException(
         s"bm25TopK requires an integral id column (doc ids ride the " +
           s"top-k aggregate as LONG); got $idCol: ${other.simpleString}. " +
@@ -876,7 +884,7 @@ object CorpusStats {
     // bounded top-k: map-side partials cap every task at k rows per
     // probe; ties break to the smaller doc_id, identical to the
     // row_number() (score_u DESC, doc_id ASC) formulation
-    val idType = docs.schema(idCol).dataType
+    val idType = idField.dataType
     scored.groupBy(col("q_id"))
       .agg(call_function("graft_topk", col("score_u").cast("double"),
         col("doc_id").cast("long"), lit(k)).as("__topk"))

@@ -736,9 +736,19 @@ object Dedup {
     val hot = pinned.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+    // stamp the window on span_pos so the reuse path
+    // ([[dupSpanCoverageFromSpans]]) can fail loudly on a geometry
+    // mismatch instead of computing plausible-but-wrong coverage
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SpanWindowMetaKey, window.toLong).build()
     pinned.join(hot, Seq("span_hash"))
-      .select("doc_id", "span_pos", "span_hash", "n_docs")
+      .select(col("doc_id"), col("span_pos").as("span_pos", posMeta),
+        col("span_hash"), col("n_docs"))
   }
+
+  /** Metadata key stamped on [[repeatedSpans]]' `span_pos` column
+    * recording the window the spans were built with. */
+  private[graft] val SpanWindowMetaKey = "graft.span_window"
 
   /**
    * ExactSubstr's per-document deliverable: what fraction of each
@@ -768,6 +778,24 @@ object Dedup {
   def dupSpanCoverageFromSpans(docs: DataFrame, idCol: String,
                                textCol: String, window: Int,
                                spans: DataFrame): DataFrame = {
+    // loud contract check: the spans frame must carry doc_id/span_pos,
+    // and when it is a [[repeatedSpans]] output (window stamped as
+    // column metadata) the stamp must match `window` — a mismatch would
+    // otherwise yield plausible-but-wrong coverage fractions
+    Seq("doc_id", "span_pos").foreach { c =>
+      require(spans.schema.exists(_.name.equalsIgnoreCase(c)),
+        s"dupSpanCoverageFromSpans: spans frame lacks column $c " +
+          s"(got [${spans.schema.fieldNames.mkString(", ")}]); pass a " +
+          "repeatedSpans output for the same corpus and window")
+    }
+    spans.schema.find(_.name.equalsIgnoreCase("span_pos"))
+      .filter(_.metadata.contains(SpanWindowMetaKey))
+      .map(_.metadata.getLong(SpanWindowMetaKey)).foreach { w =>
+        require(w == window.toLong,
+          s"dupSpanCoverageFromSpans: spans were built with window=$w " +
+            s"but coverage was requested with window=$window — the " +
+            "interval sweep needs the span length the hashes were cut at")
+      }
     // interval union as a per-doc sweep, NOT explode+distinct: each span
     // covers [pos, pos+window); sorted by pos, a span's new coverage is
     // its exclusive end minus the running max end so far (clamped at its

@@ -291,13 +291,23 @@ object Similarity {
    * verification, O(n) output, and the pair stream never feeds an
    * exchange — flat 0.26–0.37 s across sf0.1→sf16 where this pair
    * enumerator takes 66–78 s at sf4 and cannot complete at sf16.
+   *
+   * AUTO-GEOMETRY COST — with the default `nPlanes = AutoPlanes` and no
+   * `corpusCount`, plan CONSTRUCTION runs one narrow `count()` job over
+   * the corpus to derive the geometry. For a one-shot query that is a
+   * single cheap scan; a service calling this repeatedly should pass
+   * `corpusCount = Some(n)` (e.g. from [[graft.operators.AnnIndex]]
+   * stats or its own catalog) or pin an explicit `nPlanes` — either
+   * keeps construction action-free.
    */
   def cosineNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double, nTables: Int = 8,
-                       nPlanes: Int = AutoPlanes, seed: Long = 42L): DataFrame = {
+                       nPlanes: Int = AutoPlanes, seed: Long = 42L,
+                       corpusCount: Option[Long] = None): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val base = normed(df, idCol, vecCol)
-    val np = resolvePlanes(nPlanes, () => base.count(), NearDupTargetBucket)
+    val np = resolvePlanes(nPlanes,
+      () => corpusCount.getOrElse(base.count()), NearDupTargetBucket)
     val buckets = (0 until nTables).map(t =>
       lshBucket(col("v"), hyperplanes(np, dim, seed + t)))
     // vectors + norms ride THROUGH the bucket self-join, so candidate
@@ -868,19 +878,28 @@ object Similarity {
    * [[cosineTopK]] in the test suite.
    *
    * `dim` is the embedding dimensionality — a schema-level fact the
-   * caller declares, so plan construction stays action-free (no
-   * `first()` probe of the corpus at build time).
+   * caller declares (no `first()` probe of the corpus at build time).
+   *
+   * AUTO-GEOMETRY COST — with the default `nPlanes = AutoPlanes` and no
+   * `corpusCount`, plan CONSTRUCTION runs one narrow `count()` job over
+   * the corpus to derive the geometry, and the query itself scans the
+   * corpus again (the count does not pin it). A search service calling
+   * this per request must pass `corpusCount = Some(n)` (read once from
+   * [[graft.operators.AnnIndex]] state stats or the caller's catalog)
+   * or pin an explicit `nPlanes` — either keeps plan construction
+   * action-free.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, nPlanes: Int = AutoPlanes,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, corpusCount: Option[Long] = None): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val c0 = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     // single-table search: target a LARGER bucket than the near-dup
     // ops (verification is per-query-bucket, and recall has no nTables
     // to re-buy it) — explicit nPlanes pins the recall/cost point
-    val np = resolvePlanes(nPlanes, () => c0.count(), TopKTargetBucket)
+    val np = resolvePlanes(nPlanes,
+      () => corpusCount.getOrElse(c0.count()), TopKTargetBucket)
     val planes = hyperplanes(np, dim, seed)
     val c = c0
       .withColumn("bucket", lshBucket(col("cv"), planes))

@@ -389,6 +389,21 @@ class DedupSpec extends SparkSpec {
     val direct = Dedup.dupSpanCoverage(docs, "doc_id", "text", window = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaSpans === direct)
+    // the spans frame is stamped with the window it was cut at; a
+    // mismatched reuse fails loudly instead of computing plausible-but-
+    // wrong coverage (r14 ADVICE: the contract was documented, not
+    // enforced)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupSpanCoverageFromSpans(docs, "doc_id", "text",
+        window = 8, spans)
+    }
+    assert(e.getMessage.contains("window=4"), e.getMessage)
+    // a frame missing the span columns is rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dupSpanCoverageFromSpans(docs, "doc_id", "text",
+        window = 4, docs)
+    }
+    assert(e2.getMessage.contains("span_pos"), e2.getMessage)
     spark.catalog.clearCache()
   }
 

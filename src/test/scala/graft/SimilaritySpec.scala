@@ -292,6 +292,50 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("corpusCount supplied: auto-geometry construction is action-free " +
+      "(no corpus scan per call) and matches the derived explicit geometry") {
+    // a corpus whose ANY evaluation throws: plan construction that
+    // triggers a Spark job (the implicit count() of the bare auto path)
+    // fails loudly; construction that stays declarative succeeds. An
+    // RDD-backed frame can't be constant-folded or pruned away.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val poison = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 2)
+        .mapPartitions[org.apache.spark.sql.Row](_ =>
+          throw new RuntimeException("plan construction scanned the corpus")),
+      schema)
+    import spark.implicits._
+    val probes = Seq((900L, Seq.fill(64)(0.5))).toDF("vec_id", "embedding")
+    // counted path: construction must NOT run a job
+    Similarity.lshTopK(poison, probes, "vec_id", "embedding", dim = 64,
+      k = 3, corpusCount = Some(320000L))
+    Similarity.cosineNearDupLsh(poison, "vec_id", "embedding", dim = 64,
+      threshold = 0.4, nTables = 4, corpusCount = Some(320000L))
+    // bare auto path: the geometry count scans the corpus at build time
+    val e1 = intercept[Exception] {
+      Similarity.lshTopK(poison, probes, "vec_id", "embedding",
+        dim = 64, k = 3)
+    }
+    assert(e1.getMessage != null)
+    // the supplied count derives the same geometry as pinning it
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").filter(col("vec_id") < 200)
+    val qset = e.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val viaCount = Similarity.lshTopK(e, qset, "vec_id", "embedding",
+        dim = 64, k = 3, corpusCount = Some(200L))
+      .collect().map(_.toString).sorted
+    val viaPin = Similarity.lshTopK(e, qset, "vec_id", "embedding",
+        dim = 64, k = 3,
+        nPlanes = Similarity.autoPlanes(200L, Similarity.TopKTargetBucket))
+      .collect().map(_.toString).sorted
+    assert(viaCount === viaPin)
+  }
+
   test("semanticDedup: sound drops, high recall vs the exact pair list") {
     val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val all = e.select("vec_id").collect().map(_.getLong(0)).toSet

@@ -694,4 +694,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
+
+  test("bm25TopK resolves the id column case-insensitively (Spark's " +
+    "resolution rule) and accepts exact scale-0 decimals") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    // 'DOC_ID' names the 'doc_id' field — Spark resolves columns
+    // case-insensitively, so the up-front check must too (the r14
+    // case-sensitive schema() lookup threw a raw field-missing error)
+    val byCase = CorpusStats.bm25TopK(
+        Seq(1L -> "x y", 2L -> "y z").toDF("doc_id", "text"),
+        "DOC_ID", "text",
+        Seq(9L -> "z").toDF("q_id", "text"), "q_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(byCase.toSeq === Seq((9L, 2L)))
+    // DECIMAL(18,0) ids are exact integral values: accepted, and the
+    // result carries the id back at the declared type
+    val dec = Seq(1L -> "x y", 2L -> "y z").toDF("doc_id", "text")
+      .select(col("doc_id").cast("decimal(18,0)").as("doc_id"), col("text"))
+    val viaDec = CorpusStats.bm25TopK(dec, "doc_id", "text",
+        Seq(9L -> "z").toDF("q_id", "text"), "q_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getDecimal(2).longValueExact()))
+    assert(viaDec.toSeq === Seq((9L, 2L)))
+    // fractional decimals still rejected with the tailored message
+    val frac = Seq(1L -> "x").toDF("doc_id", "text")
+      .select(col("doc_id").cast("decimal(10,2)").as("doc_id"), col("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.bm25TopK(frac, "doc_id", "text",
+        Seq(9L -> "x").toDF("q_id", "text"), "q_id", "text", k = 1)
+    }
+    assert(e2.getMessage.contains("integral id column"), e2.getMessage)
+    // a genuinely missing column gets the tailored not-found message
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusStats.bm25TopK(
+        Seq(1L -> "x").toDF("doc_id", "text"), "nope", "text",
+        Seq(9L -> "x").toDF("q_id", "text"), "q_id", "text", k = 1)
+    }
+    assert(e3.getMessage.contains("not found"), e3.getMessage)
+  }
 }

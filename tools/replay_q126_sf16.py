@@ -63,7 +63,8 @@ WITH proj AS (
                % 2147483647) * 1597334677 % 1048576 AS DOUBLE)
          / 524288.0 - 1.0)
       for d in generate_series(1, 64)], (a, x) -> a + x) AS p
-  FROM (SELECT id, v FROM e WHERE id % {chunks} = {c}) e
+  FROM (SELECT id, v FROM e
+        WHERE ((id % {chunks}) + {chunks}) % {chunks} = {c}) e
   CROSS JOIN generate_series(0, 7) g(t)
   CROSS JOIN generate_series(0, {nplanes - 1}) gi(i))
 SELECT id, t,
