@@ -35,13 +35,22 @@ object TotalHutangFact extends Pipeline {
   def transform(t: Map[String, DataFrame]): DataFrame =
     withCounter(t, relational.contiguousRowNumber(_, _, _))
 
-  /** Spill-aware option: identical output (bit-parity spec'd) via the
+  /** Spill-aware option: identical output (bit-parity spec'd at small
+    * SF; symmetric-diff 0 re-proven at sf16, 75.0 M rows) via the
     * narrow-shuffle counter — the 15-column string payload skips the
     * range exchange + sort entirely and joins the counter back by a
-    * synthetic id ([[relational.contiguousRowNumberViaJoin]]). The wide
-    * form stays the default: the join-back loses at small SF, and the
-    * narrow form only wins once the payload sort spills (measured
-    * deltas in BASELINE.md). */
+    * synthetic id ([[relational.contiguousRowNumberViaJoin]]).
+    *
+    * CROSSOVER RULE (measured, BASELINE.md r15): the wide form wins
+    * while the payload sort fits memory — sf0.1 warm: wide 4.98 s vs
+    * narrow 6.3 s (the join-back costs more than the in-memory sort
+    * saves); sf4: wash (27.9 vs 27.1 s); sf16 (160× gate, spill-bound):
+    * wide 127.2 s vs narrow 79.8 s — 1.6× for narrow, growing with
+    * payload bytes per sorted row. `transform` (wide) stays the default
+    * for gate-scale and nightly-delta runs; a backfill over a fact
+    * whose payload sort spills — any 100 TB deployment — should call
+    * this form. The rule generalizes: pay the counter's sort on key
+    * bytes only once sort bytes exceed executor memory. */
   def transformNarrowCounter(t: Map[String, DataFrame]): DataFrame =
     withCounter(t, relational.contiguousRowNumberViaJoin(_, _, _))
 

@@ -16,22 +16,32 @@ import graft.queries.PipelineQueries
  * sorts only the three key columns. Outputs are cross-checked for
  * equality (bit-parity is additionally spec'd at small SF).
  *
- * Usage: Q63Scale <sfDir> [rounds]
+ * Usage: Q63Scale <sfDir> [rounds] [mode: all|diff|time]
+ *
+ * `mode` exists for disk-bound fixtures (sf16): the equality pass and
+ * the timing rounds each spill tens of GB; running them in separate
+ * JVMs returns the shuffle temp space between legs.
  */
 object Q63Scale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 3
+    val mode = if (args.length > 2) args(2) else "all"
     val spark = Sessions.local(32, "q63-scale")
     val srcs = PipelineQueries.totalHutangSources(spark, dir)
-    // one equality pass (counts of the symmetric difference on the full
-    // row): the two forms must be the same fact
-    val wide = TotalHutangFact.transform(srcs)
-    val narrow = TotalHutangFact.transformNarrowCounter(srcs)
-      .select(wide.columns.map(col): _*)
-    val diff = wide.exceptAll(narrow).count() + narrow.exceptAll(wide).count()
-    println(s"[q63scale] $dir symmetric-diff rows=$diff " +
-      (if (diff == 0) "(bit-identical)" else "(MISMATCH!)"))
+    if (mode == "all" || mode == "diff") {
+      // one equality pass (counts of the symmetric difference on the
+      // full row): the two forms must be the same fact
+      val wide = TotalHutangFact.transform(srcs)
+      val narrow = TotalHutangFact.transformNarrowCounter(srcs)
+        .select(wide.columns.map(col): _*)
+      val diff = wide.exceptAll(narrow).count() + narrow.exceptAll(wide).count()
+      println(s"[q63scale] $dir symmetric-diff rows=$diff " +
+        (if (diff == 0) "(bit-identical)" else "(MISMATCH!)"))
+      spark.catalog.clearCache()
+      graft.ops.materialize.releaseAll()
+    }
+    if (mode == "diff") { spark.stop(); return }
     for (r <- 1 to rounds) {
       // toRdd, not count(): count prunes the payload columns out of
       // the sort — the exact cost difference under measurement
