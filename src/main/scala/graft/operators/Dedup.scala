@@ -504,15 +504,28 @@ object Dedup {
     simHash64OfHashes(transform(TextAnalysis.tokens(textCol),
       t => xxhash64(t)))
 
-  /** SimHash over a pre-hashed token array — materialize the hash array in
-    * its own projection first; the 64 per-bit votes each reference it.
-    * Null input propagates null (without the guard, the per-bit
-    * `otherwise(0)` would hand null documents the all-zero signature —
-    * a legitimate-looking value that near-matches genuinely negative-
-    * voting docs). */
+  /** SimHash over a pre-hashed token array. Null input propagates null
+    * (a null document must not receive the all-zero signature — a
+    * legitimate-looking value that near-matches genuinely negative-
+    * voting docs).
+    *
+    * All 64 majority votes run in ONE compiled pass over the array
+    * ([[graft.plans.SimHash64]]) — the declarative formulation was 64
+    * independent `aggregate()` HOFs, i.e. 64 interpreted array passes
+    * per document with a boxed lambda call per element (the r13
+    * LshBucket lesson again; measured deltas in BASELINE.md). Requires
+    * a graft session (Sessions.local / GraftExtensions); bit-parity
+    * with the HOF reference is spec'd in InterpretedParitySpec. */
   def simHash64OfHashes(hashes: Column): Column = {
-    // one majority vote per bit; masks are compile-time constants so the
-    // whole signature stays a single codegen'd expression tree
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_simhash64", hashes)
+  }
+
+  /** The declarative 64-HOF formulation of [[simHash64OfHashes]] — the
+    * parity baseline the kernel is spec'd against; never on a hot
+    * path. */
+  private[graft] def simHash64OfHashesReference(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val mask = lit(1L << i)
       val vote = aggregate(hashes, lit(0L),

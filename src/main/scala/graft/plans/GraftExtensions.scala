@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LshBucket.info,
       (children: Seq[Expression]) =>
         LshBucket(children.head, children(1), children(2))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }
 
@@ -101,5 +104,8 @@ object GraftExtensions {
       FunctionIdentifier("graft_lsh_bucket"), LshBucket.info,
       (children: Seq[Expression]) =>
         LshBucket(children.head, children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash64"), SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head))
   }
 }

@@ -109,6 +109,29 @@ class InterpretedParitySpec extends SparkSpec {
     assert(run() === interpreted(run()))
   }
 
+  test("graft_simhash64 kernel ≡ the 64-HOF reference, incl. null/empty " +
+      "arrays and null elements") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(37)
+    val rows: Seq[Seq[java.lang.Long]] =
+      Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
+        java.lang.Long.valueOf(rnd.nextLong()))) ++
+      Seq(null,                                       // null array → null
+        Seq.empty[java.lang.Long],                    // empty → 0L
+        Seq[java.lang.Long](null, 7L, null),          // null elems vote -1
+        Seq[java.lang.Long](-1L),                     // all bits set
+        Seq[java.lang.Long](0L, 0L))                  // all-zero hashes
+    val df = rows.toDF("h")
+    def run(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.select(c(col("h"))).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val kern = run(Dedup.simHash64OfHashes)
+    assert(kern === run(Dedup.simHash64OfHashesReference))
+    assert(kern === interpreted(run(Dedup.simHash64OfHashes)))
+  }
+
   test("graft_window_hashes: codegen ≡ interpreted on the corpus") {
     import graft.operators.TextAnalysis
     graft.plans.GraftExtensions.ensureRegistered(spark)
