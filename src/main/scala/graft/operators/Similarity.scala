@@ -505,6 +505,20 @@ object Similarity {
    * error is bounded by `scale/254` per component ([[dequantizeInt8]]).
    */
   def quantizeInt8(vec: Column): Column = {
+    // ONE compiled two-pass kernel ([[graft.plans.QuantizeInt8]]) — the
+    // declarative chain below ran three interpreted HOF passes per
+    // vector and re-evaluated the scale subtree per element (q70 at
+    // sf0.1: numbers in BASELINE.md). Bit-parity incl. null/empty/
+    // all-zero vectors and null elements is spec'd in
+    // InterpretedParitySpec; requires a graft session.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_quantize_int8", vec.cast("array<double>"))
+  }
+
+  /** The declarative HOF formulation of [[quantizeInt8]] — the parity
+    * baseline the kernel is spec'd against; never on a hot path. */
+  private[graft] def quantizeInt8Reference(vec: Column): Column = {
     val v = vec.cast("array<double>")
     val maxAbs = array_max(transform(v, x => abs(x)))
     val scale = when(maxAbs.isNull || maxAbs === 0.0, lit(1.0))

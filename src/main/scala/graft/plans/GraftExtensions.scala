@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       SimHash64.info,
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_quantize_int8"),
+      QuantizeInt8.info,
+      (children: Seq[Expression]) => QuantizeInt8(children.head)))
   }
 }
 
@@ -107,5 +110,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_simhash64"), SimHash64.info,
       (children: Seq[Expression]) => SimHash64(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_quantize_int8"), QuantizeInt8.info,
+      (children: Seq[Expression]) => QuantizeInt8(children.head))
   }
 }

@@ -132,6 +132,31 @@ class InterpretedParitySpec extends SparkSpec {
     assert(kern === interpreted(run(Dedup.simHash64OfHashes)))
   }
 
+  test("graft_quantize_int8 kernel ≡ the HOF reference, incl. null/empty/" +
+      "all-zero vectors and null elements") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows: Seq[Seq[java.lang.Double]] =
+      Seq.fill(200)(Seq.fill(rnd.nextInt(10))(
+        java.lang.Double.valueOf(rnd.nextDouble() * 4 - 2))) ++
+      Seq(null,                                         // null vector
+        Seq.empty[java.lang.Double],                    // empty → scale 1
+        Seq[java.lang.Double](0.0, -0.0),               // all-zero → scale 1
+        Seq[java.lang.Double](null, 0.5, null),         // null elements
+        Seq[java.lang.Double](1e-300, -1e-300),         // denormal-adjacent
+        Seq[java.lang.Double](-1.0, 1.0, 0.25))
+    val df = rows.toDF("v")
+    def run(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.select(c(col("v")).as("q"))
+        .select(col("q.scale"), col("q.codes"))
+        .collect()
+        .map(r => (r.getDouble(0),
+          if (r.isNullAt(1)) null else r.getSeq[Any](1))).toSeq
+    val kern = run(Similarity.quantizeInt8)
+    assert(kern === run(Similarity.quantizeInt8Reference))
+    assert(kern === interpreted(run(Similarity.quantizeInt8)))
+  }
+
   test("graft_window_hashes: codegen ≡ interpreted on the corpus") {
     import graft.operators.TextAnalysis
     graft.plans.GraftExtensions.ensureRegistered(spark)
