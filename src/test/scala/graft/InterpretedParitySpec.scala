@@ -157,6 +157,39 @@ class InterpretedParitySpec extends SparkSpec {
     assert(kern === interpreted(run(Similarity.quantizeInt8)))
   }
 
+  test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
+      "failure would otherwise silently fall back to interpreted eval") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val df = Seq((
+      Seq(0.5, -1.0, 0.25), Seq(0.25, 0.5, 1.0),
+      Seq(1L, 5L, 9L), "a b c d e f"))
+      .toDF("va", "vb", "sa", "txt")
+    val books = Seq(Seq(Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)))
+    val out = withConf(
+        "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      df.select(
+          call_function("graft_dot", col("va"), col("vb")),
+          call_function("graft_intersect_count", col("sa"), col("sa")),
+          call_function("graft_nfc", col("txt")),
+          call_function("graft_shingle_hashes",
+            split(col("txt"), " "), lit(3)),
+          call_function("graft_window_hashes",
+            split(col("txt"), " "), lit(3)),
+          call_function("graft_minhash", col("sa"),
+            typedLit(Seq(Seq(3L, 11L), Seq(5L, 7L)))),
+          call_function("graft_simhash64", col("sa")),
+          call_function("graft_quantize_int8", col("va")),
+          call_function("graft_lsh_bucket", col("va"),
+            typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
+          call_function("graft_pq_encode", col("va"), typedLit(books)),
+          call_function("graft_adc_dist", typedLit(Seq(Seq(0.5, 1.5))),
+            call_function("graft_pq_encode", col("va"), typedLit(books))))
+        .collect()
+    }
+    assert(out.length === 1 && !out.head.anyNull)
+  }
+
   test("graft_window_hashes: codegen ≡ interpreted on the corpus") {
     import graft.operators.TextAnalysis
     graft.plans.GraftExtensions.ensureRegistered(spark)
