@@ -12,8 +12,20 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokens (single-space split, empties removed). */
-  def tokens(text: Column): Column =
+  /** Whitespace tokens (single-space split, empties removed). One
+    * compiled byte-scan ([[graft.plans.Tokens]]) — the declarative
+    * split+filter materialized every empty segment and paid an
+    * interpreted HOF pass per document on the entry stage of every
+    * text operator. Bit-parity with [[tokensReference]] is spec'd. */
+  def tokens(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_tokens", text)
+  }
+
+  /** The declarative split+filter formulation of [[tokens]] — the
+    * parity baseline the kernel is spec'd against. */
+  private[graft] def tokensReference(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))

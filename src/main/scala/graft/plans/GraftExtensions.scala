@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_quantize_int8"),
       QuantizeInt8.info,
       (children: Seq[Expression]) => QuantizeInt8(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_tokens"),
+      Tokens.info,
+      (children: Seq[Expression]) => Tokens(children.head)))
   }
 }
 
@@ -113,5 +116,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_quantize_int8"), QuantizeInt8.info,
       (children: Seq[Expression]) => QuantizeInt8(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_tokens"), Tokens.info,
+      (children: Seq[Expression]) => Tokens(children.head))
   }
 }

@@ -157,6 +157,26 @@ class InterpretedParitySpec extends SparkSpec {
     assert(kern === interpreted(run(Similarity.quantizeInt8)))
   }
 
+  test("graft_tokens kernel ≡ the split+filter reference on the corpus " +
+      "and on whitespace edge cases") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val edges = Seq(null, "", " ", "   ", "a", " a", "a ", "  a  b  ",
+      "a\tb", "a\nb", "a b", "héllo wörld ", "多 字 节",
+      "x  y zzz").toDF("text")
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    for (df <- Seq(edges, corpus)) {
+      def run(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        df.select(c(col("text"))).collect()
+          .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0)).toSeq
+      val kern = run(TextAnalysis.tokens)
+      assert(kern === run(TextAnalysis.tokensReference))
+      assert(kern === interpreted(run(TextAnalysis.tokens)))
+    }
+  }
+
   test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
       "failure would otherwise silently fall back to interpreted eval") {
     import spark.implicits._
@@ -180,6 +200,7 @@ class InterpretedParitySpec extends SparkSpec {
             typedLit(Seq(Seq(3L, 11L), Seq(5L, 7L)))),
           call_function("graft_simhash64", col("sa")),
           call_function("graft_quantize_int8", col("va")),
+          call_function("graft_tokens", col("txt")),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
