@@ -368,7 +368,19 @@ object Dedup {
     * `graft_minhash` kernel path (which embeds the identical md5
     * arithmetic). Any other function still works via the aggregate
     * formulation. */
-  val md5Hash60: Column => Column = c =>
+  val md5Hash60: Column => Column = c => {
+    // ONE digest-to-long kernel ([[graft.plans.Md5Hash60]]) — the
+    // declarative chain allocated a 32-char hex string, substring'd it
+    // and re-parsed 15 hex chars per hashed value; parity spec'd
+    // against [[md5Hash60Reference]] in InterpretedParitySpec
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_md5h60", c.cast("binary"))
+  }
+
+  /** The declarative hex-string formulation of [[md5Hash60]] — the
+    * parity baseline the kernel is spec'd against. */
+  private[graft] val md5Hash60Reference: Column => Column = c =>
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** Per-shingle base hashes in [0, 2^31): keeps the a·x+b products of

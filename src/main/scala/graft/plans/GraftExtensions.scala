@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_tokens"),
       Tokens.info,
       (children: Seq[Expression]) => Tokens(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_md5h60"),
+      Md5Hash60.info,
+      (children: Seq[Expression]) => Md5Hash60(children.head)))
   }
 }
 
@@ -119,5 +122,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_tokens"), Tokens.info,
       (children: Seq[Expression]) => Tokens(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_md5h60"), Md5Hash60.info,
+      (children: Seq[Expression]) => Md5Hash60(children.head))
   }
 }

@@ -177,6 +177,25 @@ class InterpretedParitySpec extends SparkSpec {
     }
   }
 
+  test("graft_md5h60 kernel ≡ the conv(substring(md5)) reference on " +
+      "random/unicode/empty strings and null") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(101)
+    val rows: Seq[String] =
+      Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq(null, "", " ", "héllo wörld", "多字节", "a b c d e f g h")
+    val df = rows.toDF("s")
+    def run(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      df.select(c(col("s"))).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val kern = run(Dedup.md5Hash60)
+    assert(kern === run(Dedup.md5Hash60Reference))
+    assert(kern === interpreted(run(Dedup.md5Hash60)))
+    assert(kern.flatten.forall(_ >= 0L)) // 60 bits, never negative
+  }
+
   test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
       "failure would otherwise silently fall back to interpreted eval") {
     import spark.implicits._
@@ -201,6 +220,7 @@ class InterpretedParitySpec extends SparkSpec {
           call_function("graft_simhash64", col("sa")),
           call_function("graft_quantize_int8", col("va")),
           call_function("graft_tokens", col("txt")),
+          call_function("graft_md5h60", col("txt").cast("binary")),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
