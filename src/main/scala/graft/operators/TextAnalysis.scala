@@ -68,9 +68,20 @@ object TextAnalysis {
 
   /** Contiguous word n-grams, order-preserving and NON-distinct — the
     * frequency-carrying variant of [[Dedup.shinglesOfTokens]] (which
-    * distincts these for set-similarity). Same linear zip_with
-    * construction; the null-padded tail grams drop in the filter. */
+    * distincts these for set-similarity). One compiled window walk
+    * ([[graft.plans.WindowGrams]]) — the declarative form chained n−1
+    * interpreted zip_with passes, each allocating a full intermediate
+    * array. Bit-parity with [[ngramsReference]] is spec'd. */
   def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_window_grams", toks, lit(n))
+  }
+
+  /** The declarative zip_with-chain formulation of [[ngrams]] — the
+    * parity baseline the kernel is spec'd against. */
+  private[graft] def ngramsReference(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
     var acc = toks
     for (o <- 1 until n)

@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_md5h60"),
       Md5Hash60.info,
       (children: Seq[Expression]) => Md5Hash60(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_window_grams"),
+      WindowGrams.info,
+      (children: Seq[Expression]) =>
+        WindowGrams(children.head, children(1))))
   }
 }
 
@@ -125,5 +129,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_md5h60"), Md5Hash60.info,
       (children: Seq[Expression]) => Md5Hash60(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_window_grams"), WindowGrams.info,
+      (children: Seq[Expression]) =>
+        WindowGrams(children.head, children(1)))
   }
 }

@@ -196,6 +196,27 @@ class InterpretedParitySpec extends SparkSpec {
     assert(kern.flatten.forall(_ >= 0L)) // 60 bits, never negative
   }
 
+  test("graft_window_grams kernel ≡ the zip_with-chain reference on the " +
+      "corpus and on null/short/n=1 edges") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val edges: Seq[Seq[String]] = Seq(
+      null, Seq.empty[String], Seq("a"), Seq("a", "b"),
+      Seq("a", "b", "c", "d"), Seq("a", null, "c", "d", "e"),
+      Seq(null, null), Seq("多", "字", "节", "x"))
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    for ((df, cn) <- Seq((edges.toDF("t"), "t"), (corpus, "t")); n <- Seq(1, 3, 8)) {
+      def run(c: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
+        df.select(c(col(cn), n)).collect()
+          .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0)).toSeq
+      val kern = run(TextAnalysis.ngrams)
+      assert(kern === run(TextAnalysis.ngramsReference), s"n=$n")
+      assert(kern === interpreted(run(TextAnalysis.ngrams)), s"n=$n interp")
+    }
+  }
+
   test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
       "failure would otherwise silently fall back to interpreted eval") {
     import spark.implicits._
@@ -221,6 +242,7 @@ class InterpretedParitySpec extends SparkSpec {
           call_function("graft_quantize_int8", col("va")),
           call_function("graft_tokens", col("txt")),
           call_function("graft_md5h60", col("txt").cast("binary")),
+          call_function("graft_window_grams", split(col("txt"), " "), lit(3)),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
