@@ -363,11 +363,15 @@ object CorpusStats {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     def t = TextAnalysis.tokens(col(textCol))
+    // consecutive pairs via the compiled window-gram kernel (tokens are
+    // space-split, so the 2-gram splits back unambiguously at its one
+    // space) — the zip_with+struct+filter chain paid two interpreted
+    // HOF passes with a struct allocation per bigram
     val pairs = docs.select(col(idCol).as("doc_id"),
-        explode(filter(zip_with(t, slice(t, lit(2), size(t)),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-          p => p.getField("w2").isNotNull)).as("bg"))
-      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        explode(TextAnalysis.ngrams(t, 2)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = bc.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("t1"))

@@ -42,6 +42,18 @@ object Dedup {
   def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(TextAnalysis.ngrams(toks, n))
 
+  /** MinHash signature agreement count — positions where two k-long
+    * signatures match, the banded-LSH verification estimator. One
+    * compiled pass ([[graft.plans.EqCount]]); bit-identical to
+    * `size(filter(zip_with(a, b, _ === _), identity))` (parity spec'd),
+    * which paid two interpreted HOF passes and two array allocations
+    * per verified candidate pair. */
+  private def sigAgreement(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_eq_count", a, b)
+  }
+
   /** Sorted distinct xxhash64 shingle set via the fused
     * [[graft.plans.SortedShingleHashes]] kernel — bit-identical to
     * `array_sort(transform(shinglesOfTokens(toks, n), xxhash64))` (the
@@ -503,8 +515,8 @@ object Dedup {
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
-          a === b), x => x)).cast("double") / k).as("est_jaccard"))
+        (sigAgreement(col("sig_a"), col("sig_b")).cast("double") / k)
+          .as("est_jaccard"))
   }
 
   /**
@@ -611,8 +623,8 @@ object Dedup {
         "id_a")
       .join(batchSigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
         "id_b")
-      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => a === b), x => x)).cast("double") / k) >= threshold)
+      .filter((sigAgreement(col("sig_a"), col("sig_b")).cast("double") / k)
+        >= threshold)
       .select(col("id_b").as("__drop_id")).distinct()
     val survivors = batch
       .join(drop, col(idCol) === col("__drop_id"), "left_anti")
@@ -696,8 +708,8 @@ object Dedup {
         coalesce(col("sig_state"), col("sig_batch")).as("sig_a"))
       .join(broadcast(batchSigs.select(col("doc_id").as("id_b"),
         col("sig").as("sig_b"))), Seq("id_b"))
-      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => a === b), x => x)).cast("double") / k) >= threshold)
+      .filter((sigAgreement(col("sig_a"), col("sig_b")).cast("double") / k)
+        >= threshold)
       .select(col("id_b").as("__drop_id")).distinct()
     val survivors = batch
       .join(drop, col(idCol) === col("__drop_id"), "left_anti")

@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WindowGrams.info,
       (children: Seq[Expression]) =>
         WindowGrams(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_eq_count"),
+      EqCount.info,
+      (children: Seq[Expression]) => EqCount(children.head, children(1))))
   }
 }
 
@@ -133,5 +136,8 @@ object GraftExtensions {
       FunctionIdentifier("graft_window_grams"), WindowGrams.info,
       (children: Seq[Expression]) =>
         WindowGrams(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_eq_count"), EqCount.info,
+      (children: Seq[Expression]) => EqCount(children.head, children(1)))
   }
 }

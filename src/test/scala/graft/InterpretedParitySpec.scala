@@ -217,6 +217,29 @@ class InterpretedParitySpec extends SparkSpec {
     }
   }
 
+  test("graft_eq_count kernel ≡ size(filter(zip_with)) reference, incl. " +
+      "ragged lengths and null elements") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(73)
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] =
+      Seq.fill(300)((
+        Seq.fill(rnd.nextInt(8))(java.lang.Long.valueOf(rnd.nextInt(4).toLong)),
+        Seq.fill(rnd.nextInt(8))(java.lang.Long.valueOf(rnd.nextInt(4).toLong)))) ++
+      Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+        (Seq.empty[java.lang.Long], Seq[java.lang.Long](1L)),
+        (Seq[java.lang.Long](5L), Seq[java.lang.Long](5L, 5L, 5L)))
+    val df = rows.toDF("a", "b")
+    def run(kern: Boolean) =
+      df.select((if (kern) call_function("graft_eq_count", col("a"), col("b"))
+        else size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+          x => x))).as("c"))
+        .collect().map(_.getInt(0)).toSeq
+    val k = run(kern = true)
+    assert(k === run(kern = false))
+    assert(k === interpreted(run(kern = true)))
+  }
+
   test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
       "failure would otherwise silently fall back to interpreted eval") {
     import spark.implicits._
@@ -243,6 +266,7 @@ class InterpretedParitySpec extends SparkSpec {
           call_function("graft_tokens", col("txt")),
           call_function("graft_md5h60", col("txt").cast("binary")),
           call_function("graft_window_grams", split(col("txt"), " "), lit(3)),
+          call_function("graft_eq_count", col("sa"), col("sa")),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
