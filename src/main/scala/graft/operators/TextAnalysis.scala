@@ -54,7 +54,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "et", "du", "une"))
 
   def langHits(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isin(langMarkers(lang).map(x => x: Any): _*)))
+    markerHits(tokens(text), langMarkers(lang))
+
+  /** Count of tokens belonging to a literal marker set — one compiled
+    * pass with a hoisted hash set ([[graft.plans.CountIn]]); the
+    * declarative `size(filter(toks, isin(...)))` paid an interpreted
+    * HOF pass with an O(|set|) isin chain per token, four times per
+    * document in [[langId]]. Parity spec'd against
+    * [[markerHitsReference]]. */
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+    call_function("graft_count_in", toks, typedLit(markers))
+  }
+
+  /** The declarative formulation of [[markerHits]] — the parity
+    * baseline the kernel is spec'd against. */
+  private[graft] def markerHitsReference(toks: Column,
+                                         markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(x => x: Any): _*)))
 
   def langId(text: Column): Column = {
     val en = langHits(text, "en"); val es = langHits(text, "es")

@@ -73,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_eq_count"),
       EqCount.info,
       (children: Seq[Expression]) => EqCount(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_count_in"),
+      CountIn.info,
+      (children: Seq[Expression]) => CountIn(children.head, children(1))))
   }
 }
 
@@ -139,5 +142,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_eq_count"), EqCount.info,
       (children: Seq[Expression]) => EqCount(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_count_in"), CountIn.info,
+      (children: Seq[Expression]) => CountIn(children.head, children(1)))
   }
 }

@@ -240,6 +240,27 @@ class InterpretedParitySpec extends SparkSpec {
     assert(k === interpreted(run(kern = true)))
   }
 
+  test("graft_count_in kernel ≡ size(filter(isin)) reference on the " +
+      "corpus and on null/empty edges") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val markers = TextAnalysis.langMarkers("en")
+    val edges: Seq[Seq[String]] = Seq(
+      null, Seq.empty[String], Seq("the", "the", "and"), Seq("x"),
+      Seq(null, "the", null), Seq("THE"))
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+    for (df <- Seq(edges.toDF("t"), corpus)) {
+      def run(c: (org.apache.spark.sql.Column, Seq[String]) => org.apache.spark.sql.Column) =
+        df.select(c(col("t"), markers)).collect()
+          .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+      val kern = run(TextAnalysis.markerHits)
+      assert(kern === run(TextAnalysis.markerHitsReference))
+      assert(kern === interpreted(run(TextAnalysis.markerHits)))
+    }
+  }
+
   test("every scalar kernel COMPILES under CODEGEN_ONLY — a janino " +
       "failure would otherwise silently fall back to interpreted eval") {
     import spark.implicits._
@@ -267,6 +288,8 @@ class InterpretedParitySpec extends SparkSpec {
           call_function("graft_md5h60", col("txt").cast("binary")),
           call_function("graft_window_grams", split(col("txt"), " "), lit(3)),
           call_function("graft_eq_count", col("sa"), col("sa")),
+          call_function("graft_count_in", split(col("txt"), " "),
+            typedLit(Seq("a", "c"))),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
