@@ -301,7 +301,6 @@ object AnnIndex {
   def ivfPqTopKBucketed(spark: SparkSession, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, base: String,
                         nProbe: Int = 4): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
     val (cents, model) = readModel(spark, base)
     val qRows: Array[(Long, Array[Double])] = queries
@@ -352,7 +351,6 @@ object AnnIndex {
   def ivfPqTopKBucketedDF(spark: SparkSession, queries: DataFrame,
                           idCol: String, vecCol: String, k: Int,
                           base: String, nProbe: Int = 4): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(spark)
     val (cents, model) = readModel(spark, base)
     def cos(v: Column, cv: Seq[Double]): Column = {
       val c = typedLit(cv)

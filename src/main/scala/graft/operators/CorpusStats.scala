@@ -804,20 +804,19 @@ object CorpusStats {
                dfCap: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(dfCap > 0.0 && dfCap <= 1.0, s"dfCap must be in (0,1], got $dfCap")
-    // register on the frame's OWN session — getActiveSession is None on
-    // foreign threads, and a session built without GraftExtensions would
-    // otherwise fail analysis on graft_topk (same discipline as
-    // Dedup.repeatedSpans / Similarity.lshBucket callers)
-    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     // the top-k aggregate carries doc_id through a LONG slot; a
     // non-integral id (string '007', fractional decimal) would be
     // silently corrupted or nulled by the round-trip cast, so reject it
     // up front — the keep-first/tie-break contract (smaller doc_id
     // wins) is only order-preserving under an exact integral cast.
-    // Resolve the field the way Spark resolves columns (case-
-    // insensitively); scale-0 decimals are exact integral values and
-    // pass, provided they fit a LONG (precision ≤ 18 guarantees it)
-    val idField = docs.schema.find(_.name.equalsIgnoreCase(idCol))
+    // Resolve the field the way THIS session resolves columns — honor
+    // spark.sql.caseSensitive, so the type check always inspects the
+    // same field `col(idCol)` later binds to (under case-sensitive
+    // analysis two fields may differ only in case); scale-0 decimals
+    // are exact integral values and pass, provided they fit a LONG
+    // (precision ≤ 18 guarantees it)
+    val resolver = docs.sparkSession.sessionState.analyzer.resolver
+    val idField = docs.schema.find(f => resolver(f.name, idCol))
       .getOrElse(throw new IllegalArgumentException(
         s"bm25TopK: id column $idCol not found in " +
           s"[${docs.schema.fieldNames.mkString(", ")}]"))
@@ -890,7 +889,7 @@ object CorpusStats {
     // row_number() (score_u DESC, doc_id ASC) formulation
     val idType = idField.dataType
     scored.groupBy(col("q_id"))
-      .agg(call_function("graft_topk", col("score_u").cast("double"),
+      .agg(graft.plans.Kernels.topK(col("score_u").cast("double"),
         col("doc_id").cast("long"), lit(k)).as("__topk"))
       .select(col("q_id"), posexplode(col("__topk")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),

@@ -48,11 +48,8 @@ object Dedup {
     * `size(filter(zip_with(a, b, _ === _), identity))` (parity spec'd),
     * which paid two interpreted HOF passes and two array allocations
     * per verified candidate pair. */
-  private def sigAgreement(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_eq_count", a, b)
-  }
+  private def sigAgreement(a: Column, b: Column): Column =
+    graft.plans.Kernels.eqCount(a, b)
 
   /** Sorted distinct xxhash64 shingle set via the fused
     * [[graft.plans.SortedShingleHashes]] kernel — bit-identical to
@@ -61,9 +58,7 @@ object Dedup {
     * interpreted-HOF cost. The entry point of every set-similarity
     * plan. */
   def sortedShingleHashes(toks: Column, n: Int): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_shingle_hashes", toks, lit(n))
+    graft.plans.Kernels.shingleHashes(toks, lit(n))
   }
 
   /** Exploded (id, shingle) pairs — the join key for exact Jaccard. */
@@ -95,8 +90,6 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
     // Work on xxhash64'd shingles throughout: long join keys shuffle
     // ~10× lighter than n-gram strings, and verification becomes a
     // codegen'd sorted-merge count (graft_intersect_count) instead of
@@ -169,7 +162,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        call_function("graft_intersect_count", col("set_a"), col("set_b"))
+        graft.plans.Kernels.intersectCount(col("set_a"), col("set_b"))
           .cast("long").as("n_common"),
         (size(col("set_a")) + size(col("set_b"))).as("size_sum"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
@@ -385,9 +378,7 @@ object Dedup {
     // declarative chain allocated a 32-char hex string, substring'd it
     // and re-parsed 15 hex chars per hashed value; parity spec'd
     // against [[md5Hash60Reference]] in InterpretedParitySpec
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_md5h60", c.cast("binary"))
+    graft.plans.Kernels.md5h60(c.cast("binary"))
   }
 
   /** The declarative hex-string formulation of [[md5Hash60]] — the
@@ -436,8 +427,6 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, seed: Long = 42L,
                         baseHash: Option[Column => Column] = None): DataFrame = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
     val elems: Option[Column] = baseHash match {
       case None => Some(sortedShingleHashes(split(col(textCol), " "), n))
       case Some(f) if f eq md5Hash60 => Some(shingles(col(textCol), n))
@@ -449,7 +438,7 @@ object Dedup {
           Seq(a, b)
         })
         docs.select(col(idCol).as("doc_id"),
-            call_function("graft_minhash", e, params).as("sig"))
+            graft.plans.Kernels.minHash(e, params).as("sig"))
           .filter(col("sig").isNotNull)
       case None =>
         minHashSignaturesAgg(docs, idCol, textCol, n, k, seed, baseHash)
@@ -537,14 +526,12 @@ object Dedup {
     * ([[graft.plans.SimHash64]]) — the declarative formulation was 64
     * independent `aggregate()` HOFs, i.e. 64 interpreted array passes
     * per document with a boxed lambda call per element (the r13
-    * LshBucket lesson again; measured deltas in BASELINE.md). Requires
-    * a graft session (Sessions.local / GraftExtensions); bit-parity
-    * with the HOF reference is spec'd in InterpretedParitySpec. */
-  def simHash64OfHashes(hashes: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_simhash64", hashes)
-  }
+    * LshBucket lesson again; measured deltas in BASELINE.md). Works on
+    * any session (the Column carries the expression directly);
+    * bit-parity with the HOF reference is spec'd in
+    * InterpretedParitySpec. */
+  def simHash64OfHashes(hashes: Column): Column =
+    graft.plans.Kernels.simHash64(hashes)
 
   /** The declarative 64-HOF formulation of [[simHash64OfHashes]] — the
     * parity baseline the kernel is spec'd against; never on a hot
@@ -746,12 +733,8 @@ object Dedup {
     // form
     val grams = baseHash match {
       case None =>
-        // register on the frame's OWN session — getActiveSession is None
-        // on foreign threads, and this path must not silently lose the
-        // function while the md5 path keeps working
-        graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
         docs.select(col(idCol).as("doc_id"),
-            posexplode(call_function("graft_window_hashes",
+            posexplode(graft.plans.Kernels.windowHashes(
               TextAnalysis.tokens(col(textCol)), lit(window))))
           .select(col("doc_id"), col("pos").as("span_pos"),
             col("col").as("span_hash"))

@@ -119,9 +119,7 @@ object ProductQuant {
     * codegen — janino re-paid a multi-second failed compile on every
     * execution of the plan. */
   def encode(vec: Column, model: PqModel): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_pq_encode", vec.cast("array<double>"),
+    graft.plans.Kernels.pqEncode(vec.cast("array<double>"),
       typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
   }
 
@@ -197,7 +195,7 @@ object ProductQuant {
     * keeps the element_at-chain reference semantics it is spec-tested
     * against. */
   private[graft] def adcDist(model: PqModel): Column =
-    call_function("graft_adc_dist", col("tables"), col("codes"))
+    graft.plans.Kernels.adcDist(col("tables"), col("codes"))
 
   private[graft] def adcDistUnrolled(model: PqModel): Column =
     (0 until model.m)
@@ -209,7 +207,7 @@ object ProductQuant {
     * via the mergeable `graft_topk` aggregate; ties to the smaller id. */
   private[operators] def pqTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(call_function("graft_topk", col("neg_dist"), col("neighbor_id"),
+      .agg(graft.plans.Kernels.topK(col("neg_dist"), col("neighbor_id"),
         lit(k)).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
@@ -226,7 +224,6 @@ object ProductQuant {
   def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, model: PqModel): DataFrame = {
     val spark = encoded.sparkSession
-    graft.plans.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -257,7 +254,6 @@ object ProductQuant {
                 nCentroids: Int = 16, nProbe: Int = 4,
                 centroidIters: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
-    graft.plans.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol,

@@ -24,11 +24,7 @@ object Similarity {
     * codegen'd [[graft.plans.DotProduct]] expression (bit-identical to the
     * interpreted `aggregate(zip_with(...))` formulation, ~an order of
     * magnitude faster per element). */
-  def dot(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_dot", a, b)
-  }
+  def dot(a: Column, b: Column): Column = graft.plans.Kernels.dot(a, b)
 
   /** The interpreted HOF formulation — kept as the reference semantics
     * [[dot]] is tested against. */
@@ -53,11 +49,8 @@ object Similarity {
    * window formulation would move. Ids are surfaced as bigint.
    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
+                 vecCol: String, k: Int): DataFrame =
     topK(scoredPairs(corpus, queries, idCol, vecCol), k)
-  }
 
   /** Exact L2 nearest neighbours — the metric twin of [[cosineTopK]]
     * and the baseline the PQ/ADC family approximates. The score IS
@@ -112,7 +105,7 @@ object Similarity {
     * formulation exactly (rank 1..k, ties to the smaller id). */
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(call_function("graft_topk", col("cosine"), col("neighbor_id"),
+      .agg(graft.plans.Kernels.topK(col("cosine"), col("neighbor_id"),
         lit(k)).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
@@ -510,10 +503,9 @@ object Similarity {
     // vector and re-evaluated the scale subtree per element (q70 at
     // sf0.1: numbers in BASELINE.md). Bit-parity incl. null/empty/
     // all-zero vectors and null elements is spec'd in
-    // InterpretedParitySpec; requires a graft session.
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_quantize_int8", vec.cast("array<double>"))
+    // InterpretedParitySpec; works on any session (the Column carries
+    // the expression itself — no registry lookup).
+    graft.plans.Kernels.quantizeInt8(vec.cast("array<double>"))
   }
 
   /** The declarative HOF formulation of [[quantizeInt8]] — the parity
@@ -622,9 +614,7 @@ object Similarity {
       s"1..63 planes per table, got ${planes.size}")
     val dim = planes.head.size
     require(planes.forall(_.size == dim), "ragged hyperplane matrix")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_lsh_bucket", vec.cast("array<double>"),
+    graft.plans.Kernels.lshBucket(vec.cast("array<double>"),
       typedLit(planes.flatten), lit(dim))
   }
 

@@ -17,11 +17,7 @@ object TextAnalysis {
     * split+filter materialized every empty segment and paid an
     * interpreted HOF pass per document on the entry stage of every
     * text operator. Bit-parity with [[tokensReference]] is spec'd. */
-  def tokens(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_tokens", text)
-  }
+  def tokens(text: Column): Column = graft.plans.Kernels.tokens(text)
 
   /** The declarative split+filter formulation of [[tokens]] — the
     * parity baseline the kernel is spec'd against. */
@@ -62,11 +58,8 @@ object TextAnalysis {
     * HOF pass with an O(|set|) isin chain per token, four times per
     * document in [[langId]]. Parity spec'd against
     * [[markerHitsReference]]. */
-  def markerHits(toks: Column, markers: Seq[String]): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_count_in", toks, typedLit(markers))
-  }
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    graft.plans.Kernels.countIn(toks, typedLit(markers))
 
   /** The declarative formulation of [[markerHits]] — the parity
     * baseline the kernel is spec'd against. */
@@ -92,9 +85,7 @@ object TextAnalysis {
     * array. Bit-parity with [[ngramsReference]] is spec'd. */
   def ngrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_window_grams", toks, lit(n))
+    graft.plans.Kernels.windowGrams(toks, lit(n))
   }
 
   /** The declarative zip_with-chain formulation of [[ngrams]] — the
@@ -191,11 +182,7 @@ object TextAnalysis {
     * expression (ASCII fast path, codegen'd): run before
     * [[fingerprint]]/shingling so visually-identical strings with
     * different codepoint sequences dedup together. */
-  def normalizeNfc(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.plans.GraftExtensions.ensureRegistered)
-    call_function("graft_nfc", text)
-  }
+  def normalizeNfc(text: Column): Column = graft.plans.Kernels.nfc(text)
 
   // ───────────── C4 line-level boilerplate filtering ─────────────
   // Raffel et al. 2020 §2.2: C4 cleans Common Crawl LINE by line —

@@ -428,11 +428,10 @@ object VectorQueries {
     // KmvSpec's parity asserts rather than a driver no_oracle row.
     QuerySpec("q123_kmv_distinct",
       (s, dir) => {
-        graft.plans.GraftExtensions.ensureRegistered(s)
         Tables.load(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            call_function("graft_kmv",
+            graft.plans.Kernels.kmv(
               graft.operators.Dedup.md5Hash60(col("l_partkey").cast("string")),
               lit(256)).as("nd_parts_kmv"),
             countDistinct(col("l_partkey")).as("nd_parts_exact"),

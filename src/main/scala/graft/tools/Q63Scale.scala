@@ -27,6 +27,10 @@ object Q63Scale {
     val dir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 3
     val mode = if (args.length > 2) args(2) else "all"
+    // a typo'd mode must not silently degrade to timing-only — the run
+    // would look like a validated benchmark without the equality pass
+    require(Set("all", "diff", "time")(mode),
+      s"mode must be one of all|diff|time, got '$mode'")
     val spark = Sessions.local(32, "q63-scale")
     val srcs = PipelineQueries.totalHutangSources(spark, dir)
     if (mode == "all" || mode == "diff") {
