@@ -195,6 +195,51 @@ object relational {
   }
 
   /**
+   * Auto-selecting form of the contiguous counter: picks the wide
+   * range-partitioned sort ([[contiguousRowNumber]]) while the payload
+   * sort is expected to fit in memory, and the narrow keys-only
+   * counter + join-back ([[contiguousRowNumberViaJoin]]) once it would
+   * spill. Both twins are bit-identical (spec'd, plus symmetric-diff 0
+   * at sf16 / 75 M rows), so a wrong pick costs only time — never
+   * correctness.
+   *
+   * The rule encodes the MEASURED crossover (BASELINE.md r15, q63 at
+   * sf0.1/sf4/sf16): the wide form wins while its sort stays in memory
+   * (sf0.1: 4.98 vs 6.3 s — the join-back costs more than an in-memory
+   * sort saves), the narrow form wins 1.6× once the payload sort
+   * spills (sf16: 127.2 vs 79.8 s), and the gap grows with payload
+   * bytes per sorted row. "Would it spill" is decided by comparing the
+   * input's Catalyst size estimate (`optimizedPlan.stats.sizeInBytes`
+   * — file bytes propagated through filters/projections, the same
+   * statistic [[graft.ops.layout.compactForWrite]] coalesces by)
+   * against a sort budget resolved as: the `sortBudgetBytes` argument,
+   * else the `spark.graft.counter.sortBudgetBytes` session conf, else
+   * the cluster's aggregate BlockManager capacity (the unified
+   * storage+execution region summed over live executors — the memory a
+   * sort could actually hold before spilling). Catalyst row estimates
+   * overstate raw parquet bytes and live executors undercount a
+   * dynamically-allocated cluster at idle, so the default is a COARSE
+   * switch — a 100 TB estimate against a few-TB cluster budget is
+   * still orders of magnitude past the crossover, which is the only
+   * regime where the choice matters; deployments near the boundary
+   * should pin the conf.
+   */
+  def contiguousRowNumberAuto(df: DataFrame, order: Seq[Column], as: String,
+                              numPartitions: Option[Int] = None,
+                              sortBudgetBytes: Option[Long] = None)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val budget: BigInt = BigInt(sortBudgetBytes
+      .orElse(spark.conf.getOption("spark.graft.counter.sortBudgetBytes")
+        .map(_.toLong))
+      .getOrElse(spark.sparkContext.getExecutorMemoryStatus
+        .values.map(_._1).sum))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > budget) contiguousRowNumberViaJoin(df, order, as, numPartitions)
+    else contiguousRowNumber(df, order, as, numPartitions)
+  }
+
+  /**
    * The [[contiguousRowNumber]] pattern generalized to a running SUM:
    * inclusive prefix sum of `value` over a unique total `order`,
    * without `sum().over(Window.orderBy)`'s single reducer. Same shape

@@ -32,25 +32,35 @@ object TotalHutangFact extends Pipeline {
   val sources = Seq("unitReceiptNotes", "urnItems", "unitPaymentOrders")
   val factKeys = Seq("row_id")
 
-  def transform(t: Map[String, DataFrame]): DataFrame =
-    withCounter(t, relational.contiguousRowNumber(_, _, _))
-
-  /** Spill-aware option: identical output (bit-parity spec'd at small
-    * SF; symmetric-diff 0 re-proven at sf16, 75.0 M rows) via the
-    * narrow-shuffle counter — the 15-column string payload skips the
-    * range exchange + sort entirely and joins the counter back by a
-    * synthetic id ([[relational.contiguousRowNumberViaJoin]]).
+  /** The counter form AUTO-SELECTS from Catalyst size estimates
+    * ([[relational.contiguousRowNumberAuto]]): the wide
+    * range-partitioned sort while the payload fits the cluster's sort
+    * budget, the narrow keys-only counter + join-back once it would
+    * spill — so a 100 TB backfill gets the spill-regime form without
+    * the caller knowing the crossover exists. Both forms are
+    * bit-identical (spec'd; symmetric-diff 0 at sf16, 75.0 M rows), so
+    * the estimate only ever decides speed.
     *
     * CROSSOVER RULE (measured, BASELINE.md r15): the wide form wins
     * while the payload sort fits memory — sf0.1 warm: wide 4.98 s vs
     * narrow 6.3 s (the join-back costs more than the in-memory sort
     * saves); sf4: wash (27.9 vs 27.1 s); sf16 (160× gate, spill-bound):
     * wide 127.2 s vs narrow 79.8 s — 1.6× for narrow, growing with
-    * payload bytes per sorted row. `transform` (wide) stays the default
-    * for gate-scale and nightly-delta runs; a backfill over a fact
-    * whose payload sort spills — any 100 TB deployment — should call
-    * this form. The rule generalizes: pay the counter's sort on key
-    * bytes only once sort bytes exceed executor memory. */
+    * payload bytes per sorted row. Pin the budget with
+    * `spark.graft.counter.sortBudgetBytes` near the boundary; the
+    * explicit twins remain for callers that want a fixed plan. */
+  def transform(t: Map[String, DataFrame]): DataFrame =
+    withCounter(t, relational.contiguousRowNumberAuto(_, _, _))
+
+  /** Fixed wide form — the range-partitioned payload sort
+    * ([[relational.contiguousRowNumber]]); fastest while the sort
+    * fits memory. */
+  def transformWideCounter(t: Map[String, DataFrame]): DataFrame =
+    withCounter(t, relational.contiguousRowNumber(_, _, _))
+
+  /** Fixed narrow form — keys-only counter joined back by a synthetic
+    * id ([[relational.contiguousRowNumberViaJoin]]); 1.6× the wide
+    * form once the payload sort spills (sf16 measurement above). */
   def transformNarrowCounter(t: Map[String, DataFrame]): DataFrame =
     withCounter(t, relational.contiguousRowNumberViaJoin(_, _, _))
 

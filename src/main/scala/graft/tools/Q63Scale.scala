@@ -8,8 +8,8 @@ import graft.queries.PipelineQueries
 
 /**
  * q63 counter-form scale measurement (VERDICT r12 item 6): time
- * `TotalHutangFact.transform` (wide range-partitioned counter, the
- * default) against `transformNarrowCounter` (counter over a narrow
+ * `TotalHutangFact.transformWideCounter` (wide range-partitioned
+ * counter) against `transformNarrowCounter` (counter over a narrow
  * (keys, id) projection, joined back by id) on the same deterministic
  * q63 sources at a given fixture. The wide form's sf16 cost is one
  * disk's spill bandwidth through the payload sort; the narrow form
@@ -36,7 +36,9 @@ object Q63Scale {
     if (mode == "all" || mode == "diff") {
       // one equality pass (counts of the symmetric difference on the
       // full row): the two forms must be the same fact
-      val wide = TotalHutangFact.transform(srcs)
+      // the explicit twins, NOT the auto form — this tool measures the
+      // crossover the auto rule encodes, so it must pin each branch
+      val wide = TotalHutangFact.transformWideCounter(srcs)
       val narrow = TotalHutangFact.transformNarrowCounter(srcs)
         .select(wide.columns.map(col): _*)
       val diff = wide.exceptAll(narrow).count() + narrow.exceptAll(wide).count()
@@ -50,7 +52,8 @@ object Q63Scale {
       // toRdd, not count(): count prunes the payload columns out of
       // the sort — the exact cost difference under measurement
       val t0 = System.nanoTime()
-      val nw = TotalHutangFact.transform(srcs).queryExecution.toRdd.count()
+      val nw = TotalHutangFact.transformWideCounter(srcs)
+        .queryExecution.toRdd.count()
       val tw = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       val nn = TotalHutangFact.transformNarrowCounter(srcs)

@@ -112,16 +112,59 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
-  test("TotalHutangFact.transformNarrowCounter is bit-identical to the " +
-      "default wide-counter transform on the q63 sources") {
+  test("TotalHutangFact: auto, wide and narrow counter forms are all " +
+      "bit-identical on the q63 sources") {
     val srcs = graft.queries.PipelineQueries
       .totalHutangSources(spark, "/root/testdata/sf0.001")
-    val wide = graft.pipelines.TotalHutangFact.transform(srcs)
+    val auto = graft.pipelines.TotalHutangFact.transform(srcs)
+    val wide = graft.pipelines.TotalHutangFact.transformWideCounter(srcs)
+      .select(auto.columns.map(col): _*)
     val narrow = graft.pipelines.TotalHutangFact.transformNarrowCounter(srcs)
-      .select(wide.columns.map(col): _*)
-    assert(wide.count() === narrow.count())
-    assert(wide.exceptAll(narrow).count() === 0L)
-    assert(narrow.exceptAll(wide).count() === 0L)
+      .select(auto.columns.map(col): _*)
+    assert(auto.count() === wide.count())
+    assert(auto.count() === narrow.count())
+    assert(auto.exceptAll(wide).count() === 0L)
+    assert(wide.exceptAll(auto).count() === 0L)
+    assert(auto.exceptAll(narrow).count() === 0L)
+    assert(narrow.exceptAll(auto).count() === 0L)
+  }
+
+  test("contiguousRowNumberAuto: the sort budget dispatches wide vs " +
+      "narrow, both bit-identical to the single-reducer window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (k, payload) is a unique total order (31 ⊥ 500 ⇒ k unique)
+    val df = (1 to 500).map(i => (i * 31 % 500, "p" * 8 + i))
+      .toDF("k", "payload").repartition(9)
+    val order = Seq(col("k"), col("payload"))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "payload", "row_id").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val oracle = key(df.withColumn("row_id",
+      row_number().over(Window.orderBy(order: _*)).cast("long")))
+    // an effectively-infinite budget forces the wide twin (no join in
+    // the plan); a 1-byte budget forces the narrow join-back
+    val wide = relational.contiguousRowNumberAuto(df, order, "row_id",
+      sortBudgetBytes = Some(Long.MaxValue))
+    val narrow = relational.contiguousRowNumberAuto(df, order, "row_id",
+      sortBudgetBytes = Some(1L))
+    assert(!wide.queryExecution.executedPlan.toString.contains("Join"))
+    assert(narrow.queryExecution.executedPlan.toString.contains("Join"))
+    assert(key(wide) === oracle)
+    assert(key(narrow) === oracle)
+    // the documented conf is the no-code knob for the same dispatch
+    spark.conf.set("spark.graft.counter.sortBudgetBytes", "1")
+    try {
+      val viaConf = relational.contiguousRowNumberAuto(df, order, "row_id")
+      assert(viaConf.queryExecution.executedPlan.toString.contains("Join"))
+      assert(key(viaConf) === oracle)
+    } finally spark.conf.unset("spark.graft.counter.sortBudgetBytes")
+    // default budget (aggregate BlockManager capacity) keeps a tiny
+    // input on the wide form
+    val auto = relational.contiguousRowNumberAuto(df, order, "row_id")
+    assert(!auto.queryExecution.executedPlan.toString.contains("Join"))
+    assert(key(auto) === oracle)
   }
 
   test("contiguousPrefixSum matches the single-reducer window bit-for-bit") {
