@@ -196,10 +196,14 @@ object TextAnalysis {
   def lines(text: Column): Column = split(text, "\n")
 
   /** The C4 line gate: ≥ `minWords` words, ends in terminal
-    * punctuation, and no "javascript" boilerplate marker. */
+    * punctuation, and no "javascript" boilerplate marker. The per-line
+    * word count rides the [[graft.plans.Tokens]] kernel (identical
+    * semantics to split-then-drop-empties, one byte scan per line
+    * instead of an interpreted split+filter+lambda-per-word chain —
+    * the exact pattern the kernel removed at document level). */
   def c4KeptLines(text: Column, minWords: Int = 3): Column =
     filter(lines(text), l =>
-      size(filter(split(l, " "), w => w =!= lit(""))) >= minWords &&
+      size(tokens(l)) >= minWords &&
         l.rlike("[.!?\"]$") &&
         !lower(l).contains("javascript"))
 
