@@ -89,6 +89,32 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    val (sets, cand) = jaccardCandidatePairs(docs, idCol, textCol, n,
+      threshold)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.plans.Kernels.intersectCount(col("set_a"), col("set_b"))
+          .cast("long").as("n_common"),
+        (size(col("set_a")) + size(col("set_b"))).as("size_sum"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") / (col("size_sum") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The candidate-generation stage of [[jaccardPairs]], exposed for
+    * scale measurement: returns (pinned shingle sets, distinct
+    * candidate pairs after the prefix + length + positional filters).
+    * `cand.count()` against corpus size answers the PPJoin scaling
+    * question directly — whether the filters keep candidates
+    * O(true pairs) as the corpus grows. */
+  private[graft] def jaccardCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Work on xxhash64'd shingles throughout: long join keys shuffle
     // ~10× lighter than n-gram strings, and verification becomes a
@@ -156,19 +182,7 @@ object Dedup {
                * (threshold / (1.0 + threshold)) - 1e-9)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")),
-        "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.plans.Kernels.intersectCount(col("set_a"), col("set_b"))
-          .cast("long").as("n_common"),
-        (size(col("set_a")) + size(col("set_b"))).as("size_sum"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common").cast("double") / (col("size_sum") - col("n_common")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (sets, cand)
   }
 
   /** Survivors after near-dedup: drop the higher-id member of every pair
