@@ -64,7 +64,7 @@ object TotalHutangFact extends Pipeline {
   def transformNarrowCounter(t: Map[String, DataFrame]): DataFrame =
     withCounter(t, relational.contiguousRowNumberViaJoin(_, _, _))
 
-  private def withCounter(t: Map[String, DataFrame],
+  private[graft] def withCounter(t: Map[String, DataFrame],
       counter: (DataFrame, Seq[org.apache.spark.sql.Column], String)
         => DataFrame): DataFrame = {
     // SQL-side `not in` (run.js:75): NULL createdby does NOT survive

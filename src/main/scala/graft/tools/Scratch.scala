@@ -81,6 +81,27 @@ object Scratch {
           time("explode-nopayload")(base.select(col("id"),
             posexplode(array(bs: _*))))
           -1L
+        case Some("q63stages") =>
+          import org.apache.spark.sql.functions._
+          val srcs = graft.queries.PipelineQueries
+            .totalHutangSources(spark, dir)
+          // by-name df: the counters run driver-side jobs (sizes
+          // collect) at CONSTRUCTION time, which must be inside t0
+          def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+            val t0 = System.nanoTime()
+            val n = df.queryExecution.toRdd.count()
+            println(f"[$tag] rows=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
+            spark.catalog.clearCache()
+            graft.ops.materialize.releaseAll()
+          }
+          // everything except the counter (constant row_id)
+          time("no-counter")(graft.pipelines.TotalHutangFact
+            .withCounter(srcs, (d, _, as) => d.withColumn(as, lit(0L))))
+          time("wide")(graft.pipelines.TotalHutangFact
+            .transformWideCounter(srcs))
+          time("narrow")(graft.pipelines.TotalHutangFact
+            .transformNarrowCounter(srcs))
+          -1L
         case Some("probe") =>
           import spark.implicits._
           import org.apache.spark.sql.functions._
