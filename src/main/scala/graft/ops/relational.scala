@@ -209,20 +209,28 @@ object relational {
    * sort saves), the narrow form wins 1.6× once the payload sort
    * spills (sf16: 127.2 vs 79.8 s), and the gap grows with payload
    * bytes per sorted row. "Would it spill" is decided by comparing the
-   * input's Catalyst size estimate (`optimizedPlan.stats.sizeInBytes`
-   * — file bytes propagated through filters/projections, the same
-   * statistic [[graft.ops.layout.compactForWrite]] coalesces by)
-   * against a sort budget resolved as: the `sortBudgetBytes` argument,
-   * else the `spark.graft.counter.sortBudgetBytes` session conf, else
-   * the cluster's aggregate BlockManager capacity (the unified
+   * SCAN bytes feeding the plan — the sum of the optimized plan's leaf
+   * statistics (file sizes for parquet scans), times a configurable
+   * columnar→row expansion factor (`spark.graft.counter.scanExpansion`,
+   * default 4: a string-heavy fact decodes to ~3–8× its parquet bytes
+   * as unsafe rows, which is what the sort actually buffers) — against
+   * a sort budget resolved as: the `sortBudgetBytes` argument, else
+   * the `spark.graft.counter.sortBudgetBytes` session conf, else the
+   * cluster's aggregate BlockManager capacity (the unified
    * storage+execution region summed over live executors — the memory a
-   * sort could actually hold before spilling). Catalyst row estimates
-   * overstate raw parquet bytes and live executors undercount a
-   * dynamically-allocated cluster at idle, so the default is a COARSE
-   * switch — a 100 TB estimate against a few-TB cluster budget is
-   * still orders of magnitude past the crossover, which is the only
-   * regime where the choice matters; deployments near the boundary
-   * should pin the conf.
+   * sort could actually hold before spilling).
+   *
+   * Leaf sums, NOT the root estimate: without column statistics
+   * Catalyst propagates join sizes multiplicatively, so any join-fed
+   * input inflates to nonsense (q63's 3-way join at sf0.1 estimated
+   * 1.2e20 bytes — the root estimate routed EVERY join-fed pipeline to
+   * the narrow form, measurably the wrong call in-memory; caught by
+   * the r16 full-registry bench). Leaves double-count a table scanned
+   * twice (q63 reads orders three times), which errs toward narrow —
+   * the form whose worst case is a modest join-back, never a spill.
+   * Still a COARSE switch: a 100 TB estimate against a few-TB budget
+   * is orders of magnitude past the crossover, the only regime where
+   * the choice matters; deployments near the boundary pin the conf.
    */
   def contiguousRowNumberAuto(df: DataFrame, order: Seq[Column], as: String,
                               numPartitions: Option[Int] = None,
@@ -234,7 +242,12 @@ object relational {
         .map(_.toLong))
       .getOrElse(spark.sparkContext.getExecutorMemoryStatus
         .values.map(_._1).sum))
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val expansion = spark.conf
+      .getOption("spark.graft.counter.scanExpansion")
+      .map(_.toDouble).getOrElse(4.0)
+    val scanBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val est = (BigDecimal(scanBytes) * expansion).toBigInt
     if (est > budget) contiguousRowNumberViaJoin(df, order, as, numPartitions)
     else contiguousRowNumber(df, order, as, numPartitions)
   }

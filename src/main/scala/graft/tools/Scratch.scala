@@ -102,6 +102,28 @@ object Scratch {
           time("narrow")(graft.pipelines.TotalHutangFact
             .transformNarrowCounter(srcs))
           -1L
+        case Some("q63auto") =>
+          // print the auto-counter's dispatch inputs at this fixture:
+          // the q63 payload's Catalyst size estimate vs the default
+          // sort budget (aggregate BlockManager capacity) — analysis
+          // only, no jobs run
+          import org.apache.spark.sql.functions._
+          val srcs = graft.queries.PipelineQueries
+            .totalHutangSources(spark, dir)
+          graft.pipelines.TotalHutangFact.withCounter(srcs, (d, _, as) => {
+            val root = d.queryExecution.optimizedPlan.stats.sizeInBytes
+            val leaves = d.queryExecution.optimizedPlan.collectLeaves()
+              .map(_.stats.sizeInBytes).sum
+            val budget = spark.sparkContext.getExecutorMemoryStatus
+              .values.map(_._1).sum
+            val est = BigDecimal(leaves) * 4.0
+            println(f"[q63auto] rootEst=${root.toDouble / 1e9}%.3g GB " +
+              f"leafSum=${leaves.toDouble / 1e9}%.3f GB est(x4)=" +
+              f"${est.toDouble / 1e9}%.3f GB budget=${budget / 1e9}%.2f GB" +
+              s" -> ${if (est > BigDecimal(budget)) "narrow" else "wide"}")
+            d.withColumn(as, lit(0L))
+          })
+          -1L
         case Some("probe") =>
           import spark.implicits._
           import org.apache.spark.sql.functions._
