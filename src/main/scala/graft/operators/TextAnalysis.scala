@@ -126,6 +126,60 @@ object TextAnalysis {
       length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
         length(text))
 
+  // Gopher §A1.1 repetition + format signals (Rae et al. 2021): the
+  // document-level duplicate-content and list-format rules that run
+  // BEFORE any corpus-level dedup. All per-row (no shuffle); the one
+  // HOF pass (dupLineCharFraction's distinct-line char sum) is a cold
+  // single-pass fold — not worth a kernel at its measured floor.
+
+  /** Fraction of lines that duplicate another line in the SAME
+    * document: 1 − distinct/total. Gopher drops docs above 0.30.
+    * Null for null text. */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** [[dupLineFraction]] over blank-line-separated paragraphs
+    * (Gopher's 0.30 paragraph rule). */
+  def dupParagraphFraction(text: Column): Column = {
+    val ps = split(text, "\n\n")
+    when(size(ps) > 0,
+      lit(1.0) - size(array_distinct(ps)).cast("double") / size(ps))
+  }
+
+  /** CHARACTER-weighted duplicate-line fraction (Gopher's 0.20 rule):
+    * fraction of line characters belonging to repeat occurrences.
+    * Total line chars = length(text) − separators (no HOF); unique
+    * chars need one fold over the distinct lines. */
+  def dupLineCharFraction(text: Column): Column = {
+    val ls = lines(text)
+    val tot = (length(text) - (size(ls) - 1)).cast("long")
+    val uniq = aggregate(array_distinct(ls), lit(0L),
+      (a, l) => a + length(l))
+    when(size(ls) > 0 && tot > 0,
+      lit(1.0) - uniq.cast("double") / tot)
+  }
+
+  /** Fraction of lines that start with a bullet marker (-, *, •) after
+    * leading whitespace; Gopher drops docs above 0.90. */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+        size(ls))
+  }
+
+  /** Fraction of lines that end with an ellipsis ("..." or …) before
+    * trailing whitespace; Gopher drops docs above 0.30. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / size(ls))
+  }
+
   /** LLM token-count estimate: matches of a GPT-2-style pre-tokenizer
     * pattern (word / number / punctuation runs, each with its leading
     * space). Deliberately restricted to the RE2-safe subset (no

@@ -1349,6 +1349,62 @@ object TextQueries {
         "probe (k1=6/5, b=3/4 as rationals, idf micro-nat-quantized, " +
         "scores exact BIGINT sums of integral quotients): the corpus " +
         "explodes once, the probe vocabulary broadcast-gates all " +
-        "downstream work")
+        "downstream work"),
+
+    QuerySpec("q129_rep_signals",
+      (s, dir) => {
+        // synthetic structure appended per doc so every signal takes a
+        // deterministic nonzero value on the fixture (same pattern as
+        // q65's injected PII): duplicate lines/paragraphs on even ids,
+        // one bullet pair + one ellipsis line on all
+        val t = concat(col("text"),
+          lit("\n- item one\n- item one\nto be continued...\n"),
+          when(col("doc_id") % 2 === 0,
+            lit("dup line\ndup line\n\npara\n\npara"))
+            .otherwise(lit("tail line")))
+        Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.dupLineFraction(t).as("dup_line_frac"),
+          TextAnalysis.dupParagraphFraction(t).as("dup_para_frac"),
+          TextAnalysis.dupLineCharFraction(t).as("dup_line_char_frac"),
+          TextAnalysis.bulletLineFraction(t).as("bullet_line_frac"),
+          TextAnalysis.ellipsisLineFraction(t).as("ellipsis_line_frac"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 text || chr(10) || '- item one' || chr(10) || '- item one'
+                      || chr(10) || 'to be continued...' || chr(10)
+                      || CASE WHEN doc_id % 2 = 0
+                           THEN 'dup line' || chr(10) || 'dup line'
+                                || chr(10) || chr(10) || 'para'
+                                || chr(10) || chr(10) || 'para'
+                           ELSE 'tail line' END AS txt
+          FROM documents),
+        l AS (
+          SELECT doc_id, txt,
+                 string_split(txt, chr(10)) AS ls,
+                 string_split(txt, chr(10) || chr(10)) AS ps
+          FROM t)
+        SELECT doc_id,
+          1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+            AS dup_line_frac,
+          1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps)
+            AS dup_para_frac,
+          CASE WHEN length(txt) - (len(ls) - 1) > 0 THEN
+            1.0 - CAST(list_aggregate(list_transform(list_distinct(ls),
+                    x -> length(x)), 'sum') AS DOUBLE)
+                / (length(txt) - (len(ls) - 1))
+          END AS dup_line_char_frac,
+          CAST(len(list_filter(ls,
+                 x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE)
+            / len(ls) AS bullet_line_frac,
+          CAST(len(list_filter(ls,
+                 x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) AS DOUBLE)
+            / len(ls) AS ellipsis_line_frac
+        FROM l"""),
+      "Gopher §A1.1 repetition + format gates: duplicate line/paragraph " +
+        "fractions (count- and character-weighted), bullet and ellipsis " +
+        "line fractions — per-row expressions over injected structure")
   )
 }

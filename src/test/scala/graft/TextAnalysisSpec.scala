@@ -732,4 +732,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("not found"), e3.getMessage)
   }
+
+  test("Gopher repetition/format signals: hand-checked fractions, " +
+      "null propagation, all-unique and all-dup edges") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "a" twice → dup_line 1-3/4; chars: total 1+1+2+2=6,
+      // unique lines {a,bb,cc} = 5 → char frac 1/6
+      ("a\na\nbb\ncc", 0),
+      // unique everything
+      ("x\ny", 1),
+      // bullets: 2 of 4 lines; ellipsis: 1 of 4 (unicode …)
+      ("- one\n * two\nplain\nwait …", 2),
+      // paragraphs: p1,p1,p2 → dup_para 1/3
+      ("p1\n\np1\n\np2", 3),
+      (null.asInstanceOf[String], 4))
+      .toDF("t", "id")
+    val out = docs.select(col("id"),
+        TextAnalysis.dupLineFraction(col("t")).as("dl"),
+        TextAnalysis.dupParagraphFraction(col("t")).as("dp"),
+        TextAnalysis.dupLineCharFraction(col("t")).as("dc"),
+        TextAnalysis.bulletLineFraction(col("t")).as("bl"),
+        TextAnalysis.ellipsisLineFraction(col("t")).as("el"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getDouble(1) === 1.0 - 3.0 / 4.0)   // dup lines
+    assert(out(0).getDouble(3) === 1.0 - 5.0 / 6.0)   // dup chars
+    assert(out(1).getDouble(1) === 0.0)
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(2).getDouble(4) === 0.5)               // bullets
+    assert(out(2).getDouble(5) === 0.25)              // ellipsis
+    assert(out(3).getDouble(2) === 1.0 - 2.0 / 3.0)   // dup paragraphs
+    assert((1 to 5).forall(out(4).isNullAt))          // null text
+  }
 }
