@@ -412,6 +412,9 @@ object MoreEtlQueries {
         // part files (r11 sweep). With l_quantity appended, remaining
         // ties are FULLY identical rows, whose interchangeable ids
         // cannot change the result set.
+        // deliberately the fixed WIDE form, not Auto: the payload IS
+        // the three key columns, so the narrow twin's id-mint + join
+        // -back is pure overhead at every scale
         graft.ops.relational.contiguousRowNumber(base,
             Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
             "row_id")
