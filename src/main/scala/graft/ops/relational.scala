@@ -208,17 +208,24 @@ object relational {
    * (sf0.1: 4.98 vs 6.3 s — the join-back costs more than an in-memory
    * sort saves), the narrow form wins 1.6× once the payload sort
    * spills (sf16: 127.2 vs 79.8 s), and the gap grows with payload
-   * bytes per sorted row. "Would it spill" is decided by comparing the
-   * SCAN bytes feeding the plan — the sum of the optimized plan's leaf
-   * statistics (file sizes for parquet scans), times a configurable
-   * columnar→row expansion factor (`spark.graft.counter.scanExpansion`,
-   * default 4: a string-heavy fact decodes to ~3–8× its parquet bytes
-   * as unsafe rows, which is what the sort actually buffers) — against
-   * a sort budget resolved as: the `sortBudgetBytes` argument, else
-   * the `spark.graft.counter.sortBudgetBytes` session conf, else the
-   * cluster's aggregate BlockManager capacity (the unified
-   * storage+execution region summed over live executors — the memory a
-   * sort could actually hold before spilling).
+   * bytes per sorted row. "Would it spill" is decided by
+   * [[counterSortEstimate]]: the SCAN bytes feeding the plan — the sum
+   * of the optimized plan's leaf statistics (file sizes for parquet
+   * scans), times a configurable columnar→row expansion factor
+   * (`spark.graft.counter.scanExpansion`, default 10: the q63 fact
+   * measures ~12× — 2.5 GB of parquet decodes to ~30 GB of unsafe
+   * rows, which is what the sort actually buffers; columnar
+   * compression does real work on string facts) — against a sort
+   * budget resolved as: the `sortBudgetBytes` argument, else the
+   * `spark.graft.counter.sortBudgetBytes` session conf, else HALF the
+   * cluster's aggregate BlockManager capacity (the unified memory
+   * manager guarantees execution only `1 − storageFraction` = 50% of
+   * the region against storage eviction — the share a sort can count
+   * on before spilling). Calibration anchor (BASELINE r16): at sf16
+   * with a 57 GB region the wide form measured 189.8 s against the
+   * narrow form's ~80 s — est 3.4 GB × 10 = 34 GB > 28.5 GB budget
+   * correctly picks narrow, where the earlier ×4-vs-full-capacity
+   * model picked wide.
    *
    * Leaf sums, NOT the root estimate: without column statistics
    * Catalyst propagates join sizes multiplicatively, so any join-fed
@@ -236,20 +243,28 @@ object relational {
                               numPartitions: Option[Int] = None,
                               sortBudgetBytes: Option[Long] = None)
       : DataFrame = {
+    val (est, budget) = counterSortEstimate(df, sortBudgetBytes)
+    if (est > budget) contiguousRowNumberViaJoin(df, order, as, numPartitions)
+    else contiguousRowNumber(df, order, as, numPartitions)
+  }
+
+  /** The (estimated sort bytes, budget bytes) pair
+    * [[contiguousRowNumberAuto]] dispatches on — exposed so probes and
+    * operators share ONE decision rule. Analysis-only; runs no jobs. */
+  private[graft] def counterSortEstimate(df: DataFrame,
+      sortBudgetBytes: Option[Long] = None): (BigInt, BigInt) = {
     val spark = df.sparkSession
     val budget: BigInt = BigInt(sortBudgetBytes
       .orElse(spark.conf.getOption("spark.graft.counter.sortBudgetBytes")
         .map(_.toLong))
       .getOrElse(spark.sparkContext.getExecutorMemoryStatus
-        .values.map(_._1).sum))
+        .values.map(_._1).sum / 2))
     val expansion = spark.conf
       .getOption("spark.graft.counter.scanExpansion")
-      .map(_.toDouble).getOrElse(4.0)
+      .map(_.toDouble).getOrElse(10.0)
     val scanBytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    val est = (BigDecimal(scanBytes) * expansion).toBigInt
-    if (est > budget) contiguousRowNumberViaJoin(df, order, as, numPartitions)
-    else contiguousRowNumber(df, order, as, numPartitions)
+    ((BigDecimal(scanBytes) * expansion).toBigInt, budget)
   }
 
   /**

@@ -17,7 +17,8 @@ object Scratch {
     val spark = Sessions.local(32, "scratch")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("q55_category_rules")
-    for (round <- 1 to 4; name <- names) {
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_ROUNDS", "4").toInt
+    for (round <- 1 to rounds; name <- names) {
       val q = Registry.all.find(_.name == name).get
       val g0 = gcMillis
       val t0 = System.nanoTime()
@@ -94,13 +95,22 @@ object Scratch {
             spark.catalog.clearCache()
             graft.ops.materialize.releaseAll()
           }
+          // legs selectable for big fixtures where a full sweep is
+          // hours: SPARK_GRAFT_SCRATCH_LEGS=auto,narrow (default all)
+          val legs = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_LEGS",
+            "no-counter,wide,narrow,auto").split(",").toSet
           // everything except the counter (constant row_id)
-          time("no-counter")(graft.pipelines.TotalHutangFact
-            .withCounter(srcs, (d, _, as) => d.withColumn(as, lit(0L))))
-          time("wide")(graft.pipelines.TotalHutangFact
-            .transformWideCounter(srcs))
-          time("narrow")(graft.pipelines.TotalHutangFact
-            .transformNarrowCounter(srcs))
+          if (legs("no-counter"))
+            time("no-counter")(graft.pipelines.TotalHutangFact
+              .withCounter(srcs, (d, _, as) => d.withColumn(as, lit(0L))))
+          if (legs("wide"))
+            time("wide")(graft.pipelines.TotalHutangFact
+              .transformWideCounter(srcs))
+          if (legs("narrow"))
+            time("narrow")(graft.pipelines.TotalHutangFact
+              .transformNarrowCounter(srcs))
+          if (legs("auto"))
+            time("auto")(graft.pipelines.TotalHutangFact.transform(srcs))
           -1L
         case Some("q63auto") =>
           // print the auto-counter's dispatch inputs at this fixture:
@@ -112,15 +122,12 @@ object Scratch {
             .totalHutangSources(spark, dir)
           graft.pipelines.TotalHutangFact.withCounter(srcs, (d, _, as) => {
             val root = d.queryExecution.optimizedPlan.stats.sizeInBytes
-            val leaves = d.queryExecution.optimizedPlan.collectLeaves()
-              .map(_.stats.sizeInBytes).sum
-            val budget = spark.sparkContext.getExecutorMemoryStatus
-              .values.map(_._1).sum
-            val est = BigDecimal(leaves) * 4.0
+            // the OPERATOR's own rule — probe and dispatch share code
+            val (est, budget) = graft.ops.relational.counterSortEstimate(d)
             println(f"[q63auto] rootEst=${root.toDouble / 1e9}%.3g GB " +
-              f"leafSum=${leaves.toDouble / 1e9}%.3f GB est(x4)=" +
-              f"${est.toDouble / 1e9}%.3f GB budget=${budget / 1e9}%.2f GB" +
-              s" -> ${if (est > BigDecimal(budget)) "narrow" else "wide"}")
+              f"est=${est.toDouble / 1e9}%.3f GB " +
+              f"budget=${budget.toDouble / 1e9}%.2f GB" +
+              s" -> ${if (est > budget) "narrow" else "wide"}")
             d.withColumn(as, lit(0L))
           })
           -1L
