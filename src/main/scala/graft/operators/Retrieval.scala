@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Hybrid retrieval: reciprocal-rank fusion of ranked candidate lists
+ * from heterogeneous retrievers (lexical BM25, dense cosine, ...).
+ *
+ * The reference engine's decontamination surface stops at exact id
+ * matching (`FabricQC/run.js` joins staged fact rows on natural keys);
+ * modern training-data pipelines pair a lexical retriever with a dense
+ * one and fuse the ranked lists, because each leg finds contamination
+ * the other is blind to (paraphrase vs verbatim). RRF (Cormack,
+ * Clarke & Büttcher, SIGIR 2009 — public) is the standard fusion rule:
+ * it needs only RANKS, so heterogeneous score scales (integer-exact
+ * BM25 micro-nats vs float cosine) never have to be calibrated.
+ *
+ * Scale shape: both legs are already bounded-output broadcast-probe
+ * top-k operators ([[CorpusStats.bm25TopK]], [[Similarity.cosineTopK]]);
+ * fusion touches only their outputs — ≤ Σ_leg k rows per probe — so its
+ * two shuffles move candidate lists, never corpus rows. At 100 TB the
+ * cost is entirely in the legs, which is where it belongs.
+ */
+object Retrieval {
+
+  /**
+   * Reciprocal-rank fusion of ranked runs. Each run must expose columns
+   * `q_id` (castable to bigint), `doc_id` (castable to bigint) and
+   * `rank` (1-based int). A candidate's fused score is
+   * Σ_runs floor(1e9 / (k0 + rank)) — the textbook 1/(k0+rank) RRF
+   * weight scaled to an exact BIGINT (micro-weight discipline of
+   * q119/q125/q127), so fused scores sum order-free and replay exactly
+   * in any engine; ties break to the smaller doc_id.
+   *
+   * Output: q_id, rank (1..k over the fused order), doc_id, rrf_u.
+   *
+   * Plan: union of the runs' candidate rows → hash-agg SUM on
+   * (q_id, doc_id) → mergeable bounded top-k ([[graft.plans.TopKByScore]])
+   * per q_id. Both shuffles carry at most Σ_runs k_run rows per probe.
+   */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: need at least one run")
+    require(k >= 1, s"k must be positive, got $k")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    val contribs = runs.map { r =>
+      r.select(col("q_id").cast("long").as("q_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        // floor(1e9/(k0+rank)) is exact: numerator and divisor are
+        // integers well under 2^53, the double quotient can only sit
+        // ON an integer when the division is exact, so floor of the
+        // nearest-double quotient equals the true integral quotient
+        floor(lit(1000000000.0) / (col("rank").cast("double") + lit(k0)))
+          .as("c_u"))
+    }
+    val fused = contribs.reduce(_ union _)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("c_u")).as("rrf_u"))
+    // max rrf_u = runs·ceil(1e9/(k0+1)) ≪ 2^53, so the double round-trip
+    // through the top-k aggregate is exact
+    fused.groupBy(col("q_id"))
+      .agg(graft.plans.Kernels.topK(col("rrf_u").cast("double"),
+        col("doc_id"), lit(k)).as("__topk"))
+      .select(col("q_id"), posexplode(col("__topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("rrf_u"))
+  }
+
+  /**
+   * The standard two-leg hybrid: integer-exact Okapi BM25 over the text
+   * corpus fused with exact cosine top-k over the embedding corpus,
+   * both legs cut at `kPerLeg`, fused list cut at `k`. Probes must
+   * carry the same id in both spaces (doc text and doc embedding).
+   */
+  def hybridBm25CosineTopK(
+      docs: DataFrame, docIdCol: String, textCol: String,
+      embs: DataFrame, embIdCol: String, vecCol: String,
+      probeDocs: DataFrame, probeEmbs: DataFrame,
+      kPerLeg: Int, k: Int, k0: Int = 60): DataFrame = {
+    val lex = CorpusStats.bm25TopK(docs, docIdCol, textCol,
+        probeDocs, docIdCol, textCol, kPerLeg)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = Similarity.cosineTopK(embs, probeEmbs, embIdCol, vecCol, kPerLeg)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, den), k, k0)
+  }
+}

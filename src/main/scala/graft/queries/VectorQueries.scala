@@ -1263,6 +1263,113 @@ object VectorQueries {
         "against its exact baseline — the quality numbers as driver " +
         "artifacts, not just green specs; the composite oracle replays " +
         "every branch from the proven per-operator formulations and " +
-        "the dumped deterministic models")
+        "the dumped deterministic models"),
+
+    QuerySpec("q130_hybrid_rrf",
+      (s, dir) => {
+        // retrieval-based decontamination, hybrid edition: the q127
+        // probe split (every 101st doc plays the eval probe), but each
+        // probe retrieves through BOTH a lexical BM25 leg over `text`
+        // and a dense cosine leg over the doc's embedding, fused by
+        // integer-exact reciprocal-rank fusion — paraphrased
+        // contamination surfaces on the dense leg, verbatim on both
+        val docs = Tables.load(s, dir, "documents")
+        val embs = Tables.load(s, dir, "embeddings")
+        graft.operators.Retrieval.hybridBm25CosineTopK(
+          docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
+          embs.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+          docs.filter(col("doc_id") % 101 === 0),
+          embs.filter(col("vec_id") % 101 === 0),
+          kPerLeg = 10, k = 5)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 <> 0),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        bcontrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        bscored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM bcontrib GROUP BY 1, 2),
+        lex AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score_u DESC, doc_id) AS rank
+                FROM bscored)
+          WHERE rank <= 10),
+        qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 101 = 0),
+        cvx AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 101 <> 0),
+        dscored AS (
+          SELECT q.q_id, c.doc_id,
+                 list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))) AS cosine
+          FROM qv q, cvx c),
+        den AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, doc_id) AS rank
+                FROM dscored)
+          WHERE rank <= 10),
+        rrf AS (
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM lex
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
+          FROM den),
+        fused AS (
+          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
+          FROM rrf GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id, rrf_u
+        FROM (SELECT q_id, doc_id, rrf_u,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf_u DESC, doc_id) AS INTEGER) AS rank
+              FROM fused)
+        WHERE rank <= 5"""),
+      "hybrid retrieval decontamination: integer-exact BM25 top-10 + " +
+        "exact cosine top-10 per eval probe, reciprocal-rank-fused " +
+        "(floor(1e9/(60+rank)) micro-weights, exact BIGINT sums); both " +
+        "legs are bounded-output broadcast-probe operators, fusion " +
+        "shuffles only candidate lists")
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, Similarity, CorpusStats}
+
+class RetrievalSpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, Long, Int)]) = {
+    import spark.implicits._
+    rows.toDF("q_id", "doc_id", "rank")
+  }
+
+  test("rrfFuse sums exact micro-weights and breaks ties to smaller id") {
+    val lex = run(Seq((1L, 10L, 1), (1L, 11L, 2)))
+    val den = run(Seq((1L, 9L, 1), (1L, 11L, 2)))
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 5).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_u"))).sortBy(_._1)
+    // weights: rank1 → floor(1e9/61) = 16393442, rank2 → floor(1e9/62)
+    // = 16129032; doc 11 appears at rank 2 in BOTH runs, docs 9/10 at
+    // rank 1 in one run each (an exact rrf_u tie → smaller id first)
+    assert(out === Seq(
+      (1, 11L, 2L * 16129032L),
+      (2, 9L, 16393442L),
+      (3, 10L, 16393442L)))
+  }
+
+  test("rrfFuse cuts the fused list at k") {
+    val lex = run((1 to 8).map(i => (1L, 100L + i, i)))
+    val out = Retrieval.rrfFuse(Seq(lex), k = 3).collect()
+    assert(out.length === 3)
+    // a single run fused alone preserves its own order
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1).toSeq === Seq((1, 101L), (2, 102L), (3, 103L)))
+  }
+
+  test("hybrid fusion equals hand-fused legs on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = core.Tables.load(spark, dir, "documents")
+    val embs = core.Tables.load(spark, dir, "embeddings")
+    val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
+    val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
+    val probeDocs = docs.filter(col("doc_id") % 101 === 0)
+    val probeEmbs = embs.filter(col("vec_id") % 101 === 0)
+
+    val hybrid = Retrieval.hybridBm25CosineTopK(
+      corpusDocs, "doc_id", "text", corpusEmbs, "vec_id", "embedding",
+      probeDocs, probeEmbs, kPerLeg = 10, k = 5)
+
+    // hand-fuse: run the two legs directly, fold the RRF weights with
+    // a window instead of the mergeable top-k aggregate
+    val lex = CorpusStats.bm25TopK(corpusDocs, "doc_id", "text",
+        probeDocs, "doc_id", "text", 10)
+      .select(col("q_id").cast("long"), col("doc_id").cast("long"),
+        col("rank"))
+    val den = Similarity.cosineTopK(corpusEmbs, probeEmbs,
+        "vec_id", "embedding", 10)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_u").desc, col("doc_id"))
+    val expected = lex.union(den)
+      .select(col("q_id"), col("doc_id"),
+        floor(lit(1000000000.0) / (col("rank") + lit(60))).as("c"))
+      .groupBy("q_id", "doc_id").agg(sum(col("c")).as("rrf_u"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_u"))
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_u"))).toSet
+    val h = key(hybrid)
+    assert(h === key(expected))
+    assert(h.nonEmpty)
+    // every probe fused a full page (both legs returned ≥ 5 candidates
+    // on the fixture)
+    val perProbe = h.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perProbe.values.forall(_ === 5))
+  }
+}
