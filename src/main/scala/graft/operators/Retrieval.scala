@@ -67,6 +67,76 @@ object Retrieval {
   }
 
   /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+   * 1998 — public) of a per-query candidate list: greedily select `k`
+   * candidates maximizing `rel_u·relW − penW·max_{s∈selected} sim_u(d,s)`
+   * — relevance traded against redundancy with what is already picked,
+   * the diversification step a retrieval-augmented pipeline runs after
+   * fusion so near-duplicate passages don't crowd out coverage.
+   *
+   * Exact-replay discipline: `rel_u` is an integer relevance (e.g.
+   * [[rrfFuse]]'s `rrf_u`), the similarity penalty is the cosine
+   * quantized to integer micro-units — `floor(1e6·cosine)`, where the
+   * cosine double is bit-identical across engines (sequential-fold dot
+   * product, q40's proven parity) — so every MMR score is an exact
+   * BIGINT and the greedy argmax (ties to the smaller doc_id) replays
+   * deterministically anywhere.
+   *
+   * `candidates` must be unique per (q_id, doc_id) with integral
+   * `rel_u`; rows whose doc_id has no row in `vecs` are dropped (inner
+   * join — a candidate without an embedding cannot be diversified
+   * against). Output: q_id, rank (1..k, selection order), doc_id,
+   * mmr_u (the score AT selection; rank 1's is `rel_u·relW`). Queries
+   * with fewer than `k` candidates yield that many rows.
+   *
+   * Plan: the greedy loop unrolls at plan-build time (k is small by
+   * contract). Per step, the remaining candidates anti-join the
+   * selected set and join it on q_id for the pairwise penalty — every
+   * side is candidate-list-proportional (≤ |probes|·|candidates|
+   * rows), never corpus-proportional; the joined candidate table and
+   * each step's selection are pinned ([[graft.ops.materialize]]) so
+   * lineage stays linear in k.
+   */
+  def mmrRerank(candidates: DataFrame, vecs: DataFrame, idCol: String,
+                vecCol: String, k: Int, relW: Long = 1L,
+                penW: Long = 33L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(relW >= 0 && penW >= 0,
+      s"weights must be non-negative, got relW=$relW penW=$penW")
+    val cand = graft.ops.materialize(candidates
+      .select(col("q_id").cast("long").as("q_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rel_u").cast("long").as("rel_u"))
+      .join(vecs.select(col(idCol).cast("long").as("doc_id"),
+        col(vecCol).cast("array<double>").as("__v")), "doc_id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy(col("q_id"))
+        .agg(graft.plans.Kernels.topK(col("mmr_u").cast("double"),
+          col("doc_id"), lit(1)).as("__t"))
+        .select(col("q_id"), posexplode(col("__t")))
+        .select(col("q_id"), lit(rank).cast("int").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").cast("long").as("mmr_u"))
+    var sel = graft.ops.materialize(pick(
+      cand.select(col("q_id"), col("doc_id"),
+        (col("rel_u") * lit(relW)).as("mmr_u")), 1))
+    for (t <- 2 to k) {
+      val selV = cand.join(sel.select(col("q_id"), col("doc_id")),
+        Seq("q_id", "doc_id")).select(col("q_id"), col("__v").as("__sv"))
+      val rem = cand.join(sel.select(col("q_id"), col("doc_id")),
+        Seq("q_id", "doc_id"), "left_anti")
+      val scored = rem.join(selV, "q_id")
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(max(col("rel_u")).as("rel_u"),
+          max(floor(Similarity.cosine(col("__v"), col("__sv"))
+            * lit(1000000.0))).as("sim_u"))
+        .select(col("q_id"), col("doc_id"),
+          (col("rel_u") * lit(relW) - col("sim_u") * lit(penW)).as("mmr_u"))
+      sel = graft.ops.materialize(sel.union(pick(scored, t)))
+    }
+    sel
+  }
+
+  /**
    * The standard two-leg hybrid: integer-exact Okapi BM25 over the text
    * corpus fused with exact cosine top-k over the embedding corpus,
    * both legs cut at `kPerLeg`, fused list cut at `k`. Probes must

@@ -1370,6 +1370,224 @@ object VectorQueries {
         "exact cosine top-10 per eval probe, reciprocal-rank-fused " +
         "(floor(1e9/(60+rank)) micro-weights, exact BIGINT sums); both " +
         "legs are bounded-output broadcast-probe operators, fusion " +
-        "shuffles only candidate lists")
+        "shuffles only candidate lists"),
+
+    QuerySpec("q131_mmr_rerank",
+      (s, dir) => {
+        // diversified retrieval: the q130 hybrid's fused top-10 per
+        // probe, greedily re-ranked by maximal marginal relevance —
+        // rrf_u relevance vs a 33×micro-cosine redundancy penalty
+        // against the already-selected set, all-integer scores
+        val docs = Tables.load(s, dir, "documents")
+        val embs = Tables.load(s, dir, "embeddings")
+        val fused = graft.operators.Retrieval.hybridBm25CosineTopK(
+          docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
+          embs.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+          docs.filter(col("doc_id") % 101 === 0),
+          embs.filter(col("vec_id") % 101 === 0),
+          kPerLeg = 10, k = 10)
+        graft.operators.Retrieval.mmrRerank(
+          fused.select(col("q_id"), col("doc_id"),
+            col("rrf_u").as("rel_u")),
+          embs, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 <> 0),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        bcontrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        bscored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM bcontrib GROUP BY 1, 2),
+        lex AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score_u DESC, doc_id) AS rank
+                FROM bscored)
+          WHERE rank <= 10),
+        qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 101 = 0),
+        cvx AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 101 <> 0),
+        dscored AS (
+          SELECT q.q_id, c.doc_id,
+                 list_inner_product(q.v, c.v) /
+                   (sqrt(list_inner_product(q.v, q.v)) *
+                    sqrt(list_inner_product(c.v, c.v))) AS cosine
+          FROM qv q, cvx c),
+        den AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, doc_id) AS rank
+                FROM dscored)
+          WHERE rank <= 10),
+        rrf AS (
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM lex
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
+          FROM den),
+        fused AS (
+          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
+          FROM rrf GROUP BY 1, 2),
+        cand AS (
+          SELECT q_id, doc_id, rrf_u AS rel_u
+          FROM (SELECT q_id, doc_id, rrf_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rrf_u DESC, doc_id) AS rn
+                FROM fused)
+          WHERE rn <= 10),
+        cv2 AS (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        -- MATERIALIZED: cj is referenced by all 9 step CTEs below; an
+        -- inlining replay would recompute the whole fused pipeline per
+        -- reference (observed: spill-to-disk exhaustion at sf0.1)
+        cj AS MATERIALIZED (SELECT c.q_id, c.doc_id, c.rel_u, v.v
+               FROM cand c JOIN cv2 v USING (doc_id)),
+        s1 AS (
+          SELECT q_id, doc_id, CAST(rel_u AS BIGINT) AS mmr_u
+          FROM (SELECT q_id, doc_id, rel_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rel_u DESC, doc_id) AS rn
+                FROM cj)
+          WHERE rn = 1),
+        sel1 AS (SELECT q_id, doc_id FROM s1),
+        sv2 AS (SELECT c.q_id, c.v FROM cj c
+                JOIN sel1 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id),
+        rem2 AS (SELECT c.* FROM cj c
+                 LEFT JOIN sel1 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id
+                 WHERE s.doc_id IS NULL),
+        sc2 AS (
+          SELECT r.q_id, r.doc_id, max(r.rel_u) AS rel_u,
+                 max(CAST(floor((list_inner_product(r.v, s.v) /
+                      (sqrt(list_inner_product(r.v, r.v)) *
+                       sqrt(list_inner_product(s.v, s.v)))) * 1000000.0)
+                   AS BIGINT)) AS sim_u
+          FROM rem2 r JOIN sv2 s ON s.q_id = r.q_id GROUP BY 1, 2),
+        s2 AS (
+          SELECT q_id, doc_id, CAST(rel_u - 33 * sim_u AS BIGINT) AS mmr_u
+          FROM (SELECT q_id, doc_id, rel_u, sim_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rel_u - 33 * sim_u DESC, doc_id) AS rn
+                FROM sc2)
+          WHERE rn = 1),
+        sel2 AS (SELECT q_id, doc_id FROM sel1
+                 UNION ALL SELECT q_id, doc_id FROM s2),
+        sv3 AS (SELECT c.q_id, c.v FROM cj c
+                JOIN sel2 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id),
+        rem3 AS (SELECT c.* FROM cj c
+                 LEFT JOIN sel2 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id
+                 WHERE s.doc_id IS NULL),
+        sc3 AS (
+          SELECT r.q_id, r.doc_id, max(r.rel_u) AS rel_u,
+                 max(CAST(floor((list_inner_product(r.v, s.v) /
+                      (sqrt(list_inner_product(r.v, r.v)) *
+                       sqrt(list_inner_product(s.v, s.v)))) * 1000000.0)
+                   AS BIGINT)) AS sim_u
+          FROM rem3 r JOIN sv3 s ON s.q_id = r.q_id GROUP BY 1, 2),
+        s3 AS (
+          SELECT q_id, doc_id, CAST(rel_u - 33 * sim_u AS BIGINT) AS mmr_u
+          FROM (SELECT q_id, doc_id, rel_u, sim_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rel_u - 33 * sim_u DESC, doc_id) AS rn
+                FROM sc3)
+          WHERE rn = 1),
+        sel3 AS (SELECT q_id, doc_id FROM sel2
+                 UNION ALL SELECT q_id, doc_id FROM s3),
+        sv4 AS (SELECT c.q_id, c.v FROM cj c
+                JOIN sel3 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id),
+        rem4 AS (SELECT c.* FROM cj c
+                 LEFT JOIN sel3 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id
+                 WHERE s.doc_id IS NULL),
+        sc4 AS (
+          SELECT r.q_id, r.doc_id, max(r.rel_u) AS rel_u,
+                 max(CAST(floor((list_inner_product(r.v, s.v) /
+                      (sqrt(list_inner_product(r.v, r.v)) *
+                       sqrt(list_inner_product(s.v, s.v)))) * 1000000.0)
+                   AS BIGINT)) AS sim_u
+          FROM rem4 r JOIN sv4 s ON s.q_id = r.q_id GROUP BY 1, 2),
+        s4 AS (
+          SELECT q_id, doc_id, CAST(rel_u - 33 * sim_u AS BIGINT) AS mmr_u
+          FROM (SELECT q_id, doc_id, rel_u, sim_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rel_u - 33 * sim_u DESC, doc_id) AS rn
+                FROM sc4)
+          WHERE rn = 1),
+        sel4 AS (SELECT q_id, doc_id FROM sel3
+                 UNION ALL SELECT q_id, doc_id FROM s4),
+        sv5 AS (SELECT c.q_id, c.v FROM cj c
+                JOIN sel4 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id),
+        rem5 AS (SELECT c.* FROM cj c
+                 LEFT JOIN sel4 s ON s.q_id = c.q_id AND s.doc_id = c.doc_id
+                 WHERE s.doc_id IS NULL),
+        sc5 AS (
+          SELECT r.q_id, r.doc_id, max(r.rel_u) AS rel_u,
+                 max(CAST(floor((list_inner_product(r.v, s.v) /
+                      (sqrt(list_inner_product(r.v, r.v)) *
+                       sqrt(list_inner_product(s.v, s.v)))) * 1000000.0)
+                   AS BIGINT)) AS sim_u
+          FROM rem5 r JOIN sv5 s ON s.q_id = r.q_id GROUP BY 1, 2),
+        s5 AS (
+          SELECT q_id, doc_id, CAST(rel_u - 33 * sim_u AS BIGINT) AS mmr_u
+          FROM (SELECT q_id, doc_id, rel_u, sim_u,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rel_u - 33 * sim_u DESC, doc_id) AS rn
+                FROM sc5)
+          WHERE rn = 1)
+        SELECT q_id, rank, doc_id, mmr_u FROM (
+          SELECT q_id, CAST(1 AS INTEGER) AS rank, doc_id, mmr_u FROM s1
+          UNION ALL
+          SELECT q_id, CAST(2 AS INTEGER), doc_id, mmr_u FROM s2
+          UNION ALL
+          SELECT q_id, CAST(3 AS INTEGER), doc_id, mmr_u FROM s3
+          UNION ALL
+          SELECT q_id, CAST(4 AS INTEGER), doc_id, mmr_u FROM s4
+          UNION ALL
+          SELECT q_id, CAST(5 AS INTEGER), doc_id, mmr_u FROM s5)"""),
+      "maximal-marginal-relevance diversification of the hybrid fused " +
+        "top-10: greedy 5-step selection, rrf_u relevance vs 33× " +
+        "floor(1e6·cosine) redundancy penalty against the selected set " +
+        "— all-integer scores, the unrolled oracle replays every greedy " +
+        "step exactly")
   )
 }

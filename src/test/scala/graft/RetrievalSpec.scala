@@ -35,6 +35,39 @@ class RetrievalSpec extends SparkSpec {
       .sortBy(_._1).toSeq === Seq((1, 101L), (2, 102L), (3, 103L)))
   }
 
+  test("mmrRerank picks diverse over redundant and scores exactly") {
+    import spark.implicits._
+    // doc 2 is an exact vector duplicate of doc 1 (cosine 1.0); doc 3
+    // is orthogonal. Greedy: 1 (top rel), then 3 (2's penalty
+    // 33·1e6 dwarfs its rel edge), then 2 with the full penalty.
+    val cand = Seq((7L, 1L, 3000000L), (7L, 2L, 2900000L),
+      (7L, 3L, 1000000L)).toDF("q_id", "doc_id", "rel_u")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval
+      .mmrRerank(cand, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_u"))).sortBy(_._1)
+    assert(out === Seq(
+      (1, 1L, 3000000L),
+      (2, 3L, 1000000L),
+      (3, 2L, 2900000L - 33L * 1000000L)))
+  }
+
+  test("mmrRerank stops when candidates run out and drops vecless docs") {
+    import spark.implicits._
+    val cand = Seq((7L, 1L, 100L), (7L, 2L, 90L), (7L, 9L, 80L))
+      .toDF("q_id", "doc_id", "rel_u")
+    // doc 9 has no embedding -> dropped; only 2 rows despite k = 4
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval
+      .mmrRerank(cand, vecs, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    assert(out === Seq((1, 1L), (2, 2L)))
+  }
+
   test("hybrid fusion equals hand-fused legs on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val docs = core.Tables.load(spark, dir, "documents")
