@@ -93,9 +93,17 @@ object Retrieval {
    * contract). Per step, the remaining candidates anti-join the
    * selected set and join it on q_id for the pairwise penalty — every
    * side is candidate-list-proportional (≤ |probes|·|candidates|
-   * rows), never corpus-proportional; the joined candidate table and
-   * each step's selection are pinned ([[graft.ops.materialize]]) so
-   * lineage stays linear in k.
+   * rows), never corpus-proportional. The candidate table and each
+   * step's selection are EAGER local checkpoints, not cache pins: a
+   * pin short-circuits execution but leaves the logical tree intact,
+   * and with each step referencing the previous selection three times
+   * the ANALYZED plan grows ~3^k copies of the upstream retrieval tree
+   * — measured 36 s of driver-side analysis at sf0.1 before any task
+   * ran. `localCheckpoint(eager=true)` rewrites the step to a
+   * LogicalRDD, so analysis stays O(step) and the executors only ever
+   * see candidate-list-sized work. (Local checkpoints do not survive
+   * executor loss; for a multi-hour cluster backfill, write the
+   * candidate list to a table first and re-rank from that scan.)
    */
   def mmrRerank(candidates: DataFrame, vecs: DataFrame, idCol: String,
                 vecCol: String, k: Int, relW: Long = 1L,
@@ -103,12 +111,13 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     require(relW >= 0 && penW >= 0,
       s"weights must be non-negative, got relW=$relW penW=$penW")
-    val cand = graft.ops.materialize(candidates
+    val cand = candidates
       .select(col("q_id").cast("long").as("q_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rel_u").cast("long").as("rel_u"))
       .join(vecs.select(col(idCol).cast("long").as("doc_id"),
-        col(vecCol).cast("array<double>").as("__v")), "doc_id"))
+        col(vecCol).cast("array<double>").as("__v")), "doc_id")
+      .localCheckpoint(true)
     def pick(scored: DataFrame, rank: Int): DataFrame =
       scored.groupBy(col("q_id"))
         .agg(graft.plans.Kernels.topK(col("mmr_u").cast("double"),
@@ -116,9 +125,8 @@ object Retrieval {
         .select(col("q_id"), posexplode(col("__t")))
         .select(col("q_id"), lit(rank).cast("int").as("rank"),
           col("col.id").as("doc_id"), col("col.score").cast("long").as("mmr_u"))
-    var sel = graft.ops.materialize(pick(
-      cand.select(col("q_id"), col("doc_id"),
-        (col("rel_u") * lit(relW)).as("mmr_u")), 1))
+    var sel = pick(cand.select(col("q_id"), col("doc_id"),
+      (col("rel_u") * lit(relW)).as("mmr_u")), 1).localCheckpoint(true)
     for (t <- 2 to k) {
       val selV = cand.join(sel.select(col("q_id"), col("doc_id")),
         Seq("q_id", "doc_id")).select(col("q_id"), col("__v").as("__sv"))
@@ -131,7 +139,7 @@ object Retrieval {
             * lit(1000000.0))).as("sim_u"))
         .select(col("q_id"), col("doc_id"),
           (col("rel_u") * lit(relW) - col("sim_u") * lit(penW)).as("mmr_u"))
-      sel = graft.ops.materialize(sel.union(pick(scored, t)))
+      sel = sel.union(pick(scored, t)).localCheckpoint(true)
     }
     sel
   }
