@@ -26,13 +26,23 @@ object HybridScale {
       val probe = col("doc_id") % 101 === 0 && col("doc_id") < 100000000L
       val probeV = col("vec_id") % 101 === 0 && col("vec_id") < 100000000L
       val t0 = System.nanoTime()
-      val n = graft.operators.Retrieval.hybridBm25CosineTopK(
+      val fused = graft.operators.Retrieval.hybridBm25CosineTopK(
         docs.filter(col("doc_id") % 101 =!= 0), "doc_id", "text",
         embs.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
         docs.filter(probe), embs.filter(probeV),
-        kPerLeg = 10, k = 5).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[hybridscale] $dir r$r rows=$n time=$sec%.2f s")
+        kPerLeg = 10, k = 10)
+      val n = fused.count()
+      val t1 = System.nanoTime()
+      // the re-rank leg is candidate-bound: its cost must stay flat as
+      // the corpus grows (only the legs above see corpus rows)
+      val m = graft.operators.Retrieval.mmrRerank(
+        fused.select(col("q_id"), col("doc_id"), col("rrf_u").as("rel_u")),
+        embs, "vec_id", "embedding", k = 5).count()
+      val t2 = System.nanoTime()
+      val sec = (t1 - t0) / 1e9
+      val secM = (t2 - t1) / 1e9
+      println(f"[hybridscale] $dir r$r rows=$n time=$sec%.2f s " +
+        f"mmr_rows=$m mmr_extra=$secM%.2f s")
       spark.catalog.clearCache()
     }
     spark.stop()
