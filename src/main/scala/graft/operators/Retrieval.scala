@@ -90,18 +90,23 @@ object Retrieval {
    * with fewer than `k` candidates yield that many rows.
    *
    * Plan: the greedy loop unrolls at plan-build time (k is small by
-   * contract). Per step, the remaining candidates anti-join the
-   * selected set and join it on q_id for the pairwise penalty — every
-   * side is candidate-list-proportional (≤ |probes|·|candidates|
-   * rows), never corpus-proportional. The candidate table and each
-   * step's selection are EAGER local checkpoints, not cache pins: a
-   * pin short-circuits execution but leaves the logical tree intact,
-   * and with each step referencing the previous selection three times
-   * the ANALYZED plan grows ~3^k copies of the upstream retrieval tree
-   * — measured 36 s of driver-side analysis at sf0.1 before any task
-   * ran. `localCheckpoint(eager=true)` rewrites the step to a
-   * LogicalRDD, so analysis stays O(step) and the executors only ever
-   * see candidate-list-sized work. (Local checkpoints do not survive
+   * contract), carrying one STATE table of not-yet-selected candidates
+   * with the running `sim_u = max similarity-to-selected` (the penalty
+   * is `penW·sim_u`; null = empty set) —
+   * `max_{s∈S∪{p}} sim(d,s) = greatest(max_{s∈S} sim(d,s), sim(d,p))`,
+   * so each step joins the state to the ONE newly picked vector
+   * (per-q_id, a broadcast-sized side), computes |remaining| cosines
+   * instead of |remaining|·|selected|, and drops the picked row by
+   * column comparison — no anti-join. Every side is candidate-list-
+   * proportional (≤ |probes|·|candidates| rows), never corpus-
+   * proportional. The state is an EAGER local checkpoint per step, not
+   * a cache pin: a pin short-circuits execution but leaves the logical
+   * tree intact, and a growing self-referencing tree blows up ANALYSIS
+   * (the first formulation referenced the selection 3× per step —
+   * ~3^k copies of the upstream retrieval tree, measured 36 s of
+   * driver-side analysis at sf0.1 before any task ran).
+   * `localCheckpoint(eager=true)` rewrites the step to a LogicalRDD,
+   * so analysis stays O(step). (Local checkpoints do not survive
    * executor loss; for a multi-hour cluster backfill, write the
    * candidate list to a table first and re-rank from that scan.)
    */
@@ -111,35 +116,49 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     require(relW >= 0 && penW >= 0,
       s"weights must be non-negative, got relW=$relW penW=$penW")
-    val cand = candidates
+    // state: not-yet-selected candidates, each with its vector and the
+    // running max-similarity-to-selected (`sim_u`, null = empty set —
+    // `greatest` skips nulls, so the first fold takes the raw value
+    // even when it is negative; a zero init would wrongly clamp
+    // negative-cosine "bonuses")
+    var state = candidates
       .select(col("q_id").cast("long").as("q_id"),
         col("doc_id").cast("long").as("doc_id"),
         col("rel_u").cast("long").as("rel_u"))
       .join(vecs.select(col(idCol).cast("long").as("doc_id"),
         col(vecCol).cast("array<double>").as("__v")), "doc_id")
+      .withColumn("sim_u", lit(null).cast("long"))
       .localCheckpoint(true)
-    def pick(scored: DataFrame, rank: Int): DataFrame =
-      scored.groupBy(col("q_id"))
-        .agg(graft.plans.Kernels.topK(col("mmr_u").cast("double"),
-          col("doc_id"), lit(1)).as("__t"))
-        .select(col("q_id"), posexplode(col("__t")))
+    def mmr = col("rel_u") * lit(relW) -
+      coalesce(col("sim_u") * lit(penW), lit(0L))
+    // per-q_id argmax as an integer-lexicographic struct max — (score
+    // desc, doc_id asc) exactly like the topK kernel, but the struct
+    // carries the winner's VECTOR out of the aggregate, so the state
+    // update below needs no self-join to recover it
+    def pick(rank: Int): DataFrame =
+      state.groupBy(col("q_id"))
+        .agg(max(struct(mmr.as("m"),
+          (col("doc_id") * lit(-1L)).as("nd"),
+          col("doc_id").as("doc_id"), col("__v").as("__pv"))).as("__p"))
         .select(col("q_id"), lit(rank).cast("int").as("rank"),
-          col("col.id").as("doc_id"), col("col.score").cast("long").as("mmr_u"))
-    var sel = pick(cand.select(col("q_id"), col("doc_id"),
-      (col("rel_u") * lit(relW)).as("mmr_u")), 1).localCheckpoint(true)
+          col("__p.doc_id").as("doc_id"), col("__p.m").as("mmr_u"),
+          col("__p.__pv").as("__pv"))
+    var pickT = pick(1)
+    var sel = pickT.drop("__pv")
     for (t <- 2 to k) {
-      val selV = cand.join(sel.select(col("q_id"), col("doc_id")),
-        Seq("q_id", "doc_id")).select(col("q_id"), col("__v").as("__sv"))
-      val rem = cand.join(sel.select(col("q_id"), col("doc_id")),
-        Seq("q_id", "doc_id"), "left_anti")
-      val scored = rem.join(selV, "q_id")
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(max(col("rel_u")).as("rel_u"),
-          max(floor(Similarity.cosine(col("__v"), col("__sv"))
-            * lit(1000000.0))).as("sim_u"))
-        .select(col("q_id"), col("doc_id"),
-          (col("rel_u") * lit(relW) - col("sim_u") * lit(penW)).as("mmr_u"))
-      sel = sel.union(pick(scored, t)).localCheckpoint(true)
+      val pv = pickT.select(col("q_id"), col("doc_id").as("__pid"),
+        col("__pv"))
+      // queries whose candidates ran out vanish from the pick, the
+      // inner join retires their state — selection just stops
+      state = state.join(pv, Seq("q_id"))
+        .filter(col("doc_id") =!= col("__pid"))
+        .select(col("q_id"), col("doc_id"), col("rel_u"), col("__v"),
+          greatest(col("sim_u"),
+            floor(Similarity.cosine(col("__v"), col("__pv"))
+              * lit(1000000.0))).as("sim_u"))
+        .localCheckpoint(true)
+      pickT = pick(t)
+      sel = sel.union(pickT.drop("__pv"))
     }
     sel
   }
