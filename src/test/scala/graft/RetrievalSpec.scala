@@ -54,6 +54,26 @@ class RetrievalSpec extends SparkSpec {
       (3, 2L, 2900000L - 33L * 1000000L)))
   }
 
+  test("mmrRerank negative cosine is a bonus, not clamped at zero") {
+    import spark.implicits._
+    // d2 points OPPOSITE the first pick (cosine exactly -1): its
+    // penalty term is -33e6, i.e. a diversity BONUS that must beat
+    // d3's higher relevance. A running-penalty fold initialized to 0
+    // instead of the empty set would clamp this and pick d3.
+    val cand = Seq((7L, 1L, 1000L), (7L, 2L, 100L), (7L, 3L, 900L))
+      .toDF("q_id", "doc_id", "rel_u")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval
+      .mmrRerank(cand, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_u"))).sortBy(_._1)
+    assert(out === Seq(
+      (1, 1L, 1000L),
+      (2, 2L, 100L + 33L * 1000000L),
+      (3, 3L, 900L)))
+  }
+
   test("mmrRerank stops when candidates run out and drops vecless docs") {
     import spark.implicits._
     val cand = Seq((7L, 1L, 100L), (7L, 2L, 90L), (7L, 9L, 80L))
