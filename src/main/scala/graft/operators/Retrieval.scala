@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
  * BM25 micro-nats vs float cosine) never have to be calibrated.
  *
  * Scale shape: both legs are already bounded-output broadcast-probe
- * top-k operators ([[CorpusStats.bm25TopK]], [[Similarity.cosineTopK]]);
- * fusion touches only their outputs — ≤ Σ_leg k rows per probe — so its
- * two shuffles move candidate lists, never corpus rows. At 100 TB the
- * cost is entirely in the legs, which is where it belongs.
+ * top-k operators ([[CorpusStats.bm25TopK]], [[Similarity.cosineTopK]],
+ * [[AnnIndex.ivfPqTopKBucketed]]); fusion touches only their outputs —
+ * ≤ Σ_leg k rows per probe — so its two shuffles move candidate lists,
+ * never corpus rows. At 100 TB the cost is entirely in the legs, which
+ * is where it belongs — and the production dense leg is the persisted
+ * IVF+PQ index ([[hybridBm25AnnTopK]]), whose per-probe work is
+ * ~nProbe/nCentroids of the corpus, not a full scan.
  */
 object Retrieval {
 
@@ -32,6 +35,14 @@ object Retrieval {
    * weight scaled to an exact BIGINT (micro-weight discipline of
    * q119/q125/q127), so fused scores sum order-free and replay exactly
    * in any engine; ties break to the smaller doc_id.
+   *
+   * Contract: each run is one ranked list per query — at most one row
+   * per (q_id, doc_id). A malformed run that repeats a pair contributes
+   * BOTH weights to the sum (the aggregate cannot tell a duplicate from
+   * a second run's honest vote); callers with untrusted runs should
+   * pre-collapse with `max(c)`/`min(rank)` per (q_id, doc_id). The
+   * operator does not pay a per-run dedup shuffle on the hot path to
+   * defend against input that violates its contract.
    *
    * Output: q_id, rank (1..k over the fused order), doc_id, rrf_u.
    *
@@ -66,6 +77,30 @@ object Retrieval {
         col("col.id").as("doc_id"), col("col.score").cast("long").as("rrf_u"))
   }
 
+  /** Release the persisted blocks behind an eagerly local-checkpointed
+    * DataFrame (its analyzed plan is one LogicalRDD leaf). Only call
+    * once NOTHING will read the frame again: a local checkpoint has no
+    * lineage, so unpersisted blocks are unrecoverable by design. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Cosine with the zero-norm convention of [[ProductQuant.cosArr]]:
+    * a degenerate (all-zero) vector scores 0.0 against anything. The
+    * norms gate the DIVISION itself — under ANSI mode (Spark 4's
+    * default) 0/0 is a runtime error, so an after-the-fact `nanvl`
+    * never gets to run; the `when` keeps the divisor provably
+    * non-zero. Same sequential-fold dot product as
+    * [[Similarity.cosine]], so the non-degenerate path is
+    * bit-identical. */
+  private def guardedCosine(a: Column, b: Column): Column = {
+    val den = Similarity.l2Norm(a) * Similarity.l2Norm(b)
+    when(den > lit(0.0), Similarity.dot(a, b) / den).otherwise(lit(0.0))
+  }
+
   /**
    * Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
    * 1998 — public) of a per-query candidate list: greedily select `k`
@@ -80,7 +115,12 @@ object Retrieval {
    * cosine double is bit-identical across engines (sequential-fold dot
    * product, q40's proven parity) — so every MMR score is an exact
    * BIGINT and the greedy argmax (ties to the smaller doc_id) replays
-   * deterministically anywhere.
+   * deterministically anywhere. A zero-norm embedding's cosine is
+   * defined as 0.0 ([[guardedCosine]] — the convention of
+   * [[ProductQuant.cosArr]]), so a degenerate vector is penalty-neutral
+   * instead of erroring under ANSI mode (or NaN-poisoning the greedy
+   * order with ANSI off); external SQL replaying the penalty must
+   * apply the same convention if its corpus can hold zero vectors.
    *
    * `candidates` must be unique per (q_id, doc_id) with integral
    * `rel_u`; rows whose doc_id has no row in `vecs` are dropped (inner
@@ -90,25 +130,32 @@ object Retrieval {
    * with fewer than `k` candidates yield that many rows.
    *
    * Plan: the greedy loop unrolls at plan-build time (k is small by
-   * contract), carrying one STATE table of not-yet-selected candidates
-   * with the running `sim_u = max similarity-to-selected` (the penalty
-   * is `penW·sim_u`; null = empty set) —
+   * contract), carrying ONE state table of all candidates — unselected
+   * rows hold the running `sim_u = max similarity-to-selected` (null =
+   * empty set), selected rows ride along frozen with their selection
+   * `rank`/`mmr_u` —
    * `max_{s∈S∪{p}} sim(d,s) = greatest(max_{s∈S} sim(d,s), sim(d,p))`,
-   * so each step joins the state to the ONE newly picked vector
-   * (per-q_id, a broadcast-sized side), computes |remaining| cosines
-   * instead of |remaining|·|selected|, and drops the picked row by
-   * column comparison — no anti-join. Every side is candidate-list-
+   * so each step joins the state to the ONE newly picked row per q_id
+   * (the argmax struct carries the winner's vector out of the
+   * aggregate — no self-join to recover it) and computes |remaining|
+   * cosines, not |remaining|·|selected|. Every side is candidate-list-
    * proportional (≤ |probes|·|candidates| rows), never corpus-
-   * proportional. The state is an EAGER local checkpoint per step, not
+   * proportional. Each step's state is an EAGER local checkpoint, not
    * a cache pin: a pin short-circuits execution but leaves the logical
    * tree intact, and a growing self-referencing tree blows up ANALYSIS
    * (the first formulation referenced the selection 3× per step —
    * ~3^k copies of the upstream retrieval tree, measured 36 s of
    * driver-side analysis at sf0.1 before any task ran).
    * `localCheckpoint(eager=true)` rewrites the step to a LogicalRDD,
-   * so analysis stays O(step). (Local checkpoints do not survive
-   * executor loss; for a multi-hour cluster backfill, write the
-   * candidate list to a table first and re-rank from that scan.)
+   * so analysis stays O(step) — and because the selected rows live IN
+   * the state, step t's checkpoint fully supersedes step t−1's, whose
+   * blocks are released immediately (r16 kept per-step pick frames
+   * alive for a final union, so no intermediate checkpoint was ever
+   * safe to free; executor storage grew by the whole state chain per
+   * call). Peak pinned storage is now ≤ 2 state snapshots regardless
+   * of k or call count. (Local checkpoints do not survive executor
+   * loss; for a multi-hour cluster backfill, write the candidate list
+   * to a table first and re-rank from that scan.)
    */
   def mmrRerank(candidates: DataFrame, vecs: DataFrame, idCol: String,
                 vecCol: String, k: Int, relW: Long = 1L,
@@ -116,11 +163,11 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     require(relW >= 0 && penW >= 0,
       s"weights must be non-negative, got relW=$relW penW=$penW")
-    // state: not-yet-selected candidates, each with its vector and the
-    // running max-similarity-to-selected (`sim_u`, null = empty set —
-    // `greatest` skips nulls, so the first fold takes the raw value
-    // even when it is negative; a zero init would wrongly clamp
-    // negative-cosine "bonuses")
+    // state: every candidate, its vector, the running max-similarity-
+    // to-selected (`sim_u`, null = empty set — `greatest` skips nulls,
+    // so the first fold takes the raw value even when it is negative;
+    // a zero init would wrongly clamp negative-cosine "bonuses"), and
+    // the selection slot (`rank`/`mmr_u`, null = not yet picked)
     var state = candidates
       .select(col("q_id").cast("long").as("q_id"),
         col("doc_id").cast("long").as("doc_id"),
@@ -128,39 +175,49 @@ object Retrieval {
       .join(vecs.select(col(idCol).cast("long").as("doc_id"),
         col(vecCol).cast("array<double>").as("__v")), "doc_id")
       .withColumn("sim_u", lit(null).cast("long"))
+      .withColumn("rank", lit(null).cast("int"))
+      .withColumn("mmr_u", lit(null).cast("long"))
       .localCheckpoint(true)
     def mmr = col("rel_u") * lit(relW) -
       coalesce(col("sim_u") * lit(penW), lit(0L))
-    // per-q_id argmax as an integer-lexicographic struct max — (score
-    // desc, doc_id asc) exactly like the topK kernel, but the struct
-    // carries the winner's VECTOR out of the aggregate, so the state
-    // update below needs no self-join to recover it
-    def pick(rank: Int): DataFrame =
-      state.groupBy(col("q_id"))
-        .agg(max(struct(mmr.as("m"),
-          (col("doc_id") * lit(-1L)).as("nd"),
-          col("doc_id").as("doc_id"), col("__v").as("__pv"))).as("__p"))
-        .select(col("q_id"), lit(rank).cast("int").as("rank"),
-          col("__p.doc_id").as("doc_id"), col("__p.m").as("mmr_u"),
-          col("__p.__pv").as("__pv"))
-    var pickT = pick(1)
-    var sel = pickT.drop("__pv")
-    for (t <- 2 to k) {
-      val pv = pickT.select(col("q_id"), col("doc_id").as("__pid"),
-        col("__pv"))
-      // queries whose candidates ran out vanish from the pick, the
-      // inner join retires their state — selection just stops
-      state = state.join(pv, Seq("q_id"))
-        .filter(col("doc_id") =!= col("__pid"))
+    for (t <- 1 to k) {
+      // per-q_id argmax over the UNSELECTED rows as an integer-
+      // lexicographic struct max — (score desc, doc_id asc) exactly
+      // like the topK kernel; `max` ignores the nulls the `when`
+      // assigns to already-selected rows, and a query whose candidates
+      // are all selected yields a null struct (filtered from the pick
+      // side, so the left join leaves its state untouched)
+      val pv = state.groupBy(col("q_id"))
+        .agg(max(when(col("rank").isNull,
+          struct(mmr.as("m"), (col("doc_id") * lit(-1L)).as("nd"),
+            col("doc_id").as("doc_id"), col("__v").as("__pv")))).as("__p"))
+        .filter(col("__p").isNotNull)
+        .select(col("q_id"), col("__p.doc_id").as("__pid"),
+          col("__p.m").as("__pm"), col("__p.__pv").as("__pv"))
+      val prev = state
+      state = state.join(pv, Seq("q_id"), "left")
         .select(col("q_id"), col("doc_id"), col("rel_u"), col("__v"),
-          greatest(col("sim_u"),
-            floor(Similarity.cosine(col("__v"), col("__pv"))
-              * lit(1000000.0))).as("sim_u"))
+          when(col("rank").isNotNull || col("__pid").isNull ||
+              col("doc_id") === col("__pid"), col("sim_u"))
+            .otherwise(greatest(col("sim_u"),
+              floor(guardedCosine(col("__v"), col("__pv"))
+                * lit(1000000.0)))).as("sim_u"),
+          when(col("doc_id") === col("__pid") && col("rank").isNull,
+            lit(t)).otherwise(col("rank")).cast("int").as("rank"),
+          when(col("doc_id") === col("__pid") && col("mmr_u").isNull,
+            col("__pm")).otherwise(col("mmr_u")).as("mmr_u"))
         .localCheckpoint(true)
-      pickT = pick(t)
-      sel = sel.union(pickT.drop("__pv"))
+      releaseCheckpoint(prev)
     }
-    sel
+    val out = state.filter(col("rank").isNotNull)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("mmr_u"))
+      // the caller gets a frame with NO dependence on the loop's last
+      // checkpoint (k·|probes| rows, localCheckpoint is bounded and
+      // cheap here), so the final state releases like its predecessors
+      // instead of pinning executor storage until ContextCleaner GC
+      .localCheckpoint(true)
+    releaseCheckpoint(state)
+    out
   }
 
   /**
@@ -168,6 +225,18 @@ object Retrieval {
    * corpus fused with exact cosine top-k over the embedding corpus,
    * both legs cut at `kPerLeg`, fused list cut at `k`. Probes must
    * carry the same id in both spaces (doc text and doc embedding).
+   * Self-match contract (both legs): a probe whose id also exists in
+   * the corpus never retrieves itself — the dense leg excludes it by
+   * id inside [[Similarity.cosineTopK]] and the lexical leg filters
+   * `q_id = doc_id` pairs here, so RRF fuses two legs with one
+   * contract instead of the lexical leg ranking the probe itself at
+   * rank 1 (r16 left the legs asymmetric; with disjoint probe/corpus
+   * ids — the oracled q130/q131 shape — the filter matches no row).
+   *
+   * This wrapper's dense leg is an exact full-corpus scan per probe
+   * batch — right for a one-shot decontamination pass; for repeated
+   * retrieval against a standing corpus, use [[hybridBm25AnnTopK]],
+   * which probes the persisted IVF+PQ index instead.
    */
   def hybridBm25CosineTopK(
       docs: DataFrame, docIdCol: String, textCol: String,
@@ -176,8 +245,46 @@ object Retrieval {
       kPerLeg: Int, k: Int, k0: Int = 60): DataFrame = {
     val lex = CorpusStats.bm25TopK(docs, docIdCol, textCol,
         probeDocs, docIdCol, textCol, kPerLeg)
+      .filter(col("q_id") =!= col("doc_id"))
       .select(col("q_id"), col("doc_id"), col("rank"))
     val den = Similarity.cosineTopK(embs, probeEmbs, embIdCol, vecCol, kPerLeg)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, den), k, k0)
+  }
+
+  /**
+   * The production hybrid: the lexical BM25 leg fused with a dense leg
+   * that searches the PERSISTED IVF+PQ index
+   * ([[AnnIndex.ivfPqTopKBucketed]], built once by
+   * [[AnnIndex.writeAnnIndex]] under `base`) instead of brute-force
+   * scanning the embedding corpus. Per-probe dense work drops from
+   * |corpus| exact cosines to ~(nProbe/nCentroids)·|corpus| ADC table
+   * lookups over m-byte codes against a bucket-pruned scan — the shape
+   * that survives repeated retrieval at 100 TB, at the price of ANN
+   * recall (bounded below vs the exact hybrid in RetrievalSpec; the
+   * index build parameters, not this wrapper, set that trade).
+   *
+   * `probeDocs` must carry `docIdCol`+`textCol`, `probeEmbs` the same
+   * ids under `embIdCol` plus `vecCol` vectors of the index's
+   * dimension. Self-match contract matches [[hybridBm25CosineTopK]]:
+   * the index search drops `neighbor_id = query_id` pairs, the lexical
+   * leg filters `q_id = doc_id`. Output: q_id, rank (1..k), doc_id,
+   * rrf_u — identical schema to the exact wrapper, so the two swap
+   * freely.
+   */
+  def hybridBm25AnnTopK(
+      spark: SparkSession,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      probeDocs: DataFrame, probeEmbs: DataFrame,
+      embIdCol: String, vecCol: String, base: String,
+      kPerLeg: Int, k: Int, k0: Int = 60, nProbe: Int = 4): DataFrame = {
+    val lex = CorpusStats.bm25TopK(docs, docIdCol, textCol,
+        probeDocs, docIdCol, textCol, kPerLeg)
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = AnnIndex.ivfPqTopKBucketed(spark, probeEmbs, embIdCol,
+        vecCol, kPerLeg, base, nProbe)
       .select(col("query_id").as("q_id"),
         col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, den), k, k0)

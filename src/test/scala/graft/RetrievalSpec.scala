@@ -88,6 +88,58 @@ class RetrievalSpec extends SparkSpec {
     assert(out === Seq((1, 1L), (2, 2L)))
   }
 
+  test("mmrRerank releases superseded state checkpoints (bounded storage)") {
+    import spark.implicits._
+    val cand = Seq((7L, 1L, 3000000L), (7L, 2L, 2900000L),
+      (7L, 3L, 1000000L)).toDF("q_id", "doc_id", "rel_u")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // two full re-rank calls; each builds k+1 = 4 state checkpoints
+    // plus the output frame — only the OUTPUT (k·|probes| rows, the
+    // caller's handle) may stay pinned; every state snapshot must be
+    // released by the time the call returns
+    for (_ <- 1 to 2)
+      graft.operators.Retrieval
+        .mmrRerank(cand, vecs, "vec_id", "embedding", k = 3).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"state chain leaked: $before -> $after persistent RDDs")
+  }
+
+  test("mmrRerank zero-norm vector is penalty-neutral, not NaN") {
+    import spark.implicits._
+    // doc 2 is the zero vector: its cosine against any pick is 0/0 →
+    // the nanvl guard pins the penalty term to 0, so doc 2 ranks by
+    // relevance alone instead of NaN-poisoning the struct max
+    val cand = Seq((7L, 1L, 1000L), (7L, 2L, 900L), (7L, 3L, 800L))
+      .toDF("q_id", "doc_id", "rel_u")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval
+      .mmrRerank(cand, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_u"))).sortBy(_._1)
+    assert(out === Seq((1, 1L, 1000L), (2, 2L, 900L), (3, 3L, 800L)))
+  }
+
+  test("hybrid lexical leg drops self-matches when probes overlap corpus") {
+    import spark.implicits._
+    // probe doc 5 exists verbatim in the corpus: the dense leg excludes
+    // it by id inside cosineTopK, and since r17 the lexical leg filters
+    // q_id = doc_id too, so the fused list never contains the probe
+    val docs = Seq((5L, "alpha beta gamma"), (6L, "alpha beta delta"),
+      (7L, "epsilon zeta eta")).toDF("doc_id", "text")
+    val embs = Seq((5L, Seq(1.0, 0.0)), (6L, Seq(0.9, 0.1)),
+      (7L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridBm25CosineTopK(
+      docs, "doc_id", "text", embs, "vec_id", "embedding",
+      docs.filter(col("doc_id") === 5L), embs.filter(col("vec_id") === 5L),
+      kPerLeg = 3, k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id"))
+    assert(out.nonEmpty && !out.contains(5L))
+  }
+
   test("hybrid fusion equals hand-fused legs on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val docs = core.Tables.load(spark, dir, "documents")
