@@ -140,6 +140,37 @@ class RetrievalSpec extends SparkSpec {
     assert(out.nonEmpty && !out.contains(5L))
   }
 
+  test("ANN hybrid recalls most of the exact hybrid's fused page") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = core.Tables.load(spark, dir, "documents")
+    val embs = core.Tables.load(spark, dir, "embeddings")
+    val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
+    val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
+    val probeDocs = docs.filter(col("doc_id") % 101 === 0)
+    val probeEmbs = embs.filter(col("vec_id") % 101 === 0)
+    graft.operators.AnnIndex.writeAnnIndex(corpusEmbs, "vec_id",
+      "embedding", base = "graft_ann_retrspec", dim = 64,
+      nCentroids = 16, m = 16, pqK = 16, buckets = 8)
+    def page(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    val exact = page(Retrieval.hybridBm25CosineTopK(
+      corpusDocs, "doc_id", "text", corpusEmbs, "vec_id", "embedding",
+      probeDocs, probeEmbs, kPerLeg = 10, k = 5))
+    val ann = page(Retrieval.hybridBm25AnnTopK(spark,
+      corpusDocs, "doc_id", "text", probeDocs, probeEmbs,
+      "vec_id", "embedding", base = "graft_ann_retrspec",
+      kPerLeg = 10, k = 5))
+    assert(exact.nonEmpty && ann.nonEmpty)
+    assert(ann.size === exact.size)
+    // the lexical leg is shared verbatim; only the dense leg is
+    // approximate (nProbe=4 of 16 cells + PQ distances), so the fused
+    // pages must agree on well over half their members; 0.6 leaves
+    // honest ANN headroom without letting a broken leg through
+    val recall = (ann & exact).size.toDouble / exact.size
+    info(f"fused-page recall vs exact hybrid: $recall%.3f")
+    assert(recall >= 0.6, s"ANN hybrid recall $recall vs exact hybrid")
+  }
+
   test("hybrid fusion equals hand-fused legs on the fixture") {
     val dir = "/root/testdata/sf0.001"
     val docs = core.Tables.load(spark, dir, "documents")
