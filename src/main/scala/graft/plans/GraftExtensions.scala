@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_count_in"),
       CountIn.info,
       (children: Seq[Expression]) => CountIn(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_encode"),
+      BpeEncodeIds.info,
+      (children: Seq[Expression]) =>
+        BpeEncodeIds(children.head, children(1))))
   }
 }
 
@@ -145,5 +149,9 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_count_in"), CountIn.info,
       (children: Seq[Expression]) => CountIn(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bpe_encode"), BpeEncodeIds.info,
+      (children: Seq[Expression]) =>
+        BpeEncodeIds(children.head, children(1)))
   }
 }

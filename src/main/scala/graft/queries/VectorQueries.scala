@@ -54,8 +54,9 @@ object VectorQueries {
     * model arrays with no Spark lineage. */
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedFit[T <: AnyRef](config: String, key: (Long, Long))
-                                    (fit: => T): T =
+  private[queries] def cachedFit[T <: AnyRef](config: String,
+                                              key: (Long, Long))
+                                             (fit: => T): T =
     fitCache.computeIfAbsent(s"$config/${key._1}/${key._2}",
       _ => fit).asInstanceOf[T]
 

@@ -292,6 +292,8 @@ class InterpretedParitySpec extends SparkSpec {
             typedLit(Seq("a", "c"))),
           call_function("graft_lsh_bucket", col("va"),
             typedLit(Seq(0.5, -0.5, 0.25, 0.1, 0.2, 0.3)), lit(3)),
+          call_function("graft_bpe_encode", col("txt"),
+            typedLit(Seq(Seq("a", "b"), Seq("c", "d")))),
           call_function("graft_pq_encode", col("va"), typedLit(books)),
           call_function("graft_adc_dist", typedLit(Seq(Seq(0.5, 1.5))),
             call_function("graft_pq_encode", col("va"), typedLit(books))))
