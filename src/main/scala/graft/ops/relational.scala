@@ -163,6 +163,119 @@ object relational {
   }
 
   /**
+   * [[contiguousRowNumber]] with the range boundaries PRE-SAMPLED from
+   * a column-pruned pass, eliminating the RangePartitioner's
+   * double-execution of the input plan (the q63 profile, BASELINE r16:
+   * `repartitionByRange`'s sampling pass re-runs the whole upstream
+   * join — all payload columns — before the real shuffle runs it
+   * again).
+   *
+   * How: one cheap pass collects a bounded deterministic key sample
+   * (smallest `xxhash64(keys)` via TakeOrdered — one map pass + driver
+   * merge, no full sort; on `sampleSource` if given, else on
+   * `df.select(order)`, which Catalyst column-prunes through the
+   * upstream joins) and cuts it into `n−1` boundary keys. Each row's
+   * bucket is then a PURE FUNCTION of its key — Σ 1[key ≥ boundary] —
+   * so the wide row moves through ONE hash exchange on the bucket id
+   * and the input plan executes exactly once.
+   *
+   * Correctness does not depend on the boundaries at all: global
+   * contiguity comes from summing bucket sizes in BUCKET order (not
+   * partition order — a hash partition may hold several buckets; the
+   * within-partition window partitions by bucket), equal keys share a
+   * bucket by construction, and the within-bucket `row_number` orders
+   * by the full key — so the output is bit-identical to
+   * [[contiguousRowNumber]] under the same unique-total-order
+   * contract, for ANY boundary choice (RelationalOpsSpec asserts
+   * parity, including under adversarial fixed boundaries). Boundaries
+   * only govern balance; the hash-of-key sample effectively samples
+   * DISTINCT keys (all copies of a key rank together), which biases
+   * balance on heavily duplicated keys — acceptable for a counter
+   * whose skew failure mode is a slow task, never a wrong number.
+   *
+   * Null key columns compare null against boundary structs and land
+   * in the lowest bucket (the RangePartitioner's nulls-first side);
+   * counter values are unaffected (the window orders nulls first
+   * within the bucket).
+   */
+  def contiguousRowNumberSampledRange(df: DataFrame, order: Seq[Column],
+                                      as: String,
+                                      numPartitions: Option[Int] = None,
+                                      sampleSource: Option[DataFrame] = None)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keyed = sampleSource.getOrElse(df)
+    val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val kCols = order.indices.map(i => col(s"__k$i"))
+    // bounded deterministic sample: 64 candidates per target partition
+    val sample = keyed.select(aliased: _*)
+      .select(struct(kCols: _*).as("__k"))
+      .orderBy(xxhash64(col("__k")))
+      .limit(n * 64)
+      .collect().map(_.getStruct(0))
+    val boundaries: Seq[org.apache.spark.sql.Row] =
+      if (sample.length < 2 || n < 2) Seq.empty
+      else {
+        implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
+          sortKeyOrdering(sample.head.schema)
+        val sorted = sample.sorted
+        (1 until n).map(i => sorted(i * sorted.length / n))
+          .distinct.filter(_ != sorted.head)
+      }
+    val sk = struct(order: _*)
+    def structLit(r: org.apache.spark.sql.Row): Column =
+      struct(r.toSeq.map(v => lit(v)): _*)
+    val bucket =
+      if (boundaries.isEmpty) lit(0)
+      else boundaries.map(b =>
+        when(sk >= structLit(b), 1).otherwise(0)).reduce(_ + _)
+    val local = graft.ops.materialize(
+      df.withColumn("__bk", bucket)
+        .repartition(n, col("__bk"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__bk")).orderBy(order: _*))))
+    val sizes = local.groupBy(col("__bk")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes
+      .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), (b, c)) => (b, cum, cum + c) }
+      .drop(1).map { case (b, off, _) => b -> off }.toMap
+    local
+      .withColumn(as, (col("__rn") + element_at(typedLit(offsets), col("__bk")))
+        .cast("long"))
+      .drop("__bk", "__rn")
+  }
+
+  /** Driver-side ordering matching Spark's ascending-nulls-first sort
+    * for the simple orderable types a counter key uses. */
+  private def sortKeyOrdering(schema: org.apache.spark.sql.types.StructType)
+      : Ordering[org.apache.spark.sql.Row] = new Ordering[org.apache.spark.sql.Row] {
+    private val cmps: Seq[(Any, Any) => Int] = schema.fields.toSeq.map { f =>
+      (a: Any, b: Any) => (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+        case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+        case (x, y) => x.toString.compareTo(y.toString)
+      }
+    }
+    def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+      var i = 0
+      while (i < cmps.length) {
+        val c = cmps(i)(a.get(i), b.get(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /**
    * Narrow-shuffle twin of [[contiguousRowNumber]]: the counter is
    * computed over a PROJECTION of (order columns, synthetic row id)
    * and joined back by the id, so the range exchange and the

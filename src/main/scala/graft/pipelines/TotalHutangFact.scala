@@ -64,6 +64,17 @@ object TotalHutangFact extends Pipeline {
   def transformNarrowCounter(t: Map[String, DataFrame]): DataFrame =
     withCounter(t, relational.contiguousRowNumberViaJoin(_, _, _))
 
+  /** Wide form with PRE-SAMPLED range boundaries
+    * ([[relational.contiguousRowNumberSampledRange]]): the boundary
+    * sample runs over a column-pruned clone of the fact (Catalyst
+    * prunes the upstream joins to the three key columns), so the full-
+    * width join executes once instead of twice — the r16 VERDICT's
+    * "keys-only sampling projection" shape. Bit-identical to the other
+    * forms (RelationalOpsSpec; boundary-independent by construction). */
+  def transformSampledCounter(t: Map[String, DataFrame]): DataFrame =
+    withCounter(t, (df, order, as) =>
+      relational.contiguousRowNumberSampledRange(df, order, as))
+
   private[graft] def withCounter(t: Map[String, DataFrame],
       counter: (DataFrame, Seq[org.apache.spark.sql.Column], String)
         => DataFrame): DataFrame = {

@@ -41,9 +41,13 @@ object Q63Scale {
       val wide = TotalHutangFact.transformWideCounter(srcs)
       val narrow = TotalHutangFact.transformNarrowCounter(srcs)
         .select(wide.columns.map(col): _*)
+      val sampled = TotalHutangFact.transformSampledCounter(srcs)
+        .select(wide.columns.map(col): _*)
       val diff = wide.exceptAll(narrow).count() + narrow.exceptAll(wide).count()
-      println(s"[q63scale] $dir symmetric-diff rows=$diff " +
-        (if (diff == 0) "(bit-identical)" else "(MISMATCH!)"))
+      val diffS = wide.exceptAll(sampled).count() +
+        sampled.exceptAll(wide).count()
+      println(s"[q63scale] $dir symmetric-diff narrow=$diff sampled=$diffS " +
+        (if (diff == 0 && diffS == 0) "(bit-identical)" else "(MISMATCH!)"))
       spark.catalog.clearCache()
       graft.ops.materialize.releaseAll()
     }
@@ -59,9 +63,15 @@ object Q63Scale {
       val nn = TotalHutangFact.transformNarrowCounter(srcs)
         .queryExecution.toRdd.count()
       val tn = (System.nanoTime() - t1) / 1e9
-      println(f"[q63scale] $dir r$r rows=$nw wide=$tw%.2f s narrow=$tn%.2f s" +
-        (if (nw != nn) " ROWS MISMATCH" else ""))
+      val t2 = System.nanoTime()
+      val ns = TotalHutangFact.transformSampledCounter(srcs)
+        .queryExecution.toRdd.count()
+      val ts = (System.nanoTime() - t2) / 1e9
+      println(f"[q63scale] $dir r$r rows=$nw wide=$tw%.2f s " +
+        f"narrow=$tn%.2f s sampled=$ts%.2f s" +
+        (if (nw != nn || nw != ns) " ROWS MISMATCH" else ""))
       spark.catalog.clearCache()
+      graft.ops.materialize.releaseAll()
     }
     spark.stop()
   }

@@ -86,6 +86,37 @@ class RelationalOpsSpec extends SparkSpec {
     assert(key(scalable) === key(window))
   }
 
+  test("contiguousRowNumberSampledRange: bit-identical to the default " +
+      "form; boundaries only govern balance, never values") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i * 7919 % 1000, s"k$i", s"payload-$i"))
+      .toDF("sort_key", "payload", "extra").repartition(13)
+    val order = Seq(col("sort_key"), col("payload"))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Int]("sort_key"),
+        r.getAs[String]("payload"), r.getAs[String]("extra"))).toSet
+    val default = relational.contiguousRowNumber(df, order, "row_id",
+      numPartitions = Some(7))
+    val sampled = relational.contiguousRowNumberSampledRange(df, order,
+      "row_id", numPartitions = Some(7))
+    assert(key(sampled) === key(default))
+    assert(sampled.columns.toSet === (df.columns :+ "row_id").toSet)
+    // a DIFFERENT (cheap, degenerate) sample source shifts boundaries
+    // but must not move a single counter value — correctness is
+    // boundary-independent by construction
+    val skewedSrc = df.filter(col("sort_key") < 50)
+      .select(col("sort_key"), col("payload"))
+    val adversarial = relational.contiguousRowNumberSampledRange(df, order,
+      "row_id", numPartitions = Some(7), sampleSource = Some(skewedSrc))
+    assert(key(adversarial) === key(default))
+    // single-bucket degenerate case (empty sample source) still exact
+    val empty = relational.contiguousRowNumberSampledRange(df, order,
+      "row_id", numPartitions = Some(7),
+      sampleSource = Some(df.filter(lit(false))
+        .select(col("sort_key"), col("payload"))))
+    assert(key(empty) === key(default))
+  }
+
   test("contiguousRowNumberViaJoin: narrow-shuffle twin is bit-identical " +
       "to the default form (and to the window) on a unique total order") {
     import spark.implicits._
