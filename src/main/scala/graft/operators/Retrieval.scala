@@ -209,15 +209,15 @@ object Retrieval {
         .localCheckpoint(true)
       releaseCheckpoint(prev)
     }
-    val out = state.filter(col("rank").isNotNull)
+    // the returned frame reads the LAST state checkpoint directly — one
+    // bounded candidate-list-sized snapshot that ContextCleaner frees
+    // when the caller drops the frame. (An eager output checkpoint
+    // would free it immediately but costs one more per-call job — on
+    // the 50-probe bench shape the k+2nd job is ~10% of the whole
+    // re-rank; the superseded-chain release above is where the real
+    // storage was.)
+    state.filter(col("rank").isNotNull)
       .select(col("q_id"), col("rank"), col("doc_id"), col("mmr_u"))
-      // the caller gets a frame with NO dependence on the loop's last
-      // checkpoint (k·|probes| rows, localCheckpoint is bounded and
-      // cheap here), so the final state releases like its predecessors
-      // instead of pinning executor storage until ContextCleaner GC
-      .localCheckpoint(true)
-    releaseCheckpoint(state)
-    out
   }
 
   /**
