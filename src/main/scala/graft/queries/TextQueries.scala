@@ -1514,6 +1514,103 @@ object TextQueries {
         "200 merges fitted on a deterministic sample, table dumped as " +
         "data): per-doc piece count (= the old estimate), exact token " +
         "count, and the exact id-sum fingerprint — the oracle re-runs " +
-        "the full merge loop in SQL from the dumped model")
+        "the full merge loop in SQL from the dumped model"),
+
+    // q73's packing driven by EXACT BPE counts instead of the
+    // whitespace count — the delivery-side half of the r17 exact-token
+    // story: the oracle composes q134's full BPE replay (merge loop
+    // and all) with q73's windowed packing SQL, so every chunk
+    // boundary in the result is re-derived outside the engine from
+    // the dumped model
+    QuerySpec("q135_bpe_packing",
+      (s, dir) => {
+        import s.implicits._
+        val docsRaw = Tables.load(s, dir, "documents")
+        val kr = docsRaw.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        val key = (kr.getLong(0), kr.getLong(1))
+        val model = VectorQueries.cachedFit("bpe_200", key)(
+          graft.operators.Bpe.fit(docsRaw, "doc_id", "text", nMerges = 200))
+        VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
+          .toDF("rank", "l", "r", "merged", "id"),
+          "bpe_merges", key._1, key._2)
+        VectorQueries.dumpOracle(graft.operators.Bpe.byteRows
+          .toDF("byte", "sym"), "bpe_bytes", key._1, key._2)
+        val docs = docsRaw.select(col("doc_id"), col("source"),
+          graft.operators.Bpe.tokenCount(col("text"), model).cast("long")
+            .as("n_tok"))
+        graft.operators.CorpusStats.sequencePacking(
+          docs, "doc_id", "n_tok", "source", budget = 512)
+      },
+      Some("""
+        WITH RECURSIVE nn AS (
+          SELECT count(*) AS n,
+                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
+          FROM documents),
+        bm AS (
+          SELECT rank, l, r, merged, id
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        bb AS (
+          SELECT byte, sym
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        pieces AS (
+          SELECT doc_id, unnest(pl) AS piece
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
+                FROM documents)),
+        dp AS (SELECT DISTINCT piece FROM pieces),
+        init AS (
+          SELECT piece, list(sym ORDER BY i) AS syms
+          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
+                       generate_subscripts(string_split(piece, ''), 1) AS i
+                FROM dp)
+          JOIN bb ON bb.byte = unicode(ch)
+          GROUP BY piece),
+        steps AS (
+          SELECT piece, syms, 0 AS it FROM init
+          UNION ALL
+          SELECT s.piece,
+                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
+                 s.it + 1
+          FROM steps s
+          JOIN LATERAL (
+            SELECT m.rank, m.merged, u.i AS pos
+            FROM (SELECT unnest(s.syms) AS a,
+                         generate_subscripts(s.syms, 1) AS i) u
+            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
+            ORDER BY m.rank, u.i
+            LIMIT 1) bp ON true),
+        fin AS (
+          SELECT piece, syms FROM (
+            SELECT piece, syms, row_number() OVER (PARTITION BY piece
+                     ORDER BY it DESC) AS rn
+            FROM steps) WHERE rn = 1),
+        pstat AS (
+          SELECT piece, CAST(len(syms) AS BIGINT) AS n_tok FROM fin),
+        d AS (
+          SELECT dd.doc_id, dd.source,
+                 CAST(coalesce(sum(ps.n_tok), 0) AS BIGINT) AS n_tok
+          FROM documents dd
+          LEFT JOIN pieces p ON p.doc_id = dd.doc_id
+          LEFT JOIN pstat ps ON ps.piece = p.piece
+          GROUP BY dd.doc_id, dd.source)
+        SELECT doc_id, source AS shard, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS cum_tok,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+            - n_tok) // 512 AS BIGINT) AS start_chunk,
+          CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+            - 1) // 512 AS BIGINT) AS end_chunk
+        FROM d"""),
+      "sequence packing metered by EXACT BPE tokens (q134's model): " +
+        "per-shard running exact-token sum cut into 512-token chunks — " +
+        "the oracle re-derives every chunk boundary from the dumped " +
+        "merges table through the full SQL merge-loop replay")
   )
 }
