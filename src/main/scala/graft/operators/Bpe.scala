@@ -130,6 +130,13 @@ object Bpe {
   def tokenCount(text: Column, model: BpeModel): Column =
     size(tokenIds(text, model))
 
+  /** Inverse of [[tokenIds]]: ids → text. Exact round-trip for text
+    * the pre-tokenizer consumes byte-for-byte (see
+    * [[graft.plans.BpeDecodeIds]]) — the shard-delivery verification
+    * path: decode what was written, compare to what was meant. */
+  def decode(ids: Column, model: BpeModel): Column =
+    graft.plans.Kernels.bpeDecode(ids, model.mergesLit)
+
   /** (rank, l, r, merged, id) rows — the oracle-dumpable model. */
   def mergesRows(model: BpeModel): Seq[(Int, String, String, String, Int)] =
     model.merges.zipWithIndex.map { case ((l, r), i) =>

@@ -272,19 +272,34 @@ object Retrieval {
    * leg filters `q_id = doc_id`. Output: q_id, rank (1..k), doc_id,
    * rrf_u — identical schema to the exact wrapper, so the two swap
    * freely.
+   *
+   * `collectProbes` picks the dense-leg probe path: the default
+   * driver-collect form ([[AnnIndex.ivfPqTopKBucketed]]) isin-prunes
+   * the codes scan to the probed buckets — right for bounded probe
+   * batches; `collectProbes = false` computes probe cells and ADC
+   * tables as per-row COLUMN expressions
+   * ([[AnnIndex.ivfPqTopKBucketedDF]], bit-parity asserted in
+   * AnnIndexSpec) so a million-probe nightly batch never funnels
+   * through the driver — at that scale most cells are probed anyway,
+   * so the lost scan pruning is moot.
    */
   def hybridBm25AnnTopK(
       spark: SparkSession,
       docs: DataFrame, docIdCol: String, textCol: String,
       probeDocs: DataFrame, probeEmbs: DataFrame,
       embIdCol: String, vecCol: String, base: String,
-      kPerLeg: Int, k: Int, k0: Int = 60, nProbe: Int = 4): DataFrame = {
+      kPerLeg: Int, k: Int, k0: Int = 60, nProbe: Int = 4,
+      collectProbes: Boolean = true): DataFrame = {
     val lex = CorpusStats.bm25TopK(docs, docIdCol, textCol,
         probeDocs, docIdCol, textCol, kPerLeg)
       .filter(col("q_id") =!= col("doc_id"))
       .select(col("q_id"), col("doc_id"), col("rank"))
-    val den = AnnIndex.ivfPqTopKBucketed(spark, probeEmbs, embIdCol,
-        vecCol, kPerLeg, base, nProbe)
+    val den = (if (collectProbes)
+        AnnIndex.ivfPqTopKBucketed(spark, probeEmbs, embIdCol,
+          vecCol, kPerLeg, base, nProbe)
+      else
+        AnnIndex.ivfPqTopKBucketedDF(spark, probeEmbs, embIdCol,
+          vecCol, kPerLeg, base, nProbe))
       .select(col("query_id").as("q_id"),
         col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, den), k, k0)

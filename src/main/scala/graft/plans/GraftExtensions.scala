@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BpeEncodeIds.info,
       (children: Seq[Expression]) =>
         BpeEncodeIds(children.head, children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_decode"),
+      BpeDecodeIds.info,
+      (children: Seq[Expression]) =>
+        BpeDecodeIds(children.head, children(1))))
   }
 }
 
@@ -153,5 +157,9 @@ object GraftExtensions {
       FunctionIdentifier("graft_bpe_encode"), BpeEncodeIds.info,
       (children: Seq[Expression]) =>
         BpeEncodeIds(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bpe_decode"), BpeDecodeIds.info,
+      (children: Seq[Expression]) =>
+        BpeDecodeIds(children.head, children(1)))
   }
 }

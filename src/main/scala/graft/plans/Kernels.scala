@@ -97,4 +97,8 @@ object Kernels {
     * ([[BpeEncodeIds]]). */
   def bpeEncode(text: Column, merges: Column): Column =
     toCol(BpeEncodeIds(toExpr(text), toExpr(merges)))
+
+  /** Inverse of [[bpeEncode]]: ids → text ([[BpeDecodeIds]]). */
+  def bpeDecode(ids: Column, merges: Column): Column =
+    toCol(BpeDecodeIds(toExpr(ids), toExpr(merges)))
 }

@@ -148,6 +148,36 @@ class BpeSpec extends SparkSpec {
     assert(!nulls(1).isNullAt(0))
   }
 
+  test("decode inverts encode byte-for-byte on fully-consumed text") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val model = Bpe.fit(docs, "doc_id", "text", nMerges = 128)
+    // the fixture corpus is single-spaced ASCII: the pre-tokenizer
+    // consumes every byte, so the round trip must be exact on all
+    // 500 documents
+    val bad = docs.select(col("doc_id"), col("text"),
+        Bpe.decode(Bpe.tokenIds(col("text"), model), model).as("rt"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(bad === 0L)
+    // dropped bytes are gone by contract: a double space survives as
+    // ONE leading-space piece (the other byte was never consumed)
+    val lossy = Seq("a  b").toDF("t")
+      .select(Bpe.decode(Bpe.tokenIds(col("t"), model), model))
+      .head().getString(0)
+    assert(lossy === "a b")
+    // out-of-range ids must fail loudly, not decode to garbage (the
+    // exception surfaces raw or Spark-wrapped depending on whether the
+    // local relation constant-folds)
+    val boom = intercept[Throwable] {
+      Seq(Seq(256 + model.merges.length)).toDF("ids")
+        .select(Bpe.decode(col("ids"), model)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(boom).exists(_.contains("BPE id")))
+  }
+
   test("exact token counts drive packing and shard manifests") {
     val docs = Tables.load(spark, dir, "documents")
     // 32 merges: the fixture's ~61-piece vocabulary must NOT merge to

@@ -169,6 +169,14 @@ class RetrievalSpec extends SparkSpec {
     val recall = (ann & exact).size.toDouble / exact.size
     info(f"fused-page recall vs exact hybrid: $recall%.3f")
     assert(recall >= 0.6, s"ANN hybrid recall $recall vs exact hybrid")
+    // the no-driver-collect probe path fuses to the IDENTICAL page
+    // (its dense leg is bit-parity with the collect path, so RRF sees
+    // the same runs)
+    val annDf = page(Retrieval.hybridBm25AnnTopK(spark,
+      corpusDocs, "doc_id", "text", probeDocs, probeEmbs,
+      "vec_id", "embedding", base = "graft_ann_retrspec",
+      kPerLeg = 10, k = 5, collectProbes = false))
+    assert(annDf === ann)
   }
 
   test("hybrid fusion equals hand-fused legs on the fixture") {
