@@ -642,17 +642,22 @@ object CorpusStats {
    */
   def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
                           tokensPerShard: Long, path: String,
-                          epochSalt: String = "epoch0"): DataFrame = {
+                          epochSalt: String = "epoch0",
+                          tokenCount: Option[Column] = None): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be > 0")
+    // caller-supplied accounting (r17): pass
+    // `Some(Bpe.tokenCount(col(textCol), model))` and delivery meters
+    // EXACT tokens — the expression is evaluated against the raw row,
+    // so it must reference the caller's own column names
+    val nTokExpr = tokenCount
+      .getOrElse(TextAnalysis.tokenCount(col(textCol)))
     val shuffled = epochShuffle(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        // null text = empty document: a null n_tok would null the
+        // prefix sum and shard_id, silently routing the row to the
+        // Hive default partition outside the manifest
+        coalesce(nTokExpr.cast("long"), lit(0L)).as("n_tok")),
       "doc_id", epochSalt)
-      // null text = empty document: a null n_tok would null the prefix
-      // sum and shard_id, silently routing the row to the Hive default
-      // partition outside the manifest
-      .withColumn("n_tok",
-        coalesce(TextAnalysis.tokenCount(col("text")).cast("long"),
-          lit(0L)))
     val assigned = graft.ops.relational.contiguousPrefixSum(shuffled,
         Seq(col("shuffle_pos")), col("n_tok"), "cum")
       .select(col("doc_id"), col("text"), col("n_tok"), col("shuffle_pos"),

@@ -118,4 +118,26 @@ class ShardWriterSpec extends SparkSpec {
     assert(second.map(_._2).toSet === first.map(_._2).toSet)
     assert(second !== first)
   }
+
+  test("exact BPE accounting flows through shard delivery end to end") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-shards4")
+      .toString + "/corpus"
+    val model = graft.operators.Bpe.fit(docs, "doc_id", "text",
+      nMerges = 64)
+    val manifest = CorpusStats.writeTrainingShards(docs, "doc_id", "text",
+      20000L, path, tokenCount =
+        Some(graft.operators.Bpe.tokenCount(col("text"), model)))
+    // delivered token accounting must equal the exact corpus total —
+    // and differ from the whitespace-estimate delivery (the
+    // approximation this variant retires is measurable end to end)
+    val exactTotal = docs.select(
+      sum(graft.operators.Bpe.tokenCount(col("text"), model).cast("long")))
+      .head().getLong(0)
+    assert(manifest.agg(sum(col("n_tokens"))).head().getLong(0)
+      === exactTotal)
+    val estTotal = CorpusStats.writeTrainingShards(docs, "doc_id", "text",
+      20000L, path).agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(estTotal !== exactTotal)
+  }
 }
