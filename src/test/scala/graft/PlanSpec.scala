@@ -133,6 +133,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
   }
 
+  test("q134 BPE accounting: pure per-row codegen pass — zero exchanges") {
+    val p = formatted("q134_bpe_tokens")
+    assert(!p.contains("Exchange"),
+      "per-doc token accounting must not shuffle:\n" + p)
+    assert(p.contains("graft_bpe_encode"), p)
+  }
+
+  test("q135 BPE packing: shard-partitioned window over per-row encode, " +
+      "no global sort") {
+    val p = formatted("q135_bpe_packing")
+    assert(p.contains("graft_bpe_encode"), p)
+    // the only exchange is the pack window's shard hash partitioning —
+    // never a global (empty-key) window or a range sort
+    assert(p.contains("hashpartitioning(shard#"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), "global window:\n" + p)
+  }
+
   test("q89 epoch shuffle: RANGE partitioning, no single-reducer window") {
     val p = formatted("q89_epoch_shuffle")
     assert(p.contains("rangepartitioning(__h#"), p)
