@@ -150,6 +150,9 @@ object Bpe {
     require(!base.contains("."),
       s"model base must be an unqualified table name, got '$base'")
     import spark.implicits._
+    // drop a stale registration AND any orphaned warehouse location a
+    // previous session left (AnnIndex's model-table discipline)
+    AnnIndex.dropStale(spark, s"${base}_bpe_merges")
     mergesRows(model).toDF("rank", "l", "r", "merged", "id")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${base}_bpe_merges")

@@ -913,4 +913,62 @@ object CorpusStats {
         col("col.id").cast(idType).as("doc_id"),
         col("col.score").cast("long").as("score_u"))
   }
+
+  /**
+   * GPT-style sequence packing, MATERIALIZED (r17): concatenate the
+   * corpus's token-id stream in `idCol` order and cut it into
+   * fixed-`seqLen` training sequences — the step after
+   * [[sequencePacking]]'s accounting: the actual (seq_id, ids[seqLen])
+   * rows a trainer consumes. Documents cross sequence boundaries
+   * (concat-and-chunk; the final sequence keeps its shorter tail).
+   *
+   * Output: seq_id (0-based), ids (array<int>, length `seqLen` except
+   * the last), n_tokens, n_docs (documents contributing ≥ 1 token).
+   *
+   * Plan shape — built for the 100 TB corpus, not the fixture: NO
+   * token-level explode (a trillion-row shuffle). Each document's
+   * exclusive token offset comes from the range-partitioned prefix sum
+   * ([[graft.ops.relational.contiguousPrefixSum]], no single-reducer
+   * window); the doc then SLICES its own id array into the ≤
+   * ⌈n/seqLen⌉+1 sequence fragments it overlaps (per-row `transform`
+   * over a `sequence` of covered seq ids), and one hash exchange on
+   * seq_id reassembles fragments with an `array_sort` on the fragment
+   * offset — every token id moves through exactly one shuffle, inside
+   * its fragment array. Deterministic for a fixed `idCol` order;
+   * compose with [[epochShuffle]] upstream for a seeded epoch
+   * permutation.
+   */
+  def packTokenSequences(docs: DataFrame, idCol: String, idsCol: String,
+                         seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val sized = docs.select(col(idCol).as("__doc"),
+        col(idsCol).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+      .filter(col("__n") > 0)
+    val off = graft.ops.relational.contiguousPrefixSum(sized,
+        Seq(col("__doc")), col("__n"), "__cum")
+      .withColumn("__off", col("__cum") - col("__n"))
+    val L = lit(seqLen.toLong)
+    // fragments: for each covered seq id s, the slice of __ids spanning
+    // global positions [max(off, s·L), min(off+n, (s+1)·L))
+    val frags = off.select(col("__doc"), explode(transform(
+        sequence(floor(col("__off") / L),
+          floor((col("__off") + col("__n") - 1) / L)),
+        s => {
+          val gStart = greatest(col("__off"), s * L)
+          val gEnd = least(col("__off") + col("__n"), (s + 1) * L)
+          struct(s.cast("long").as("seq_id"),
+            (gStart - s * L).as("frag_off"),
+            slice(col("__ids"), (gStart - col("__off") + 1).cast("int"),
+              (gEnd - gStart).cast("int")).as("ids"))
+        })).as("__f"))
+      .select(col("__doc"), col("__f.seq_id").as("seq_id"),
+        col("__f.frag_off").as("frag_off"), col("__f.ids").as("ids"))
+    frags.groupBy(col("seq_id"))
+      .agg(flatten(array_sort(collect_list(
+          struct(col("frag_off"), col("ids")))).getField("ids")).as("ids"),
+        count(lit(1)).as("n_docs"))
+      .select(col("seq_id"), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"), col("n_docs"))
+  }
 }

@@ -1611,6 +1611,135 @@ object TextQueries {
       "sequence packing metered by EXACT BPE tokens (q134's model): " +
         "per-shard running exact-token sum cut into 512-token chunks — " +
         "the oracle re-derives every chunk boundary from the dumped " +
-        "merges table through the full SQL merge-loop replay")
+        "merges table through the full SQL merge-loop replay"),
+
+    // the MATERIALIZED training sequences (GPT-style concat-and-chunk
+    // of the exact-token id stream): each output row is one
+    // fixed-length trainer sequence. The engine never explodes to
+    // token level (fragment slices + one seq_id exchange); the oracle
+    // DOES — per-token global positions in plain SQL — and the two
+    // must agree on every sequence's exact content: id_sum is the
+    // order-free check, possum (Σ id·within-seq-position) pins the
+    // ORDER of every token in every sequence
+    QuerySpec("q136_packed_sequences",
+      (s, dir) => {
+        import s.implicits._
+        val docsRaw = Tables.load(s, dir, "documents")
+        val kr = docsRaw.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        val key = (kr.getLong(0), kr.getLong(1))
+        val model = VectorQueries.cachedFit("bpe_200", key)(
+          graft.operators.Bpe.fit(docsRaw, "doc_id", "text", nMerges = 200))
+        VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
+          .toDF("rank", "l", "r", "merged", "id"),
+          "bpe_merges", key._1, key._2)
+        VectorQueries.dumpOracle(graft.operators.Bpe.byteRows
+          .toDF("byte", "sym"), "bpe_bytes", key._1, key._2)
+        val withIds = docsRaw.select(col("doc_id"),
+          graft.operators.Bpe.tokenIds(col("text"), model).as("ids"))
+        graft.operators.CorpusStats
+          .packTokenSequences(withIds, "doc_id", "ids", seqLen = 256)
+          .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            aggregate(zip_with(col("ids"),
+                sequence(lit(1L), size(col("ids")).cast("long")),
+                (x, i) => x.cast("long") * i),
+              lit(0L), (acc, x) => acc + x).as("possum"))
+      },
+      Some("""
+        WITH RECURSIVE nn AS (
+          SELECT count(*) AS n,
+                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
+          FROM documents),
+        bm AS (
+          SELECT rank, l, r, merged, id
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        bb AS (
+          SELECT byte, sym
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        pieces AS (
+          SELECT doc_id, unnest(pl) AS piece,
+                 generate_subscripts(pl, 1) AS pi
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
+                FROM documents)),
+        dp AS (SELECT DISTINCT piece FROM pieces),
+        init AS (
+          SELECT piece, list(sym ORDER BY i) AS syms
+          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
+                       generate_subscripts(string_split(piece, ''), 1) AS i
+                FROM dp)
+          JOIN bb ON bb.byte = unicode(ch)
+          GROUP BY piece),
+        steps AS (
+          SELECT piece, syms, 0 AS it FROM init
+          UNION ALL
+          SELECT s.piece,
+                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
+                 s.it + 1
+          FROM steps s
+          JOIN LATERAL (
+            SELECT m.rank, m.merged, u.i AS pos
+            FROM (SELECT unnest(s.syms) AS a,
+                         generate_subscripts(s.syms, 1) AS i) u
+            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
+            ORDER BY m.rank, u.i
+            LIMIT 1) bp ON true),
+        fin AS (
+          SELECT piece, syms FROM (
+            SELECT piece, syms, row_number() OVER (PARTITION BY piece
+                     ORDER BY it DESC) AS rn
+            FROM steps) WHERE rn = 1),
+        vocab AS (
+          SELECT merged AS sym, id FROM bm
+          UNION ALL
+          SELECT sym, byte AS id FROM bb),
+        pids AS (
+          SELECT f.piece, list(v.id ORDER BY f.si) AS ids
+          FROM (SELECT piece, unnest(syms) AS sym,
+                       generate_subscripts(syms, 1) AS si
+                FROM fin) f
+          JOIN vocab v USING (sym)
+          GROUP BY f.piece),
+        tok AS (
+          SELECT p.doc_id, t.id,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY p.pi, t.ti) AS dti
+          FROM pieces p
+          JOIN (SELECT piece, unnest(ids) AS id,
+                       generate_subscripts(ids, 1) AS ti
+                FROM pids) t USING (piece)),
+        dlen AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
+          GROUP BY doc_id),
+        doff AS (
+          SELECT doc_id,
+                 sum(n) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n AS off
+          FROM dlen),
+        g AS (
+          SELECT t.id,
+                 (o.off + t.dti - 1) // 256 AS seq_id,
+                 (o.off + t.dti - 1) % 256 + 1 AS wpos,
+                 t.doc_id
+          FROM tok t JOIN doff o USING (doc_id))
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum,
+               CAST(sum(CAST(id AS BIGINT) * wpos) AS BIGINT) AS possum
+        FROM g GROUP BY seq_id"""),
+      "materialized GPT-style training sequences: the exact-token id " +
+        "stream cut into 256-token rows — engine packs via fragment " +
+        "slices + one seq_id exchange (no token-level explode), the " +
+        "oracle re-derives every token's global position in SQL; " +
+        "possum pins per-sequence token ORDER exactly")
   )
 }

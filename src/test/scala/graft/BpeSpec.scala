@@ -178,6 +178,46 @@ class BpeSpec extends SparkSpec {
     assert(msgs(boom).exists(_.contains("BPE id")))
   }
 
+  test("packTokenSequences tiles the id stream exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq.empty[Int]),
+      (4L, Seq(6, 7, 8, 9))).toDF("doc_id", "ids").repartition(3)
+    val out = graft.operators.CorpusStats
+      .packTokenSequences(docs, "doc_id", "ids", seqLen = 4)
+      .collect().map(r => (r.getAs[Long]("seq_id"),
+        r.getAs[Seq[Int]]("ids"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1)
+    // stream 1..9 in doc order → [1,2,3,4] [5,6,7,8] [9]; doc 2
+    // straddles seqs 0/1, doc 4 straddles 1/2, doc 3 is empty
+    assert(out.toSeq === Seq(
+      (0L, Seq(1, 2, 3, 4), 4L, 2L),
+      (1L, Seq(5, 6, 7, 8), 4L, 2L),
+      (2L, Seq(9), 1L, 1L)))
+  }
+
+  test("packTokenSequences over real BPE ids: total conservation and " +
+      "fixed lengths") {
+    val docs = Tables.load(spark, dir, "documents")
+    val model = Bpe.fit(docs, "doc_id", "text", nMerges = 64)
+    val withIds = docs.select(col("doc_id"),
+      Bpe.tokenIds(col("text"), model).as("ids"))
+    val packed = graft.operators.CorpusStats
+      .packTokenSequences(withIds, "doc_id", "ids", seqLen = 256)
+    val total = withIds.agg(sum(size(col("ids")).cast("long")))
+      .head().getLong(0)
+    val rows = packed.orderBy(col("seq_id")).collect()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    // every sequence but the last is exactly seqLen
+    rows.dropRight(1).foreach(r =>
+      assert(r.getAs[Seq[Int]]("ids").length === 256))
+    // reassembled stream == the concatenated per-doc streams in order
+    val stream = rows.toSeq.flatMap(
+      _.getAs[scala.collection.Seq[Int]]("ids"))
+    val expected = withIds.orderBy(col("doc_id")).collect().toSeq
+      .flatMap(_.getAs[scala.collection.Seq[Int]]("ids"))
+    assert(stream === expected)
+  }
+
   test("persisted model round-trips exactly through the warehouse") {
     val docs = Tables.load(spark, dir, "documents")
     val model = Bpe.fit(docs, "doc_id", "text", nMerges = 64)
