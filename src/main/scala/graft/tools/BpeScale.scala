@@ -39,6 +39,22 @@ object BpeScale {
         f"exact_tokens=${row.getLong(0)} pieces=${row.getLong(1)} " +
         f"time=${(t1 - t0) / 1e9}%.2f s")
     }
+    // the packed-sequence delivery pass (q136's operator): encode +
+    // prefix sum + fragment slices + one seq_id exchange — the cell
+    // that must stay token-linear
+    for (r <- 1 to rounds) {
+      val t0 = System.nanoTime()
+      val withIds = docs.select(col("doc_id"),
+        graft.operators.Bpe.tokenIds(col("text"), model).as("ids"))
+      val n = graft.operators.CorpusStats
+        .packTokenSequences(withIds, "doc_id", "ids", seqLen = 2048)
+        .queryExecution.toRdd.count()
+      val t1 = System.nanoTime()
+      println(f"[bpescale] $dir pack r$r seqs=$n " +
+        f"time=${(t1 - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      graft.ops.materialize.releaseAll()
+    }
     spark.stop()
   }
 }
