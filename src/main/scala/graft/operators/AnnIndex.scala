@@ -243,6 +243,46 @@ object AnnIndex {
   }
 
   /**
+   * Build-if-needed (r17): rebuild the persisted index ONLY when it is
+   * absent or was built over a DIFFERENT corpus — the corpus identity
+   * rides a one-row `<base>_corpuskey` table (n, fp) written after a
+   * successful build, so a standing retrieval service pays the build
+   * once and every later query goes straight to the bucketed search.
+   * The caller supplies the key (row count + a cheap content
+   * fingerprint — the [[graft.queries]] dump-key discipline); two
+   * corpora with the same key are treated as identical, so the
+   * fingerprint must fold in a value term, not just ids. Returns true
+   * when a build ran. Staleness from APPENDS is a different question —
+   * that remains [[rebuildIfStale]]'s reconstruction-error policy;
+   * this is the corpus-swap guard appends never see.
+   *
+   * Concurrency: last-writer-wins like [[writeAnnIndex]] itself —
+   * deterministic fits make concurrent same-corpus builders converge
+   * on identical tables; serialize externally for mixed-corpus racers.
+   */
+  def ensureAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     base: String, dim: Int, key: (Long, Long),
+                     nCentroids: Int = 16, m: Int = 16, pqK: Int = 16,
+                     buckets: Int = 16): Boolean = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val fresh = scala.util.Try {
+      val r = spark.table(s"${base}_corpuskey").head()
+      (r.getLong(0), r.getLong(1)) == key
+    }.getOrElse(false)
+    if (fresh) false
+    else {
+      writeAnnIndex(corpus, idCol, vecCol, base, dim, nCentroids, m,
+        pqK, buckets)
+      dropStale(spark, s"${base}_corpuskey")
+      Seq(key).toDF("n", "fp").coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .saveAsTable(s"${base}_corpuskey")
+      true
+    }
+  }
+
+  /**
    * Encode new corpus rows with the PERSISTED model — no re-fit, no
    * touch of existing state — and append them to the bucketed codes
    * table (Spark appends per-bucket files; `buckets` must match the

@@ -1606,10 +1606,16 @@ object VectorQueries {
         val docs = Tables.load(s, dir, "documents")
         val embs = Tables.load(s, dir, "embeddings")
         val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
-        graft.operators.AnnIndex.writeAnnIndex(corpusEmbs, "vec_id",
-          "embedding", base = "graft_ann_q133", dim = 64, nCentroids = 16,
-          m = 16, pqK = 16, buckets = 8)
         val (n, fp) = corpusKey(corpusEmbs)
+        // build-if-needed (r17): the STANDING-index retrieval shape —
+        // the first call over a corpus builds and keys the index,
+        // steady state goes straight to the bucketed search (q122
+        // keeps the build-every-call shape, so both paths stay
+        // measured). The corpus key is the dump key, so the searched
+        // state and the oracle's dumped state can never diverge.
+        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
+          "embedding", base = "graft_ann_q133", dim = 64, key = (n, fp),
+          nCentroids = 16, m = 16, pqK = 16, buckets = 8)
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"graft_ann_q133_$t"), t, n, fp)
         graft.operators.Retrieval.hybridBm25AnnTopK(s,

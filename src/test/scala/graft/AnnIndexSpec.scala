@@ -174,6 +174,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.count() > 0)
   }
 
+  test("ensureAnnIndex builds once per corpus key, rebuilds on a swap") {
+    import org.apache.spark.sql.functions._
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_corpuskey")
+    val e = embeddings
+    val built1 = graft.operators.AnnIndex.ensureAnnIndex(e, "vec_id",
+      "embedding", Base, dim, key = (1L, 42L), nCent, m, pqK, buckets)
+    assert(built1, "first call must build")
+    val codes1 = spark.table(s"${Base}_codes").count()
+    val built2 = graft.operators.AnnIndex.ensureAnnIndex(e, "vec_id",
+      "embedding", Base, dim, key = (1L, 42L), nCent, m, pqK, buckets)
+    assert(!built2, "same key must skip the rebuild")
+    // a different corpus key forces a rebuild — here over a SMALLER
+    // corpus so the swap is visible in the codes row count
+    val built3 = graft.operators.AnnIndex.ensureAnnIndex(
+      e.filter(col("vec_id") < 100), "vec_id",
+      "embedding", Base, dim, key = (2L, 43L), nCent, m, pqK, buckets)
+    assert(built3, "new key must rebuild")
+    assert(spark.table(s"${Base}_codes").count() < codes1)
+  }
+
   test("rebuild over the same corpus is bit-identical (deterministic fits)") {
     freshTables()
     val e = embeddings
