@@ -256,6 +256,20 @@ object AnnIndex {
    * that remains [[rebuildIfStale]]'s reconstruction-error policy;
    * this is the corpus-swap guard appends never see.
    *
+   * The persisted key also carries the BUILD PARAMETERS
+   * (nCentroids, m, pqK, buckets): an index built with different
+   * geometry over the same corpus is a different index, and the
+   * freshness check must say so — otherwise a caller changing
+   * `nProbe`-relevant geometry would silently search stale state.
+   *
+   * Crash-safety: the key table is dropped BEFORE the rebuild and
+   * written only AFTER every index table committed. `writeAnnIndex`
+   * overwrites centroids/codebooks/codes as separate table commits,
+   * so a crash mid-build leaves a mixed index — but never a key:
+   * the next `ensureAnnIndex` call finds no key and rebuilds. A
+   * stale key surviving over a half-written index was the one
+   * ordering that could serve wrong results as "fresh".
+   *
    * Concurrency: last-writer-wins like [[writeAnnIndex]] itself —
    * deterministic fits make concurrent same-corpus builders converge
    * on identical tables; serialize externally for mixed-corpus racers.
@@ -266,16 +280,21 @@ object AnnIndex {
                      buckets: Int = 16): Boolean = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val params = (nCentroids.toLong, m.toLong, pqK.toLong, buckets.toLong)
     val fresh = scala.util.Try {
       val r = spark.table(s"${base}_corpuskey").head()
-      (r.getLong(0), r.getLong(1)) == key
+      (r.getLong(0), r.getLong(1)) == key &&
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == params
     }.getOrElse(false)
     if (fresh) false
     else {
+      // invalidate FIRST: no key may exist while the index tables are
+      // in a partially-overwritten state (see Scaladoc)
+      dropStale(spark, s"${base}_corpuskey")
       writeAnnIndex(corpus, idCol, vecCol, base, dim, nCentroids, m,
         pqK, buckets)
-      dropStale(spark, s"${base}_corpuskey")
-      Seq(key).toDF("n", "fp").coalesce(1)
+      Seq((key._1, key._2, params._1, params._2, params._3, params._4))
+        .toDF("n", "fp", "ncentroids", "m", "pqk", "buckets").coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .saveAsTable(s"${base}_corpuskey")
       true

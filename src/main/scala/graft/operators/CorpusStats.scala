@@ -950,10 +950,15 @@ object CorpusStats {
       .withColumn("__off", col("__cum") - col("__n"))
     val L = lit(seqLen.toLong)
     // fragments: for each covered seq id s, the slice of __ids spanning
-    // global positions [max(off, s·L), min(off+n, (s+1)·L))
+    // global positions [max(off, s·L), min(off+n, (s+1)·L)).
+    // Seq-id bounds use integral DIV, not floor(double-division): the
+    // cumulative offset is a running corpus total and double division
+    // loses exactness past 2^53 tokens — the same discipline
+    // [[shardManifest]] documents (offsets are non-negative, so
+    // DIV ≡ floorDiv here).
     val frags = off.select(col("__doc"), explode(transform(
-        sequence(floor(col("__off") / L),
-          floor((col("__off") + col("__n") - 1) / L)),
+        sequence(expr(s"__off DIV ${seqLen}L"),
+          expr(s"(__off + __n - 1) DIV ${seqLen}L")),
         s => {
           val gStart = greatest(col("__off"), s * L)
           val gEnd = least(col("__off") + col("__n"), (s + 1) * L)

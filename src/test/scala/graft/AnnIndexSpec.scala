@@ -193,6 +193,23 @@ class AnnIndexSpec extends SparkSpec {
       "embedding", Base, dim, key = (2L, 43L), nCent, m, pqK, buckets)
     assert(built3, "new key must rebuild")
     assert(spark.table(s"${Base}_codes").count() < codes1)
+    // same corpus key but different build GEOMETRY is a different
+    // index — the params ride the persisted key, so this must rebuild
+    val built4 = graft.operators.AnnIndex.ensureAnnIndex(
+      e.filter(col("vec_id") < 100), "vec_id",
+      "embedding", Base, dim, key = (2L, 43L), nCent, m, pqK,
+      buckets = buckets + 1)
+    assert(built4, "changed build params must rebuild")
+    // and a key table from a crashed build must not exist: simulate
+    // the crash window by dropping one index table — the key was
+    // written after ALL index tables, so the inverse (key present,
+    // index mixed) is unreachable; here we just assert the freshness
+    // probe rebuilds when the key is absent even with index tables up
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_corpuskey")
+    val built5 = graft.operators.AnnIndex.ensureAnnIndex(
+      e.filter(col("vec_id") < 100), "vec_id",
+      "embedding", Base, dim, key = (2L, 43L), nCent, m, pqK, buckets)
+    assert(built5, "missing key (crashed build) must rebuild")
   }
 
   test("rebuild over the same corpus is bit-identical (deterministic fits)") {
