@@ -57,6 +57,15 @@ object Bpe {
   def fit(docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
           sampleSize: Int = 2048): BpeModel = {
     require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    BpeModel(fitIndexed(sampleFreqs(docs, idCol, textCol, sampleSize),
+      nMerges))
+  }
+
+  /** Sample + pre-tokenize: word-shape frequencies over the kernel's
+    * pieces, symbols in the byte alphabet. The sample is the
+    * `sampleSize` docs with the smallest `xxhash64(id)` — see [[fit]]. */
+  private def sampleFreqs(docs: DataFrame, idCol: String, textCol: String,
+                          sampleSize: Int): java.util.HashMap[Vector[String], Long] = {
     require(sampleSize > 0, s"sampleSize must be positive, got $sampleSize")
     val texts: Array[String] = docs
       .select(col(idCol).cast("long").as("id"),
@@ -65,8 +74,6 @@ object Bpe {
       .orderBy(xxhash64(col("id")))
       .limit(sampleSize)
       .select("t").collect().map(_.getString(0))
-    // word-shape frequencies over pre-tokenized pieces, symbols in the
-    // byte alphabet
     val freqs = new java.util.HashMap[Vector[String], Long]()
     texts.foreach { t =>
       val m = BpeEncodeIds.piecePattern.matcher(t)
@@ -78,6 +85,130 @@ object Bpe {
         freqs.merge(word, 1L, _ + _)
       }
     }
+    freqs
+  }
+
+  /**
+   * The production merge loop: incremental pair-count maintenance (the
+   * public learn_bpe shape, Sennrich 2016's released implementation) —
+   * each round touches ONLY the word shapes containing the merged
+   * pair, so fitting a 16–50 k-merge production vocabulary is
+   * O(Σ affected-word rewrites) + O(#live pairs) per round for the
+   * deterministic argmax scan, instead of [[fitNaive]]'s full
+   * recount. Selection is bit-identical to [[fitNaive]] (highest
+   * count ≥ 2, ties to the lexicographically smallest (left, right);
+   * all occurrences merged left-to-right) — BpeSpec asserts the two
+   * produce the same merges table on the fixture corpus.
+   */
+  private[graft] def fitIndexed(freqs0: java.util.HashMap[Vector[String], Long],
+                                nMerges: Int): Vector[(String, String)] = {
+    // materialize shapes as mutable arrays; identical shapes stay
+    // aggregated (one entry, summed freq) — later rewrites may produce
+    // colliding shapes, which is harmless: pair counts are sums either
+    // way, and the selection only sees the sums
+    val nW = freqs0.size()
+    val words = new Array[Array[String]](nW)
+    val wfreq = new Array[Long](nW)
+    var wi = 0
+    freqs0.forEach { (w, f) => words(wi) = w.toArray; wfreq(wi) = f; wi += 1 }
+    val pairCount = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def addOcc(p: (String, String), idx: Int, f: Long): Unit = {
+      pairCount.merge(p, f, _ + _)
+      pairWords.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+        .add(idx)
+    }
+    var i = 0
+    while (i < nW) {
+      val w = words(i)
+      var j = 0
+      while (j < w.length - 1) { addOcc((w(j), w(j + 1)), i, wfreq(i)); j += 1 }
+      i += 1
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestN = 1L // require count >= 2
+      pairCount.forEach { (pair, n) =>
+        val better = n > bestN || (n == bestN && best != null &&
+          (pair._1 < best._1 ||
+            (pair._1 == best._1 && pair._2 < best._2)))
+        if (better) { best = pair; bestN = n }
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        val affected = pairWords.remove(best)
+        pairCount.remove(best)
+        if (affected != null) {
+          val it = affected.iterator()
+          while (it.hasNext) {
+            val idx: Int = it.next()
+            val w = words(idx)
+            val f = wfreq(idx)
+            // old per-pair occurrence counts in this word
+            val oldOcc = new java.util.HashMap[(String, String), Int]()
+            var j = 0
+            while (j < w.length - 1) {
+              oldOcc.merge((w(j), w(j + 1)), 1, Integer.sum); j += 1
+            }
+            // rewrite: merge ALL occurrences left-to-right
+            val out = new java.util.ArrayList[String](w.length)
+            var p = 0
+            while (p < w.length) {
+              if (p < w.length - 1 && w(p) == best._1 && w(p + 1) == best._2) {
+                out.add(best._1 + best._2); p += 2
+              } else { out.add(w(p)); p += 1 }
+            }
+            val nw = out.toArray(new Array[String](out.size))
+            words(idx) = nw
+            val newOcc = new java.util.HashMap[(String, String), Int]()
+            j = 0
+            while (j < nw.length - 1) {
+              newOcc.merge((nw(j), nw(j + 1)), 1, Integer.sum); j += 1
+            }
+            // apply the count delta; maintain the pair→words index so
+            // entries never go stale (a pair fully gone from this word
+            // drops the word from its index set)
+            oldOcc.forEach { (pair, k) =>
+              if (pair != best) {
+                val nk = newOcc.getOrDefault(pair, 0)
+                if (nk < k) {
+                  val left = pairCount.merge(pair, -f * (k - nk), _ + _)
+                  if (left <= 0L) pairCount.remove(pair)
+                }
+                if (nk == 0) {
+                  val s = pairWords.get(pair)
+                  if (s != null) { s.remove(Integer.valueOf(idx))
+                    if (s.isEmpty) pairWords.remove(pair) }
+                }
+              }
+            }
+            newOcc.forEach { (pair, k) =>
+              val ok = if (pair == best) 0 else oldOcc.getOrDefault(pair, 0)
+              if (k > ok) addOcc(pair, idx, f * (k - ok))
+              else if (k > 0) pairWords
+                .computeIfAbsent(pair, _ => new java.util.HashSet[Integer]())
+                .add(idx)
+            }
+          }
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The r17 reference loop — full pair recount per round. Kept as the
+    * obviously-correct implementation [[fitIndexed]] is parity-tested
+    * against (BpeSpec); O(sample · nMerges), so never use it for a
+    * production-depth vocabulary. */
+  private[graft] def fitNaive(docs: DataFrame, idCol: String, textCol: String,
+                              nMerges: Int, sampleSize: Int = 2048): BpeModel = {
+    require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    val freqs = sampleFreqs(docs, idCol, textCol, sampleSize)
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false

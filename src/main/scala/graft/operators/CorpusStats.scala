@@ -706,6 +706,43 @@ object CorpusStats {
   }
 
   /**
+   * [[slidingChunks]] in EXACT token-id space (r18, closing the last
+   * estimate-metered operator): windows slide over [[Bpe.tokenIds]]
+   * instead of the whitespace-piece estimate, so a 2048-token context
+   * window holds exactly 2048 model tokens — the contract a trainer
+   * actually needs. Same shape: one per-row encode (ids materialized
+   * ONCE via a separate projection — never re-encode per window), a
+   * `transform`-over-`sequence` of window starts, `slice` per chunk,
+   * `posexplode`; no shuffle, cost linear in emitted chunk tokens.
+   * Output carries the id slice AND its [[Bpe.decode]]d text (exact
+   * bytes for fully-consumed input — the round-trip contract in
+   * [[graft.plans.BpeDecodeIds]]); empty documents emit no chunks.
+   * Window arithmetic is on per-document array sizes (int range), so
+   * double-division exactness is not in play — the corpus-cumulative
+   * DIV discipline ([[packTokenSequences]]) applies to global
+   * offsets, which this operator never forms.
+   */
+  def slidingTokenChunks(docs: DataFrame, idCol: String, textCol: String,
+                         model: Bpe.BpeModel, chunkTokens: Int,
+                         stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens ($chunkTokens) and stride ($stride) must be positive")
+    val chunks = when(size(col("__ids")) > 0,
+      transform(
+        sequence(lit(0),
+          floor((size(col("__ids")) - 1) / lit(stride)).cast("int")),
+        o => slice(col("__ids"), o * stride + 1, lit(chunkTokens))))
+      .otherwise(array().cast("array<array<int>>"))
+    docs.select(col(idCol).as("doc_id"),
+        Bpe.tokenIds(col(textCol), model).as("__ids"))
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("ids"),
+        size(col("col")).cast("int").as("n_tok"),
+        Bpe.decode(col("col"), model).as("chunk_text"))
+  }
+
+  /**
    * Deterministic epoch shuffle — the global row permutation every
    * training run draws per epoch, without RNG state: order by
    * `md5(key ∥ salt)` (key as tiebreak) and assign contiguous

@@ -1740,6 +1740,134 @@ object TextQueries {
         "stream cut into 256-token rows — engine packs via fragment " +
         "slices + one seq_id exchange (no token-level explode), the " +
         "oracle re-derives every token's global position in SQL; " +
-        "possum pins per-sequence token ORDER exactly")
+        "possum pins per-sequence token ORDER exactly"),
+
+    // q88's sliding context windows in EXACT token-id space (r18,
+    // closing the last estimate-metered operator): windows slide over
+    // Bpe.tokenIds instead of whitespace pieces. The engine never
+    // leaves the per-row array (one encode, transform-over-sequence of
+    // starts, slice per chunk); the oracle explodes to token level and
+    // re-derives every chunk membership from per-doc token positions —
+    // each token t lands in chunks ⌈(t−C)/S⌉..⌊(t−1)/S⌋ (clamped to
+    // the doc's chunk range), all through q134's full BPE merge-loop
+    // replay. id_sum pins chunk content, possum pins within-chunk
+    // token order.
+    QuerySpec("q137_token_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val kr = docs.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        val key = (kr.getLong(0), kr.getLong(1))
+        val model = VectorQueries.cachedFit("bpe_200", key)(
+          graft.operators.Bpe.fit(docs, "doc_id", "text", nMerges = 200))
+        VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
+          .toDF("rank", "l", "r", "merged", "id"),
+          "bpe_merges", key._1, key._2)
+        VectorQueries.dumpOracle(graft.operators.Bpe.byteRows
+          .toDF("byte", "sym"), "bpe_bytes", key._1, key._2)
+        graft.operators.CorpusStats.slidingTokenChunks(docs, "doc_id",
+            "text", model, chunkTokens = 64, stride = 48)
+          .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            aggregate(zip_with(col("ids"),
+                sequence(lit(1L), size(col("ids")).cast("long")),
+                (x, i) => x.cast("long") * i),
+              lit(0L), (acc, x) => acc + x).as("possum"))
+      },
+      Some("""
+        WITH RECURSIVE nn AS (
+          SELECT count(*) AS n,
+                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
+          FROM documents),
+        bm AS (
+          SELECT rank, l, r, merged, id
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        bb AS (
+          SELECT byte, sym
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        pieces AS (
+          SELECT doc_id, unnest(pl) AS piece,
+                 generate_subscripts(pl, 1) AS pi
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
+                FROM documents)),
+        dp AS (SELECT DISTINCT piece FROM pieces),
+        init AS (
+          SELECT piece, list(sym ORDER BY i) AS syms
+          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
+                       generate_subscripts(string_split(piece, ''), 1) AS i
+                FROM dp)
+          JOIN bb ON bb.byte = unicode(ch)
+          GROUP BY piece),
+        steps AS (
+          SELECT piece, syms, 0 AS it FROM init
+          UNION ALL
+          SELECT s.piece,
+                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
+                 s.it + 1
+          FROM steps s
+          JOIN LATERAL (
+            SELECT m.rank, m.merged, u.i AS pos
+            FROM (SELECT unnest(s.syms) AS a,
+                         generate_subscripts(s.syms, 1) AS i) u
+            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
+            ORDER BY m.rank, u.i
+            LIMIT 1) bp ON true),
+        fin AS (
+          SELECT piece, syms FROM (
+            SELECT piece, syms, row_number() OVER (PARTITION BY piece
+                     ORDER BY it DESC) AS rn
+            FROM steps) WHERE rn = 1),
+        vocab AS (
+          SELECT merged AS sym, id FROM bm
+          UNION ALL
+          SELECT sym, byte AS id FROM bb),
+        pids AS (
+          SELECT f.piece, list(v.id ORDER BY f.si) AS ids
+          FROM (SELECT piece, unnest(syms) AS sym,
+                       generate_subscripts(syms, 1) AS si
+                FROM fin) f
+          JOIN vocab v USING (sym)
+          GROUP BY f.piece),
+        tok AS (
+          SELECT p.doc_id, t.id,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY p.pi, t.ti) AS dti
+          FROM pieces p
+          JOIN (SELECT piece, unnest(ids) AS id,
+                       generate_subscripts(ids, 1) AS ti
+                FROM pids) t USING (piece)),
+        dlen AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
+          GROUP BY doc_id),
+        g AS (
+          SELECT t.doc_id, t.id,
+                 CAST(u.o AS INTEGER) AS chunk_id,
+                 t.dti - u.o * 48 AS wpos
+          FROM tok t
+          JOIN dlen d USING (doc_id)
+          JOIN LATERAL (
+            SELECT unnest(range(
+              greatest(0, (t.dti - 64 + 48 - 1) // 48),
+              least((t.dti - 1) // 48, (d.n - 1) // 48) + 1)) AS o) u
+            ON true)
+        SELECT doc_id, chunk_id,
+               CAST(count(*) AS INTEGER) AS n_tok,
+               CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum,
+               CAST(sum(CAST(id AS BIGINT) * wpos) AS BIGINT) AS possum
+        FROM g GROUP BY doc_id, chunk_id"""),
+      "sliding context windows over EXACT BPE token ids (64-token " +
+        "chunks, stride 48): engine slices the per-row id array once, " +
+        "oracle re-derives every token's chunk memberships in SQL " +
+        "through the full merge-loop replay; possum pins within-chunk " +
+        "token order")
   )
 }

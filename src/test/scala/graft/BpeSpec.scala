@@ -82,6 +82,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("indexed fit ≡ the reference full-recount fit, shallow to " +
+      "exhaustion (the production-vocab path is bit-identical)") {
+    val docs = Tables.load(spark, dir, "documents")
+    // 16 (shallow), 200 (the q134 regime), 100000 (forces exhaustion:
+    // the fixture vocabulary runs dry, so the two loops must also
+    // agree on WHERE the merges stop)
+    for (n <- Seq(16, 200, 100000)) {
+      val fast = Bpe.fit(docs, "doc_id", "text", nMerges = n)
+      val slow = Bpe.fitNaive(docs, "doc_id", "text", nMerges = n)
+      assert(fast.merges === slow.merges, s"diverged at nMerges=$n")
+      if (n == 100000)
+        assert(fast.merges.length < n, "fixture should exhaust")
+    }
+  }
+
   test("classic merge-all ≡ one-merge-per-step replay on the fitted " +
       "model (the DuckDB oracle's form)") {
     val docs = Tables.load(spark, dir, "documents")

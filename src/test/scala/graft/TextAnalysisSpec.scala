@@ -165,6 +165,39 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0, "x", 1)))
   }
 
+  test("slidingTokenChunks: exact-id windows, overlap, short tail, " +
+      "decode round-trip, empty docs emit nothing") {
+    import spark.implicits._
+    import graft.operators.{Bpe, CorpusStats}
+    // model: (a,b)→256, (ab,c)→257 — "abc" is ONE token, so the window
+    // boundary falls in id space, not piece space
+    val model = Bpe.BpeModel(Vector(("a", "b"), ("ab", "c")))
+    val docs = Seq((1L, "abc abc abc abc"), (2L, ""), (3L, "q"))
+      .toDF("doc_id", "text")
+    // doc 1 ids: [257, 32,257, 32,257, 32,257] (Ġ=32 leads pieces 2-4)
+    val got = CorpusStats.slidingTokenChunks(docs, "doc_id", "text",
+        model, chunkTokens = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList,
+        r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0, List(257, 32, 257), 3, "abc abc"),
+      (1L, 1, List(257, 32, 257), 3, "abc abc"),
+      (1L, 2, List(257, 32, 257), 3, "abc abc"),
+      (1L, 3, List(257), 1, "abc"),
+      (3L, 0, List('q'.toInt), 1, "q")))
+    // non-overlapping chunks tile the full id stream exactly
+    val full = Seq((9L, "abc abc abc abc")).toDF("doc_id", "text")
+    val ids = full.select(Bpe.tokenIds(col("text"), model))
+      .head().getSeq[Int](0).toList
+    val tiled = CorpusStats.slidingTokenChunks(full, "doc_id", "text",
+        model, chunkTokens = 2, stride = 2)
+      .orderBy("chunk_id").collect()
+      .flatMap(_.getSeq[Int](2)).toList
+    assert(tiled === ids)
+  }
+
   test("epochShuffle: contiguous permutation, salt-independent draws") {
     import graft.operators.CorpusStats
     val df = spark.range(5000).toDF("id")
