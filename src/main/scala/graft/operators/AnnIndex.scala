@@ -347,6 +347,48 @@ object AnnIndex {
   }
 
   /**
+   * Compact the bucketed codes table (r18, VERDICT task 3). Nightly
+   * [[appendToAnnIndex]] batches each add per-bucket files; after
+   * months of ingest a bucket is thousands of small files and the
+   * bucket-pruned search scan pays file-open cost, not byte cost.
+   * This rewrites `<base>_codes` into one file per bucket —
+   * `repartition(buckets, centroid_id)` uses the same murmur3-pmod
+   * hash as the bucket spec, so each task holds exactly one bucket's
+   * rows and the bucketed write emits exactly one file for it — while
+   * preserving the bucket spec (search plans stay Exchange-free on
+   * the state side) and leaving the model tables, `_stats`
+   * generations, and `_corpuskey` untouched: compaction is a LAYOUT
+   * operation, not a state change, so search results are
+   * bit-identical before/after (asserted in AnnIndexSpec).
+   *
+   * Crash-safety is the [[graft.sink.UpsertWriter]] window-shrink
+   * discipline: ALL compute lands in a staging table first; the live
+   * swap is two catalog operations (drop + rename, which moves the
+   * managed directory and keeps the bucket spec). A crash during the
+   * staging write leaves the live table untouched; a crash inside the
+   * swap window leaves every row safe in the staging table
+   * (`<base>_codes_compacting` — its presence after a crash IS the
+   * recovery signal: rename it back, or rerun the compaction).
+   *
+   * When to run: on a file-count signal (this is the small-FILE fix;
+   * model-vs-corpus DRIFT remains [[rebuildIfStale]]'s job).
+   */
+  def compactAnnIndex(spark: SparkSession, base: String,
+                      buckets: Int = 16): Unit = {
+    val codes = s"${base}_codes"
+    val staging = s"${base}_codes_compacting"
+    dropStale(spark, staging)
+    spark.table(codes)
+      .repartition(buckets, col("centroid_id"))
+      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").mode(SaveMode.Overwrite)
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE $codes")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $codes")
+    spark.catalog.refreshTable(codes)
+  }
+
+  /**
    * IVF+PQ search against the persisted index. The state side is
    * exactly one bucketed scan of `<base>_codes`: the probed-cell
    * `isin` predicate prunes buckets/row-groups at the scan, the probe

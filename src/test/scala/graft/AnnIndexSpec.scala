@@ -212,6 +212,75 @@ class AnnIndexSpec extends SparkSpec {
     assert(built5, "missing key (crashed build) must rebuild")
   }
 
+  test("compactAnnIndex: files collapse to one per bucket, search " +
+      "bit-identical, bucketed plan preserved, append-after works") {
+    freshTables()
+    val e = embeddings
+    val parts = (0 until 4).map(i => e.filter(col("vec_id") % 4 === i))
+    AnnIndex.writeAnnIndex(parts(0), "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    // two nightly appends → ≥3 file generations per touched bucket
+    AnnIndex.appendToAnnIndex(spark, parts(1), "vec_id", "embedding",
+      Base, buckets = buckets)
+    AnnIndex.appendToAnnIndex(spark, parts(2), "vec_id", "embedding",
+      Base, buckets = buckets)
+    def dataFiles: Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${Base}_codes"))
+          .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_"))
+    }
+    val filesBefore = dataFiles
+    assert(filesBefore > buckets, s"appends should fragment: $filesBefore")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val nBefore = spark.table(s"${Base}_codes").count()
+    val pre = rows(AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id",
+      "embedding", k, Base, nProbe))
+    AnnIndex.compactAnnIndex(spark, Base, buckets)
+    // layout collapsed, state unchanged
+    assert(dataFiles <= buckets, s"expected ≤ $buckets files, got $dataFiles")
+    assert(spark.table(s"${Base}_codes").count() === nBefore)
+    assert(rows(AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id",
+      "embedding", k, Base, nProbe)) === pre)
+    assert(pre.nonEmpty)
+    // the bucket spec survived the swap: the scan still buckets and
+    // still prunes to the probed cells
+    val conf = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+    val prev = conf.map { case (kk, _) => kk -> spark.conf.get(kk) }
+    conf.foreach { case (kk, v) => spark.conf.set(kk, v) }
+    try {
+      val plan = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id", "embedding",
+        k, Base, nProbe).queryExecution.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == s"${Base}_codes") => f
+      }
+      assert(stateScans.nonEmpty)
+      stateScans.foreach { f =>
+        assert(f.bucketedScan, "codes scan must stay bucketed after compact")
+        assert(f.optionalBucketSet.map(_.cardinality()).exists(_ < buckets),
+          "bucket pruning must survive the compact")
+      }
+    } finally prev.foreach { case (kk, v) => spark.conf.set(kk, v) }
+    // nightly ingest continues against the compacted table
+    AnnIndex.appendToAnnIndex(spark, parts(3), "vec_id", "embedding",
+      Base, buckets = buckets)
+    val (cents, model) = AnnIndex.readModel(spark, Base)
+    def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(enc(spark.table(s"${Base}_codes")
+        .select("neighbor_id", "centroid_id", "codes")) ===
+      enc(AnnIndex.encodeCorpus(e, "vec_id", "embedding", cents, model)))
+  }
+
   test("rebuild over the same corpus is bit-identical (deterministic fits)") {
     freshTables()
     val e = embeddings
