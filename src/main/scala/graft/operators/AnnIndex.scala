@@ -50,6 +50,20 @@ object AnnIndex {
         Similarity.cellArgmax(cents, col("__v")).as("centroid_id"),
         ProductQuant.encode(col("__v"), model).as("codes"))
 
+  /** Run `body` with auto-bucketed-scan conversion OFF, restoring the
+    * session's previous setting after — the compaction read-side pin
+    * (see [[compactAnnIndex]]). Session-scoped like any conf toggle:
+    * concurrent queries on the SAME session during the window read
+    * bucketed plans too (correct, possibly slower); other sessions are
+    * unaffected. */
+  private[operators] def withBucketedScanPinned[T](spark: SparkSession)
+                                                  (body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drop a managed table AND its warehouse location: a location left
     * by a previous session is invisible to a fresh in-memory catalog,
     * so Overwrite alone would refuse the "orphaned directory" case. */
@@ -351,15 +365,24 @@ object AnnIndex {
    * [[appendToAnnIndex]] batches each add per-bucket files; after
    * months of ingest a bucket is thousands of small files and the
    * bucket-pruned search scan pays file-open cost, not byte cost.
-   * This rewrites `<base>_codes` into one file per bucket —
-   * `repartition(buckets, centroid_id)` uses the same murmur3-pmod
-   * hash as the bucket spec, so each task holds exactly one bucket's
-   * rows and the bucketed write emits exactly one file for it — while
-   * preserving the bucket spec (search plans stay Exchange-free on
-   * the state side) and leaving the model tables, `_stats`
-   * generations, and `_corpuskey` untouched: compaction is a LAYOUT
-   * operation, not a state change, so search results are
-   * bit-identical before/after (asserted in AnnIndexSpec).
+   * This rewrites `<base>_codes` into one file per bucket with NO
+   * shuffle at all: the staging read pins
+   * `spark.sql.sources.bucketing.autoBucketedScan.enabled = false`,
+   * so the scan keeps the table's bucketing (one read partition per
+   * bucket, every file of that bucket in it) and the bucketed write
+   * emits exactly one file per task = per bucket. The earlier
+   * `repartition(buckets, centroid_id)` formulation was UNRELIABLE:
+   * Catalyst elides the repartition against the bucketed scan's
+   * matching partitioning, and `DisableUnnecessaryBucketedScan` then
+   * un-buckets the scan (nothing left in the plan demands the
+   * distribution), leaving arbitrary file-packed read partitions whose
+   * tasks each hold several buckets — the write stays CORRECT (the
+   * writer splits by bucket id), but the file count lands at
+   * tasks×buckets instead of buckets (caught in LexIndexSpec; the
+   * r18 fix applies to both twins). The bucket spec, the model
+   * tables, `_stats` generations, and `_corpuskey` are untouched:
+   * compaction is a LAYOUT operation, not a state change, so search
+   * results are bit-identical before/after (asserted in AnnIndexSpec).
    *
    * Crash-safety is the [[graft.sink.UpsertWriter]] window-shrink
    * discipline: ALL compute lands in a staging table first; the live
@@ -378,11 +401,12 @@ object AnnIndex {
     val codes = s"${base}_codes"
     val staging = s"${base}_codes_compacting"
     dropStale(spark, staging)
-    spark.table(codes)
-      .repartition(buckets, col("centroid_id"))
-      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
-      .format("parquet").mode(SaveMode.Overwrite)
-      .saveAsTable(staging)
+    withBucketedScanPinned(spark) {
+      spark.table(codes)
+        .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+        .format("parquet").mode(SaveMode.Overwrite)
+        .saveAsTable(staging)
+    }
     spark.sql(s"DROP TABLE $codes")
     spark.sql(s"ALTER TABLE $staging RENAME TO $codes")
     spark.catalog.refreshTable(codes)

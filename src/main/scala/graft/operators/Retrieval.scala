@@ -304,4 +304,46 @@ object Retrieval {
         col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, den), k, k0)
   }
+
+  /**
+   * The FULLY-standing hybrid (r18): both legs answer from persisted
+   * state — the lexical leg from the [[LexIndex]] postings table
+   * (`lexBase`), the dense leg from the [[AnnIndex]] IVF+PQ index
+   * (`annBase`) — so a probe batch touches NO corpus-sized input at
+   * all: per-batch work is probe-vocabulary-proportional postings reads
+   * plus bucket-pruned ADC lookups. This is the steady state of a
+   * standing retrieval service at 100 TB; [[hybridBm25AnnTopK]] (which
+   * still re-explodes the corpus for its lexical leg each call) remains
+   * the one-shot/decontamination shape where no lexical index exists
+   * yet.
+   *
+   * Result parity: with `lexBase` built over exactly `docs` and
+   * `annBase` over the corpus embeddings, the output is bit-identical
+   * to [[hybridBm25AnnTopK]] over those corpora (LexIndexSpec) — the
+   * lexical leg is bit-identical by [[LexIndex.bm25TopKIndexed]]'s
+   * contract and the dense leg is the same index search. Self-match
+   * contract and output schema (q_id, rank, doc_id, rrf_u) are
+   * unchanged, so all three hybrids swap freely.
+   */
+  def hybridStandingTopK(
+      spark: SparkSession,
+      probeDocs: DataFrame, docIdCol: String, textCol: String,
+      probeEmbs: DataFrame, embIdCol: String, vecCol: String,
+      lexBase: String, annBase: String,
+      kPerLeg: Int, k: Int, k0: Int = 60, nProbe: Int = 4,
+      collectProbes: Boolean = true): DataFrame = {
+    val lex = LexIndex.bm25TopKIndexed(spark, probeDocs, docIdCol,
+        textCol, lexBase, kPerLeg, collectVocab = collectProbes)
+      .filter(col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = (if (collectProbes)
+        AnnIndex.ivfPqTopKBucketed(spark, probeEmbs, embIdCol,
+          vecCol, kPerLeg, annBase, nProbe)
+      else
+        AnnIndex.ivfPqTopKBucketedDF(spark, probeEmbs, embIdCol,
+          vecCol, kPerLeg, annBase, nProbe))
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, den), k, k0)
+  }
 }

@@ -131,6 +131,139 @@ object VectorQueries {
       .toDF("subspace", "code", "v"), "pq_cb", key._1, key._2)
   }
 
+  /** q133's full composed replay (BM25 from raw documents + ADC
+    * from the dumped model tables + integer-exact RRF), shared
+    * verbatim with q140: the fully-standing hybrid computes the
+    * SAME result from persisted state, so one oracle text serves
+    * both — any divergence between the two queries is then by
+    * construction an engine bug, never an oracle drift. */
+  private val HybridAnnRrfOracleSql: String = """
+        WITH corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 <> 0),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        bcontrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        bscored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM bcontrib GROUP BY 1, 2),
+        lex AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score_u DESC, doc_id) AS rank
+                FROM bscored)
+          WHERE rank <= 10),
+        nn AS (SELECT count(*) AS n,
+                      sum(CAST(vec_id AS BIGINT) +
+                          CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096)
+                            AS BIGINT)) AS fp
+               FROM embeddings WHERE vec_id % 101 <> 0),
+        cent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        cb AS (
+          SELECT subspace, code, v
+          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        codes AS (
+          SELECT neighbor_id, centroid_id, codes
+          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 101 = 0),
+        psim AS (
+          SELECT q.query_id, q.qv, c.centroid_id,
+                 list_inner_product(q.qv, c.v) /
+                   sqrt(list_inner_product(q.qv, q.qv) *
+                        list_inner_product(c.v, c.v)) AS csim
+          FROM q CROSS JOIN cent c),
+        aprobes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM psim) WHERE rn <= 4),
+        sub AS (
+          SELECT q.query_id, cb.subspace, cb.code,
+                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
+                              (q.qv[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM q CROSS JOIN cb),
+        ascored AS (
+          SELECT p.query_id, cd.neighbor_id,
+                 list_reduce(list(s.sd ORDER BY s.subspace),
+                             (a, b) -> a + b) AS dist
+          FROM aprobes p
+          JOIN codes cd USING (centroid_id)
+          JOIN sub s ON s.query_id = p.query_id
+                    AND s.code = cd.codes[s.subspace + 1]
+          WHERE cd.neighbor_id <> p.query_id
+          GROUP BY p.query_id, cd.neighbor_id),
+        den AS (
+          SELECT query_id AS q_id, neighbor_id AS doc_id, rank
+          FROM (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist ASC, neighbor_id) AS rank
+                FROM ascored)
+          WHERE rank <= 10),
+        rrf AS (
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM lex
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
+          FROM den),
+        fused AS (
+          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
+          FROM rrf GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id, rrf_u
+        FROM (SELECT q_id, doc_id, rrf_u,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf_u DESC, doc_id) AS INTEGER) AS rank
+              FROM fused)
+        WHERE rank <= 5"""
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec("q40_knn_bruteforce",
@@ -1624,132 +1757,7 @@ object VectorQueries {
           embs.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
           base = "graft_ann_q133", kPerLeg = 10, k = 5)
       },
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents WHERE doc_id % 101 <> 0),
-        probes AS (
-          SELECT doc_id AS q_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents WHERE doc_id % 101 = 0),
-        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
-        qvocab AS (SELECT DISTINCT term FROM qterms),
-        posts AS (
-          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
-          GROUP BY 1, 2),
-        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
-        tot AS (
-          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
-                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
-                   AS n_toks),
-        dfx AS (
-          SELECT term, CAST(count(*) AS BIGINT) AS df
-          FROM posts JOIN qvocab USING (term) GROUP BY 1),
-        idf AS (
-          SELECT term,
-                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
-                           - ln(CAST(df AS DOUBLE) * 2 + 1))
-                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                   AS BIGINT) AS idf_u
-          FROM dfx CROSS JOIN tot),
-        bcontrib AS (
-          SELECT qt.q_id, p.doc_id,
-                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
-                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
-                     + CAST(z.n_toks AS HUGEINT) * 3
-                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
-          FROM posts p
-          JOIN qterms qt USING (term)
-          JOIN idf i USING (term)
-          JOIN lens l ON l.doc_id = p.doc_id
-          CROSS JOIN tot z),
-        bscored AS (
-          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
-          FROM bcontrib GROUP BY 1, 2),
-        lex AS (
-          SELECT q_id, doc_id, rank
-          FROM (SELECT q_id, doc_id,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY score_u DESC, doc_id) AS rank
-                FROM bscored)
-          WHERE rank <= 10),
-        nn AS (SELECT count(*) AS n,
-                      sum(CAST(vec_id AS BIGINT) +
-                          CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096)
-                            AS BIGINT)) AS fp
-               FROM embeddings WHERE vec_id % 101 <> 0),
-        cent AS (
-          SELECT centroid_id, v
-          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        cb AS (
-          SELECT subspace, code, v
-          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        codes AS (
-          SELECT neighbor_id, centroid_id, codes
-          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
-                     CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id % 101 = 0),
-        psim AS (
-          SELECT q.query_id, q.qv, c.centroid_id,
-                 list_inner_product(q.qv, c.v) /
-                   sqrt(list_inner_product(q.qv, q.qv) *
-                        list_inner_product(c.v, c.v)) AS csim
-          FROM q CROSS JOIN cent c),
-        aprobes AS (
-          SELECT query_id, qv, centroid_id FROM (
-            SELECT query_id, qv, centroid_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY csim DESC, centroid_id) AS rn
-            FROM psim) WHERE rn <= 4),
-        sub AS (
-          SELECT q.query_id, cb.subspace, cb.code,
-                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
-                              (q.qv[4*cb.subspace + i] - cb.v[i])
-                              for i in generate_series(1, 4)],
-                             (a, b) -> a + b) AS sd
-          FROM q CROSS JOIN cb),
-        ascored AS (
-          SELECT p.query_id, cd.neighbor_id,
-                 list_reduce(list(s.sd ORDER BY s.subspace),
-                             (a, b) -> a + b) AS dist
-          FROM aprobes p
-          JOIN codes cd USING (centroid_id)
-          JOIN sub s ON s.query_id = p.query_id
-                    AND s.code = cd.codes[s.subspace + 1]
-          WHERE cd.neighbor_id <> p.query_id
-          GROUP BY p.query_id, cd.neighbor_id),
-        den AS (
-          SELECT query_id AS q_id, neighbor_id AS doc_id, rank
-          FROM (SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY dist ASC, neighbor_id) AS rank
-                FROM ascored)
-          WHERE rank <= 10),
-        rrf AS (
-          SELECT q_id, doc_id,
-                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
-          FROM lex
-          UNION ALL
-          SELECT q_id, doc_id,
-                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
-          FROM den),
-        fused AS (
-          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
-          FROM rrf GROUP BY 1, 2)
-        SELECT q_id, rank, doc_id, rrf_u
-        FROM (SELECT q_id, doc_id, rrf_u,
-                     CAST(row_number() OVER (PARTITION BY q_id
-                       ORDER BY rrf_u DESC, doc_id) AS INTEGER) AS rank
-              FROM fused)
-        WHERE rank <= 5"""),
+      Some(HybridAnnRrfOracleSql),
       "production-shape hybrid retrieval: BM25 top-10 fused with the " +
         "PERSISTED IVF+PQ index's ADC top-10 (bucket-pruned scan, " +
         "nProbe=4 of 16 cells) — the oracle re-derives probe " +
@@ -2117,6 +2125,46 @@ object VectorQueries {
         "repetition gates → span-coverage near-dedup → temperature " +
         "mixture → exact-BPE packed sequences → shard manifest, all " +
         "under ONE stitched oracle — summed id_sum/possum pin every " +
-        "surviving token and its order through the whole chain")
+        "surviving token and its order through the whole chain"),
+
+    // the FULLY-standing hybrid (r18): q133's result computed with NO
+    // corpus-sized input at query time — the lexical leg answers from
+    // the persisted BM25 postings index (LexIndex, built once per
+    // corpus key) and the dense leg from the persisted IVF+PQ index.
+    // q133 keeps the per-call-BM25 shape measured (its lexical leg
+    // re-explodes the corpus each call), so the bench carries the cost
+    // of BOTH retrieval service states; the oracle is q133's verbatim
+    // (the two queries must agree bit-for-bit by construction — the
+    // shared SQL makes any divergence an engine bug, not oracle drift).
+    QuerySpec("q140_hybrid_standing",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val embs = Tables.load(s, dir, "embeddings")
+        val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
+        val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
+        val (n, fp) = corpusKey(corpusEmbs)
+        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
+          "embedding", base = "graft_ann_q133", dim = 64, key = (n, fp),
+          nCentroids = 16, m = 16, pqK = 16, buckets = 8)
+        for (t <- Seq("centroids", "codebooks", "codes"))
+          dumpOracle(s.table(s"graft_ann_q133_$t"), t, n, fp)
+        val kr = corpusDocs.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        graft.operators.LexIndex.ensureLexIndex(corpusDocs, "doc_id",
+          "text", base = "graft_lex_q139",
+          key = (kr.getLong(0), kr.getLong(1)), buckets = 8)
+        graft.operators.Retrieval.hybridStandingTopK(s,
+          docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
+          embs.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+          lexBase = "graft_lex_q139", annBase = "graft_ann_q133",
+          kPerLeg = 10, k = 5)
+      },
+      Some(HybridAnnRrfOracleSql),
+      "fully-standing hybrid retrieval: BM25 from the persisted " +
+        "postings index (bucket-pruned to the probe vocabulary) fused " +
+        "with the persisted IVF+PQ index's ADC top-10 — a probe batch " +
+        "touches NO corpus-sized input; bit-identical to q133 under " +
+        "the same oracle text")
   )
 }

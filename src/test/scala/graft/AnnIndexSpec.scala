@@ -243,8 +243,17 @@ class AnnIndexSpec extends SparkSpec {
     val pre = rows(AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id",
       "embedding", k, Base, nProbe))
     AnnIndex.compactAnnIndex(spark, Base, buckets)
-    // layout collapsed, state unchanged
-    assert(dataFiles <= buckets, s"expected ≤ $buckets files, got $dataFiles")
+    // layout collapsed to EXACTLY one file per non-empty bucket — the
+    // r18 regression guard: the old repartition formulation left
+    // tasks×buckets files whenever the read side had been un-bucketed
+    // (the elided-repartition trap; see compactAnnIndex's Scaladoc),
+    // which a bare ≤-assert misses on a tiny fixture whose scan packs
+    // into one partition
+    val occupiedBuckets = spark.table(s"${Base}_codes")
+      .select(expr(s"pmod(hash(centroid_id), $buckets)")).distinct().count()
+    assert(dataFiles === occupiedBuckets,
+      s"expected one file per non-empty bucket ($occupiedBuckets), " +
+        s"got $dataFiles")
     assert(spark.table(s"${Base}_codes").count() === nBefore)
     assert(rows(AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id",
       "embedding", k, Base, nProbe)) === pre)

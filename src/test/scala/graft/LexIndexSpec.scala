@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, CorpusStats, LexIndex, Retrieval}
+
+/** Persisted BM25 postings state: scoring parity with the per-call
+  * operator (bit-identical, both vocab-gate paths), append ≡ rebuild,
+  * compaction as a pure layout operation, the ensure-key freshness
+  * discipline, and the Exchange-free bucket-pruned state scan — the
+  * lexical twin of AnnIndexSpec's standing-index contract. */
+class LexIndexSpec extends SparkSpec {
+
+  private val Base = "lstate"
+  private val Buckets = 4
+  private val K = 7
+
+  private def freshTables(): Unit = {
+    spark.catalog.clearCache()
+    for (t <- Seq(s"${Base}_postings", s"${Base}_lexstats",
+        s"${Base}_lexkey", s"${Base}_postings_compacting")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+  }
+
+  /** sf0.001 documents plus degenerate rows (empty text, null text,
+    * whitespace-only): they carry no postings but MUST count in N —
+    * exactly the accounting bm25TopK does per call, so parity over
+    * this corpus proves the stats-table path. */
+  private def docs: DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, null: String),
+        (900003L, "   ")).toDF("doc_id", "text"))
+  }
+
+  private def probes: DataFrame = docs.filter(col("doc_id") % 23 === 0)
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("bm25TopKIndexed ≡ per-call bm25TopK, bit-identical (both gate paths)") {
+    freshTables()
+    val d = docs
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    val perCall = rows(CorpusStats.bm25TopK(d, "doc_id", "text",
+      probes, "doc_id", "text", K))
+    val viaIsin = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K))
+    val viaJoin = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K, collectVocab = false))
+    assert(viaIsin === perCall)
+    assert(viaJoin === perCall)
+    assert(perCall.nonEmpty)
+  }
+
+  test("dfCap stopword gating matches the per-call operator") {
+    freshTables()
+    val d = docs
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    val cap = 0.3
+    val perCall = rows(CorpusStats.bm25TopK(d, "doc_id", "text",
+      probes, "doc_id", "text", K, dfCap = cap))
+    val indexed = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K, dfCap = cap))
+    assert(indexed === perCall)
+    // the cap must actually change something on this corpus, or the
+    // assertion above is vacuous
+    assert(indexed !== rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K)))
+  }
+
+  test("append-then-query ≡ one-shot build over the union") {
+    freshTables()
+    val d = docs
+    val old = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    LexIndex.writeLexIndex(old, "doc_id", "text", Base, Buckets)
+    LexIndex.appendToLexIndex(spark, batch, "doc_id", "text", Base, Buckets)
+    val incremental = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K))
+    freshTables()
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    val oneShot = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K))
+    assert(incremental === oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
+  test("compaction: results bit-identical, files collapse, bucket spec survives, append still works") {
+    freshTables()
+    val d = docs
+    // fragment the postings table the way nightly ingest does
+    val slices = 6
+    LexIndex.writeLexIndex(d.filter(col("doc_id") % slices === 0),
+      "doc_id", "text", Base, Buckets)
+    for (b <- 1 until slices)
+      LexIndex.appendToLexIndex(spark,
+        d.filter(col("doc_id") % slices === b), "doc_id", "text",
+        Base, Buckets)
+    def files: Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${Base}_postings"))
+          .location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_"))
+    }
+    val before = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K))
+    val fragmented = files
+    assert(fragmented > Buckets, "ingest must actually fragment")
+    LexIndex.compactLexIndex(spark, Base, Buckets)
+    // exactly one file per non-empty bucket (the r18 elided-repartition
+    // regression guard — see compactAnnIndex's Scaladoc)
+    val occupied = spark.table(s"${Base}_postings")
+      .select(expr(s"pmod(hash(term), $Buckets)")).distinct().count()
+    assert(files === occupied,
+      s"expected one file per non-empty bucket ($occupied), got $files")
+    val after = rows(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", Base, K))
+    assert(after === before)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${Base}_postings"))
+      .bucketSpec
+    assert(spec.exists(s => s.numBuckets == Buckets &&
+      s.bucketColumnNames == Seq("term")))
+    // ingest keeps working against the compacted table
+    import spark.implicits._
+    LexIndex.appendToLexIndex(spark,
+      Seq((900010L, "zq zq unique tokens")).toDF("doc_id", "text"),
+      "doc_id", "text", Base, Buckets)
+    assert(spark.table(s"${Base}_postings")
+      .filter(col("doc_id") === 900010L).count() > 0)
+  }
+
+  test("ensureLexIndex: fresh key skips, corpus or bucket change rebuilds, crash window leaves no key") {
+    freshTables()
+    val d = docs
+    val key = (d.count(), 424242L)
+    assert(LexIndex.ensureLexIndex(d, "doc_id", "text", Base, key, Buckets))
+    assert(!LexIndex.ensureLexIndex(d, "doc_id", "text", Base, key, Buckets))
+    // different corpus key → rebuild
+    assert(LexIndex.ensureLexIndex(d, "doc_id", "text", Base,
+      (key._1, key._2 + 1), Buckets))
+    // same key, different bucket count → different index → rebuild
+    assert(LexIndex.ensureLexIndex(d, "doc_id", "text", Base,
+      (key._1, key._2 + 1), Buckets * 2))
+    // the crash-window ordering observable: a key only ever describes a
+    // fully-committed index, so after every successful ensure exactly
+    // one key row exists (a crash mid-build would have left zero)
+    assert(spark.table(s"${Base}_lexkey").count() === 1)
+  }
+
+  test("state scan is bucketed, prunes to the probe vocabulary, and plans no state-side Exchange") {
+    freshTables()
+    val d = docs
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    val tiny = probes.limit(2)
+    val conf = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+    val prev = conf.map { case (kk, _) => kk -> spark.conf.get(kk) }
+    conf.foreach { case (kk, v) => spark.conf.set(kk, v) }
+    try {
+      val qe = LexIndex.bm25TopKIndexed(spark, tiny, "doc_id", "text",
+        Base, K).queryExecution
+      val plan = qe.executedPlan
+      val stateScans = plan.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == s"${Base}_postings") => f
+      }
+      assert(stateScans.nonEmpty)
+      stateScans.foreach(f => assert(f.bucketedScan,
+        "postings scan must be bucketed"))
+      // no shuffle may sit between a postings scan and the df
+      // aggregate: every Exchange in the plan must NOT have a postings
+      // scan in its subtree below no intervening aggregate — simplest
+      // sound check: the per-term df HashAggregate pair is adjacent to
+      // the scan, i.e. no ShuffleExchange has a postings scan as a
+      // descendant without an intervening aggregate. Here we assert
+      // the stronger observable that holds for this plan shape: no
+      // Exchange's immediate subtree contains a postings scan.
+      val exchangesOverState = plan.collect {
+        case e: ShuffleExchangeExec if e.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == s"${Base}_postings") => f
+        }.nonEmpty && e.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.isEmpty => e
+      }
+      assert(exchangesOverState.isEmpty,
+        "no shuffle of raw postings rows (aggregates bound all exchanges)")
+    } finally prev.foreach { case (kk, v) => spark.conf.set(kk, v) }
+  }
+
+  test("hybridStandingTopK ≡ hybridBm25AnnTopK when both indexes cover the corpus") {
+    freshTables()
+    val annBase = "lstate_ann"
+    spark.catalog.clearCache()
+    for (t <- Seq("centroids", "codebooks", "codes", "stats"))
+      spark.sql(s"DROP TABLE IF EXISTS ${annBase}_$t")
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val corpusD = d.filter(col("doc_id") % 11 =!= 0)
+    val corpusE = e.filter(col("vec_id") % 11 =!= 0)
+    val probeD = d.filter(col("doc_id") % 11 === 0)
+    val probeE = e.filter(col("vec_id") % 11 === 0)
+    AnnIndex.writeAnnIndex(corpusE, "vec_id", "embedding", annBase,
+      dim = 64, nCentroids = 8, m = 8, pqK = 8, buckets = Buckets)
+    LexIndex.writeLexIndex(corpusD, "doc_id", "text", Base, Buckets)
+    def fused(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val standing = fused(Retrieval.hybridStandingTopK(spark,
+      probeD, "doc_id", "text", probeE, "vec_id", "embedding",
+      lexBase = Base, annBase = annBase, kPerLeg = 8, k = 5))
+    val perCallLex = fused(Retrieval.hybridBm25AnnTopK(spark,
+      corpusD, "doc_id", "text", probeD, probeE, "vec_id", "embedding",
+      base = annBase, kPerLeg = 8, k = 5))
+    assert(standing === perCallLex)
+    assert(standing.nonEmpty)
+  }
+
+  test("empty probe vocabulary returns an empty frame, not a crash") {
+    freshTables()
+    import spark.implicits._
+    LexIndex.writeLexIndex(docs, "doc_id", "text", Base, Buckets)
+    val emptyProbes = Seq((1L, ""), (2L, null: String))
+      .toDF("doc_id", "text")
+    assert(LexIndex.bm25TopKIndexed(spark, emptyProbes, "doc_id", "text",
+      Base, K).count() === 0)
+  }
+}
