@@ -66,7 +66,12 @@ def _oracle_child(pipe, sf_dir, sql):
         con = duckdb.connect()
         mem = os.environ.get("GRAFT_ORACLE_MEM", "60GB")
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET threads=16")
+        # Bounded threads also bound peak operator state: a 100 GB-class
+        # composite replay (q138 at sf1) spills past the host's free
+        # disk at 16 threads but fits with fewer, so heavy sweeps can
+        # dial this down without touching the default gate.
+        con.execute(
+            f"SET threads={os.environ.get('GRAFT_ORACLE_THREADS', '16')}")
         # Each child gets its OWN spill directory: concurrent checkers
         # sharing the cwd-relative default ('.tmp/') clobber each
         # other's duckdb_temp_storage-*.tmp files and die with an
