@@ -40,8 +40,15 @@ import org.apache.spark.sql.functions._
  * batch, the [[AnnIndex.ivfPqTopKBucketed]] collect-probes standing —
  * and pushed as an `isin` predicate, so the scan bucket-prunes to the
  * query terms' buckets and the `sortBy(term)` layout row-group-prunes
- * inside them: per-batch lexical work is query-vocabulary-proportional,
- * not corpus-proportional. Because the bucketed scan reports
+ * inside them. Honest scaling claim: what the index REMOVES from every
+ * batch is the corpus explode + (doc, term) aggregate — the dominant
+ * per-call cost (measured 1.6–1.9× warm at sf1–sf4, `tools/LexScale`);
+ * the scan-side pruning narrows with the probe vocabulary, so a
+ * NARROW vocabulary (autocomplete, keyword lookup) gets
+ * vocabulary-proportional reads while a WIDE one (whole eval documents
+ * as probes) touches most buckets and keeps only the saved explode.
+ * Everything after the scan is vocabulary-proportional on every path.
+ * Because the bucketed scan reports
  * hash-partitioning on `term`, the per-term df aggregate and the
  * scoring joins (query terms and idf broadcast) plan NO state-side
  * Exchange; the only shuffles carry scored candidates, capped at k rows

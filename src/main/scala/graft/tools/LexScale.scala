@@ -31,21 +31,30 @@ object LexScale {
     LexIndex.writeLexIndex(corpus, "doc_id", "text", Base, buckets)
     println(f"[lexscale] $dir build=${(System.nanoTime() - tb0) / 1e9}%.2f s " +
       f"(buckets=$buckets)")
-    for (r <- 1 to rounds) {
+    // narrow probes: the same eval docs truncated to their first 4
+    // tokens — a handful of distinct terms, so the isin predicate
+    // actually prunes buckets/row-groups (the wide-vocabulary probes
+    // above touch every bucket and measure only the saved explode)
+    val narrow = probes.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 4), " ").as("text"))
+    def cell(tag: String, r: Int, p: org.apache.spark.sql.DataFrame)
+        : Unit = {
       val t0 = System.nanoTime()
       val n0 = graft.operators.CorpusStats.bm25TopK(corpus, "doc_id",
-        "text", probes, "doc_id", "text", k = 5).count()
+        "text", p, "doc_id", "text", k = 5).count()
       val perCall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
-      val n1 = LexIndex.bm25TopKIndexed(spark, probes, "doc_id", "text",
+      val n1 = LexIndex.bm25TopKIndexed(spark, p, "doc_id", "text",
         Base, k = 5).count()
       val indexed = (System.nanoTime() - t1) / 1e9
       require(n0 == n1, s"row drift: per-call $n0 vs indexed $n1")
-      println(f"[lexscale] $dir r$r rows=$n0 percall=$perCall%.2f s " +
+      println(f"[lexscale] $dir $tag r$r rows=$n0 percall=$perCall%.2f s " +
         f"indexed=$indexed%.2f s")
       spark.catalog.clearCache()
     }
+    for (r <- 1 to rounds) cell("wide", r, probes)
+    for (r <- 1 to rounds) cell("narrow", r, narrow)
     spark.stop()
   }
 }
