@@ -659,6 +659,42 @@ object Dedup {
   }
 
   /**
+   * Bucket-preserving compaction of the [[writeDedupState]] tables —
+   * the third standing-state compactor (codes:
+   * [[AnnIndex.compactAnnIndex]], postings:
+   * [[LexIndex.compactLexIndex]]): every nightly batch appends its own
+   * per-bucket files to `_sigs` and `_bands`, so after months the
+   * candidate join's state side pays file-open cost. Each table is
+   * rewritten to exactly one file per non-empty bucket with NO shuffle
+   * (bucketed scan pinned on — one read partition per bucket; the
+   * `repartition` formulation silently fails to collapse, see
+   * compactAnnIndex's Scaladoc) behind the same staged-swap
+   * crash-safety window. Layout-only: survivors of
+   * [[incrementalNearDedupBucketed]] are bit-identical before/after
+   * and both bucket specs survive (DedupSpec).
+   */
+  def compactDedupState(spark: org.apache.spark.sql.SparkSession,
+                        base: String, buckets: Int = 64): Unit = {
+    import org.apache.spark.sql.SaveMode
+    for ((table, bucketCols) <- Seq(
+        (s"${base}_sigs", Seq("doc_id")),
+        (s"${base}_bands", Seq("band", "band_hash")))) {
+      val staging = s"${table}_compacting"
+      AnnIndex.dropStale(spark, staging)
+      AnnIndex.withBucketedScanPinned(spark) {
+        spark.table(table)
+          .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .format("parquet").mode(SaveMode.Overwrite)
+          .saveAsTable(staging)
+      }
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /**
    * [[incrementalNearDedup]] against [[writeDedupState]] tables — the
    * same keep-first drop rule with the same bit-identical-survivors
    * guarantee (DedupSpec), re-planned so nothing state-sized moves:

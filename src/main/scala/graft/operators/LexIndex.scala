@@ -102,15 +102,18 @@ object LexIndex {
 
   /** bm25TopK's corpus scalars over exactly `docs`: N counts every row
     * (empty/null text included), T sums token counts with null text
-    * pinned to 0 under both null-semantics regimes. */
+    * pinned to 0 under both null-semantics regimes. `batchId` is -1
+    * for manual builds/appends; the streaming exactly-once path stamps
+    * its foreachBatch id here so redelivered batches are detectable
+    * (the query-time N/T aggregate ignores the column). */
   private def statsRow(docs: DataFrame, textCol: String,
-                       generation: Int): DataFrame =
+                       generation: Int, batchId: Long = -1L): DataFrame =
     docs.select(TextAnalysis.tokens(col(textCol)).as("__toks"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(greatest(size(col("__toks")), lit(0)).cast("long")),
           lit(0L)).as("n_toks"))
       .select(lit(generation).as("generation"), col("n_docs"),
-        col("n_toks"))
+        col("n_toks"), lit(batchId).as("batch_id"))
 
   /**
    * Fit-free full build: drop + rewrite postings and the generation-0
@@ -200,6 +203,71 @@ object LexIndex {
       spark.catalog.refreshTable(s"${base}_postings")
       rows.sparkSession.catalog.refreshTable(s"${base}_postings")
     } finally graft.ops.materialize.release(batch)
+  }
+
+  /**
+   * EXACTLY-ONCE append for streaming ingest (the foreachBatch
+   * at-least-once contract): a redelivered batch must not double tf
+   * in the postings nor double-count N/T in the stats — and unlike
+   * the ANN path, a lexical batch can contain ZERO-TOKEN docs that
+   * leave no postings footprint, so postings-side id dedup alone
+   * cannot make the stats row idempotent. Two mechanisms compose:
+   *
+   *  - postings are id-idempotent: only batch docs whose ids are not
+   *    already posted append (column-pruned anti-join on doc_id, the
+   *    [[graft.streaming.EventStreams]] appendFreshToIndex
+   *    discipline);
+   *  - the stats row is written LAST and carries `batchId`; a
+   *    redelivery that finds its batch id already in `_lexstats`
+   *    skips entirely.
+   *
+   * Crash anywhere inside the window converges on redelivery: stats
+   * row absent ⇒ re-run — the anti-join re-appends only the postings
+   * that didn't land, then the stats row (computed from the FULL
+   * batch, not the fresh subset — N/T must describe every batch row)
+   * commits the batch. Stats row present ⇒ both tables are complete.
+   * Returns true when the batch was (newly) applied.
+   *
+   * Contract boundary: batch ids are stable only under a STABLE
+   * checkpoint (the standard foreachBatch exactly-once recipe). A
+   * wiped checkpoint restarts ids at 0 — safe when every prior batch
+   * completed (the collision skips an already-applied superset), but
+   * a wipe that also folds NEW files into the colliding batch id
+   * would skip them: never wipe a live checkpoint.
+   */
+  def appendToLexIndexExactlyOnce(spark: SparkSession, rows: DataFrame,
+                                  idCol: String, textCol: String,
+                                  base: String, batchId: Long,
+                                  buckets: Int = 16): Boolean = {
+    require(batchId >= 0L, s"batchId must be non-negative, got $batchId")
+    requireIntegralId(rows, idCol)
+    spark.catalog.refreshTable(s"${base}_postings")
+    spark.catalog.refreshTable(s"${base}_lexstats")
+    val done = !spark.table(s"${base}_lexstats")
+      .filter(col("batch_id") === batchId).isEmpty
+    if (done) false
+    else {
+      val batch = graft.ops.materialize(rows)
+      try {
+        val already = spark.table(s"${base}_postings").select(col("doc_id"))
+        val fresh = batch.join(already,
+          batch(idCol) === already("doc_id"), "left_anti")
+        postings(fresh, idCol, textCol)
+          .write.bucketBy(buckets, "term").sortBy("term")
+          .format("parquet").mode(SaveMode.Append)
+          .saveAsTable(s"${base}_postings")
+        spark.catalog.refreshTable(s"${base}_postings")
+        rows.sparkSession.catalog.refreshTable(s"${base}_postings")
+        val gen = spark.table(s"${base}_lexstats")
+          .agg(coalesce(max(col("generation")), lit(-1))).head()
+          .getInt(0) + 1
+        statsRow(batch, textCol, gen, batchId).coalesce(1)
+          .write.mode(SaveMode.Append).saveAsTable(s"${base}_lexstats")
+        spark.catalog.refreshTable(s"${base}_lexstats")
+        rows.sparkSession.catalog.refreshTable(s"${base}_lexstats")
+        true
+      } finally graft.ops.materialize.release(batch)
+    }
   }
 
   /**

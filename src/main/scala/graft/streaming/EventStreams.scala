@@ -341,6 +341,39 @@ object EventStreams {
       idCol, vecCol, base, buckets)
   }
 
+  /** Streaming ingest into the standing lexical index — the
+    * [[microBatchIndexAppend]] twin over
+    * [[graft.operators.LexIndex]] state. foreachBatch is
+    * at-least-once; exactly-once lands in
+    * [[graft.operators.LexIndex.appendToLexIndexExactlyOnce]], which
+    * needs the BATCH ID (postings are doc-id-idempotent, but
+    * zero-token docs leave no postings footprint, so the N/T stats
+    * row is keyed by batch id and written last — see its Scaladoc
+    * for the crash-window argument). */
+  def microBatchLexAppend(spark: org.apache.spark.sql.SparkSession,
+                          sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          idCol: String, textCol: String, base: String,
+                          checkpoint: String,
+                          buckets: Int = 16): Unit = {
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.LexIndex.appendToLexIndexExactlyOnce(
+          batch.sparkSession, batch.toDF(), idCol, textCol, base,
+          batchId = id, buckets = buckets)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // appends ran in the stream's cloned session; drop the caller
+    // session's snapshots so its next read lists the new files
+    spark.catalog.refreshTable(s"${base}_postings")
+    spark.catalog.refreshTable(s"${base}_lexstats")
+  }
+
   def microBatchIndexAppend(spark: org.apache.spark.sql.SparkSession,
                             sourceDir: String,
                             schema: org.apache.spark.sql.types.StructType,

@@ -425,4 +425,76 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(math.abs(cov(20L) - 5.0 / 7) < 1e-12 && cov(22L) === 0.0)
   }
+  test("compactDedupState: files collapse to one per non-empty bucket, " +
+      "night-over-night survivors bit-identical, appends keep working") {
+    spark.catalog.clearCache()
+    for (t <- Seq("cstate_sigs", "cstate_bands", "cstate_sigs_compacting",
+        "cstate_bands_compacting")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val (n, k, bands, t, buckets) = (3, 64, 8, 0.5, 8)
+    // six nightly waves fragment both state tables
+    val slices = 6
+    var seen: Option[org.apache.spark.sql.DataFrame] = None
+    for (b <- 0 until slices) {
+      val batch = docs.filter(col("doc_id") % slices === b)
+      val (_, sigs) = Dedup.incrementalNearDedup(batch, "doc_id", "text",
+        seen, n, k, bands, t)
+      val batchSigs = seen match {
+        case None => sigs
+        case Some(prev) => sigs.join(prev.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+      Dedup.writeDedupState(batchSigs, "cstate", k, bands, buckets)
+      seen = Some(sigs)
+    }
+    def files(table: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_"))
+    }
+    assert(files("cstate_sigs") > buckets && files("cstate_bands") > buckets,
+      "nightly appends must actually fragment")
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    def night(df: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDedupBucketed(spark, df, "doc_id", "text",
+        "cstate", n, k, bands, t)._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = night(probe)
+    Dedup.compactDedupState(spark, "cstate", buckets)
+    // exactly one file per non-empty bucket on BOTH tables (the
+    // elided-repartition regression guard, see compactAnnIndex)
+    val occSigs = spark.table("cstate_sigs")
+      .select(expr(s"pmod(hash(doc_id), $buckets)")).distinct().count()
+    val occBands = spark.table("cstate_bands")
+      .select(expr(s"pmod(hash(band, band_hash), $buckets)"))
+      .distinct().count()
+    assert(files("cstate_sigs") === occSigs)
+    assert(files("cstate_bands") === occBands)
+    assert(night(probe) === before,
+      "compaction must not change dedup decisions")
+    // bucket specs survived; the nightly append keeps working
+    for ((table, cols) <- Seq("cstate_sigs" -> Seq("doc_id"),
+        "cstate_bands" -> Seq("band", "band_hash"))) {
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      assert(spec.exists(s => s.numBuckets == buckets &&
+        s.bucketColumnNames == cols), s"$table bucket spec lost")
+    }
+    val extra = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val (_, extraSigs) = Dedup.incrementalNearDedupBucketed(spark, extra,
+      "doc_id", "text", "cstate", n, k, bands, t)
+    Dedup.writeDedupState(extraSigs, "cstate", k, bands, buckets)
+    assert(spark.table("cstate_sigs")
+      .filter(col("doc_id") >= 2000000L).count() > 0)
+  }
 }

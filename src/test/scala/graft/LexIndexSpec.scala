@@ -242,4 +242,43 @@ class LexIndexSpec extends SparkSpec {
     assert(LexIndex.bm25TopKIndexed(spark, emptyProbes, "doc_id", "text",
       Base, K).count() === 0)
   }
+  test("appendToLexIndexExactlyOnce: redelivery is a no-op, zero-token docs count once") {
+    freshTables()
+    import spark.implicits._
+    val d = docs
+    val old = d.filter(col("doc_id") % 3 =!= 0)
+    LexIndex.writeLexIndex(old, "doc_id", "text", Base, Buckets)
+    // the batch carries a zero-token doc: it leaves no postings, so
+    // only the batch-id keying can keep its N contribution exact
+    val batch = d.filter(col("doc_id") % 3 === 0)
+      .unionByName(Seq((910001L, "")).toDF("doc_id", "text"))
+    assert(LexIndex.appendToLexIndexExactlyOnce(spark, batch, "doc_id",
+      "text", Base, batchId = 7L, Buckets))
+    val nPost = spark.table(s"${Base}_postings").count()
+    val stats = spark.table(s"${Base}_lexstats")
+      .agg(sum("n_docs"), sum("n_toks")).head()
+    val page = rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
+      "text", Base, K))
+    // redelivered batch (same id): nothing moves
+    assert(!LexIndex.appendToLexIndexExactlyOnce(spark, batch, "doc_id",
+      "text", Base, batchId = 7L, Buckets))
+    assert(spark.table(s"${Base}_postings").count() === nPost)
+    assert(spark.table(s"${Base}_lexstats")
+      .agg(sum("n_docs"), sum("n_toks")).head() === stats)
+    assert(rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
+      "text", Base, K)) === page)
+    // the crash window: postings landed but the stats row did not —
+    // a redelivery with the same id must re-apply ONLY the stats row
+    // (simulated by a fresh id over the same content: the anti-join
+    // sees every doc already posted, so the postings append is empty
+    // and only the new stats row lands)
+    val preDocs = stats.getLong(0)
+    assert(LexIndex.appendToLexIndexExactlyOnce(spark, batch, "doc_id",
+      "text", Base, batchId = 8L, Buckets))
+    assert(spark.table(s"${Base}_postings").count() === nPost,
+      "already-posted docs must not duplicate postings")
+    assert(spark.table(s"${Base}_lexstats").agg(sum("n_docs")).head()
+      .getLong(0) === preDocs + batch.count(),
+      "the stats row describes the full batch")
+  }
 }

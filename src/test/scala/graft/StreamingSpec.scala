@@ -442,4 +442,54 @@ class StreamingSpec extends SparkSpec {
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(hits.nonEmpty)
   }
+  test("microBatchLexAppend: streamed batches extend the standing lexical " +
+    "index exactly once; zero-token docs count once in N") {
+    import graft.operators.LexIndex
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mblex").toString
+    val src = s"$dir/src"; val ckp = s"$dir/ckp"
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select("doc_id", "text")
+    val seed = d.filter(col("doc_id") % 3 =!= 0)
+    val wave1 = d.filter(col("doc_id") % 3 === 0 && col("doc_id") < 250)
+      .unionByName(Seq((910001L, "")).toDF("doc_id", "text"))
+    val wave2 = d.filter(col("doc_id") % 3 === 0 && col("doc_id") >= 250)
+    for (t <- Seq("lexstream_postings", "lexstream_lexstats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val pth = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(pth, true)
+    }
+    LexIndex.writeLexIndex(seed, "doc_id", "text", "lexstream", 4)
+    wave1.write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchLexAppend(spark, src,
+      wave1.schema, "doc_id", "text", "lexstream", ckp, buckets = 4)
+    wave2.write.mode("append").parquet(src)
+    graft.streaming.EventStreams.microBatchLexAppend(spark, src,
+      wave2.schema, "doc_id", "text", "lexstream", ckp, buckets = 4)
+    // the streamed index now answers BIT-IDENTICALLY to a one-shot
+    // per-call run over the accumulated corpus (incl. the zero-token
+    // doc in N)
+    val all = seed.unionByName(wave1).unionByName(wave2)
+    val probes = d.filter(col("doc_id") % 23 === 0)
+    def page(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = page(LexIndex.bm25TopKIndexed(spark, probes,
+      "doc_id", "text", "lexstream", 5))
+    val oneShot = page(graft.operators.CorpusStats.bm25TopK(all,
+      "doc_id", "text", probes, "doc_id", "text", 5))
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+    // checkpointed rerun with no new files: a no-op on both tables
+    val nPost = spark.table("lexstream_postings").count()
+    val nDocs = spark.table("lexstream_lexstats")
+      .agg(sum("n_docs")).head().getLong(0)
+    graft.streaming.EventStreams.microBatchLexAppend(spark, src,
+      wave2.schema, "doc_id", "text", "lexstream", ckp, buckets = 4)
+    assert(spark.table("lexstream_postings").count() === nPost)
+    assert(spark.table("lexstream_lexstats")
+      .agg(sum("n_docs")).head().getLong(0) === nDocs,
+      "redelivery must not double-count N (zero-token docs included)")
+  }
 }
