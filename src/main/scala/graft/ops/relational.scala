@@ -207,30 +207,9 @@ object relational {
     val n = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val keyed = sampleSource.getOrElse(df)
-    val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
-    val kCols = order.indices.map(i => col(s"__k$i"))
     // bounded deterministic sample: 64 candidates per target partition
-    val sample = keyed.select(aliased: _*)
-      .select(struct(kCols: _*).as("__k"))
-      .orderBy(xxhash64(col("__k")))
-      .limit(n * 64)
-      .collect().map(_.getStruct(0))
-    val boundaries: Seq[org.apache.spark.sql.Row] =
-      if (sample.length < 2 || n < 2) Seq.empty
-      else {
-        implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
-          sortKeyOrdering(sample.head.schema)
-        val sorted = sample.sorted
-        (1 until n).map(i => sorted(i * sorted.length / n))
-          .distinct.filter(_ != sorted.head)
-      }
-    val sk = struct(order: _*)
-    def structLit(r: org.apache.spark.sql.Row): Column =
-      struct(r.toSeq.map(v => lit(v)): _*)
-    val bucket =
-      if (boundaries.isEmpty) lit(0)
-      else boundaries.map(b =>
-        when(sk >= structLit(b), 1).otherwise(0)).reduce(_ + _)
+    // (shared with contiguousPrefixSum — see sampledBoundaryBucket)
+    val bucket = sampledBoundaryBucket(keyed, order, n)
     val local = graft.ops.materialize(
       df.withColumn("__bk", bucket)
         .repartition(n, col("__bk"))
@@ -380,36 +359,84 @@ object relational {
     ((BigDecimal(scanBytes) * expansion).toBigInt, budget)
   }
 
+  /** Shared boundary-sampling bucket of the sampled-range counters: a
+    * bounded deterministic sample of the order key from a
+    * COLUMN-PRUNED projection of `keyed` (Catalyst drops every other
+    * column, so expensive expressions elsewhere in the row are NOT
+    * evaluated by the sampling pass), sorted driver-side with Spark's
+    * ascending-nulls-first semantics, `n−1` quantile boundaries, and a
+    * pure boundary-count bucket expression. Null keys compare null
+    * against every boundary and land in bucket 0 (the
+    * RangePartitioner's nulls-first side). */
+  private def sampledBoundaryBucket(keyed: DataFrame, order: Seq[Column],
+                                    n: Int): Column = {
+    val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
+    val kCols = order.indices.map(i => col(s"__k$i"))
+    val sample = keyed.select(aliased: _*)
+      .select(struct(kCols: _*).as("__k"))
+      .orderBy(xxhash64(col("__k")))
+      .limit(n * 64)
+      .collect().map(_.getStruct(0))
+    val boundaries: Seq[org.apache.spark.sql.Row] =
+      if (sample.length < 2 || n < 2) Seq.empty
+      else {
+        implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
+          sortKeyOrdering(sample.head.schema)
+        val sorted = sample.sorted
+        (1 until n).map(i => sorted(i * sorted.length / n))
+          .distinct.filter(_ != sorted.head)
+      }
+    val sk = struct(order: _*)
+    def structLit(r: org.apache.spark.sql.Row): Column =
+      struct(r.toSeq.map(v => lit(v)): _*)
+    if (boundaries.isEmpty) lit(0)
+    else boundaries.map(b =>
+      when(sk >= structLit(b), 1).otherwise(0)).reduce(_ + _)
+  }
+
   /**
    * The [[contiguousRowNumber]] pattern generalized to a running SUM:
    * inclusive prefix sum of `value` over a unique total `order`,
-   * without `sum().over(Window.orderBy)`'s single reducer. Same shape
-   * — range partition, window WITHIN each partition, per-partition
-   * totals as a driver-side prefix-summed offset map — and the same
-   * bit-parity guarantee (integer values sum associatively; double
-   * values would not reassociate identically, so `value` must be
-   * integral).
+   * without `sum().over(Window.orderBy)`'s single reducer. Shape:
+   * sampled-boundary range buckets, window WITHIN each bucket,
+   * per-bucket totals as a driver-side prefix-summed offset map — and
+   * the same bit-parity guarantee (integer values sum associatively;
+   * double values would not reassociate identically, so `value` must
+   * be integral).
+   *
+   * r18: the range step is [[sampledBoundaryBucket]], NOT
+   * `repartitionByRange` — the RangePartitioner's sampling pass
+   * executes the FULL upstream plan a second time, and every serious
+   * caller of this operator feeds it an expensive derived value
+   * (q136/q138: `size(Bpe.tokenIds(...))` — the whole BPE encode ran
+   * twice; exact-token shard manifests re-ran their token count the
+   * same way). The pruned boundary sample evaluates only the order
+   * columns; the value expression runs exactly once, in the bucketed
+   * pass. Output is bit-identical (prefix sums depend only on the
+   * total order, and bucket totals are exact), asserted in
+   * RelationalOpsSpec against the single-reducer window.
    */
   def contiguousPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                           as: String,
                           numPartitions: Option[Int] = None): DataFrame = {
-    val parted = numPartitions
-      .map(n => df.repartitionByRange(n, order: _*))
-      .getOrElse(df.repartitionByRange(order: _*))
+    val n = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val bucket = sampledBoundaryBucket(df, order, n)
     val local = graft.ops.materialize(
-      parted.withColumn("__v", value.cast("long"))
-        .withColumn("__pid", spark_partition_id())
+      df.withColumn("__bk", bucket)
+        .repartition(n, col("__bk"))
+        .withColumn("__v", value.cast("long"))
         .withColumn("__ps", sum(col("__v")).over(
-          Window.partitionBy(col("__pid")).orderBy(order: _*)
+          Window.partitionBy(col("__bk")).orderBy(order: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-    val totals = local.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
+    val totals = local.groupBy(col("__bk")).agg(sum(col("__v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets: Map[Int, Long] = totals
       .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), (p, t)) => (p, cum, cum + t) }
       .drop(1).map { case (p, off, _) => p -> off }.toMap
     local
-      .withColumn(as, (col("__ps") + element_at(typedLit(offsets), col("__pid")))
+      .withColumn(as, (col("__ps") + element_at(typedLit(offsets), col("__bk")))
         .cast("long"))
-      .drop("__pid", "__ps", "__v")
+      .drop("__bk", "__ps", "__v")
   }
 }
