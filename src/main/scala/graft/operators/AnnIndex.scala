@@ -103,7 +103,9 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCentroids >= 2, s"need >= 2 centroids, got $nCentroids")
-    for (t <- Seq("centroids", "codebooks", "codes", "stats"))
+    // tombstones describe rows of the PREVIOUS index generation; a
+    // rebuild starts from the corpus as given, so they are cleared too
+    for (t <- Seq("centroids", "codebooks", "codes", "stats", "tombstones"))
       dropStale(spark, s"${base}_$t")
     val cents = Similarity.fitCentroids(corpus, idCol, vecCol, nCentroids,
         centroidIters, sampleSize)
@@ -361,6 +363,47 @@ object AnnIndex {
   }
 
   /**
+   * DELETE from the standing index without touching the corpus-sized
+   * codes table (r18): curation removes documents from a standing
+   * retrieval corpus all the time (decontamination hits, dedup
+   * losers, takedowns), and rewriting terabytes of codes per delete
+   * batch is not a plan. Tombstoned ids are excluded from every
+   * search by a broadcast anti-join against the tiny
+   * `<base>_tombstones` table — semantically the row was never
+   * appended (the frozen model and `_stats` are untouched, exactly
+   * the append discipline) — and [[compactAnnIndex]] applies them
+   * PHYSICALLY (drops the rows, clears the table) on its normal
+   * schedule. One table append per call = atomic; re-tombstoning an
+   * id is a no-op (anti-join against the existing tombstones), so
+   * redelivery is safe. A rebuild ([[writeAnnIndex]] /
+   * [[ensureAnnIndex]]) clears tombstones — they described the
+   * previous index generation.
+   */
+  def tombstoneAnnIds(spark: SparkSession, base: String,
+                      ids: DataFrame): Unit = {
+    val t = s"${base}_tombstones"
+    val keyed = ids.select(ids.columns.head).toDF("neighbor_id")
+      .select(col("neighbor_id").cast("long")).distinct()
+    val fresh =
+      if (spark.catalog.tableExists(t))
+        keyed.join(spark.table(t), Seq("neighbor_id"), "left_anti")
+      else keyed
+    fresh.write.format("parquet").mode(SaveMode.Append).saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** The codes table minus tombstoned rows — every search's state
+    * side. The anti-join broadcasts the tombstones (a delete set is
+    * tiny next to the corpus) and costs nothing when none exist. */
+  private def liveCodes(spark: SparkSession, base: String): DataFrame = {
+    val codes = spark.table(s"${base}_codes")
+    val t = s"${base}_tombstones"
+    if (spark.catalog.tableExists(t))
+      codes.join(broadcast(spark.table(t)), Seq("neighbor_id"), "left_anti")
+    else codes
+  }
+
+  /**
    * Compact the bucketed codes table (r18, VERDICT task 3). Nightly
    * [[appendToAnnIndex]] batches each add per-bucket files; after
    * months of ingest a bucket is thousands of small files and the
@@ -401,8 +444,13 @@ object AnnIndex {
     val codes = s"${base}_codes"
     val staging = s"${base}_codes_compacting"
     dropStale(spark, staging)
+    // tombstoned rows are dropped here — the physical application of
+    // [[tombstoneAnnIds]]; searches are bit-identical before/after
+    // because they already excluded these rows logically. The
+    // tombstone table is cleared only AFTER the swap commits: a crash
+    // in between re-applies an (empty) filter, never resurrects rows.
     withBucketedScanPinned(spark) {
-      spark.table(codes)
+      liveCodes(spark, base)
         .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
         .format("parquet").mode(SaveMode.Overwrite)
         .saveAsTable(staging)
@@ -410,6 +458,7 @@ object AnnIndex {
     spark.sql(s"DROP TABLE $codes")
     spark.sql(s"ALTER TABLE $staging RENAME TO $codes")
     spark.catalog.refreshTable(codes)
+    dropStale(spark, s"${base}_tombstones")
   }
 
   /**
@@ -441,7 +490,7 @@ object AnnIndex {
     val probedCells = probeRows.map(_._2).distinct
     // the isin predicate is driver-known, so the bucketed scan prunes
     // to the probed cells' buckets — the disk-level IVF win
-    val state = spark.table(s"${base}_codes")
+    val state = liveCodes(spark, base)
       .filter(col("centroid_id").isin(probedCells: _*))
     val scored = state.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -494,7 +543,7 @@ object AnnIndex {
       }: _*)), 1, nProbe))
       .select(col("query_id"), col("tables"),
         explode(col("__probe.cid")).as("centroid_id"))
-    val state = spark.table(s"${base}_codes")
+    val state = liveCodes(spark, base)
     val scored = state.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -127,8 +127,10 @@ object LexIndex {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
+    // tombstones described the previous index generation
     AnnIndex.dropStale(spark, s"${base}_postings")
     AnnIndex.dropStale(spark, s"${base}_lexstats")
+    AnnIndex.dropStale(spark, s"${base}_tombstones")
     postings(docs, idCol, textCol)
       .write.bucketBy(buckets, "term").sortBy("term")
       .format("parquet").mode(SaveMode.Overwrite)
@@ -271,6 +273,71 @@ object LexIndex {
   }
 
   /**
+   * DELETE from the standing lexical index — the
+   * [[AnnIndex.tombstoneAnnIds]] twin, with one lexical extra: N and T
+   * feed the BM25 idf and length normalization, so a deleted doc must
+   * leave the corpus scalars too, EXACTLY. Each tombstone row carries
+   * the doc's own token count, read from its postings while they are
+   * still in hand (`max(len)` — the per-doc length rides every
+   * posting), so query-time N/T = stats sums MINUS tombstone sums
+   * with no separate stats mutation: ONE table append = atomic, and
+   * re-tombstoning is a no-op (anti-join against existing
+   * tombstones). Zero-token docs have no postings and contribute
+   * n_toks = 0, which is exactly their T share.
+   *
+   * Caller contract: pass only ids that are actually in the index —
+   * a never-appended id would decrement N for a doc that was never
+   * counted. Searches exclude tombstoned docs immediately
+   * ([[bm25TopKIndexed]]); [[compactLexIndex]] applies them
+   * physically. A rebuild clears them.
+   */
+  def tombstoneLexDocs(spark: SparkSession, base: String,
+                       ids: DataFrame): Unit = {
+    val t = s"${base}_tombstones"
+    val keyed = ids.select(ids.columns.head).toDF("doc_id")
+      .select(col("doc_id").cast("long")).distinct()
+    val fresh =
+      if (spark.catalog.tableExists(t))
+        keyed.join(spark.table(t), Seq("doc_id"), "left_anti")
+      else keyed
+    val withLen = fresh.as("f")
+      .join(spark.table(s"${base}_postings").as("p"),
+        col("f.doc_id") === col("p.doc_id"), "left")
+      .groupBy(col("f.doc_id"))
+      .agg(coalesce(max(col("p.len")), lit(0L)).as("n_toks"))
+    withLen.write.format("parquet").mode(SaveMode.Append).saveAsTable(t)
+    spark.catalog.refreshTable(t)
+  }
+
+  /** The postings table minus tombstoned docs — every query's state
+    * side; costs nothing when no tombstones exist. */
+  private def livePostings(spark: SparkSession, base: String): DataFrame = {
+    val posts = spark.table(s"${base}_postings")
+    val t = s"${base}_tombstones"
+    if (spark.catalog.tableExists(t))
+      posts.join(broadcast(spark.table(t).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    else posts
+  }
+
+  /** Corpus scalars (n_docs, n_toks): stats generations minus
+    * tombstone contributions — equal BY CONSTRUCTION to the one-shot
+    * aggregate over (accumulated corpus minus deleted docs). */
+  private def liveTotals(spark: SparkSession, base: String): DataFrame = {
+    val stats = spark.table(s"${base}_lexstats")
+      .agg(sum(col("n_docs")).as("__sd"), sum(col("n_toks")).as("__st"))
+    val t = s"${base}_tombstones"
+    if (spark.catalog.tableExists(t)) {
+      val dead = spark.table(t)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("__dd"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("__dt"))
+      stats.crossJoin(dead)
+        .select((col("__sd") - col("__dd")).as("n_docs"),
+          (col("__st") - col("__dt")).as("n_toks"))
+    } else stats.select(col("__sd").as("n_docs"), col("__st").as("n_toks"))
+  }
+
+  /**
    * Bucket-preserving postings compaction — [[AnnIndex.compactAnnIndex]]
    * verbatim over `_postings`: nightly appends accumulate per-bucket
    * small files; rewrite to exactly one file per bucket with NO
@@ -278,9 +345,11 @@ object LexIndex {
    * reads all of one bucket's files and the bucketed write emits one
    * file for it — see compactAnnIndex's Scaladoc for why a
    * `repartition` formulation silently fails to collapse), behind the
-   * staged-write crash-safety window. Layout-only: scores and plans
-   * are unchanged (LexIndexSpec asserts bit-identical results and a
-   * surviving bucket spec).
+   * staged-write crash-safety window. Tombstoned docs' postings are
+   * dropped here (searches already excluded them logically) — but
+   * the tombstone TABLE is kept: its N/T contributions must keep
+   * subtracting from the stats generations, which still count the
+   * deleted docs. Only a rebuild resets both.
    */
   def compactLexIndex(spark: SparkSession, base: String,
                       buckets: Int = 16): Unit = {
@@ -288,7 +357,8 @@ object LexIndex {
     val staging = s"${base}_postings_compacting"
     AnnIndex.dropStale(spark, staging)
     AnnIndex.withBucketedScanPinned(spark) {
-      spark.table(posts)
+      livePostings(spark, base)
+        .select(col("term"), col("doc_id"), col("tf"), col("len"))
         .write.bucketBy(buckets, "term").sortBy("term")
         .format("parquet").mode(SaveMode.Overwrite)
         .saveAsTable(staging)
@@ -321,7 +391,11 @@ object LexIndex {
     val qterms = queries.select(col(qIdCol).as("q_id"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .distinct()
-    val posts = spark.table(s"${base}_postings")
+    // tombstone-aware state: deleted docs' postings are excluded (the
+    // term gate pushes below the broadcast anti-join, so bucket
+    // pruning is unaffected) and their N/T shares subtract from the
+    // corpus scalars — scores equal a corpus that never held them
+    val posts = livePostings(spark, base)
     val gated =
       if (collectVocab) {
         // driver-known vocabulary → isin predicate → bucket + row-group
@@ -336,8 +410,7 @@ object LexIndex {
     // true corpus df per query term: the vocab gate keeps every posting
     // of a query term, so this count equals the per-call plan's
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
-    val tot = spark.table(s"${base}_lexstats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val tot = liveTotals(spark, base)
     val idf = dfx.crossJoin(broadcast(tot))
       .filter(col("df").cast("double")
         <= lit(dfCap) * col("n_docs").cast("double"))

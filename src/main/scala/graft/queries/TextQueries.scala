@@ -1947,6 +1947,86 @@ object TextQueries {
       "BM25 top-10 per eval probe from the PERSISTED postings index " +
         "(built once per corpus key, probe-vocabulary bucket-pruned " +
         "scan, N/T from the stats generations): the oracle recomputes " +
-        "the full integer-exact Okapi scoring from raw documents")
+        "the full integer-exact Okapi scoring from raw documents"),
+
+    // lexical standing-index DELETES (r18, the q141 twin with the BM25
+    // extra): a deleted doc must leave the corpus SCALARS too — N and
+    // T feed idf and length normalization — so each tombstone row
+    // carries the doc's own token count (read from its postings at
+    // tombstone time) and query-time N/T = stats generations MINUS
+    // tombstone shares. The oracle recomputes the whole scoring from
+    // raw documents with the deleted docs excluded from the corpus:
+    // the engine must agree from the FULL index plus the tombstones,
+    // proving df, idf, N and T all exclude them exactly.
+    QuerySpec("q142_lex_deletes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+        val probes = docs.filter(col("doc_id") % 101 === 0)
+        val kr = corpus.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        graft.operators.LexIndex.ensureLexIndex(corpus, "doc_id", "text",
+          base = "graft_lex_q142", key = (kr.getLong(0), kr.getLong(1)),
+          buckets = 8)
+        graft.operators.LexIndex.tombstoneLexDocs(s, "graft_lex_q142",
+          corpus.filter(col("doc_id") % 7 === 1).select("doc_id"))
+        graft.operators.LexIndex.bm25TopKIndexed(s, probes, "doc_id",
+          "text", base = "graft_lex_q142", k = 10)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 <> 0 AND doc_id % 7 <> 1),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        bcontrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        bscored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM bcontrib GROUP BY 1, 2)
+        SELECT q_id, rank, doc_id, score_u
+        FROM (SELECT q_id, doc_id, score_u,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+              FROM bscored)
+        WHERE rank <= 10"""),
+      "lexical standing-index deletes: tombstone rows carry their " +
+        "doc's token count, so df, idf, N and T all exclude deleted " +
+        "docs exactly; oracle rescores from raw documents minus the " +
+        "deleted set — the engine answers from the full index plus " +
+        "tombstones")
   )
 }

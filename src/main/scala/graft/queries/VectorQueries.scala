@@ -2165,6 +2165,99 @@ object VectorQueries {
         "postings index (bucket-pruned to the probe vocabulary) fused " +
         "with the persisted IVF+PQ index's ADC top-10 — a probe batch " +
         "touches NO corpus-sized input; bit-identical to q133 under " +
-        "the same oracle text")
+        "the same oracle text"),
+
+    // standing-index DELETES (r18): curation drops documents from a
+    // standing corpus constantly (decontamination hits, dedup losers,
+    // takedowns); rewriting the corpus-sized codes table per delete
+    // batch is not a plan. Tombstoned ids ride a tiny table, searches
+    // exclude them by broadcast anti-join (semantically never
+    // appended: the frozen model is untouched — the append
+    // discipline), and compaction applies them physically. The oracle
+    // replays the full ADC search from the dumped model tables with
+    // the deleted ids excluded — the engine must agree from the FULL
+    // codes table plus the tombstones.
+    QuerySpec("q141_ann_deletes",
+      (s, dir) => {
+        val embs = Tables.load(s, dir, "embeddings")
+        val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
+        val (n, fp) = corpusKey(corpusEmbs)
+        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
+          "embedding", base = "graft_ann_q141", dim = 64, key = (n, fp),
+          nCentroids = 16, m = 16, pqK = 16, buckets = 8)
+        for (t <- Seq("centroids", "codebooks", "codes"))
+          dumpOracle(s.table(s"graft_ann_q141_$t"), t, n, fp)
+        graft.operators.AnnIndex.tombstoneAnnIds(s, "graft_ann_q141",
+          corpusEmbs.filter(col("vec_id") % 7 === 1).select("vec_id"))
+        graft.operators.AnnIndex.ivfPqTopKBucketed(s,
+          embs.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+          k = 10, base = "graft_ann_q141", nProbe = 4)
+      },
+      Some("""
+        WITH nn AS (SELECT count(*) AS n,
+                      sum(CAST(vec_id AS BIGINT) +
+                          CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096)
+                            AS BIGINT)) AS fp
+                    FROM embeddings WHERE vec_id % 101 <> 0),
+        cent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        cb AS (
+          SELECT subspace, code, v
+          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        codes AS (
+          SELECT neighbor_id, centroid_id, codes
+          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)
+            AND neighbor_id % 7 <> 1),
+        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 101 = 0),
+        psim AS (
+          SELECT q.query_id, q.qv, c.centroid_id,
+                 list_inner_product(q.qv, c.v) /
+                   sqrt(list_inner_product(q.qv, q.qv) *
+                        list_inner_product(c.v, c.v)) AS csim
+          FROM q CROSS JOIN cent c),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM psim) WHERE rn <= 4),
+        sub AS (
+          SELECT q.query_id, cb.subspace, cb.code,
+                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
+                              (q.qv[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM q CROSS JOIN cb),
+        scored AS (
+          SELECT p.query_id, cd.neighbor_id,
+                 list_reduce(list(s.sd ORDER BY s.subspace),
+                             (a, b) -> a + b) AS dist
+          FROM probes p
+          JOIN codes cd USING (centroid_id)
+          JOIN sub s ON s.query_id = p.query_id
+                    AND s.code = cd.codes[s.subspace + 1]
+          WHERE cd.neighbor_id <> p.query_id
+          GROUP BY p.query_id, cd.neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id, dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+               dist AS sq_dist
+        FROM r WHERE rn <= 10"""),
+      "standing-index deletes: tombstoned ids excluded from the " +
+        "bucket-pruned ADC search by a broadcast anti-join (frozen " +
+        "model untouched, compact applies physically); oracle replays " +
+        "the search from the dumped model tables minus the deleted ids")
   )
 }

@@ -386,4 +386,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.3,
       s"recall ${hits.toDouble / total} below floor")
   }
+  test("tombstones: search ≡ index without the rows; compact applies and clears; rebuild resets") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val dead = e.filter(col("vec_id") % 7 === 1).select("vec_id")
+    AnnIndex.tombstoneAnnIds(spark, Base, dead)
+    // idempotent redelivery
+    AnnIndex.tombstoneAnnIds(spark, Base, dead)
+    val nDead = dead.count()
+    assert(spark.table(s"${Base}_tombstones").count() === nDead)
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val withTombs = rows(AnnIndex.ivfPqTopKBucketed(spark, q,
+      "vec_id", "embedding", k, Base, nProbe))
+    val withTombsDF = rows(AnnIndex.ivfPqTopKBucketedDF(spark, q,
+      "vec_id", "embedding", k, Base, nProbe))
+    // ground truth: a PHYSICAL twin of the index — the SAME frozen
+    // model tables, the codes table written without the dead rows
+    // (tombstoning must equal never-appended under the same model;
+    // a re-fit over the filtered corpus would move the centroids and
+    // prove nothing)
+    val twin = "astate_twin"
+    for (t <- Seq("centroids", "codebooks", "codes", "stats", "tombstones")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${twin}_$t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/${twin}_$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    for (t <- Seq("centroids", "codebooks"))
+      spark.table(s"${Base}_$t").write.saveAsTable(s"${twin}_$t")
+    spark.table(s"${Base}_codes")
+      .filter(col("neighbor_id") % 7 =!= 1)
+      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(s"${twin}_codes")
+    val perCall = rows(AnnIndex.ivfPqTopKBucketed(spark, q,
+      "vec_id", "embedding", k, twin, nProbe))
+    assert(withTombs === perCall)
+    assert(withTombsDF === perCall)
+    assert(withTombs.nonEmpty)
+    // no deleted id can surface
+    assert(!withTombs.exists(_._3 % 7 == 1))
+    // compact applies physically and clears the tombstones
+    AnnIndex.compactAnnIndex(spark, Base, buckets)
+    assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
+    assert(spark.table(s"${Base}_codes")
+      .filter(col("neighbor_id") % 7 === 1).count() === 0)
+    assert(rows(AnnIndex.ivfPqTopKBucketed(spark, q,
+      "vec_id", "embedding", k, Base, nProbe)) === perCall)
+    // a rebuild over the full corpus resets the delete set
+    AnnIndex.tombstoneAnnIds(spark, Base, dead)
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
+  }
 }

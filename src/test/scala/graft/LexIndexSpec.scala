@@ -281,4 +281,39 @@ class LexIndexSpec extends SparkSpec {
       .getLong(0) === preDocs + batch.count(),
       "the stats row describes the full batch")
   }
+  test("tombstones: scores ≡ a corpus that never held the docs; compact applies; N/T stay exact") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    val d = docs
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    // delete every 7th doc INCLUDING one degenerate zero-token doc
+    // (900001 has no postings: only exact N/T bookkeeping can remove
+    // its share)
+    import spark.implicits._
+    val dead = d.filter(col("doc_id") % 7 === 1).select("doc_id")
+      .unionByName(Seq(900001L).toDF("doc_id"))
+    LexIndex.tombstoneLexDocs(spark, Base, dead)
+    LexIndex.tombstoneLexDocs(spark, Base, dead) // idempotent
+    assert(spark.table(s"${Base}_tombstones").count() === dead.count())
+    val live = d.filter(col("doc_id") % 7 =!= 1 &&
+      col("doc_id") =!= 900001L)
+    val want = rows(CorpusStats.bm25TopK(live, "doc_id", "text",
+      probes, "doc_id", "text", K))
+    val got = rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
+      "text", Base, K))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // compact drops the deleted postings but KEEPS the tombstone
+    // table (its N/T shares must keep subtracting from the stats
+    // generations, which still count the deleted docs)
+    LexIndex.compactLexIndex(spark, Base, Buckets)
+    assert(spark.catalog.tableExists(s"${Base}_tombstones"))
+    assert(spark.table(s"${Base}_postings")
+      .filter(col("doc_id") % 7 === 1).count() === 0)
+    assert(rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
+      "text", Base, K)) === want)
+    // a rebuild resets the delete set
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
+  }
 }
