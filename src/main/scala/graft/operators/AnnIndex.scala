@@ -327,6 +327,12 @@ object AnnIndex {
   def appendToAnnIndex(spark: SparkSession, rows: DataFrame, idCol: String,
                        vecCol: String, base: String,
                        buckets: Int = 16): Unit = {
+    // re-append guard (r19): a tombstoned id's new codes row would be
+    // hidden forever by the live-read anti-join — refuse loudly
+    StandingState.requireNotTombstoned(spark, s"${base}_tombstones",
+      rows, idCol,
+      "compactAnnIndex (applies the delete physically and clears the " +
+        "tombstones), then append")
     val (cents, model) = readModel(spark, base)
     // Pin the batch before ANY consumer runs, and record the fit stats
     // BEFORE the codes append. Both orderings matter: a lazy batch plan
@@ -382,26 +388,17 @@ object AnnIndex {
   def tombstoneAnnIds(spark: SparkSession, base: String,
                       ids: DataFrame): Unit = {
     val t = s"${base}_tombstones"
-    val keyed = ids.select(ids.columns.head).toDF("neighbor_id")
-      .select(col("neighbor_id").cast("long")).distinct()
-    val fresh =
-      if (spark.catalog.tableExists(t))
-        keyed.join(spark.table(t), Seq("neighbor_id"), "left_anti")
-      else keyed
-    fresh.write.format("parquet").mode(SaveMode.Append).saveAsTable(t)
-    spark.catalog.refreshTable(t)
+    val keyed = StandingState.keyedIds(ids, "neighbor_id")
+    StandingState.appendTombstones(spark, t,
+      StandingState.freshTombstones(spark, t, keyed, "neighbor_id"))
   }
 
   /** The codes table minus tombstoned rows — every search's state
     * side. The anti-join broadcasts the tombstones (a delete set is
     * tiny next to the corpus) and costs nothing when none exist. */
-  private def liveCodes(spark: SparkSession, base: String): DataFrame = {
-    val codes = spark.table(s"${base}_codes")
-    val t = s"${base}_tombstones"
-    if (spark.catalog.tableExists(t))
-      codes.join(broadcast(spark.table(t)), Seq("neighbor_id"), "left_anti")
-    else codes
-  }
+  private def liveCodes(spark: SparkSession, base: String): DataFrame =
+    StandingState.minusTombstones(spark, spark.table(s"${base}_codes"),
+      s"${base}_tombstones", "neighbor_id")
 
   /**
    * Compact the bucketed codes table (r18, VERDICT task 3). Nightly
@@ -427,38 +424,54 @@ object AnnIndex {
    * compaction is a LAYOUT operation, not a state change, so search
    * results are bit-identical before/after (asserted in AnnIndexSpec).
    *
-   * Crash-safety is the [[graft.sink.UpsertWriter]] window-shrink
-   * discipline: ALL compute lands in a staging table first; the live
+   * Crash-safety is [[StandingState.stagedSwap]] (r19 — previously
+   * inlined here, with a destructive-retry window the shared helper
+   * closes): ALL compute lands in a staging table first; the live
    * swap is two catalog operations (drop + rename, which moves the
-   * managed directory and keeps the bucket spec). A crash during the
-   * staging write leaves the live table untouched; a crash inside the
-   * swap window leaves every row safe in the staging table
-   * (`<base>_codes_compacting` — its presence after a crash IS the
-   * recovery signal: rename it back, or rerun the compaction).
+   * managed directory and keeps the bucket spec); a crash between
+   * them is detected on the next run and the staging table — then
+   * the only copy — is PROMOTED, never dropped.
    *
    * When to run: on a file-count signal (this is the small-FILE fix;
-   * model-vs-corpus DRIFT remains [[rebuildIfStale]]'s job).
+   * model-vs-corpus DRIFT remains [[rebuildIfStale]]'s job, and
+   * tombstone MASS [[compactIfDead]]'s).
    */
   def compactAnnIndex(spark: SparkSession, base: String,
                       buckets: Int = 16): Unit = {
-    val codes = s"${base}_codes"
-    val staging = s"${base}_codes_compacting"
-    dropStale(spark, staging)
     // tombstoned rows are dropped here — the physical application of
     // [[tombstoneAnnIds]]; searches are bit-identical before/after
     // because they already excluded these rows logically. The
     // tombstone table is cleared only AFTER the swap commits: a crash
     // in between re-applies an (empty) filter, never resurrects rows.
-    withBucketedScanPinned(spark) {
-      liveCodes(spark, base)
-        .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
-        .format("parquet").mode(SaveMode.Overwrite)
-        .saveAsTable(staging)
-    }
-    spark.sql(s"DROP TABLE $codes")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $codes")
-    spark.catalog.refreshTable(codes)
+    StandingState.compactBucketed(spark, s"${base}_codes",
+      Seq("centroid_id"), buckets, liveCodes(spark, base))
     dropStale(spark, s"${base}_tombstones")
+  }
+
+  /** Dead-mass fraction of the standing index: tombstoned ids / live
+    * ids. The drift signal [[staleness]] cannot see — heavy deletes
+    * skew cell populations and grow every search's anti-join without
+    * moving reconstruction error. 0 with no tombstones. */
+  def tombstoneFraction(spark: SparkSession, base: String): Double =
+    StandingState.deadFraction(spark, s"${base}_tombstones",
+      spark.table(s"${base}_codes").count())
+
+  /**
+   * Compact iff the tombstone mass crossed `maxDeadFraction` — the
+   * automatic trigger closing the delete loop the way
+   * [[rebuildIfStale]] closes the append loop: deletes accumulate
+   * through [[tombstoneAnnIds]], this notices when the dead set has
+   * grown past the policy bound (both counts are cheap scalars), and
+   * [[compactAnnIndex]] applies them physically (search results are
+   * bit-identical before/after — the rows were already excluded
+   * logically). Returns true when a compaction ran.
+   */
+  def compactIfDead(spark: SparkSession, base: String,
+                    maxDeadFraction: Double = 0.3,
+                    buckets: Int = 16): Boolean = {
+    val dead = tombstoneFraction(spark, base) > maxDeadFraction
+    if (dead) compactAnnIndex(spark, base, buckets)
+    dead
   }
 
   /**

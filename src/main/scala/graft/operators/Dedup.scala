@@ -651,12 +651,58 @@ object Dedup {
                       buckets: Int = 64): Unit = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     import org.apache.spark.sql.SaveMode
+    // re-append guard (r19): a tombstoned doc_id written back into the
+    // state would be hidden forever by the live-read anti-join —
+    // deleted ids never return (a corrected doc re-ingests under a NEW
+    // monotonic id, the keep-first ordering contract)
+    StandingState.requireNotTombstoned(state.sparkSession,
+      s"${base}_tombstones", state, "doc_id",
+      "compactDedupState (drops the dead signature/band rows and " +
+        "clears the tombstones); deleted ids should normally re-ingest " +
+        "under a fresh monotonic id instead")
     state.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").mode(SaveMode.Append).saveAsTable(s"${base}_sigs")
     bandedSigs(state, bands, k / bands).write
       .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
       .format("parquet").mode(SaveMode.Append).saveAsTable(s"${base}_bands")
   }
+
+  /**
+   * DELETE from the near-dedup signature state — the
+   * [[AnnIndex.tombstoneAnnIds]] discipline applied to the third
+   * standing state (r19, closing the delete-symmetry gap): a document
+   * removed from the corpus (takedown, correction, decontamination
+   * hit) must stop SHADOWING future near-duplicates — its signature
+   * would otherwise suppress every later copy forever — and must stop
+   * generating candidate collisions. Tombstoned ids ride a tiny
+   * `<base>_tombstones` (doc_id) table; both state reads of
+   * [[incrementalNearDedupBucketed]] anti-join it (broadcast — a
+   * delete set is small next to the corpus), [[compactDedupState]]
+   * applies it physically to `_sigs` AND `_bands` and clears it, and
+   * [[resetDedupState]] (a rebuild) drops it. One table append =
+   * atomic; re-tombstoning is a no-op. No scalar bookkeeping rides
+   * along — unlike the lexical twin, dedup state has no corpus
+   * aggregates to keep exact.
+   *
+   * Reference anchor: the reference warehouse rows are correctable /
+   * removable through the upsert MERGE
+   * (`/root/reference/Pembelian/run.js:328`); a curation pipeline
+   * needs the same for its dedup memory.
+   */
+  def tombstoneDedupDocs(spark: org.apache.spark.sql.SparkSession,
+                         base: String, ids: DataFrame): Unit = {
+    val t = s"${base}_tombstones"
+    val keyed = StandingState.keyedIds(ids, "doc_id")
+    StandingState.appendTombstones(spark, t,
+      StandingState.freshTombstones(spark, t, keyed, "doc_id"))
+  }
+
+  /** Drop every [[writeDedupState]] table (and tombstones) — the
+    * rebuild reset: the next ingest starts an empty dedup memory. */
+  def resetDedupState(spark: org.apache.spark.sql.SparkSession,
+                      base: String): Unit =
+    for (t <- Seq("sigs", "bands", "tombstones"))
+      AnnIndex.dropStale(spark, s"${base}_$t")
 
   /**
    * Bucket-preserving compaction of the [[writeDedupState]] tables —
@@ -668,30 +714,44 @@ object Dedup {
    * rewritten to exactly one file per non-empty bucket with NO shuffle
    * (bucketed scan pinned on — one read partition per bucket; the
    * `repartition` formulation silently fails to collapse, see
-   * compactAnnIndex's Scaladoc) behind the same staged-swap
-   * crash-safety window. Layout-only: survivors of
-   * [[incrementalNearDedupBucketed]] are bit-identical before/after
-   * and both bucket specs survive (DedupSpec).
+   * compactAnnIndex's Scaladoc) behind [[StandingState.stagedSwap]]'s
+   * crash-safety window (r19: a crash between DROP and RENAME is
+   * recovered by promoting the staging table). Tombstoned docs' rows
+   * ([[tombstoneDedupDocs]]) are dropped physically from BOTH tables;
+   * the tombstone table is cleared only after both swaps committed —
+   * a crash anywhere in between leaves the anti-join re-applying a
+   * (possibly already-applied) filter, never resurrecting rows.
+   * Candidate/survivor results are bit-identical before/after
+   * (DedupSpec) because the reads already excluded them logically.
    */
   def compactDedupState(spark: org.apache.spark.sql.SparkSession,
                         base: String, buckets: Int = 64): Unit = {
-    import org.apache.spark.sql.SaveMode
     for ((table, bucketCols) <- Seq(
         (s"${base}_sigs", Seq("doc_id")),
         (s"${base}_bands", Seq("band", "band_hash")))) {
-      val staging = s"${table}_compacting"
-      AnnIndex.dropStale(spark, staging)
-      AnnIndex.withBucketedScanPinned(spark) {
-        spark.table(table)
-          .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-          .sortBy(bucketCols.head, bucketCols.tail: _*)
-          .format("parquet").mode(SaveMode.Overwrite)
-          .saveAsTable(staging)
-      }
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-      spark.catalog.refreshTable(table)
+      StandingState.compactBucketed(spark, table, bucketCols, buckets,
+        StandingState.minusTombstones(spark, spark.table(table),
+          s"${base}_tombstones", "doc_id"))
     }
+    AnnIndex.dropStale(spark, s"${base}_tombstones")
+  }
+
+  /** Dead-mass fraction of the dedup memory: tombstoned docs / live
+    * docs — the [[AnnIndex.tombstoneFraction]] twin. */
+  def tombstoneFraction(spark: org.apache.spark.sql.SparkSession,
+                        base: String): Double =
+    StandingState.deadFraction(spark, s"${base}_tombstones",
+      spark.table(s"${base}_sigs").count())
+
+  /** Compact iff the tombstone mass crossed `maxDeadFraction` — the
+    * automatic delete-loop trigger ([[AnnIndex.compactIfDead]]).
+    * Returns true when a compaction ran. */
+  def compactIfDead(spark: org.apache.spark.sql.SparkSession,
+                    base: String, maxDeadFraction: Double = 0.3,
+                    buckets: Int = 64): Boolean = {
+    val dead = tombstoneFraction(spark, base) > maxDeadFraction
+    if (dead) compactDedupState(spark, base, buckets)
+    dead
   }
 
   /**
@@ -707,6 +767,13 @@ object Dedup {
    *  - the verify rejoin reads `_sigs` bucketed on doc_id — again only
    *    the candidate pairs move, and the batch's own signatures
    *    broadcast.
+   *
+   * Tombstoned docs ([[tombstoneDedupDocs]]) are excluded from BOTH
+   * state reads by a broadcast anti-join (below the bucketed scan's
+   * partitioning — no Exchange appears), so a deleted doc neither
+   * shadows future near-duplicates nor generates candidates: survivors
+   * equal a state that never ingested it (DedupSpec asserts against a
+   * physical twin).
    *
    * Returns (survivors, batchSigs); after the survivors are committed
    * downstream, append the batch with
@@ -724,8 +791,10 @@ object Dedup {
     val batchSigs = graft.ops.materialize(
       minHashSignatures(batch, idCol, textCol, n, k, seed, baseHash))
     val batchBands = bandedSigs(batchSigs, bands, rows)
-    val stateBands = spark.table(s"${base}_bands")
-    val stateSigs = spark.table(s"${base}_sigs")
+    val stateBands = StandingState.minusTombstones(spark,
+      spark.table(s"${base}_bands"), s"${base}_tombstones", "doc_id")
+    val stateSigs = StandingState.minusTombstones(spark,
+      spark.table(s"${base}_sigs"), s"${base}_tombstones", "doc_id")
     def pairs(x: DataFrame, y: DataFrame): DataFrame =
       x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") &&

@@ -53,9 +53,10 @@ import org.apache.spark.sql.functions._
  * scoring joins (query terms and idf broadcast) plan NO state-side
  * Exchange; the only shuffles carry scored candidates, capped at k rows
  * per probe per map task by the mergeable `graft_topk` aggregate.
- * `collectVocab = false` gates with a broadcast join instead — no
- * driver collect, for probe batches whose vocabulary itself is huge —
- * at the price of scanning all buckets once.
+ * `collectVocab = false` gates with a plain (AQE-planned) join instead
+ * — no driver collect AND no forced broadcast anywhere the probe
+ * vocabulary rides, for probe batches whose vocabulary itself is huge
+ * — at the price of scanning all buckets once.
  *
  * Reference anchor: the reference ETL's standing warehouse tables
  * (e.g. `/root/reference/Lib/Migrations` staging discipline) hold
@@ -183,13 +184,19 @@ object LexIndex {
    * whose postings never landed.
    *
    * Caller contract: batch doc ids must be new (an id appended twice
-   * doubles its tf — same last-writer duty as appendToAnnIndex).
+   * doubles its tf — same last-writer duty as appendToAnnIndex), and
+   * must not be STILL-tombstoned (refused loudly — run
+   * [[compactLexIndex]] first, whose fold makes the re-append exact).
    * Append-then-query ≡ one-shot build over the union (LexIndexSpec).
    */
   def appendToLexIndex(spark: SparkSession, rows: DataFrame, idCol: String,
                        textCol: String, base: String,
                        buckets: Int = 16): Unit = {
     requireIntegralId(rows, idCol)
+    StandingState.requireNotTombstoned(spark, s"${base}_tombstones",
+      rows, idCol,
+      "compactLexIndex (drops the dead postings and folds the N/T " +
+        "bookkeeping, after which the re-append counts exactly once)")
     val batch = graft.ops.materialize(rows)
     try {
       val gen = spark.table(s"${base}_lexstats")
@@ -249,6 +256,14 @@ object LexIndex {
       .filter(col("batch_id") === batchId).isEmpty
     if (done) false
     else {
+      // same re-append guard as the manual path: a tombstoned id's
+      // fresh postings would be invisible while the stats row counts
+      // it — refuse loudly (checked only for undelivered batches; an
+      // already-applied batch skipped above never re-reaches here)
+      StandingState.requireNotTombstoned(spark, s"${base}_tombstones",
+        rows, idCol,
+        "compactLexIndex (drops the dead postings and folds the N/T " +
+          "bookkeeping, after which the re-append counts exactly once)")
       val batch = graft.ops.materialize(rows)
       try {
         val already = spark.table(s"${base}_postings").select(col("doc_id"))
@@ -289,35 +304,76 @@ object LexIndex {
    * a never-appended id would decrement N for a doc that was never
    * counted. Searches exclude tombstoned docs immediately
    * ([[bm25TopKIndexed]]); [[compactLexIndex]] applies them
-   * physically. A rebuild clears them.
+   * physically and FOLDS their N/T mass into one null-keyed aggregate
+   * row (see there), after which the id may be re-appended. Appending
+   * a STILL-tombstoned id is refused loudly
+   * ([[StandingState.requireNotTombstoned]]). A rebuild clears
+   * everything.
+   *
+   * Tombstone schema (r19): (doc_id, n_docs, n_toks) — `n_docs` is 1
+   * per deleted doc, so the live-totals subtraction is `sum(n_docs)`/
+   * `sum(n_toks)` and compaction can collapse the whole table to one
+   * row with `doc_id = NULL` (null never matches the anti-join or the
+   * re-append guard; the mass keeps subtracting). A pre-r19 table
+   * (doc_id, n_toks) is migrated in place on the next call.
    */
   def tombstoneLexDocs(spark: SparkSession, base: String,
                        ids: DataFrame): Unit = {
     val t = s"${base}_tombstones"
-    val keyed = ids.select(ids.columns.head).toDF("doc_id")
-      .select(col("doc_id").cast("long")).distinct()
-    val fresh =
-      if (spark.catalog.tableExists(t))
-        keyed.join(spark.table(t), Seq("doc_id"), "left_anti")
-      else keyed
+    migrateTombstones(spark, base)
+    val keyed = StandingState.keyedIds(ids, "doc_id")
+    val fresh = StandingState.freshTombstones(spark, t, keyed, "doc_id")
     val withLen = fresh.as("f")
       .join(spark.table(s"${base}_postings").as("p"),
         col("f.doc_id") === col("p.doc_id"), "left")
       .groupBy(col("f.doc_id"))
-      .agg(coalesce(max(col("p.len")), lit(0L)).as("n_toks"))
-    withLen.write.format("parquet").mode(SaveMode.Append).saveAsTable(t)
-    spark.catalog.refreshTable(t)
+      .agg(lit(1L).as("n_docs"),
+        coalesce(max(col("p.len")), lit(0L)).as("n_toks"))
+    StandingState.appendTombstones(spark, t, withLen)
+  }
+
+  /** Upgrade a pre-r19 (doc_id, n_toks) tombstone table to the
+    * (doc_id, n_docs, n_toks) schema via the crash-safe staged swap.
+    * No-op on the current schema or when no table exists. */
+  private def migrateTombstones(spark: SparkSession, base: String): Unit = {
+    val t = s"${base}_tombstones"
+    if (spark.catalog.tableExists(t) &&
+        !spark.table(t).columns.contains("n_docs")) {
+      val staging = s"${t}_compacting"
+      StandingState.stagedSwap(spark, t, staging) {
+        spark.table(t)
+          .select(col("doc_id"), lit(1L).as("n_docs"), col("n_toks"))
+          .write.format("parquet").mode(SaveMode.Overwrite)
+          .saveAsTable(staging)
+      }
+    }
+  }
+
+  /** The tombstone table in the current schema (old tables read as if
+    * migrated), or None. */
+  private def tombstones(spark: SparkSession, base: String): Option[DataFrame] = {
+    val t = s"${base}_tombstones"
+    if (!spark.catalog.tableExists(t)) None
+    else {
+      val raw = spark.table(t)
+      Some(if (raw.columns.contains("n_docs")) raw
+           else raw.select(col("doc_id"), lit(1L).as("n_docs"),
+             col("n_toks")))
+    }
   }
 
   /** The postings table minus tombstoned docs — every query's state
-    * side; costs nothing when no tombstones exist. */
+    * side; costs nothing when no tombstones exist. Folded (null-id)
+    * rows carry only N/T mass and are skipped: their postings were
+    * already dropped physically. */
   private def livePostings(spark: SparkSession, base: String): DataFrame = {
     val posts = spark.table(s"${base}_postings")
-    val t = s"${base}_tombstones"
-    if (spark.catalog.tableExists(t))
-      posts.join(broadcast(spark.table(t).select(col("doc_id"))),
+    tombstones(spark, base) match {
+      case Some(t) => posts.join(
+        broadcast(t.filter(col("doc_id").isNotNull).select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
-    else posts
+      case None => posts
+    }
   }
 
   /** Corpus scalars (n_docs, n_toks): stats generations minus
@@ -326,15 +382,16 @@ object LexIndex {
   private def liveTotals(spark: SparkSession, base: String): DataFrame = {
     val stats = spark.table(s"${base}_lexstats")
       .agg(sum(col("n_docs")).as("__sd"), sum(col("n_toks")).as("__st"))
-    val t = s"${base}_tombstones"
-    if (spark.catalog.tableExists(t)) {
-      val dead = spark.table(t)
-        .agg(coalesce(count(lit(1)), lit(0L)).as("__dd"),
+    tombstones(spark, base) match {
+      case Some(t) =>
+        val dead = t.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__dd"),
           coalesce(sum(col("n_toks")), lit(0L)).as("__dt"))
-      stats.crossJoin(dead)
-        .select((col("__sd") - col("__dd")).as("n_docs"),
-          (col("__st") - col("__dt")).as("n_toks"))
-    } else stats.select(col("__sd").as("n_docs"), col("__st").as("n_toks"))
+        stats.crossJoin(dead)
+          .select((col("__sd") - col("__dd")).as("n_docs"),
+            (col("__st") - col("__dt")).as("n_toks"))
+      case None =>
+        stats.select(col("__sd").as("n_docs"), col("__st").as("n_toks"))
+    }
   }
 
   /**
@@ -344,28 +401,81 @@ object LexIndex {
    * shuffle (the staging read pins the bucketed scan on, so each task
    * reads all of one bucket's files and the bucketed write emits one
    * file for it — see compactAnnIndex's Scaladoc for why a
-   * `repartition` formulation silently fails to collapse), behind the
-   * staged-write crash-safety window. Tombstoned docs' postings are
-   * dropped here (searches already excluded them logically) — but
-   * the tombstone TABLE is kept: its N/T contributions must keep
-   * subtracting from the stats generations, which still count the
-   * deleted docs. Only a rebuild resets both.
+   * `repartition` formulation silently fails to collapse), behind
+   * [[StandingState.stagedSwap]]'s crash-safety window (r19: a crash
+   * between the DROP and the RENAME is recovered on the next run by
+   * promoting the staging table — see there).
+   *
+   * Tombstoned docs' postings are dropped here (searches already
+   * excluded them logically), and the tombstone table is then FOLDED:
+   * its N/T mass must keep subtracting from the stats generations —
+   * which still count the deleted docs — but per-id rows no longer
+   * serve any purpose once the postings are gone. The fold collapses
+   * the table to ONE row (doc_id = NULL, Σn_docs, Σn_toks): query
+   * scalars are unchanged at every crash point (the per-id rows and
+   * the folded row subtract the same sums; the staged swap never has
+   * both), the live-read anti-join stops growing with the dead set,
+   * and a folded id may be RE-APPENDED exactly (its old generation
+   * row and the fold cancel; the new append counts it once). Only a
+   * rebuild resets the fold row.
    */
   def compactLexIndex(spark: SparkSession, base: String,
                       buckets: Int = 16): Unit = {
-    val posts = s"${base}_postings"
-    val staging = s"${base}_postings_compacting"
-    AnnIndex.dropStale(spark, staging)
-    AnnIndex.withBucketedScanPinned(spark) {
+    migrateTombstones(spark, base)
+    StandingState.compactBucketed(spark, s"${base}_postings",
+      Seq("term"), buckets,
       livePostings(spark, base)
-        .select(col("term"), col("doc_id"), col("tf"), col("len"))
-        .write.bucketBy(buckets, "term").sortBy("term")
-        .format("parquet").mode(SaveMode.Overwrite)
-        .saveAsTable(staging)
+        .select(col("term"), col("doc_id"), col("tf"), col("len")))
+    // fold: skip when nothing per-id remains (idempotent re-runs)
+    tombstones(spark, base).foreach { t =>
+      if (!t.filter(col("doc_id").isNotNull).isEmpty) {
+        val tt = s"${base}_tombstones"
+        StandingState.stagedSwap(spark, tt, s"${tt}_compacting") {
+          spark.table(tt)
+            .select(col("doc_id"), col("n_docs"), col("n_toks"))
+            .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+              coalesce(sum(col("n_toks")), lit(0L)).as("n_toks"))
+            .select(lit(null).cast("long").as("doc_id"),
+              col("n_docs"), col("n_toks"))
+            .coalesce(1)
+            .write.format("parquet").mode(SaveMode.Overwrite)
+            .saveAsTable(s"${tt}_compacting")
+        }
+      }
     }
-    spark.sql(s"DROP TABLE $posts")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $posts")
-    spark.catalog.refreshTable(posts)
+  }
+
+  /** Dead-mass fraction: not-yet-compacted tombstoned docs / live
+    * docs. Folded (null-id) rows are already applied physically and
+    * do not count. 0 with no tombstones. */
+  def tombstoneFraction(spark: SparkSession, base: String): Double =
+    tombstones(spark, base) match {
+      case None => 0.0
+      case Some(t) =>
+        val dead = t.filter(col("doc_id").isNotNull).count()
+        if (dead == 0L) 0.0
+        else {
+          val live = liveTotals(spark, base).head().getLong(0)
+          if (live <= 0L) Double.PositiveInfinity
+          else dead.toDouble / live.toDouble
+        }
+    }
+
+  /**
+   * Compact iff the tombstone mass crossed `maxDeadFraction` — the
+   * [[AnnIndex.compactIfDead]] twin: deletes accumulate through
+   * [[tombstoneLexDocs]] without moving any model-drift signal, this
+   * notices when the dead set has grown past the policy bound (both
+   * counts are cheap scalars) and [[compactLexIndex]] applies them
+   * physically + folds the bookkeeping. Scores are bit-identical
+   * before/after. Returns true when a compaction ran.
+   */
+  def compactIfDead(spark: SparkSession, base: String,
+                    maxDeadFraction: Double = 0.3,
+                    buckets: Int = 16): Boolean = {
+    val dead = tombstoneFraction(spark, base) > maxDeadFraction
+    if (dead) compactLexIndex(spark, base, buckets)
+    dead
   }
 
   /**
@@ -406,11 +516,19 @@ object LexIndex {
         if (vocab.isEmpty) posts.filter(lit(false))
         else posts.filter(col("term").isin(vocab: _*))
       } else
-        posts.join(broadcast(qterms.select(col("term")).distinct()), "term")
+        // huge-vocabulary path: the gate, the idf table and the qterms
+        // scoring join all scale WITH the probe vocabulary, so none of
+        // them may be forced through a broadcast (r19, ADVICE fix —
+        // the old path broadcast exactly the thing it existed to keep
+        // unbounded). Plain joins: AQE still broadcasts when a side
+        // turns out small, shuffles when it doesn't.
+        posts.join(qterms.select(col("term")).distinct(), "term")
     // true corpus df per query term: the vocab gate keeps every posting
     // of a query term, so this count equals the per-call plan's
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
     val tot = liveTotals(spark, base)
+    def hinted(df: DataFrame): DataFrame =
+      if (collectVocab) broadcast(df) else df
     val idf = dfx.crossJoin(broadcast(tot))
       .filter(col("df").cast("double")
         <= lit(dfCap) * col("n_docs").cast("double"))
@@ -420,8 +538,8 @@ object LexIndex {
           .cast("long").as("idf_u"),
         col("n_docs"), col("n_toks"))
     val contrib = gated
-      .join(broadcast(idf), "term")
-      .join(broadcast(qterms), "term")
+      .join(hinted(idf), "term")
+      .join(hinted(qterms), "term")
       .select(col("q_id"), col("doc_id"),
         (col("idf_u").cast("decimal(8,0)") * lit(22)
            * col("tf").cast("decimal(10,0)")

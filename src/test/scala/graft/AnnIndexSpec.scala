@@ -443,4 +443,80 @@ class AnnIndexSpec extends SparkSpec {
       nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
     assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
   }
+
+  test("re-append of a tombstoned id is refused loudly; legal after compaction") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val victim = e.filter(col("vec_id") === 3L)
+    AnnIndex.tombstoneAnnIds(spark, Base, victim.select("vec_id"))
+    val err = intercept[IllegalStateException] {
+      AnnIndex.appendToAnnIndex(spark, victim, "vec_id", "embedding",
+        Base, buckets)
+    }
+    assert(err.getMessage.contains("tombstoned id 3"))
+    // compaction applies the delete physically and clears — after it
+    // the id is genuinely gone and may re-enter like any new row
+    AnnIndex.compactAnnIndex(spark, Base, buckets)
+    AnnIndex.appendToAnnIndex(spark, victim, "vec_id", "embedding",
+      Base, buckets)
+    assert(spark.table(s"${Base}_codes")
+      .filter(col("neighbor_id") === 3L).count() === 1)
+  }
+
+  test("compactIfDead: tombstone mass past the bound triggers, below no-ops") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    assert(AnnIndex.tombstoneFraction(spark, Base) === 0.0)
+    assert(!AnnIndex.compactIfDead(spark, Base, 0.3, buckets))
+    // ~1/5 of ids dead → dead/live = 0.25: under 0.3, over 0.1
+    AnnIndex.tombstoneAnnIds(spark, Base,
+      e.filter(col("vec_id") % 5 === 2).select("vec_id"))
+    val frac = AnnIndex.tombstoneFraction(spark, Base)
+    assert(frac > 0.1 && frac < 0.3, s"fixture fraction $frac")
+    assert(!AnnIndex.compactIfDead(spark, Base, 0.3, buckets))
+    assert(spark.catalog.tableExists(s"${Base}_tombstones"))
+    assert(AnnIndex.compactIfDead(spark, Base, 0.1, buckets))
+    assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
+    assert(AnnIndex.tombstoneFraction(spark, Base) === 0.0)
+    assert(!AnnIndex.compactIfDead(spark, Base, 0.1, buckets),
+      "already applied — must not loop")
+  }
+
+  test("compaction crash windows: staging-write crash is discarded, " +
+      "swap crash promotes the staging table (never drops the sole copy)") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_codes_compacting")
+    val e = embeddings
+    AnnIndex.writeAnnIndex(e, "vec_id", "embedding", Base, dim,
+      nCentroids = nCent, m = m, pqK = pqK, buckets = buckets)
+    val q = e.filter(col("vec_id") < 10)
+    def page = AnnIndex.ivfPqTopKBucketed(spark, q, "vec_id",
+      "embedding", k, Base, nProbe).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = page
+    // crash during the STAGING WRITE: live intact, staging garbage —
+    // the next compaction discards the leftover and proceeds
+    spark.table(s"${Base}_codes").limit(3)
+      .write.bucketBy(buckets, "centroid_id").sortBy("centroid_id")
+      .format("parquet").saveAsTable(s"${Base}_codes_compacting")
+    AnnIndex.compactAnnIndex(spark, Base, buckets)
+    assert(page === want)
+    // crash BETWEEN the DROP and the RENAME: live absent, staging is
+    // the ONLY copy. The r18 code began by dropping the staging table
+    // — destroying the state; the shared swap must promote it instead.
+    spark.sql(s"ALTER TABLE ${Base}_codes RENAME TO ${Base}_codes_compacting")
+    assert(!spark.catalog.tableExists(s"${Base}_codes"))
+    AnnIndex.compactAnnIndex(spark, Base, buckets)
+    assert(spark.catalog.tableExists(s"${Base}_codes"))
+    assert(!spark.catalog.tableExists(s"${Base}_codes_compacting"))
+    assert(page === want, "recovered compaction must lose nothing")
+  }
 }

@@ -497,4 +497,68 @@ class DedupSpec extends SparkSpec {
     assert(spark.table("cstate_sigs")
       .filter(col("doc_id") >= 2000000L).count() > 0)
   }
+
+  test("dedup-state tombstones: logical exclusion ≡ a state that never " +
+      "ingested the docs; compaction applies physically and clears; " +
+      "re-ingesting a deleted id is refused") {
+    spark.catalog.clearCache()
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val (n, k, bands, t, buckets) = (3, 64, 8, 0.5, 8)
+    val history = docs.filter(col("doc_id") < 250)
+    val deleted = history.filter(col("doc_id") % 7 === 1)
+    val batch = docs.filter(col("doc_id") >= 250)
+    def seed(base: String, state: org.apache.spark.sql.DataFrame): Unit = {
+      Dedup.resetDedupState(spark, base)
+      Dedup.writeDedupState(state, base, k, bands, buckets)
+    }
+    def night(base: String) =
+      Dedup.incrementalNearDedupBucketed(spark, batch, "doc_id", "text",
+        base, n, k, bands, t)._1
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // full state, then DELETE the victim set
+    val (_, fullState) = Dedup.incrementalNearDedup(history, "doc_id",
+      "text", None, n, k, bands, t)
+    seed("tstate", fullState)
+    Dedup.tombstoneDedupDocs(spark, "tstate", deleted.select("doc_id"))
+    Dedup.tombstoneDedupDocs(spark, "tstate", deleted.select("doc_id")) // idempotent
+    assert(spark.table("tstate_tombstones").count() === deleted.count())
+    // twin state that NEVER ingested the victims — ground truth
+    val (_, twinState) = Dedup.incrementalNearDedup(
+      history.filter(col("doc_id") % 7 =!= 1), "doc_id", "text",
+      None, n, k, bands, t)
+    seed("tstate_twin", twinState)
+    val want = night("tstate_twin")
+    assert(night("tstate") === want,
+      "a deleted doc must neither shadow near-dups nor emit candidates")
+    // the delete must actually CHANGE something, or the parity above
+    // is vacuous: without the tombstones some batch doc is shadowed
+    // only by a deleted history doc
+    Dedup.resetDedupState(spark, "tstate2")
+    Dedup.writeDedupState(fullState, "tstate2", k, bands, buckets)
+    assert(night("tstate2") !== want,
+      "fixture must contain a batch doc shadowed only by a deleted doc")
+    // compaction applies physically (both tables) and clears
+    val frac = Dedup.tombstoneFraction(spark, "tstate")
+    assert(frac > 0.1, s"fixture dead mass $frac")
+    assert(Dedup.compactIfDead(spark, "tstate", 0.1, buckets))
+    assert(!spark.catalog.tableExists("tstate_tombstones"))
+    assert(spark.table("tstate_sigs")
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") < 250).count() === 0)
+    assert(spark.table("tstate_bands")
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") < 250).count() === 0)
+    assert(night("tstate") === want,
+      "compaction must not change dedup decisions")
+    // re-ingesting a deleted id is refused while tombstoned
+    Dedup.tombstoneDedupDocs(spark, "tstate",
+      deleted.select("doc_id").limit(1))
+    val victimSig = fullState.join(
+      deleted.select("doc_id").limit(1), Seq("doc_id"), "left_semi")
+    val err = intercept[IllegalStateException] {
+      Dedup.writeDedupState(victimSig, "tstate", k, bands, buckets)
+    }
+    assert(err.getMessage.contains("tombstoned id"))
+    for (b <- Seq("tstate", "tstate2", "tstate_twin"))
+      Dedup.resetDedupState(spark, b)
+  }
 }

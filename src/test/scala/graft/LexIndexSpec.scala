@@ -303,11 +303,19 @@ class LexIndexSpec extends SparkSpec {
       "text", Base, K))
     assert(got === want)
     assert(got.nonEmpty)
-    // compact drops the deleted postings but KEEPS the tombstone
-    // table (its N/T shares must keep subtracting from the stats
-    // generations, which still count the deleted docs)
+    // compact drops the deleted postings and FOLDS the tombstone
+    // table to one null-keyed mass row (its N/T shares must keep
+    // subtracting from the stats generations, which still count the
+    // deleted docs — but per-id rows serve no purpose once the
+    // postings are gone, and the anti-join must not grow with the
+    // dead set)
     LexIndex.compactLexIndex(spark, Base, Buckets)
     assert(spark.catalog.tableExists(s"${Base}_tombstones"))
+    val folded = spark.table(s"${Base}_tombstones").collect()
+    assert(folded.length === 1 && folded.head.isNullAt(0),
+      s"expected one null-keyed fold row, got ${folded.toSeq}")
+    assert(LexIndex.tombstoneFraction(spark, Base) === 0.0,
+      "folded mass is already applied — not dead weight")
     assert(spark.table(s"${Base}_postings")
       .filter(col("doc_id") % 7 === 1).count() === 0)
     assert(rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
@@ -315,5 +323,54 @@ class LexIndexSpec extends SparkSpec {
     // a rebuild resets the delete set
     LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
     assert(!spark.catalog.tableExists(s"${Base}_tombstones"))
+  }
+
+  test("re-append of a tombstoned id: refused until compaction, exact after the fold") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    import spark.implicits._
+    val d = docs
+    val victim = d.filter(col("doc_id") === 42L)
+    assert(victim.count() === 1L)
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    LexIndex.tombstoneLexDocs(spark, Base, victim.select("doc_id"))
+    // still tombstoned → the append would be invisible; refuse loudly
+    val err = intercept[IllegalStateException] {
+      LexIndex.appendToLexIndex(spark, victim, "doc_id", "text",
+        Base, Buckets)
+    }
+    assert(err.getMessage.contains("tombstoned id 42"))
+    intercept[IllegalStateException] {
+      LexIndex.appendToLexIndexExactlyOnce(spark, victim, "doc_id",
+        "text", Base, batchId = 99L, Buckets)
+    }
+    // after the fold the old generation row and the fold cancel, so a
+    // re-append counts the doc exactly once: scores ≡ the full corpus
+    LexIndex.compactLexIndex(spark, Base, Buckets)
+    LexIndex.appendToLexIndex(spark, victim, "doc_id", "text",
+      Base, Buckets)
+    val want = rows(CorpusStats.bm25TopK(d, "doc_id", "text",
+      probes, "doc_id", "text", K))
+    assert(rows(LexIndex.bm25TopKIndexed(spark, probes, "doc_id",
+      "text", Base, K)) === want)
+  }
+
+  test("compactIfDead: fires past the dead-mass bound, no-ops below it") {
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_tombstones")
+    val d = docs
+    LexIndex.writeLexIndex(d, "doc_id", "text", Base, Buckets)
+    assert(!LexIndex.compactIfDead(spark, Base, 0.3, Buckets),
+      "no tombstones → no compaction")
+    // ~1/5 deleted: under a 0.3 bound, over a 0.1 bound
+    LexIndex.tombstoneLexDocs(spark, Base,
+      d.filter(col("doc_id") % 5 === 2).select("doc_id"))
+    val frac = LexIndex.tombstoneFraction(spark, Base)
+    assert(frac > 0.1 && frac < 0.3, s"fixture fraction $frac")
+    assert(!LexIndex.compactIfDead(spark, Base, 0.3, Buckets))
+    assert(LexIndex.compactIfDead(spark, Base, 0.1, Buckets))
+    assert(LexIndex.tombstoneFraction(spark, Base) === 0.0)
+    assert(!LexIndex.compactIfDead(spark, Base, 0.1, Buckets),
+      "already applied — must not loop")
   }
 }
