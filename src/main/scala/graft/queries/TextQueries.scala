@@ -2027,6 +2027,78 @@ object TextQueries {
         "doc's token count, so df, idf, N and T all exclude deleted " +
         "docs exactly; oracle rescores from raw documents minus the " +
         "deleted set — the engine answers from the full index plus " +
-        "tombstones")
+        "tombstones"),
+
+    // near-dedup standing-state DELETES (r19, closing the third
+    // standing state's delete-symmetry gap): a doc removed from the
+    // corpus must stop SHADOWING future near-duplicates — its
+    // signature would otherwise suppress every later copy forever —
+    // and stop generating candidate collisions. Tombstoned ids ride a
+    // tiny table both bucketed state reads anti-join; compaction
+    // applies physically. The oracle replays the one-shot banding over
+    // (history MINUS the deleted docs) ∪ batch: the engine must agree
+    // while answering from the FULL signature state plus tombstones.
+    QuerySpec("q143_dedup_deletes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (_, state1) = graft.operators.Dedup.incrementalNearDedup(
+          docs.filter(col("doc_id") < 250), "doc_id", "text",
+          None, n = 3, k = 64, bands = 8, threshold = 0.5,
+          baseHash = Some(Dedup.md5Hash60))
+        graft.operators.Dedup.resetDedupState(s, "graft_dedup_q143")
+        graft.operators.Dedup.writeDedupState(state1, "graft_dedup_q143",
+          k = 64, bands = 8, buckets = 8)
+        graft.operators.Dedup.tombstoneDedupDocs(s, "graft_dedup_q143",
+          docs.filter(col("doc_id") < 250 && col("doc_id") % 7 === 1)
+            .select("doc_id"))
+        val (survivors, _) =
+          graft.operators.Dedup.incrementalNearDedupBucketed(s,
+            docs.filter(col("doc_id") >= 250), "doc_id", "text",
+            "graft_dedup_q143", n = 3, k = 64, bands = 8, threshold = 0.5,
+            baseHash = Some(Dedup.md5Hash60))
+        survivors.select(col("doc_id"), col("source"))
+      },
+      // q94's one-shot banding replay, with the deleted history docs
+      // excluded from the SHADOWING side (x) — they can no longer drop
+      // anything; batch docs (id ≥ 250) still shadow each other
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+            unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks)-2)])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        hx AS (
+          SELECT doc_id, ${md5Hash60Sql("s")} % 2147483647 AS x FROM sh),
+        params AS (
+          SELECT i,
+            ((i + 43) * 2654435761) % 2147483646 + 1 AS a,
+            CAST(((i + 43)::HUGEINT * 1229782938247303441)
+                 % 2305843009213693951 AS BIGINT) AS b
+          FROM generate_series(0, 63) t(i)),
+        mins AS (
+          SELECT doc_id, i, min((x * a + b) % 2305843009213693951) AS m
+          FROM hx CROSS JOIN params GROUP BY doc_id, i),
+        sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, band, sg[band*8+1 : band*8+8] AS slc
+          FROM sig CROSS JOIN generate_series(0, 7) g(band)),
+        drops AS (
+          SELECT DISTINCT y.doc_id AS doc_b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.slc = y.slc AND x.doc_id < y.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = y.doc_id
+          WHERE y.doc_id >= 250
+            AND (x.doc_id >= 250 OR x.doc_id % 7 <> 1)
+            AND CAST(len(list_filter([sa.sg[i] = sb.sg[i]
+                                      for i in generate_series(1, 64)],
+                                     z -> z)) AS DOUBLE) / 64
+                  >= CAST(0.5 AS DOUBLE))
+        SELECT doc_id, source FROM documents
+        WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM drops)"""),
+      "near-dedup standing-state deletes: tombstoned docs stop " +
+        "shadowing and stop colliding — batch survivors equal a state " +
+        "that never ingested them; the engine answers from the full " +
+        "bucketed signature/band state plus the tombstone anti-join")
   )
 }
