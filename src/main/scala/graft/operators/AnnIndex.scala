@@ -67,7 +67,7 @@ object AnnIndex {
   /** Drop a managed table AND its warehouse location: a location left
     * by a previous session is invisible to a fresh in-memory catalog,
     * so Overwrite alone would refuse the "orphaned directory" case. */
-  private[operators] def dropStale(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropStale(spark: SparkSession, table: String): Unit = {
     // the warehouse/<name> orphan-path derivation below only holds for
     // unqualified names in the default database; a qualified base would
     // compute the wrong path (deleting a sibling, missing the orphan)

@@ -137,6 +137,292 @@ object VectorQueries {
     * SAME result from persisted state, so one oracle text serves
     * both — any divergence between the two queries is then by
     * construction an engine bug, never an oracle drift. */
+  /** q138's stitched curation replay, parameterized (r19) so the
+    * INCREMENTAL capstone q144 shares it verbatim: `corpusWhere`
+    * defines the live corpus (q144 excludes the deleted set),
+    * `nnWhere` keys the ANN model dump, `codesExtra` drops tombstoned
+    * ids from the replayed codes (the q141 pattern), `salt` keys the
+    * mixture's deterministic sampler. Any engine/oracle divergence is
+    * then a pipeline bug, never oracle drift between the two queries. */
+  private def curationOracleSql(corpusWhere: String, nnWhere: String,
+                                codesExtra: String, salt: String): String =
+    s"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE $corpusWhere),
+        probes AS (
+          SELECT doc_id AS q_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 101 = 0),
+        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
+        qvocab AS (SELECT DISTINCT term FROM qterms),
+        posts AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
+          GROUP BY 1, 2),
+        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
+        tot AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
+                   AS n_toks),
+        dfx AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM posts JOIN qvocab USING (term) GROUP BY 1),
+        idf AS (
+          SELECT term,
+                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
+                           - ln(CAST(df AS DOUBLE) * 2 + 1))
+                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS idf_u
+          FROM dfx CROSS JOIN tot),
+        bcontrib AS (
+          SELECT qt.q_id, p.doc_id,
+                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
+                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
+                     + CAST(z.n_toks AS HUGEINT) * 3
+                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
+          FROM posts p
+          JOIN qterms qt USING (term)
+          JOIN idf i USING (term)
+          JOIN lens l ON l.doc_id = p.doc_id
+          CROSS JOIN tot z),
+        bscored AS (
+          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+          FROM bcontrib GROUP BY 1, 2),
+        lex AS (
+          SELECT q_id, doc_id, rank
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score_u DESC, doc_id) AS rank
+                FROM bscored)
+          WHERE rank <= 10),
+        nn AS (SELECT count(*) AS n,
+                      sum(CAST(vec_id AS BIGINT) +
+                          CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096)
+                            AS BIGINT)) AS fp
+               FROM embeddings WHERE $nnWhere),
+        cent AS (
+          SELECT centroid_id, v
+          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        cb AS (
+          SELECT subspace, code, v
+          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
+        codes AS (
+          SELECT neighbor_id, centroid_id, codes
+          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)
+            $codesExtra),
+        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id % 101 = 0),
+        psim AS (
+          SELECT q.query_id, q.qv, c.centroid_id,
+                 list_inner_product(q.qv, c.v) /
+                   sqrt(list_inner_product(q.qv, q.qv) *
+                        list_inner_product(c.v, c.v)) AS csim
+          FROM q CROSS JOIN cent c),
+        aprobes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT query_id, qv, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM psim) WHERE rn <= 4),
+        sub AS (
+          SELECT q.query_id, cb.subspace, cb.code,
+                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
+                              (q.qv[4*cb.subspace + i] - cb.v[i])
+                              for i in generate_series(1, 4)],
+                             (a, b) -> a + b) AS sd
+          FROM q CROSS JOIN cb),
+        ascored AS (
+          SELECT p.query_id, cd.neighbor_id,
+                 list_reduce(list(s.sd ORDER BY s.subspace),
+                             (a, b) -> a + b) AS dist
+          FROM aprobes p
+          JOIN codes cd USING (centroid_id)
+          JOIN sub s ON s.query_id = p.query_id
+                    AND s.code = cd.codes[s.subspace + 1]
+          WHERE cd.neighbor_id <> p.query_id
+          GROUP BY p.query_id, cd.neighbor_id),
+        den AS (
+          SELECT query_id AS q_id, neighbor_id AS doc_id, rank
+          FROM (SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist ASC, neighbor_id) AS rank
+                FROM ascored)
+          WHERE rank <= 10),
+        rrf AS (
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM lex
+          UNION ALL
+          SELECT q_id, doc_id,
+                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
+          FROM den),
+        fused AS (
+          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
+          FROM rrf GROUP BY 1, 2),
+        contaminated AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY rrf_u DESC, doc_id) AS rank
+                FROM fused)
+          WHERE rank <= 5),
+        gated AS (
+          SELECT c.doc_id, d.lang, d.text, c.t
+          FROM corpus c JOIN documents d USING (doc_id)
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            AND len(c.t) >= 20
+            AND CAST(len(list_distinct(c.t)) AS DOUBLE) / len(c.t)
+                  >= CAST(0.33 AS DOUBLE)),
+        grams AS (
+          SELECT doc_id, unnest([{'p': j, 's': array_to_string(t[j:j+7], ' ')}
+                                 for j in generate_series(1, len(t) - 7)],
+                                recursive := true)
+          FROM gated),
+        hashed AS (
+          SELECT doc_id, CAST(p - 1 AS INTEGER) AS span_pos,
+                 ${TextQueries.md5Hash60Sql("s")} AS span_hash
+          FROM grams),
+        hot AS (
+          SELECT span_hash FROM hashed
+          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT DISTINCT h.doc_id, h.span_pos + k AS tp
+            FROM hashed h JOIN hot USING (span_hash)
+            CROSS JOIN generate_series(0, 7) g(k)) GROUP BY 1),
+        keptdocs AS (
+          SELECT g.doc_id, g.lang, g.text
+          FROM gated g LEFT JOIN cov USING (doc_id)
+          WHERE CAST(coalesce(cov.c, 0) AS DOUBLE) / len(g.t)
+                  < CAST(0.8 AS DOUBLE)),
+        counts AS (
+          SELECT lang, count(*) AS n FROM keptdocs
+          WHERE lang IS NOT NULL GROUP BY 1),
+        wcounts AS (
+          SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+          FROM counts),
+        agg AS (
+          SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                 CAST(sum(wq) AS DOUBLE) AS za FROM wcounts),
+        rates AS (
+          SELECT c.lang,
+                 least(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE) * z.nt * CAST(c.wq AS DOUBLE)
+                     / z.za / CAST(c.n AS DOUBLE)) AS r
+          FROM wcounts c CROSS JOIN agg z),
+        thresholds AS (
+          SELECT lang,
+            CASE WHEN r >= 1.0 THEN 'g'
+                 ELSE printf('%08x', CAST(least(round(r * 4294967296.0),
+                        4294967295.0) AS BIGINT)) || repeat('f', 24)
+            END AS th
+          FROM rates),
+        selected AS (
+          SELECT k.doc_id, k.text
+          FROM keptdocs k JOIN thresholds t USING (lang)
+          WHERE md5(CAST(k.doc_id AS VARCHAR) || '$salt') < t.th),
+        bk AS (
+          SELECT count(*) AS n,
+                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
+          FROM documents),
+        bm AS (
+          SELECT rank, l, r, merged, id
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM bk) AND fp = (SELECT fp FROM bk)),
+        bb AS (
+          SELECT byte, sym
+          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
+                            hive_partitioning = true)
+          WHERE n = (SELECT n FROM bk) AND fp = (SELECT fp FROM bk)),
+        pieces AS (
+          SELECT doc_id, unnest(pl) AS piece,
+                 generate_subscripts(pl, 1) AS pi
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text,
+                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
+                FROM selected)),
+        dp AS (SELECT DISTINCT piece FROM pieces),
+        init AS (
+          SELECT piece, list(sym ORDER BY i) AS syms
+          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
+                       generate_subscripts(string_split(piece, ''), 1) AS i
+                FROM dp)
+          JOIN bb ON bb.byte = unicode(ch)
+          GROUP BY piece),
+        steps AS (
+          SELECT piece, syms, 0 AS it FROM init
+          UNION ALL
+          SELECT s.piece,
+                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
+                 s.it + 1
+          FROM steps s
+          JOIN LATERAL (
+            SELECT m.rank, m.merged, u.i AS pos
+            FROM (SELECT unnest(s.syms) AS a,
+                         generate_subscripts(s.syms, 1) AS i) u
+            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
+            ORDER BY m.rank, u.i
+            LIMIT 1) bp ON true),
+        fin AS (
+          SELECT piece, syms FROM (
+            SELECT piece, syms, row_number() OVER (PARTITION BY piece
+                     ORDER BY it DESC) AS rn
+            FROM steps) WHERE rn = 1),
+        vocab AS (
+          SELECT merged AS sym, id FROM bm
+          UNION ALL
+          SELECT sym, byte AS id FROM bb),
+        pids AS (
+          SELECT f.piece, list(v.id ORDER BY f.si) AS ids
+          FROM (SELECT piece, unnest(syms) AS sym,
+                       generate_subscripts(syms, 1) AS si
+                FROM fin) f
+          JOIN vocab v USING (sym)
+          GROUP BY f.piece),
+        tok AS (
+          SELECT p.doc_id, t.id,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY p.pi, t.ti) AS dti
+          FROM pieces p
+          JOIN (SELECT piece, unnest(ids) AS id,
+                       generate_subscripts(ids, 1) AS ti
+                FROM pids) t USING (piece)),
+        dlen AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
+          GROUP BY doc_id),
+        doff AS (
+          SELECT doc_id,
+                 sum(n) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n AS off
+          FROM dlen),
+        gg AS (
+          SELECT t.id,
+                 (o.off + t.dti - 1) // 256 AS seq_id,
+                 (o.off + t.dti - 1) % 256 + 1 AS wpos
+          FROM tok t JOIN doff o USING (doc_id)),
+        seqs AS (
+          SELECT seq_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum,
+                 CAST(sum(CAST(id AS BIGINT) * wpos) AS BIGINT) AS possum
+          FROM gg GROUP BY seq_id)
+        SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(id_sum) AS BIGINT) AS id_sum,
+               CAST(sum(possum) AS BIGINT) AS possum
+        FROM seqs GROUP BY 1"""
+
   private val HybridAnnRrfOracleSql: String = """
         WITH corpus AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1846,281 +2132,11 @@ object VectorQueries {
           .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
             sum("id_sum").as("id_sum"), sum("possum").as("possum"))
       },
-      Some(s"""
-        WITH RECURSIVE corpus AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents WHERE doc_id % 101 <> 0),
-        probes AS (
-          SELECT doc_id AS q_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS t
-          FROM documents WHERE doc_id % 101 = 0),
-        qterms AS (SELECT DISTINCT q_id, unnest(t) AS term FROM probes),
-        qvocab AS (SELECT DISTINCT term FROM qterms),
-        posts AS (
-          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, unnest(t) AS term FROM corpus)
-          GROUP BY 1, 2),
-        lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM corpus),
-        tot AS (
-          SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
-                 (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens)
-                   AS n_toks),
-        dfx AS (
-          SELECT term, CAST(count(*) AS BIGINT) AS df
-          FROM posts JOIN qvocab USING (term) GROUP BY 1),
-        idf AS (
-          SELECT term,
-                 CAST(floor((ln(CAST(n_docs AS DOUBLE) * 2 + 2)
-                           - ln(CAST(df AS DOUBLE) * 2 + 1))
-                        * CAST(1e6 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                   AS BIGINT) AS idf_u
-          FROM dfx CROSS JOIN tot),
-        bcontrib AS (
-          SELECT qt.q_id, p.doc_id,
-                 (CAST(i.idf_u AS HUGEINT) * 22 * p.tf * z.n_toks)
-                 // (CAST(p.tf AS HUGEINT) * 10 * z.n_toks
-                     + CAST(z.n_toks AS HUGEINT) * 3
-                     + CAST(l.len AS HUGEINT) * 9 * z.n_docs) AS c_u
-          FROM posts p
-          JOIN qterms qt USING (term)
-          JOIN idf i USING (term)
-          JOIN lens l ON l.doc_id = p.doc_id
-          CROSS JOIN tot z),
-        bscored AS (
-          SELECT q_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
-          FROM bcontrib GROUP BY 1, 2),
-        lex AS (
-          SELECT q_id, doc_id, rank
-          FROM (SELECT q_id, doc_id,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY score_u DESC, doc_id) AS rank
-                FROM bscored)
-          WHERE rank <= 10),
-        nn AS (SELECT count(*) AS n,
-                      sum(CAST(vec_id AS BIGINT) +
-                          CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 4096)
-                            AS BIGINT)) AS fp
-               FROM embeddings WHERE vec_id % 101 <> 0),
-        cent AS (
-          SELECT centroid_id, v
-          FROM read_parquet('/tmp/graft_ann_oracle/centroids/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        cb AS (
-          SELECT subspace, code, v
-          FROM read_parquet('/tmp/graft_ann_oracle/codebooks/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        codes AS (
-          SELECT neighbor_id, centroid_id, codes
-          FROM read_parquet('/tmp/graft_ann_oracle/codes/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM nn) AND fp = (SELECT fp FROM nn)),
-        q AS (SELECT CAST(vec_id AS BIGINT) AS query_id,
-                     CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id % 101 = 0),
-        psim AS (
-          SELECT q.query_id, q.qv, c.centroid_id,
-                 list_inner_product(q.qv, c.v) /
-                   sqrt(list_inner_product(q.qv, q.qv) *
-                        list_inner_product(c.v, c.v)) AS csim
-          FROM q CROSS JOIN cent c),
-        aprobes AS (
-          SELECT query_id, qv, centroid_id FROM (
-            SELECT query_id, qv, centroid_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY csim DESC, centroid_id) AS rn
-            FROM psim) WHERE rn <= 4),
-        sub AS (
-          SELECT q.query_id, cb.subspace, cb.code,
-                 list_reduce([(q.qv[4*cb.subspace + i] - cb.v[i]) *
-                              (q.qv[4*cb.subspace + i] - cb.v[i])
-                              for i in generate_series(1, 4)],
-                             (a, b) -> a + b) AS sd
-          FROM q CROSS JOIN cb),
-        ascored AS (
-          SELECT p.query_id, cd.neighbor_id,
-                 list_reduce(list(s.sd ORDER BY s.subspace),
-                             (a, b) -> a + b) AS dist
-          FROM aprobes p
-          JOIN codes cd USING (centroid_id)
-          JOIN sub s ON s.query_id = p.query_id
-                    AND s.code = cd.codes[s.subspace + 1]
-          WHERE cd.neighbor_id <> p.query_id
-          GROUP BY p.query_id, cd.neighbor_id),
-        den AS (
-          SELECT query_id AS q_id, neighbor_id AS doc_id, rank
-          FROM (SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY dist ASC, neighbor_id) AS rank
-                FROM ascored)
-          WHERE rank <= 10),
-        rrf AS (
-          SELECT q_id, doc_id,
-                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT) AS c
-          FROM lex
-          UNION ALL
-          SELECT q_id, doc_id,
-                 CAST(floor(1000000000.0 / (60 + rank)) AS BIGINT)
-          FROM den),
-        fused AS (
-          SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_u
-          FROM rrf GROUP BY 1, 2),
-        contaminated AS (
-          SELECT DISTINCT doc_id
-          FROM (SELECT q_id, doc_id,
-                       row_number() OVER (PARTITION BY q_id
-                         ORDER BY rrf_u DESC, doc_id) AS rank
-                FROM fused)
-          WHERE rank <= 5),
-        gated AS (
-          SELECT c.doc_id, d.lang, d.text, c.t
-          FROM corpus c JOIN documents d USING (doc_id)
-          WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
-            AND len(c.t) >= 20
-            AND CAST(len(list_distinct(c.t)) AS DOUBLE) / len(c.t)
-                  >= CAST(0.33 AS DOUBLE)),
-        grams AS (
-          SELECT doc_id, unnest([{'p': j, 's': array_to_string(t[j:j+7], ' ')}
-                                 for j in generate_series(1, len(t) - 7)],
-                                recursive := true)
-          FROM gated),
-        hashed AS (
-          SELECT doc_id, CAST(p - 1 AS INTEGER) AS span_pos,
-                 ${TextQueries.md5Hash60Sql("s")} AS span_hash
-          FROM grams),
-        hot AS (
-          SELECT span_hash FROM hashed
-          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-        cov AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM (
-            SELECT DISTINCT h.doc_id, h.span_pos + k AS tp
-            FROM hashed h JOIN hot USING (span_hash)
-            CROSS JOIN generate_series(0, 7) g(k)) GROUP BY 1),
-        keptdocs AS (
-          SELECT g.doc_id, g.lang, g.text
-          FROM gated g LEFT JOIN cov USING (doc_id)
-          WHERE CAST(coalesce(cov.c, 0) AS DOUBLE) / len(g.t)
-                  < CAST(0.8 AS DOUBLE)),
-        counts AS (
-          SELECT lang, count(*) AS n FROM keptdocs
-          WHERE lang IS NOT NULL GROUP BY 1),
-        wcounts AS (
-          SELECT lang, n,
-                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
-          FROM counts),
-        agg AS (
-          SELECT CAST(sum(n) AS DOUBLE) AS nt,
-                 CAST(sum(wq) AS DOUBLE) AS za FROM wcounts),
-        rates AS (
-          SELECT c.lang,
-                 least(CAST(1.0 AS DOUBLE),
-                   CAST(0.5 AS DOUBLE) * z.nt * CAST(c.wq AS DOUBLE)
-                     / z.za / CAST(c.n AS DOUBLE)) AS r
-          FROM wcounts c CROSS JOIN agg z),
-        thresholds AS (
-          SELECT lang,
-            CASE WHEN r >= 1.0 THEN 'g'
-                 ELSE printf('%08x', CAST(least(round(r * 4294967296.0),
-                        4294967295.0) AS BIGINT)) || repeat('f', 24)
-            END AS th
-          FROM rates),
-        selected AS (
-          SELECT k.doc_id, k.text
-          FROM keptdocs k JOIN thresholds t USING (lang)
-          WHERE md5(CAST(k.doc_id AS VARCHAR) || 'curate3') < t.th),
-        bk AS (
-          SELECT count(*) AS n,
-                 sum(CAST(doc_id AS BIGINT) + len(text)) AS fp
-          FROM documents),
-        bm AS (
-          SELECT rank, l, r, merged, id
-          FROM read_parquet('/tmp/graft_ann_oracle/bpe_merges/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM bk) AND fp = (SELECT fp FROM bk)),
-        bb AS (
-          SELECT byte, sym
-          FROM read_parquet('/tmp/graft_ann_oracle/bpe_bytes/*/*/*.parquet',
-                            hive_partitioning = true)
-          WHERE n = (SELECT n FROM bk) AND fp = (SELECT fp FROM bk)),
-        pieces AS (
-          SELECT doc_id, unnest(pl) AS piece,
-                 generate_subscripts(pl, 1) AS pi
-          FROM (SELECT doc_id,
-                       regexp_extract_all(text,
-                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS pl
-                FROM selected)),
-        dp AS (SELECT DISTINCT piece FROM pieces),
-        init AS (
-          SELECT piece, list(sym ORDER BY i) AS syms
-          FROM (SELECT piece, unnest(string_split(piece, '')) AS ch,
-                       generate_subscripts(string_split(piece, ''), 1) AS i
-                FROM dp)
-          JOIN bb ON bb.byte = unicode(ch)
-          GROUP BY piece),
-        steps AS (
-          SELECT piece, syms, 0 AS it FROM init
-          UNION ALL
-          SELECT s.piece,
-                 s.syms[1:bp.pos-1] || [bp.merged] || s.syms[bp.pos+2:],
-                 s.it + 1
-          FROM steps s
-          JOIN LATERAL (
-            SELECT m.rank, m.merged, u.i AS pos
-            FROM (SELECT unnest(s.syms) AS a,
-                         generate_subscripts(s.syms, 1) AS i) u
-            JOIN bm m ON m.l = u.a AND m.r = s.syms[u.i + 1]
-            ORDER BY m.rank, u.i
-            LIMIT 1) bp ON true),
-        fin AS (
-          SELECT piece, syms FROM (
-            SELECT piece, syms, row_number() OVER (PARTITION BY piece
-                     ORDER BY it DESC) AS rn
-            FROM steps) WHERE rn = 1),
-        vocab AS (
-          SELECT merged AS sym, id FROM bm
-          UNION ALL
-          SELECT sym, byte AS id FROM bb),
-        pids AS (
-          SELECT f.piece, list(v.id ORDER BY f.si) AS ids
-          FROM (SELECT piece, unnest(syms) AS sym,
-                       generate_subscripts(syms, 1) AS si
-                FROM fin) f
-          JOIN vocab v USING (sym)
-          GROUP BY f.piece),
-        tok AS (
-          SELECT p.doc_id, t.id,
-                 row_number() OVER (PARTITION BY p.doc_id
-                   ORDER BY p.pi, t.ti) AS dti
-          FROM pieces p
-          JOIN (SELECT piece, unnest(ids) AS id,
-                       generate_subscripts(ids, 1) AS ti
-                FROM pids) t USING (piece)),
-        dlen AS (
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
-          GROUP BY doc_id),
-        doff AS (
-          SELECT doc_id,
-                 sum(n) OVER (ORDER BY doc_id
-                   ROWS UNBOUNDED PRECEDING) - n AS off
-          FROM dlen),
-        gg AS (
-          SELECT t.id,
-                 (o.off + t.dti - 1) // 256 AS seq_id,
-                 (o.off + t.dti - 1) % 256 + 1 AS wpos
-          FROM tok t JOIN doff o USING (doc_id)),
-        seqs AS (
-          SELECT seq_id,
-                 CAST(count(*) AS BIGINT) AS n_tokens,
-                 CAST(sum(CAST(id AS BIGINT)) AS BIGINT) AS id_sum,
-                 CAST(sum(CAST(id AS BIGINT) * wpos) AS BIGINT) AS possum
-          FROM gg GROUP BY seq_id)
-        SELECT CAST(seq_id // 64 AS BIGINT) AS shard_id,
-               CAST(count(*) AS BIGINT) AS n_seqs,
-               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-               CAST(sum(id_sum) AS BIGINT) AS id_sum,
-               CAST(sum(possum) AS BIGINT) AS possum
-        FROM seqs GROUP BY 1"""),
+      Some(curationOracleSql(
+        corpusWhere = "doc_id % 101 <> 0",
+        nnWhere = "vec_id % 101 <> 0",
+        codesExtra = "",
+        salt = "curate3")),
       "curation v3 capstone: hybrid-ANN decontamination → quality/" +
         "repetition gates → span-coverage near-dedup → temperature " +
         "mixture → exact-BPE packed sequences → shard manifest, all " +
@@ -2258,6 +2274,131 @@ object VectorQueries {
       "standing-index deletes: tombstoned ids excluded from the " +
         "bucket-pruned ADC search by a broadcast anti-join (frozen " +
         "model untouched, compact applies physically); oracle replays " +
-        "the search from the dumped model tables minus the deleted ids")
+        "the search from the dumped model tables minus the deleted ids"),
+
+    // the INCREMENTAL curation capstone (r19, VERDICT task 2): q138
+    // proves the one-shot composition; this proves the PRODUCTION
+    // claim — the corpus arrives as N nightly waves through the
+    // standing indexes (wave 0 builds and freezes the models, waves
+    // 1–2 append: exactly-once keyed lexical ingest, encode-and-append
+    // dense ingest) followed by a takedown wave (tombstones on BOTH
+    // indexes), and the whole q138 chain then runs against the
+    // ACCUMULATED state. The oracle is the one-shot replay over
+    // (union of waves MINUS the deleted docs) — bit-identical manifest
+    // hashes (summed id_sum/possum) pin every surviving token and its
+    // order, so any drift anywhere in ingest, delete bookkeeping (BM25
+    // N/T/df; ADC candidate sets) or the downstream chain diverges.
+    QuerySpec("q144_curation_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val embs = Tables.load(s, dir, "embeddings")
+        val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
+        val probeDocs = docs.filter(col("doc_id") % 101 === 0)
+        val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
+        val probeEmbs = embs.filter(col("vec_id") % 101 === 0)
+        val annBase = "graft_ann_q144"
+        val lexBase = "graft_lex_q144"
+        // the LIVE corpus identity (post-delete) keys the replay dumps
+        // — distinct from q133's full-corpus index by construction
+        val (n, fp) = corpusKey(corpusEmbs.filter(col("vec_id") % 91 =!= 3))
+        // ingest-if-needed: the wave replay is guarded by its own key
+        // (the ensureAnnIndex drop-key-first discipline — a crash
+        // mid-ingest leaves no key, the next call replays from wave 0)
+        val ingestKey = s"${annBase}_ingestkey"
+        val fresh = scala.util.Try {
+          val r = s.table(ingestKey).head()
+          (r.getLong(0), r.getLong(1)) == (n, fp)
+        }.getOrElse(false)
+        if (!fresh) {
+          graft.operators.AnnIndex.dropStale(s, ingestKey)
+          graft.operators.AnnIndex.writeAnnIndex(
+            corpusEmbs.filter(col("vec_id") % 3 === 0), "vec_id",
+            "embedding", annBase, dim = 64, nCentroids = 16, m = 16,
+            pqK = 16, buckets = 8)
+          graft.operators.LexIndex.writeLexIndex(
+            corpusDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            lexBase, buckets = 8)
+          for (w <- 1 to 2) {
+            graft.operators.AnnIndex.appendToAnnIndex(s,
+              corpusEmbs.filter(col("vec_id") % 3 === w), "vec_id",
+              "embedding", annBase, buckets = 8)
+            graft.operators.LexIndex.appendToLexIndexExactlyOnce(s,
+              corpusDocs.filter(col("doc_id") % 3 === w), "doc_id",
+              "text", lexBase, batchId = w, buckets = 8)
+          }
+          // the takedown wave: deletes land on BOTH standing indexes
+          graft.operators.AnnIndex.tombstoneAnnIds(s, annBase,
+            corpusEmbs.filter(col("vec_id") % 91 === 3).select("vec_id"))
+          graft.operators.LexIndex.tombstoneLexDocs(s, lexBase,
+            corpusDocs.filter(col("doc_id") % 91 === 3).select("doc_id"))
+          Seq((n, fp)).toDF("n", "fp").coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .saveAsTable(ingestKey)
+        }
+        for (t <- Seq("centroids", "codebooks", "codes"))
+          dumpOracle(s.table(s"${annBase}_$t"), t, n, fp)
+        // stage 1: decontamination from the ACCUMULATED standing state
+        // — no corpus-sized input at query time (q140's shape); the
+        // tombstones make both legs answer as if the deleted docs were
+        // never ingested (q141/q142's proof)
+        val contaminated = graft.operators.Retrieval.hybridStandingTopK(s,
+            probeDocs, "doc_id", "text", probeEmbs, "vec_id", "embedding",
+            lexBase = lexBase, annBase = annBase, kPerLeg = 10, k = 5)
+          .select(col("doc_id")).distinct()
+        val live = corpusDocs.filter(col("doc_id") % 91 =!= 3)
+        val clean = live.join(contaminated, Seq("doc_id"), "left_anti")
+        // stages 2–6: q138's chain verbatim over the live survivors
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        val gated = graft.ops.materialize(clean.filter(
+          size(toks) >= 20 &&
+            size(array_distinct(toks)) / size(toks) >= lit(0.33)))
+        val keepIds = graft.operators.Dedup.dupSpanCoverage(gated,
+            "doc_id", "text", window = 8, minDocs = 2,
+            baseHash = Some(graft.operators.Dedup.md5Hash60))
+          .filter(col("total_tokens") > 0 && col("dup_coverage") < 0.8)
+          .select("doc_id")
+        val kept = graft.ops.materialize(
+          gated.join(keepIds, Seq("doc_id"), "left_semi"))
+        val selected = graft.operators.CorpusStats.temperatureMixture(
+          kept, "doc_id", "lang", alpha = 0.5, budgetFraction = 0.5,
+          salt = "curate4")
+        val kr = docs.agg(count(lit(1)),
+          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
+          .head()
+        val bkey = (kr.getLong(0), kr.getLong(1))
+        val model = cachedFit("bpe_200", bkey)(
+          graft.operators.Bpe.fit(docs, "doc_id", "text", nMerges = 200))
+        dumpOracle(graft.operators.Bpe.mergesRows(model)
+          .toDF("rank", "l", "r", "merged", "id"),
+          "bpe_merges", bkey._1, bkey._2)
+        dumpOracle(graft.operators.Bpe.byteRows
+          .toDF("byte", "sym"), "bpe_bytes", bkey._1, bkey._2)
+        val withIds = selected.select(col("doc_id"),
+          graft.operators.Bpe.tokenIds(col("text"), model).as("ids"))
+        val seqs = graft.operators.CorpusStats
+          .packTokenSequences(withIds, "doc_id", "ids", seqLen = 256)
+        seqs.select(col("seq_id"), col("n_tokens"),
+            aggregate(col("ids"), lit(0L),
+              (acc, x) => acc + x.cast("long")).as("id_sum"),
+            aggregate(zip_with(col("ids"),
+                sequence(lit(1L), size(col("ids")).cast("long")),
+                (x, i) => x.cast("long") * i),
+              lit(0L), (acc, x) => acc + x).as("possum"))
+          .groupBy(expr("seq_id DIV 64").as("shard_id"))
+          .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
+            sum("id_sum").as("id_sum"), sum("possum").as("possum"))
+      },
+      Some(curationOracleSql(
+        corpusWhere = "doc_id % 101 <> 0 AND doc_id % 91 <> 3",
+        nnWhere = "vec_id % 101 <> 0 AND vec_id % 91 <> 3",
+        codesExtra = "AND neighbor_id % 91 <> 3",
+        salt = "curate4")),
+      "incremental curation capstone: three nightly waves through the " +
+        "standing lexical+ANN indexes (exactly-once keyed ingest, " +
+        "frozen-model appends) plus a takedown wave of tombstones, " +
+        "then q138's full chain against the accumulated state — the " +
+        "one-shot oracle over (union minus deleted) must reproduce " +
+        "the manifest bit-identically")
   )
 }
