@@ -92,10 +92,12 @@ object Bpe {
    * The production merge loop: incremental pair-count maintenance (the
    * public learn_bpe shape, Sennrich 2016's released implementation) —
    * each round touches ONLY the word shapes containing the merged
-   * pair, so fitting a 16–50 k-merge production vocabulary is
-   * O(Σ affected-word rewrites) + O(#live pairs) per round for the
-   * deterministic argmax scan, instead of [[fitNaive]]'s full
-   * recount. Selection is bit-identical to [[fitNaive]] (highest
+   * pair, and selection pops a rank-ordered agenda with lazy
+   * invalidation (r19) — O(log H) amortized per mutation instead of a
+   * full pair-map scan per round — so fitting a 16–50 k-merge
+   * production vocabulary is O(Σ affected-word rewrites · log)
+   * total, instead of [[fitNaive]]'s full recount per round.
+   * Selection is bit-identical to [[fitNaive]] (highest
    * count ≥ 2, ties to the lexicographically smallest (left, right);
    * all occurrences merged left-to-right) — BpeSpec asserts the two
    * produce the same merges table on the fixture corpus.
@@ -113,10 +115,11 @@ object Bpe {
     freqs0.forEach { (w, f) => words(wi) = w.toArray; wfreq(wi) = f; wi += 1 }
     val pairCount = new java.util.HashMap[(String, String), Long]()
     val pairWords = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
-    def addOcc(p: (String, String), idx: Int, f: Long): Unit = {
-      pairCount.merge(p, f, _ + _)
+    def addOcc(p: (String, String), idx: Int, f: Long): Long = {
+      val total = pairCount.merge(p, f, _ + _)
       pairWords.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
         .add(idx)
+      total
     }
     var i = 0
     while (i < nW) {
@@ -125,17 +128,49 @@ object Bpe {
       while (j < w.length - 1) { addOcc((w(j), w(j + 1)), i, wfreq(i)); j += 1 }
       i += 1
     }
+    // Rank-ordered agenda with lazy invalidation (r19) — the selection
+    // was a full pairCount scan per round, O(nMerges·|live pairs|) on
+    // the driver. Invariant: every pair's CURRENT count has a snapshot
+    // in the heap (every mutation offers a fresh (l, r, n); the init
+    // seed covers the starting counts), so the first non-stale pop IS
+    // the exact argmax under fitNaive's ordering — count descending,
+    // ties to the lexicographically smallest (left, right) — and
+    // selection stays bit-identical (BpeSpec parity). Stale snapshots
+    // (count has changed, or the pair was merged/emptied away) are
+    // discarded on pop; heap size is bounded by total count mutations,
+    // which the affected-word rewrite already pays for.
+    val agenda = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(16, pairCount.size()),
+      new java.util.Comparator[(String, String, Long)] {
+        def compare(a: (String, String, Long),
+                    b: (String, String, Long)): Int = {
+          val c = java.lang.Long.compare(b._3, a._3)
+          if (c != 0) c
+          else {
+            val l = a._1.compareTo(b._1)
+            if (l != 0) l else a._2.compareTo(b._2)
+          }
+        }
+      })
+    pairCount.forEach { (p, n) => agenda.add((p._1, p._2, n)) }
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
     while (round < nMerges && !exhausted) {
       var best: (String, String) = null
-      var bestN = 1L // require count >= 2
-      pairCount.forEach { (pair, n) =>
-        val better = n > bestN || (n == bestN && best != null &&
-          (pair._1 < best._1 ||
-            (pair._1 == best._1 && pair._2 < best._2)))
-        if (better) { best = pair; bestN = n }
+      var searching = true
+      while (searching) {
+        val e = agenda.poll()
+        if (e == null) searching = false // agenda drained: no live pair
+        else {
+          val cur = pairCount.get((e._1, e._2))
+          if (cur != null && cur.longValue() == e._3) {
+            // the valid top: the true max. Selected only at count >= 2
+            // (merging a singleton pair buys nothing — fitNaive's rule)
+            if (e._3 >= 2L) best = (e._1, e._2)
+            searching = false
+          } // else stale — discard and keep popping
+        }
       }
       if (best == null) exhausted = true
       else {
@@ -178,6 +213,7 @@ object Bpe {
                 if (nk < k) {
                   val left = pairCount.merge(pair, -f * (k - nk), _ + _)
                   if (left <= 0L) pairCount.remove(pair)
+                  else agenda.add((pair._1, pair._2, left))
                 }
                 if (nk == 0) {
                   val s = pairWords.get(pair)
@@ -188,7 +224,8 @@ object Bpe {
             }
             newOcc.forEach { (pair, k) =>
               val ok = if (pair == best) 0 else oldOcc.getOrDefault(pair, 0)
-              if (k > ok) addOcc(pair, idx, f * (k - ok))
+              if (k > ok)
+                agenda.add((pair._1, pair._2, addOcc(pair, idx, f * (k - ok))))
               else if (k > 0) pairWords
                 .computeIfAbsent(pair, _ => new java.util.HashSet[Integer]())
                 .add(idx)
