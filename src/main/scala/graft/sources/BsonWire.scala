@@ -13,11 +13,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
  * public documentation): a 16-byte little-endian header
  * `(messageLength, requestID, responseTo, opCode=2013)`, then
  * `flagBits` (uint32) and one kind-0 section carrying a single BSON
- * document. The BSON codec implements the subset the command surface
- * needs — double, string, document, array, boolean, int32, int64 —
- * with documents travelling as JSON strings inside BSON string fields
- * (the [[DocumentStore]] SPI trades raw JSON; a production driver
- * would transcode full BSON).
+ * document. The BSON codec implements the element types the reference's
+ * Mongo source actually moves — double, string, document, array,
+ * boolean, int32, int64, plus (r19) ObjectId, UTC datetime and null,
+ * the native types `MigrationLogFunc/index.js:16-48` reads off its
+ * mongo driver (`_id` ObjectIds, `start`/`finish` Dates, absent
+ * fields). The [[DocumentStore]] SPI trades JSON strings; a server
+ * speaking REAL typed BSON is transcoded by [[toJson]] — ObjectId →
+ * its 24-hex string, datetime → ISO-8601 UTC, null → null — exactly
+ * the flattening the reference applies before its SQL insert.
  *
  * This is the layer where the failure modes line framing can never
  * exercise live: torn reads mid-document ([[readFully]] counts its
@@ -43,6 +47,16 @@ object BsonWire {
   final case class BBool(v: Boolean) extends BVal
   final case class BInt(v: Int) extends BVal
   final case class BLong(v: Long) extends BVal
+  /** BSON 0x09 UTC datetime: millis since epoch. */
+  final case class BDate(millis: Long) extends BVal
+  /** BSON 0x07 ObjectId, carried as its canonical 24-hex form. */
+  final case class BObjectId(hex: String) extends BVal {
+    require(hex.length == 24 && hex.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"ObjectId must be 24 lowercase hex chars, got '$hex'")
+  }
+  /** BSON 0x0A null. */
+  case object BNull extends BVal
 
   object BDoc {
     def apply(fields: (String, BVal)*): BDoc = BDoc(fields.toVector)
@@ -99,6 +113,16 @@ object BsonWire {
       o.write(0x10); cstring(o, name); writeIntLE(o, i)
     case BLong(l) =>
       o.write(0x12); cstring(o, name); writeLongLE(o, l)
+    case BObjectId(hex) =>
+      o.write(0x07); cstring(o, name)
+      var i = 0
+      while (i < 24) {
+        o.write(Integer.parseInt(hex.substring(i, i + 2), 16)); i += 2
+      }
+    case BDate(ms) =>
+      o.write(0x09); cstring(o, name); writeLongLE(o, ms)
+    case BNull =>
+      o.write(0x0a); cstring(o, name)
   }
 
   // ---- BSON decode ------------------------------------------------------
@@ -141,7 +165,12 @@ object BsonWire {
           BStr(new String(b, UTF_8))
         case 0x03 => decodeDoc(buf)
         case 0x04 => BArr(decodeDoc(buf).fields.map(_._2))
+        case 0x07 =>
+          val b = new Array[Byte](12); buf.get(b)
+          BObjectId(b.map(x => f"${x & 0xff}%02x").mkString)
         case 0x08 => BBool(buf.get() != 0x00)
+        case 0x09 => BDate(buf.getLong)
+        case 0x0a => BNull
         case 0x10 => BInt(buf.getInt)
         case 0x12 => BLong(buf.getLong)
         case other =>
@@ -156,6 +185,45 @@ object BsonWire {
         s"BSON document length mismatch: declared $len, " +
           s"consumed ${buf.position() - start}")
     BDoc(fields.result())
+  }
+
+  // ---- BSON → JSON transcode -------------------------------------------
+  /** Canonical JSON for a decoded BSON value — the flattening the
+    * reference applies between its mongo driver and its SQL insert
+    * (`MigrationLogFunc/index.js:16-48`): ObjectId → its 24-hex
+    * string, UTC datetime → ISO-8601 instant string, null → null.
+    * Non-finite doubles have no JSON form and no business on the
+    * control plane — rejected as the wire contract's IOException. */
+  def toJson(v: BVal): String = v match {
+    case BDoc(fields) => fields.map { case (k, x) =>
+      s"${jsonStr(k)}:${toJson(x)}" }.mkString("{", ",", "}")
+    case BArr(items) => items.map(toJson).mkString("[", ",", "]")
+    case BStr(s) => jsonStr(s)
+    case BDbl(d) =>
+      if (java.lang.Double.isFinite(d)) d.toString
+      else throw new java.io.IOException(
+        s"non-finite double $d has no JSON representation")
+    case BInt(i) => i.toString
+    case BLong(l) => l.toString
+    case BBool(b) => b.toString
+    case BNull => "null"
+    case BDate(ms) => jsonStr(java.time.Instant.ofEpochMilli(ms).toString)
+    case BObjectId(hex) => jsonStr(hex)
+  }
+
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 
   private def readCString(buf: ByteBuffer): String = {
@@ -347,9 +415,14 @@ final case class BsonSocketDocumentStore(host: String, port: Int,
         }
         val docs = c.get(batchField) match {
           case Some(BArr(items)) => items.map {
+            // servers speaking the JSON SPI ship strings; a server
+            // speaking REAL typed BSON ships documents — transcoded
+            // here (r19), so dates/ObjectIds/nulls land as the same
+            // flattened values the reference's driver produced
             case BStr(s) => s
+            case d: BDoc => toJson(d)
             case other => throw new java.io.IOException(
-              s"non-string document in $batchField: $other")
+              s"unsupported document shape in $batchField: $other")
           }
           case other => throw new java.io.IOException(
             s"cursor $batchField missing: $other")

@@ -464,6 +464,74 @@ class ConnectorSpec extends SparkSpec {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("bson codec: ObjectId/datetime/null round-trip and transcode to " +
+      "the reference's flattening (hex string / ISO instant / null)") {
+    import graft.sources.BsonWire._
+    val doc = BDoc(
+      "_id" -> BObjectId("64b0c5e2a1b2c3d4e5f60718"),
+      "description" -> BStr("fact-kanban"),
+      "start" -> BDate(1709251200000L), // 2024-03-01T00:00:00Z
+      "finish" -> BNull,
+      "meta" -> BDoc("n" -> BInt(3), "ok" -> BBool(true),
+        "took" -> BDbl(5.5), "rows" -> BLong(42L)),
+      "tags" -> BArr(Vector(BStr("a\nb"), BDate(0L))))
+    val back = decodeDoc(java.nio.ByteBuffer.wrap(encodeDoc(doc)))
+    assert(back === doc)
+    assert(toJson(doc) === "{\"_id\":\"64b0c5e2a1b2c3d4e5f60718\"," +
+      "\"description\":\"fact-kanban\"," +
+      "\"start\":\"2024-03-01T00:00:00Z\",\"finish\":null," +
+      "\"meta\":{\"n\":3,\"ok\":true,\"took\":5.5,\"rows\":42}," +
+      "\"tags\":[\"a\\nb\",\"1970-01-01T00:00:00Z\"]}")
+    // a malformed ObjectId is rejected at construction, not truncated
+    intercept[IllegalArgumentException] { BObjectId("zz") }
+  }
+
+  test("document store transcodes a server speaking REAL typed BSON " +
+      "documents (not JSON strings) into the SPI's JSON") {
+    import graft.sources.BsonWire._
+    val server = new java.net.ServerSocket(0)
+    val typed = BDoc(
+      "_id" -> BObjectId("0123456789abcdef01234567"),
+      "description" -> BStr("fact-pembelian"),
+      "start" -> BDate(1709251200000L),
+      "finish" -> BNull)
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        var msg = readMsg(in, 1 << 20)
+        while (msg.isDefined) {
+          val (reqId, _, body) = msg.get
+          if (body.get("hello").isDefined)
+            writeMsg(out, 1, reqId, BDoc("ok" -> BDbl(1.0)))
+          else // find: one typed document, cursor closed
+            writeMsg(out, 2, reqId, BDoc("ok" -> BDbl(1.0),
+              "cursor" -> BDoc("id" -> BLong(0L),
+                "firstBatch" -> BArr(Vector(typed)))))
+          msg = readMsg(in, 1 << 20)
+        }
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val got = graft.sources.BsonSocketDocumentStore("127.0.0.1",
+          server.getLocalPort, authToken = "")
+        .documents(spark, "externalLog").collect().toSeq
+      assert(got === Seq("{\"_id\":\"0123456789abcdef01234567\"," +
+        "\"description\":\"fact-pembelian\"," +
+        "\"start\":\"2024-03-01T00:00:00Z\",\"finish\":null}"))
+      // and Spark's JSON reader sees the typed values the reference's
+      // flattening produces
+      import spark.implicits._
+      val parsed = spark.read
+        .schema("_id STRING, description STRING, start TIMESTAMP, finish TIMESTAMP")
+        .json(got.toDS()).head()
+      assert(parsed.getString(0) === "0123456789abcdef01234567")
+      assert(!parsed.isNullAt(2) && parsed.isNullAt(3))
+    } finally server.close()
+  }
+
   test("CSV connector: roundtrip with declared schema beats inference") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
