@@ -821,13 +821,16 @@ object CorpusStats {
    * inside DECIMAL(38,0), and the integral quotient ≤ 2.2·idf_µ fits a
    * BIGINT with 10 digits to spare.
    *
-   * Plan shape at 100 TB: the corpus explodes ONCE into postings (the
-   * unavoidable corpus-proportional shuffle, map-side combined on
-   * (doc_id, term)); the query vocabulary (eval probes — tiny) then
-   * gates everything downstream via a broadcast join, so df, idf and
-   * scoring are all query-vocabulary-proportional. df for a query term
-   * is computed FROM the gated postings — the gate keeps every posting
-   * of a query term, so the count is the true corpus df. N and T are
+   * Plan shape at 100 TB: the corpus explodes ONCE, and (r19, guide
+   * §2.3) the query vocabulary — eval probes, tiny — gates the
+   * exploded token stream MAP-SIDE via a broadcast semi-join BEFORE
+   * the (doc_id, term) aggregation, so the only corpus-proportional
+   * work is the in-memory explode+filter: the aggregation, its
+   * exchange, df, idf and scoring are all query-vocabulary-
+   * proportional (previously the aggregate exchanged the corpus's
+   * whole vocabulary and was gated after). The gate keeps every
+   * occurrence of a query term, so tf/len and df (counted FROM the
+   * gated postings) are exactly the full-corpus values. N and T are
    * one broadcast scalar row. No collect, no cartesian, and — crucially
    * — NO per-probe sort: the final top-k is the mergeable `graft_topk`
    * aggregate ([[graft.plans.TopKByScore]]), so every map task forwards
@@ -888,20 +891,42 @@ object CorpusStats {
       TextAnalysis.tokens(col(textCol)).as("__toks"))
     // one corpus explode → (doc_id, term, tf, len); len rides the
     // aggregate (constant per doc) instead of a second self-join
-    val posts = toks
+    val rawPosts = toks
       .select(col("doc_id"), size(col("__toks")).cast("long").as("len"),
         explode(col("__toks")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
     val qterms = queries.select(col(qIdCol).as("q_id"),
         explode(TextAnalysis.tokens(col(qTextCol))).as("term"))
       .distinct()
     // gate the postings on the query vocabulary FIRST — everything
     // after this join is query-vocabulary-proportional. The gated
     // postings feed BOTH the df count and the scoring join, so they
-    // are pinned: the corpus-proportional explode+aggregate runs once
+    // are pinned: the corpus-proportional explode runs once.
+    //
+    // r19 gate placement: with broadcastable probes the vocabulary
+    // gate sits BELOW the (doc_id, term) aggregation — the broadcast
+    // semi-join filters the exploded token stream map-side, so the
+    // hash aggregate and its exchange process only query-term
+    // occurrences instead of the corpus's whole vocabulary (guide
+    // §2.3 "project/filter before the exchange": the exchange drops
+    // from corpus-vocabulary-sized to probe-vocabulary-sized, the
+    // dominant shuffle of the per-call retrieval shape). tf/len are
+    // unchanged — the gate keeps EVERY occurrence of a query term, so
+    // per-doc counts and the ridden doc length are exact, and df
+    // downstream still counts true corpus document frequency. With
+    // broadcastProbes = false the gate stays ABOVE the aggregation:
+    // a shuffle-join gate below it would move the raw token stream
+    // (corpus-token-sized) through an exchange, strictly worse than
+    // shuffling the aggregated postings.
     val qvocab = qterms.select(col("term")).distinct()
-    val gated = graft.ops.materialize(posts.join(probeSide(qvocab), "term"))
+    val gated = graft.ops.materialize(
+      if (broadcastProbes)
+        rawPosts.join(broadcast(qvocab), "term")
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      else
+        rawPosts.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+          .join(qvocab, "term"))
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus scalars: N docs, T total tokens (empty docs count in N;
     // greatest(·, 0) pins null-text docs to 0 tokens under BOTH null-
@@ -982,8 +1007,15 @@ object CorpusStats {
         col(idsCol).as("__ids"))
       .withColumn("__n", size(col("__ids")).cast("long"))
       .filter(col("__n") > 0)
+    // boundary sample from the BARE id column (r19): the pruned sample
+    // pass on `sized` itself would still evaluate the `__n > 0` filter
+    // — i.e. run the caller's whole token encode a second time just to
+    // cut boundaries (q138/q144's ids are the full BPE encode of the
+    // selected corpus). Keys from the unfiltered id projection are a
+    // superset; boundaries only govern balance, output is identical.
     val off = graft.ops.relational.contiguousPrefixSum(sized,
-        Seq(col("__doc")), col("__n"), "__cum")
+        Seq(col("__doc")), col("__n"), "__cum",
+        sampleSource = Some(docs.select(col(idCol).as("__doc"))))
       .withColumn("__off", col("__cum") - col("__n"))
     val L = lit(seqLen.toLong)
     // fragments: for each covered seq id s, the slice of __ids spanning

@@ -227,32 +227,18 @@ object relational {
   }
 
   /** Driver-side ordering matching Spark's ascending-nulls-first sort
-    * for the simple orderable types a counter key uses. */
+    * EXACTLY — Catalyst's own interpreted ordering over converted rows
+    * ([[org.apache.spark.sql.graft.RowOrderingBridge]]), not a
+    * hand-rolled approximation. Exactness is load-bearing since the
+    * r19 binary-search bucket: the in-plan search is monotone only if
+    * the driver-sorted boundary sequence is sorted under the
+    * EXECUTOR's comparison (a Java `String.compareTo` driver sort
+    * diverges from UTF8String's unsigned-UTF-8-byte order on
+    * supplementary characters, and `Double.compare` on two longs past
+    * 2^53 can call distinct keys equal). */
   private def sortKeyOrdering(schema: org.apache.spark.sql.types.StructType)
-      : Ordering[org.apache.spark.sql.Row] = new Ordering[org.apache.spark.sql.Row] {
-    private val cmps: Seq[(Any, Any) => Int] = schema.fields.toSeq.map { f =>
-      (a: Any, b: Any) => (a, b) match {
-        case (null, null) => 0
-        case (null, _) => -1
-        case (_, null) => 1
-        case (x: String, y: String) => x.compareTo(y)
-        case (x: java.lang.Number, y: java.lang.Number) =>
-          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-        case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
-        case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
-        case (x, y) => x.toString.compareTo(y.toString)
-      }
-    }
-    def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
-      var i = 0
-      while (i < cmps.length) {
-        val c = cmps(i)(a.get(i), b.get(i))
-        if (c != 0) return c
-        i += 1
-      }
-      0
-    }
-  }
+      : Ordering[org.apache.spark.sql.Row] =
+    org.apache.spark.sql.graft.RowOrderingBridge.externalRowOrdering(schema)
 
   /**
    * Narrow-shuffle twin of [[contiguousRowNumber]]: the counter is
@@ -279,7 +265,10 @@ object relational {
     val withMid = graft.ops.materialize(
       df.withColumn(mid, monotonically_increasing_id()))
     val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }
-    val counter = contiguousRowNumber(
+    // r19: the narrow counter uses the SAMPLED range form — the
+    // RangePartitioner's sampling pass re-read the pinned projection a
+    // second time; the boundary sample reads only the key columns once
+    val counter = contiguousRowNumberSampledRange(
         withMid.select(aliased :+ col(mid): _*),
         order.indices.map(i => col(s"__o$i")), as, numPartitions)
       .select(col(mid), col(as))
@@ -288,10 +277,11 @@ object relational {
 
   /**
    * Auto-selecting form of the contiguous counter: picks the wide
-   * range-partitioned sort ([[contiguousRowNumber]]) while the payload
-   * sort is expected to fit in memory, and the narrow keys-only
-   * counter + join-back ([[contiguousRowNumberViaJoin]]) once it would
-   * spill. Both twins are bit-identical (spec'd, plus symmetric-diff 0
+   * single-execution sort ([[contiguousRowNumberSampledRange]] — r19;
+   * previously the double-executing [[contiguousRowNumber]]) while the
+   * payload sort is expected to fit in memory, and the narrow
+   * keys-only counter + join-back ([[contiguousRowNumberViaJoin]])
+   * once it would spill. Both twins are bit-identical (spec'd, plus symmetric-diff 0
    * at sf16 / 75 M rows), so a wrong pick costs only time — never
    * correctness.
    *
@@ -337,7 +327,18 @@ object relational {
       : DataFrame = {
     val (est, budget) = counterSortEstimate(df, sortBudgetBytes)
     if (est > budget) contiguousRowNumberViaJoin(df, order, as, numPartitions)
-    else contiguousRowNumber(df, order, as, numPartitions)
+    // r19: the in-memory branch is the SAMPLED range form. The r17
+    // measurement that kept the raw repartitionByRange here was a tie
+    // only because of the linear 31-compare bucket expression; with
+    // the binary-search bucket the sampled form wins outright at
+    // sf0.1 (Q63Scale min-of-5: 3.59 s vs 4.32 s wide) AND executes
+    // the upstream plan once instead of twice — the property that
+    // actually matters when the plan above the counter is a 100 TB
+    // join (the RangePartitioner re-runs the whole child for its
+    // sample; guide §2.4 "remove shuffles/passes outright").
+    else contiguousRowNumberSampledRange(df, order, as,
+      Some(numPartitions.getOrElse(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)))
   }
 
   /** The (estimated sort bytes, budget bytes) pair
@@ -364,10 +365,21 @@ object relational {
     * COLUMN-PRUNED projection of `keyed` (Catalyst drops every other
     * column, so expensive expressions elsewhere in the row are NOT
     * evaluated by the sampling pass), sorted driver-side with Spark's
-    * ascending-nulls-first semantics, `n−1` quantile boundaries, and a
-    * pure boundary-count bucket expression. Null keys compare null
-    * against every boundary and land in bucket 0 (the
-    * RangePartitioner's nulls-first side). */
+    * EXACT ascending-nulls-first semantics ([[sortKeyOrdering]] —
+    * Catalyst's interpreted ordering), `n−1` quantile boundaries, and
+    * a pure BINARY-SEARCH bucket expression: ⌈log₂(n)⌉ struct
+    * comparisons per row instead of the r18 linear Σ over all
+    * boundaries (31 compares at n = 32 — the constant that made the
+    * sampled counter measure a tie against the double-executing wide
+    * form at sf0.1, BASELINE r17). The search computes exactly
+    * #{boundaries ≤ key}: boundaries ascend under the SAME total
+    * order the executor's `>=` uses (the bridge ordering — exactness
+    * is what licenses a binary search; see RowOrderingBridge), so the
+    * predicate `key >= b(i)` is monotone in i and the tree's leaf
+    * equals the linear count on every input, null keys included (a
+    * null struct field compares nulls-first on both sides; the
+    * all-null key descends to bucket 0, the RangePartitioner's
+    * nulls-first side). */
   private def sampledBoundaryBucket(keyed: DataFrame, order: Seq[Column],
                                     n: Int): Column = {
     val aliased = order.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }
@@ -377,21 +389,28 @@ object relational {
       .orderBy(xxhash64(col("__k")))
       .limit(n * 64)
       .collect().map(_.getStruct(0))
-    val boundaries: Seq[org.apache.spark.sql.Row] =
-      if (sample.length < 2 || n < 2) Seq.empty
+    val boundaries: IndexedSeq[org.apache.spark.sql.Row] =
+      if (sample.length < 2 || n < 2) IndexedSeq.empty
       else {
         implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
           sortKeyOrdering(sample.head.schema)
         val sorted = sample.sorted
         (1 until n).map(i => sorted(i * sorted.length / n))
-          .distinct.filter(_ != sorted.head)
+          .distinct.filter(_ != sorted.head).toIndexedSeq
       }
     val sk = struct(order: _*)
     def structLit(r: org.apache.spark.sql.Row): Column =
       struct(r.toSeq.map(v => lit(v)): _*)
-    if (boundaries.isEmpty) lit(0)
-    else boundaries.map(b =>
-      when(sk >= structLit(b), 1).otherwise(0)).reduce(_ + _)
+    // balanced when-tree over the bucket range [lo, hi]: testing
+    // boundary mid−1 splits it; depth ⌈log₂(m+1)⌉ for m boundaries
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi + 1) / 2
+        when(sk >= structLit(boundaries(mid - 1)), search(mid, hi))
+          .otherwise(search(lo, mid - 1))
+      }
+    if (boundaries.isEmpty) lit(0) else search(0, boundaries.length)
   }
 
   /**
@@ -418,10 +437,18 @@ object relational {
    */
   def contiguousPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                           as: String,
-                          numPartitions: Option[Int] = None): DataFrame = {
+                          numPartitions: Option[Int] = None,
+                          sampleSource: Option[DataFrame] = None): DataFrame = {
     val n = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val bucket = sampledBoundaryBucket(df, order, n)
+    // r19: boundary sample from `sampleSource` when given — the pruned
+    // sample pass on `df` itself still evaluates any FILTER above the
+    // scan, and every serious caller filters on the expensive derived
+    // value (packTokenSequences: `size(ids) > 0` forces the whole BPE
+    // encode in the sampling pass). A key-only superset source makes
+    // the sample a pure column-pruned scan; output is bit-identical
+    // for ANY boundary choice (the operator's documented property).
+    val bucket = sampledBoundaryBucket(sampleSource.getOrElse(df), order, n)
     val local = graft.ops.materialize(
       df.withColumn("__bk", bucket)
         .repartition(n, col("__bk"))

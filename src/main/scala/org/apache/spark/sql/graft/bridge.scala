@@ -29,3 +29,36 @@ object ColumnBridge {
   /** Unwrap a classic Column back to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/**
+ * Driver-side row comparison with Spark's EXACT ordering semantics
+ * (`private[sql] CatalystTypeConverters` + the interpreted ordering the
+ * executors run). graft's sampled-boundary range operators sort a
+ * bounded key sample on the driver and then binary-search each row
+ * against the sorted boundaries IN-PLAN — that search is only correct
+ * if the driver sort agrees with the executor's `>=` on every pair
+ * (e.g. Java `String.compareTo` is UTF-16 code-unit order while
+ * UTF8String compares unsigned UTF-8 bytes: they diverge on
+ * supplementary characters, so a hand-rolled driver ordering can
+ * produce a non-monotone bucket function and silently break global
+ * contiguity). Routing through Catalyst's own converter + ordering
+ * removes the approximation entirely.
+ */
+object RowOrderingBridge {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.catalyst.util.TypeUtils
+  import org.apache.spark.sql.types.StructType
+
+  /** Ordering over externally-collected [[Row]]s of `schema`, equal to
+    * Spark's ascending-nulls-first struct comparison. Rows are
+    * converted to Catalyst form once per compare; for sorting a
+    * bounded sample this is far from hot. */
+  def externalRowOrdering(schema: StructType): Ordering[Row] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val ord = TypeUtils.getInterpretedOrdering(schema)
+    new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = ord.compare(conv(a), conv(b))
+    }
+  }
+}

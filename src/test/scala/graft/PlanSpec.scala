@@ -151,12 +151,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "global window:\n" + p)
   }
 
-  test("q89 epoch shuffle: RANGE partitioning, no single-reducer window") {
+  test("q89 epoch shuffle: sampled-bucket counter, ONE execution, " +
+      "no single-reducer window") {
     val p = formatted("q89_epoch_shuffle")
-    assert(p.contains("rangepartitioning(__h#"), p)
-    // the in-partition numbering windows on the partition id, never on
+    // r19: the auto counter's in-memory branch is the sampled-range
+    // form — ONE hash exchange on the pre-sampled bucket id (the
+    // RangePartitioner's plan-re-executing sampling pass is gone)
+    assert(p.contains("hashpartitioning(__bk#"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // the in-partition numbering windows on the bucket id, never on
     // an empty (global) partition spec
-    assert(p.contains("windowspecdefinition(__pid#"), p)
+    assert(p.contains("windowspecdefinition(__bk#"), p)
+    assert(!p.contains("SinglePartition"), "global window:\n" + p)
   }
 
   test("q90 quality bins: window keys on the stratum, never global") {
