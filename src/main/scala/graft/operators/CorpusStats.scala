@@ -918,6 +918,11 @@ object CorpusStats {
     // (corpus-token-sized) through an exchange, strictly worse than
     // shuffling the aggregated postings.
     val qvocab = qterms.select(col("term")).distinct()
+    // the pin stays load-bearing after the r19 gate move: without it
+    // the gated explode+aggregate re-runs once per consumer subtree
+    // (measured r19: 5.8–8.1 s vs 1.6–2.4 s pinned at sf0.1 — AQE
+    // plans the duplicate subtrees as separate query stages and no
+    // ReusedExchange appears)
     val gated = graft.ops.materialize(
       if (broadcastProbes)
         rawPosts.join(broadcast(qvocab), "term")

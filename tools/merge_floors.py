@@ -27,8 +27,17 @@ def main() -> int:
         with open(src) as f:
             detail = json.load(f)
         if detail.get("corrupted_run"):
-            print(f"skipping {src}: corrupted_run", file=sys.stderr)
-            continue
+            # r19: warn but keep going. A MIN-merge is contention-safe
+            # by direction: interference only ever inflates a sample,
+            # so a clean-probed minimum from a partly-contended run is
+            # still a true lower bound; the per-query tainted/
+            # floor_exceeded/min_overstated/failed filters below remain
+            # the gate. The whole-file skip mattered when this tool
+            # could REPLACE floors; for pure min-merging it only threw
+            # away legitimate clean minima (subset runs trip the >25%
+            # flag on a tiny denominator).
+            print(f"warning {src}: corrupted_run - merging per-query "
+                  "clean minima only", file=sys.stderr)
         sf = detail.get("sf", "")
         if sf.split("/")[-1] != out.get("sf", "").split("/")[-1]:
             print(f"skipping {src}: sf {sf!r} != floors sf", file=sys.stderr)
