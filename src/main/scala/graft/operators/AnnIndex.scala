@@ -318,6 +318,28 @@ object AnnIndex {
   }
 
   /**
+   * [[ensureAnnIndex]] with the caller's corpus-key aggregation gated
+   * behind [[StandingState.ensureWithSnapshot]] (r20): `key` — the
+   * corpus-sized (count, fingerprint) scan — evaluates only when the
+   * corpus's physical snapshot is not already verified against the
+   * persisted `<base>_corpuskey` row, so a steady-state probe call
+   * plans NO corpus-sized scan at all. Returns the corpus key in
+   * force (for oracle-dump partitioning); correctness contract and
+   * crash-safety are [[ensureAnnIndex]]'s, freshness semantics are
+   * [[StandingState.ensureWithSnapshot]]'s.
+   */
+  def ensureAnnIndexSnap(corpus: DataFrame, idCol: String, vecCol: String,
+                         base: String, dim: Int, key: => (Long, Long),
+                         nCentroids: Int = 16, m: Int = 16, pqK: Int = 16,
+                         buckets: Int = 16): (Long, Long) =
+    StandingState.ensureWithSnapshot(corpus, s"${base}_corpuskey", key) {
+      k =>
+        ensureAnnIndex(corpus, idCol, vecCol, base, dim, k, nCentroids,
+          m, pqK, buckets)
+        ()
+    }
+
+  /**
    * Encode new corpus rows with the PERSISTED model — no re-fit, no
    * touch of existing state — and append them to the bucketed codes
    * table (Spark appends per-bucket files; `buckets` must match the

@@ -172,6 +172,24 @@ object LexIndex {
   }
 
   /**
+   * [[ensureLexIndex]] with the caller's corpus-key aggregation gated
+   * behind [[StandingState.ensureWithSnapshot]] (r20): `key` — the
+   * corpus-sized (count, id+text-length fingerprint) scan — evaluates
+   * only when the corpus's physical snapshot is not already verified
+   * against the persisted `<base>_lexkey` row, so a steady-state
+   * probe call plans NO corpus-sized scan. Returns the corpus key in
+   * force; correctness contract is [[ensureLexIndex]]'s, freshness
+   * semantics [[StandingState.ensureWithSnapshot]]'s.
+   */
+  def ensureLexIndexSnap(docs: DataFrame, idCol: String, textCol: String,
+                         base: String, key: => (Long, Long),
+                         buckets: Int = 16): (Long, Long) =
+    StandingState.ensureWithSnapshot(docs, s"${base}_lexkey", key) { k =>
+      ensureLexIndex(docs, idCol, textCol, base, k, buckets)
+      ()
+    }
+
+  /**
    * Nightly ingest: explode ONLY the batch into postings and append
    * (Spark appends per-bucket files; `buckets` must match the build),
    * plus one new `_lexstats` generation row. Stats-first ordering and

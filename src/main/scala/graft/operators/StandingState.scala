@@ -51,6 +51,99 @@ import org.apache.spark.sql.functions._
  */
 object StandingState {
 
+  /** Process-local snapshot memo for [[ensureWithSnapshot]]:
+    * key table name → (corpus snapshot fingerprint, the key table's
+    * one persisted row as last verified, the corpus key in force). */
+  private val snapshotMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[Any], (Long, Long))]()
+
+  /** Test hook: forget every snapshot (forces the next ensure call to
+    * re-derive its corpus key from data). */
+  private[graft] def clearSnapshotMemo(): Unit = snapshotMemo.clear()
+
+  /**
+   * Metadata-only fingerprint of a corpus DataFrame's PHYSICAL
+   * snapshot: the sorted list of backing files with their lengths and
+   * modification times, plus the canonicalized logical plan's semantic
+   * hash (two corpora reading the same files through different
+   * filters/projections must not collide). None when the plan exposes
+   * no input files (non-file sources, empty relations) — callers then
+   * fall back to the data-derived key.
+   *
+   * No executor work and no data bytes are read: the file listing is
+   * the same driver-side metadata every scan of the frame plans with
+   * anyway. The identity assumption is the standard incremental-build
+   * one — same path + length + mtime ⇒ same bytes (Spark's own
+   * FileStreamSource discipline); any out-of-band change that touches
+   * a file's content changes its length or mtime and invalidates the
+   * snapshot.
+   */
+  def corpusSnapshot(df: DataFrame): Option[String] = scala.util.Try {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        md.update(s"$f:${st.getLen}:${st.getModificationTime}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Some(df.queryExecution.analyzed.semanticHash().toString + "/" +
+        md.digest().map("%02x".format(_)).mkString)
+    }
+  }.toOption.flatten
+
+  /**
+   * Freshness-token gate for the per-call corpus-key aggregation of a
+   * standing index (r20): a steady-state probe used to pay a
+   * corpus-sized count+fingerprint scan on EVERY call just to prove
+   * the persisted index still matches its corpus — at 100 TB that
+   * full pass defeats the standing index's purpose. This gate makes
+   * the steady-state check corpus-scan-FREE:
+   *
+   *  - `key` (the corpus-sized aggregation) is BY-NAME and evaluated
+   *    only when the corpus's physical snapshot ([[corpusSnapshot]])
+   *    is not the one already verified: first call per process, any
+   *    file-level change (path set, length, mtime), any plan change,
+   *    or a non-file source. `ensure` (the index build-if-needed path)
+   *    then runs with the data-derived key exactly as before.
+   *  - Steady state re-checks only the persisted ONE-ROW key table
+   *    (`keyTable`) against the row recorded when the snapshot was
+   *    verified — a scalar compare that still detects out-of-band
+   *    warehouse mutation (table dropped, rebuilt by another session
+   *    over a different corpus, parameter change): any mismatch falls
+   *    back to the full data-derived path.
+   *
+   * Returns the corpus key in force — equal by construction to what
+   * `key` would compute (snapshot equality ⇒ identical corpus bytes
+   * and plan ⇒ identical aggregate), so callers that need the key
+   * (oracle dump partitioning) read it from the return value instead
+   * of re-aggregating. The memo is process-local and never persisted:
+   * a fresh JVM's first call always re-derives the key from data.
+   */
+  def ensureWithSnapshot(corpus: DataFrame, keyTable: String,
+                         key: => (Long, Long))
+                        (ensure: ((Long, Long)) => Unit): (Long, Long) = {
+    val spark = corpus.sparkSession
+    def storedRow(): Option[Seq[Any]] =
+      scala.util.Try(spark.table(keyTable).head().toSeq).toOption
+    val snap = corpusSnapshot(corpus)
+    val hit = snap.flatMap { sn =>
+      Option(snapshotMemo.get(keyTable)).collect {
+        case (s, row, k) if s == sn && storedRow().contains(row) => k
+      }
+    }
+    hit.getOrElse {
+      val k = key
+      ensure(k)
+      for (sn <- snap; row <- storedRow())
+        snapshotMemo.put(keyTable, (sn, row, k))
+      k
+    }
+  }
+
   /**
    * Crash-safe staged swap: `write` must create `staging` (a full
    * Overwrite `saveAsTable`); on success the live table is dropped and

@@ -1886,12 +1886,13 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 101 =!= 0)
         val probes = docs.filter(col("doc_id") % 101 === 0)
-        val kr = corpus.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        graft.operators.LexIndex.ensureLexIndex(corpus, "doc_id", "text",
-          base = "graft_lex_q139", key = (kr.getLong(0), kr.getLong(1)),
-          buckets = 8)
+        graft.operators.LexIndex.ensureLexIndexSnap(corpus, "doc_id",
+          "text", base = "graft_lex_q139", key = {
+            val kr = corpus.agg(count(lit(1)),
+              sum(col("doc_id").cast("long") +
+                length(col("text")).cast("long"))).head()
+            (kr.getLong(0), kr.getLong(1))
+          }, buckets = 8)
         graft.operators.LexIndex.bm25TopKIndexed(s, probes, "doc_id",
           "text", base = "graft_lex_q139", k = 10)
       },
@@ -1963,12 +1964,13 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 101 =!= 0)
         val probes = docs.filter(col("doc_id") % 101 === 0)
-        val kr = corpus.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        graft.operators.LexIndex.ensureLexIndex(corpus, "doc_id", "text",
-          base = "graft_lex_q142", key = (kr.getLong(0), kr.getLong(1)),
-          buckets = 8)
+        graft.operators.LexIndex.ensureLexIndexSnap(corpus, "doc_id",
+          "text", base = "graft_lex_q142", key = {
+            val kr = corpus.agg(count(lit(1)),
+              sum(col("doc_id").cast("long") +
+                length(col("text")).cast("long"))).head()
+            (kr.getLong(0), kr.getLong(1))
+          }, buckets = 8)
         graft.operators.LexIndex.tombstoneLexDocs(s, "graft_lex_q142",
           corpus.filter(col("doc_id") % 7 === 1).select("doc_id"))
         graft.operators.LexIndex.bm25TopKIndexed(s, probes, "doc_id",

@@ -2025,15 +2025,17 @@ object VectorQueries {
         val docs = Tables.load(s, dir, "documents")
         val embs = Tables.load(s, dir, "embeddings")
         val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
-        val (n, fp) = corpusKey(corpusEmbs)
         // build-if-needed (r17): the STANDING-index retrieval shape —
         // the first call over a corpus builds and keys the index,
         // steady state goes straight to the bucketed search (q122
         // keeps the build-every-call shape, so both paths stay
         // measured). The corpus key is the dump key, so the searched
-        // state and the oracle's dumped state can never diverge.
-        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
-          "embedding", base = "graft_ann_q133", dim = 64, key = (n, fp),
+        // state and the oracle's dumped state can never diverge; r20
+        // gates the per-call key aggregation behind the snapshot
+        // check, so steady state plans NO corpus-sized scan.
+        val (n, fp) = graft.operators.AnnIndex.ensureAnnIndexSnap(
+          corpusEmbs, "vec_id", "embedding", base = "graft_ann_q133",
+          dim = 64, key = corpusKey(corpusEmbs),
           nCentroids = 16, m = 16, pqK = 16, buckets = 8)
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"graft_ann_q133_$t"), t, n, fp)
@@ -2068,9 +2070,9 @@ object VectorQueries {
         val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
         val probeDocs = docs.filter(col("doc_id") % 101 === 0)
         val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
-        val (n, fp) = corpusKey(corpusEmbs)
-        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
-          "embedding", base = "graft_ann_q133", dim = 64, key = (n, fp),
+        val (n, fp) = graft.operators.AnnIndex.ensureAnnIndexSnap(
+          corpusEmbs, "vec_id", "embedding", base = "graft_ann_q133",
+          dim = 64, key = corpusKey(corpusEmbs),
           nCentroids = 16, m = 16, pqK = 16, buckets = 8)
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"graft_ann_q133_$t"), t, n, fp)
@@ -2158,18 +2160,19 @@ object VectorQueries {
         val embs = Tables.load(s, dir, "embeddings")
         val corpusDocs = docs.filter(col("doc_id") % 101 =!= 0)
         val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
-        val (n, fp) = corpusKey(corpusEmbs)
-        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
-          "embedding", base = "graft_ann_q133", dim = 64, key = (n, fp),
+        val (n, fp) = graft.operators.AnnIndex.ensureAnnIndexSnap(
+          corpusEmbs, "vec_id", "embedding", base = "graft_ann_q133",
+          dim = 64, key = corpusKey(corpusEmbs),
           nCentroids = 16, m = 16, pqK = 16, buckets = 8)
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"graft_ann_q133_$t"), t, n, fp)
-        val kr = corpusDocs.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        graft.operators.LexIndex.ensureLexIndex(corpusDocs, "doc_id",
-          "text", base = "graft_lex_q139",
-          key = (kr.getLong(0), kr.getLong(1)), buckets = 8)
+        graft.operators.LexIndex.ensureLexIndexSnap(corpusDocs, "doc_id",
+          "text", base = "graft_lex_q139", key = {
+            val kr = corpusDocs.agg(count(lit(1)),
+              sum(col("doc_id").cast("long") +
+                length(col("text")).cast("long"))).head()
+            (kr.getLong(0), kr.getLong(1))
+          }, buckets = 8)
         graft.operators.Retrieval.hybridStandingTopK(s,
           docs.filter(col("doc_id") % 101 === 0), "doc_id", "text",
           embs.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
@@ -2197,9 +2200,9 @@ object VectorQueries {
       (s, dir) => {
         val embs = Tables.load(s, dir, "embeddings")
         val corpusEmbs = embs.filter(col("vec_id") % 101 =!= 0)
-        val (n, fp) = corpusKey(corpusEmbs)
-        graft.operators.AnnIndex.ensureAnnIndex(corpusEmbs, "vec_id",
-          "embedding", base = "graft_ann_q141", dim = 64, key = (n, fp),
+        val (n, fp) = graft.operators.AnnIndex.ensureAnnIndexSnap(
+          corpusEmbs, "vec_id", "embedding", base = "graft_ann_q141",
+          dim = 64, key = corpusKey(corpusEmbs),
           nCentroids = 16, m = 16, pqK = 16, buckets = 8)
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"graft_ann_q141_$t"), t, n, fp)
@@ -2300,41 +2303,46 @@ object VectorQueries {
         val annBase = "graft_ann_q144"
         val lexBase = "graft_lex_q144"
         // the LIVE corpus identity (post-delete) keys the replay dumps
-        // — distinct from q133's full-corpus index by construction
-        val (n, fp) = corpusKey(corpusEmbs.filter(col("vec_id") % 91 =!= 3))
+        // — distinct from q133's full-corpus index by construction.
         // ingest-if-needed: the wave replay is guarded by its own key
         // (the ensureAnnIndex drop-key-first discipline — a crash
-        // mid-ingest leaves no key, the next call replays from wave 0)
+        // mid-ingest leaves no key, the next call replays from wave 0);
+        // r20 gates the per-call key aggregation behind the snapshot
+        // check, so steady state plans NO corpus-sized scan
         val ingestKey = s"${annBase}_ingestkey"
-        val fresh = scala.util.Try {
-          val r = s.table(ingestKey).head()
-          (r.getLong(0), r.getLong(1)) == (n, fp)
-        }.getOrElse(false)
-        if (!fresh) {
-          graft.operators.AnnIndex.dropStale(s, ingestKey)
-          graft.operators.AnnIndex.writeAnnIndex(
-            corpusEmbs.filter(col("vec_id") % 3 === 0), "vec_id",
-            "embedding", annBase, dim = 64, nCentroids = 16, m = 16,
-            pqK = 16, buckets = 8)
-          graft.operators.LexIndex.writeLexIndex(
-            corpusDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
-            lexBase, buckets = 8)
-          for (w <- 1 to 2) {
-            graft.operators.AnnIndex.appendToAnnIndex(s,
-              corpusEmbs.filter(col("vec_id") % 3 === w), "vec_id",
-              "embedding", annBase, buckets = 8)
-            graft.operators.LexIndex.appendToLexIndexExactlyOnce(s,
-              corpusDocs.filter(col("doc_id") % 3 === w), "doc_id",
-              "text", lexBase, batchId = w, buckets = 8)
+        val liveEmbs = corpusEmbs.filter(col("vec_id") % 91 =!= 3)
+        val (n, fp) = graft.operators.StandingState.ensureWithSnapshot(
+          liveEmbs, ingestKey, corpusKey(liveEmbs)) { case (kn, kfp) =>
+          val fresh = scala.util.Try {
+            val r = s.table(ingestKey).head()
+            (r.getLong(0), r.getLong(1)) == (kn, kfp)
+          }.getOrElse(false)
+          if (!fresh) {
+            graft.operators.AnnIndex.dropStale(s, ingestKey)
+            graft.operators.AnnIndex.writeAnnIndex(
+              corpusEmbs.filter(col("vec_id") % 3 === 0), "vec_id",
+              "embedding", annBase, dim = 64, nCentroids = 16, m = 16,
+              pqK = 16, buckets = 8)
+            graft.operators.LexIndex.writeLexIndex(
+              corpusDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+              lexBase, buckets = 8)
+            for (w <- 1 to 2) {
+              graft.operators.AnnIndex.appendToAnnIndex(s,
+                corpusEmbs.filter(col("vec_id") % 3 === w), "vec_id",
+                "embedding", annBase, buckets = 8)
+              graft.operators.LexIndex.appendToLexIndexExactlyOnce(s,
+                corpusDocs.filter(col("doc_id") % 3 === w), "doc_id",
+                "text", lexBase, batchId = w, buckets = 8)
+            }
+            // the takedown wave: deletes land on BOTH standing indexes
+            graft.operators.AnnIndex.tombstoneAnnIds(s, annBase,
+              corpusEmbs.filter(col("vec_id") % 91 === 3).select("vec_id"))
+            graft.operators.LexIndex.tombstoneLexDocs(s, lexBase,
+              corpusDocs.filter(col("doc_id") % 91 === 3).select("doc_id"))
+            Seq((kn, kfp)).toDF("n", "fp").coalesce(1)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .saveAsTable(ingestKey)
           }
-          // the takedown wave: deletes land on BOTH standing indexes
-          graft.operators.AnnIndex.tombstoneAnnIds(s, annBase,
-            corpusEmbs.filter(col("vec_id") % 91 === 3).select("vec_id"))
-          graft.operators.LexIndex.tombstoneLexDocs(s, lexBase,
-            corpusDocs.filter(col("doc_id") % 91 === 3).select("doc_id"))
-          Seq((n, fp)).toDF("n", "fp").coalesce(1)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .saveAsTable(ingestKey)
         }
         for (t <- Seq("centroids", "codebooks", "codes"))
           dumpOracle(s.table(s"${annBase}_$t"), t, n, fp)

@@ -212,6 +212,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(built5, "missing key (crashed build) must rebuild")
   }
 
+  test("ensureAnnIndexSnap: steady state skips the key aggregation; " +
+      "stale corpus still detected") {
+    import org.apache.spark.sql.functions._
+    freshTables()
+    spark.sql(s"DROP TABLE IF EXISTS ${Base}_corpuskey")
+    graft.operators.StandingState.clearSnapshotMemo()
+    val dir0 = java.nio.file.Files.createTempDirectory("annsnap").toString
+    embeddings.write.mode("overwrite").parquet(dir0)
+    var dataDir = dir0
+    def corpus = spark.read.parquet(dataDir)
+    var evals = 0
+    def key(c: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      evals += 1
+      (c.count(), 7L)
+    }
+    val k1 = graft.operators.AnnIndex.ensureAnnIndexSnap(corpus,
+      "vec_id", "embedding", Base, dim, key(corpus), nCent, m, pqK,
+      buckets)
+    assert(evals === 1)
+    val codes1 = spark.table(s"${Base}_codes").count()
+    val k2 = graft.operators.AnnIndex.ensureAnnIndexSnap(corpus,
+      "vec_id", "embedding", Base, dim, key(corpus), nCent, m, pqK,
+      buckets)
+    assert(evals === 1, "steady state must NOT re-aggregate the corpus")
+    assert(k2 === k1)
+    // out-of-band swap of the backing files: snapshot changes, key is
+    // re-derived, the index is rebuilt over the NEW corpus (see
+    // LexIndexSpec's twin for why the swap rides a fresh directory)
+    val dir1 = java.nio.file.Files.createTempDirectory("annsnap2").toString
+    embeddings.filter(col("vec_id") < 100).write
+      .mode("overwrite").parquet(dir1)
+    dataDir = dir1
+    val k3 = graft.operators.AnnIndex.ensureAnnIndexSnap(corpus,
+      "vec_id", "embedding", Base, dim, key(corpus), nCent, m, pqK,
+      buckets)
+    assert(evals === 2, "changed corpus files must re-derive the key")
+    assert(k3 !== k1)
+    assert(spark.table(s"${Base}_codes").count() < codes1,
+      "rebuild must cover the new (smaller) corpus")
+  }
+
   test("compactAnnIndex: files collapse to one per bucket, search " +
       "bit-identical, bucketed plan preserved, append-after works") {
     freshTables()

@@ -162,6 +162,66 @@ class LexIndexSpec extends SparkSpec {
     assert(spark.table(s"${Base}_lexkey").count() === 1)
   }
 
+  test("ensureLexIndexSnap: steady state skips the key aggregation; " +
+      "stale corpus and out-of-band key mutation still detected") {
+    freshTables()
+    graft.operators.StandingState.clearSnapshotMemo()
+    val dir0 = java.nio.file.Files.createTempDirectory("lexsnap").toString
+    docs.write.mode("overwrite").parquet(dir0)
+    var dataDir = dir0
+    def corpus: DataFrame = spark.read.parquet(dataDir)
+    var evals = 0
+    def key(c: DataFrame): (Long, Long) = {
+      evals += 1
+      val r = c.agg(count(lit(1)),
+        coalesce(sum(col("doc_id").cast("long") +
+          coalesce(length(col("text")), lit(0)).cast("long")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val k1 = LexIndex.ensureLexIndexSnap(corpus, "doc_id", "text", Base,
+      key(corpus), Buckets)
+    assert(evals === 1, "first call must derive the key from data")
+    val k2 = LexIndex.ensureLexIndexSnap(corpus, "doc_id", "text", Base,
+      key(corpus), Buckets)
+    assert(evals === 1, "steady state must NOT re-aggregate the corpus")
+    assert(k2 === k1, "steady state must return the key in force")
+    // the index answers correctly in steady state
+    val perCall = rows(CorpusStats.bm25TopK(corpus, "doc_id", "text",
+      corpus.filter(col("doc_id") % 23 === 0), "doc_id", "text", K))
+    assert(rows(LexIndex.bm25TopKIndexed(spark,
+      corpus.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+      Base, K)) === perCall)
+    // OUT-OF-BAND corpus change: the backing file set changes (same
+    // logical plan shape, different files) — the snapshot changes, so
+    // the next ensure must re-derive the key and REBUILD. (A same-path
+    // in-place rewrite changes lengths/mtimes and takes the identical
+    // code path; it is not used here only because Spark's shared
+    // FileStatusCache makes the SCAN itself fail loudly on vanished
+    // files — stale listings never silently serve.)
+    val dir1 = java.nio.file.Files.createTempDirectory("lexsnap2").toString
+    docs.filter(col("doc_id") % 3 =!= 1).write
+      .mode("overwrite").parquet(dir1)
+    dataDir = dir1
+    val k3 = LexIndex.ensureLexIndexSnap(corpus, "doc_id", "text", Base,
+      key(corpus), Buckets)
+    assert(evals === 2, "changed corpus files must re-derive the key")
+    assert(k3 !== k1)
+    val perCall2 = rows(CorpusStats.bm25TopK(corpus, "doc_id", "text",
+      corpus.filter(col("doc_id") % 23 === 0), "doc_id", "text", K))
+    assert(rows(LexIndex.bm25TopKIndexed(spark,
+      corpus.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+      Base, K)) === perCall2)
+    // OUT-OF-BAND warehouse mutation: the persisted key table is the
+    // scalar the steady-state check compares against — dropping it
+    // must force the full data-derived path (and a rebuild)
+    spark.sql(s"DROP TABLE ${Base}_lexkey")
+    LexIndex.ensureLexIndexSnap(corpus, "doc_id", "text", Base,
+      key(corpus), Buckets)
+    assert(evals === 3, "missing key table must re-derive the key")
+    assert(spark.table(s"${Base}_lexkey").count() === 1)
+  }
+
   test("state scan is bucketed, prunes to the probe vocabulary, and plans no state-side Exchange") {
     freshTables()
     val d = docs
