@@ -821,17 +821,24 @@ object CorpusStats {
    * inside DECIMAL(38,0), and the integral quotient ≤ 2.2·idf_µ fits a
    * BIGINT with 10 digits to spare.
    *
-   * Plan shape at 100 TB: the corpus explodes ONCE, and (r19, guide
-   * §2.3) the query vocabulary — eval probes, tiny — gates the
-   * exploded token stream MAP-SIDE via a broadcast semi-join BEFORE
-   * the (doc_id, term) aggregation, so the only corpus-proportional
-   * work is the in-memory explode+filter: the aggregation, its
+   * Plan shape at 100 TB: the corpus text is scanned and tokenized
+   * exactly ONCE (r20, guide §6/§1 — N and T ride that same pass as an
+   * `observe` metric instead of a second full tokenize, and inline as
+   * literals so ln(2N+2) constant-folds), and the query vocabulary —
+   * eval probes, tiny — gates the token stream BEFORE the (doc_id,
+   * term) aggregation: with `collectVocab` (default) the gate fuses
+   * into the tokenize projection itself as an `InSet` array filter, so
+   * a non-query token never even materializes as an exploded row (r20,
+   * §2.3 one step past the r19 broadcast semi-join, which still
+   * emitted every corpus token as a row before dropping it); with
+   * `collectVocab = false` the r19 broadcast semi-join gate on the
+   * exploded stream remains. Either way the only corpus-proportional
+   * work is the in-memory tokenize+filter: the aggregation, its
    * exchange, df, idf and scoring are all query-vocabulary-
-   * proportional (previously the aggregate exchanged the corpus's
+   * proportional (pre-r19 the aggregate exchanged the corpus's
    * whole vocabulary and was gated after). The gate keeps every
    * occurrence of a query term, so tf/len and df (counted FROM the
-   * gated postings) are exactly the full-corpus values. N and T are
-   * one broadcast scalar row. No collect, no cartesian, and — crucially
+   * gated postings) are exactly the full-corpus values. No cartesian, and — crucially
    * — NO per-probe sort: the final top-k is the mergeable `graft_topk`
    * aggregate ([[graft.plans.TopKByScore]]), so every map task forwards
    * at most k (score, id) pairs per probe. A `row_number` window keyed
@@ -853,12 +860,18 @@ object CorpusStats {
    * document frequency exceeds `dfCap·N` (stopword gating): scores
    * change by construction — terms with df ≈ N carry idf ≈ ln(1+1/(2df))
    * ≈ 0 yet dominate the scored-row count — so the default 1.0 keeps
-   * the exact Okapi semantics the oracle replays.
+   * the exact Okapi semantics the oracle replays. `collectVocab`
+   * (default true, active only with broadcastProbes) collects the
+   * probe vocabulary driver-side to fuse the gate into the tokenize
+   * projection; it is bounded by the probe batch's vocabulary — pass
+   * false when that is itself unbounded and the plan-embedded InSet
+   * would bloat the task binary.
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int, broadcastProbes: Boolean = true,
-               dfCap: Double = 1.0): DataFrame = {
+               dfCap: Double = 1.0,
+               collectVocab: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(dfCap > 0.0 && dfCap <= 1.0, s"dfCap must be in (0,1], got $dfCap")
     // the top-k aggregate carries doc_id through a LONG slot; a
@@ -887,8 +900,20 @@ object CorpusStats {
     }
     def probeSide(d: DataFrame): DataFrame =
       if (broadcastProbes) broadcast(d) else d
+    // r20 (guide §6/§1 — one corpus text pass, not two): the corpus
+    // scalars N/T ride the SAME pass that builds the gated postings,
+    // as an `observe` metric on the tokenized stream harvested when
+    // the pin's eager count executes, instead of the former dedicated
+    // full-corpus tokenize. The metric expressions are the exact
+    // aggregates the second pass computed (every doc counts in N;
+    // null-text docs pinned to 0 tokens under both null-semantics
+    // regimes), and they inline as literals so ln(2N+2) constant-folds.
+    val obs = org.apache.spark.sql.Observation()
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .observe(obs, count(lit(1)).as("n_docs"),
+        coalesce(sum(greatest(size(col("__toks")), lit(0)).cast("long")),
+          lit(0L)).as("n_toks"))
     // one corpus explode → (doc_id, term, tf, len); len rides the
     // aggregate (constant per doc) instead of a second self-join
     val rawPosts = toks
@@ -924,7 +949,28 @@ object CorpusStats {
     // plans the duplicate subtrees as separate query stages and no
     // ReusedExchange appears)
     val gated = graft.ops.materialize(
-      if (broadcastProbes)
+      if (broadcastProbes && collectVocab) {
+        // r20 (§2.3 taken one step further): with a driver-known probe
+        // vocabulary the gate fuses INTO the tokenize projection — a
+        // token matching no probe term never materializes as an
+        // exploded row, so the Generate emits query-term occurrences
+        // only and the broadcast semi-join disappears from the plan.
+        // tf/len/df are unchanged: every occurrence of a query term is
+        // kept, and `len` is the FULL doc token count, sized before
+        // the gate. The collect is bounded by the probe batch's
+        // vocabulary (the LexIndex.bm25TopKIndexed collectVocab
+        // standing); pass collectVocab = false when the probe
+        // vocabulary itself is unbounded.
+        val vocab = qvocab.collect().map(_.getString(0)).toSeq
+        val gatedToks =
+          if (vocab.isEmpty) filter(col("__toks"), _ => lit(false))
+          else filter(col("__toks"), t => t.isin(vocab: _*))
+        toks.select(col("doc_id"),
+            size(col("__toks")).cast("long").as("len"),
+            explode(gatedToks).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      } else if (broadcastProbes)
         rawPosts.join(broadcast(qvocab), "term")
           .groupBy("doc_id", "term")
           .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
@@ -933,20 +979,21 @@ object CorpusStats {
           .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
           .join(qvocab, "term"))
     val dfx = gated.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus scalars: N docs, T total tokens (empty docs count in N;
-    // greatest(·, 0) pins null-text docs to 0 tokens under BOTH null-
-    // semantics regimes — legacy size(null) = -1 and ANSI size(null) =
-    // null — matching the oracle's skip-null sum)
-    val tot = toks.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(greatest(size(col("__toks")), lit(0)).cast("long")),
-        lit(0L)).as("n_toks"))
-    val idf = dfx.crossJoin(broadcast(tot))
-      .filter(col("df").cast("double") <= lit(dfCap) * col("n_docs").cast("double"))
+    // corpus scalars N/T from the observed metrics (computed in the
+    // pin's single corpus pass — every doc counts in N, null-text docs
+    // pin to 0 tokens, matching the oracle's skip-null sum exactly)
+    val (nDocs, nToks) = {
+      val mx = obs.get
+      (mx("n_docs").asInstanceOf[Long], mx("n_toks").asInstanceOf[Long])
+    }
+    val idf = dfx
+      .filter(col("df").cast("double")
+        <= lit(dfCap) * lit(nDocs).cast("double"))
       .select(col("term"),
-        floor((log(col("n_docs").cast("double") * 2 + 2)
+        floor((log(lit(nDocs).cast("double") * 2 + 2)
              - log(col("df").cast("double") * 2 + 1)) * lit(1e6) + lit(0.5))
           .cast("long").as("idf_u"),
-        col("n_docs"), col("n_toks"))
+        lit(nDocs).as("n_docs"), lit(nToks).as("n_toks"))
     // tf/len at decimal(10,0): the documented ceiling is 10⁷ tokens/doc,
     // and the widened cast moves the silent overflow-to-null edge out to
     // 10¹⁰ — num ≤ 6.2e7·22·10¹⁰·10¹⁵ ≈ 1.4e34 still inside DECIMAL(38,0)

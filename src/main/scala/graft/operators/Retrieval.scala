@@ -177,6 +177,15 @@ object Retrieval {
       .withColumn("sim_u", lit(null).cast("long"))
       .withColumn("rank", lit(null).cast("int"))
       .withColumn("mmr_u", lit(null).cast("long"))
+      // r20 (§2.4 — establish the partitioning once): hash the state on
+      // q_id BEFORE the first checkpoint. LogicalRDD preserves the
+      // physical partitioning across (local)checkpoints, so every
+      // step's per-q_id argmax aggregate AND its join-back to the state
+      // are co-partitioned and plan ZERO exchanges — previously each of
+      // the k steps paid two (aggregate + join), over a candidate-list-
+      // sized state where the exchanges were pure fixed overhead. No N
+      // is pinned: AQE sizes (and locally coalesces) the one shuffle.
+      .repartition(col("q_id"))
       .localCheckpoint(true)
     def mmr = col("rel_u") * lit(relW) -
       coalesce(col("sim_u") * lit(penW), lit(0L))

@@ -117,6 +117,47 @@ class RelationalOpsSpec extends SparkSpec {
     assert(key(empty) === key(default))
   }
 
+  test("sampledBoundaryBucket: plan size capped independent of the " +
+      "partition count; null key fields never become boundaries") {
+    import spark.implicits._
+    // null sort keys in the DATA (the order stays a unique total order
+    // through the payload tiebreak; window semantics put nulls first)
+    val df = (1 to 1000).map(i =>
+        (if (i % 97 == 0) null.asInstanceOf[Integer]
+         else Integer.valueOf(i * 7919 % 1000), s"k$i"))
+      .toDF("sort_key", "payload").repartition(13)
+    val order = Seq(col("sort_key"), col("payload"))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("row_id"),
+        Option(r.getAs[Integer]("sort_key")),
+        r.getAs[String]("payload"))).toSet
+    val default = relational.contiguousRowNumber(df, order, "row_id",
+      numPartitions = Some(7))
+    def caseWhens(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.analyzed.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case c: org.apache.spark.sql.catalyst.expressions.CaseWhen => c
+        })
+      }.flatten.size
+    // a production-scale partition count with a small cap: the embedded
+    // when-tree must stay cap-sized (one CaseWhen per boundary), values
+    // bit-identical — boundaries only govern balance
+    spark.conf.set("spark.graft.counter.maxBoundaries", "8")
+    try {
+      val capped = relational.contiguousRowNumberSampledRange(df, order,
+        "row_id", numPartitions = Some(512))
+      val whens = caseWhens(capped)
+      assert(whens <= 8,
+        s"when-tree must be cap-sized (<= 8 boundaries), got $whens")
+      assert(key(capped) === key(default))
+    } finally spark.conf.unset("spark.graft.counter.maxBoundaries")
+    // default cap: n = 4096 must embed at most 1024 boundaries
+    val wide = relational.contiguousRowNumberSampledRange(df, order,
+      "row_id", numPartitions = Some(4096))
+    assert(caseWhens(wide) <= 1024)
+    assert(key(wide) === key(default))
+  }
+
   test("contiguousRowNumberViaJoin: narrow-shuffle twin is bit-identical " +
       "to the default form (and to the window) on a unique total order") {
     import spark.implicits._
