@@ -38,10 +38,13 @@ object MediaQueries {
     // ids 0..499, and an id-only key let one SF's dump shadow the
     // other's. Byte length is exact integer arithmetic in both engines
     // (octet_length here, strlen in DuckDB).
-    val r = docs.agg(count(lit(1)),
-      sum(col("doc_id").cast("long") +
-        octet_length(col("text")).cast("long"))).head()
-    VectorQueries.dumpOracle(feats, "media_features", r.getLong(0), r.getLong(1))
+    val (kn, kfp) = VectorQueries.snapshotKey(docs, "mediakey") {
+      val r = docs.agg(count(lit(1)),
+        sum(col("doc_id").cast("long") +
+          octet_length(col("text")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    VectorQueries.dumpOracle(feats, "media_features", kn, kfp)
     feats
   }
 

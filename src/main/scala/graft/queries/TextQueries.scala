@@ -1424,10 +1424,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
-        val kr = docs.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        val key = (kr.getLong(0), kr.getLong(1))
+        val key = VectorQueries.docsKey(docs)
         val model = VectorQueries.cachedFit("bpe_200", key)(
           graft.operators.Bpe.fit(docs, "doc_id", "text", nMerges = 200))
         VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
@@ -1526,10 +1523,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val docsRaw = Tables.load(s, dir, "documents")
-        val kr = docsRaw.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        val key = (kr.getLong(0), kr.getLong(1))
+        val key = VectorQueries.docsKey(docsRaw)
         val model = VectorQueries.cachedFit("bpe_200", key)(
           graft.operators.Bpe.fit(docsRaw, "doc_id", "text", nMerges = 200))
         VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
@@ -1625,10 +1619,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val docsRaw = Tables.load(s, dir, "documents")
-        val kr = docsRaw.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        val key = (kr.getLong(0), kr.getLong(1))
+        val key = VectorQueries.docsKey(docsRaw)
         val model = VectorQueries.cachedFit("bpe_200", key)(
           graft.operators.Bpe.fit(docsRaw, "doc_id", "text", nMerges = 200))
         VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
@@ -1756,10 +1747,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
-        val kr = docs.agg(count(lit(1)),
-          sum(col("doc_id").cast("long") + length(col("text")).cast("long")))
-          .head()
-        val key = (kr.getLong(0), kr.getLong(1))
+        val key = VectorQueries.docsKey(docs)
         val model = VectorQueries.cachedFit("bpe_200", key)(
           graft.operators.Bpe.fit(docs, "doc_id", "text", nMerges = 200))
         VectorQueries.dumpOracle(graft.operators.Bpe.mergesRows(model)
@@ -1887,12 +1875,7 @@ object TextQueries {
         val corpus = docs.filter(col("doc_id") % 101 =!= 0)
         val probes = docs.filter(col("doc_id") % 101 === 0)
         graft.operators.LexIndex.ensureLexIndexSnap(corpus, "doc_id",
-          "text", base = "graft_lex_q139", key = {
-            val kr = corpus.agg(count(lit(1)),
-              sum(col("doc_id").cast("long") +
-                length(col("text")).cast("long"))).head()
-            (kr.getLong(0), kr.getLong(1))
-          }, buckets = 8)
+          "text", base = "graft_lex_q139", key = VectorQueries.docsKey(corpus), buckets = 8)
         graft.operators.LexIndex.bm25TopKIndexed(s, probes, "doc_id",
           "text", base = "graft_lex_q139", k = 10)
       },
@@ -1965,12 +1948,7 @@ object TextQueries {
         val corpus = docs.filter(col("doc_id") % 101 =!= 0)
         val probes = docs.filter(col("doc_id") % 101 === 0)
         graft.operators.LexIndex.ensureLexIndexSnap(corpus, "doc_id",
-          "text", base = "graft_lex_q142", key = {
-            val kr = corpus.agg(count(lit(1)),
-              sum(col("doc_id").cast("long") +
-                length(col("text")).cast("long"))).head()
-            (kr.getLong(0), kr.getLong(1))
-          }, buckets = 8)
+          "text", base = "graft_lex_q142", key = VectorQueries.docsKey(corpus), buckets = 8)
         graft.operators.LexIndex.tombstoneLexDocs(s, "graft_lex_q142",
           corpus.filter(col("doc_id") % 7 === 1).select("doc_id"))
         graft.operators.LexIndex.bm25TopKIndexed(s, probes, "doc_id",

@@ -42,6 +42,7 @@ def main() -> int:
         if sf.split("/")[-1] != out.get("sf", "").split("/")[-1]:
             print(f"skipping {src}: sf {sf!r} != floors sf", file=sys.stderr)
             continue
+        corrupted = bool(detail.get("corrupted_run"))
         for name, q in detail["queries"].items():
             short = name.split("_", 1)[0]
             ok = (not q.get("tainted") and not q.get("floor_exceeded")
@@ -51,6 +52,16 @@ def main() -> int:
                 continue
             new = round(q["sec"], 3)
             old = floors.get(short)
+            # r20 (ADVICE): a corrupted run may only LOWER existing
+            # floors, never seed a first-time floor — a query with no
+            # prior floor has no floor_exceeded gate, and the probe
+            # brackets can miss mid-sample contention, so an inflated
+            # initial floor would enter and only ever ratchet down,
+            # weakening the 3x-floor taint check from then on.
+            if old is None and corrupted:
+                print(f"skipping first-time floor {short} from corrupted "
+                      f"run {src}", file=sys.stderr)
+                continue
             if old is None or new < old:
                 floors[short] = new
                 changed.append(f"{short} {old}->{new}")
